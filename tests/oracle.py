@@ -1,0 +1,78 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a Spark DataFrame and a DuckDB SQL string over the same parquet
+tables and compares row count, column names, and an order-insensitive
+value hash — so every queries()/oracle_sql() pair can be validated in
+pytest before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _norm_cell(v) -> str:
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "<null>"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    return sorted(rows)
+
+
+def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Assert spark result == duckdb oracle result (order-insensitive)."""
+    sp = spark_df.toPandas()
+    con = duck_con(sf_dir)
+    du = con.execute(oracle_sql).fetchdf()
+    assert sorted(sp.columns) == sorted(du.columns), (
+        f"column mismatch: spark={sorted(sp.columns)} duck={sorted(du.columns)}"
+    )
+    assert len(sp) == len(du), f"row count: spark={len(sp)} duck={len(du)}"
+    nsp, ndu = normalize(sp), normalize(du)
+    mismatches = [
+        (a, b) for a, b in zip(nsp, ndu) if a != b
+    ]
+    assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"

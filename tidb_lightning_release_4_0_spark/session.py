@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the ingest engine.
+
+Mirrors the reference's concurrency/batching surface
+(lightning/config/config.go:211-217, tidb-lightning.toml:21-34) onto
+Spark's own knobs: region-concurrency -> cores / shuffle partitions,
+read-block-size & batch-size -> file split sizing, io-concurrency ->
+Spark's own IO scheduling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for a single-node local[N] harness; on a real cluster
+# only `shuffle_partitions` and `max_partition_bytes` matter (the rest
+# come from the cluster manager).
+_DEF_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "tidb-lightning-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    max_partition_bytes: str = "128m",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale notes (100 TB design):
+    - AQE on: runtime coalescing of the per-table shuffle plans and
+      skew-join splitting replace the reference's hand-tuned worker
+      pools (lightning/worker/worker.go:23-65).
+    - `spark.sql.files.maxPartitionBytes` plays the role of the
+      reference's chunk splitter (lightning/mydump/parser.go:502-535):
+      one input split == one "chunk".
+    - Arrow enabled for the few pandas-UDF kernels (crc64, multimodal
+      decode) so Python exchange is columnar, not per-row pickling.
+    - Session timezone pinned to UTC so timestamp canonicalization is
+      deterministic across engines (checksum parity).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or _DEF_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
