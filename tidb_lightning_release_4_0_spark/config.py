@@ -1,0 +1,155 @@
+"""Job configuration mirroring the reference's TOML surface.
+
+The reference's unit of work is one TOML ``Config``
+(lightning/config/config.go:83-97) validated/defaulted by
+``(*Config).Adjust`` (config.go:347-509). We mirror the subset that
+affects dataflow semantics; TiKV-physical knobs (importer address,
+region split, …) are intentionally absent (SURVEY.md §2.4 K2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal
+
+# System databases always excluded at discovery time
+# (lightning/config/config.go:427-432).
+SYSTEM_DBS = frozenset(
+    {"mysql", "information_schema", "performance_schema", "sys"}
+)
+
+
+@dataclass
+class CSVConfig:
+    """MySQL LOAD DATA-flavored CSV dialect.
+
+    Mirrors config.CSVConfig (lightning/config/config.go:128-136) and
+    the defaults in tidb-lightning.toml:105-128. Near-1:1 mapping to
+    spark.read.csv options (SURVEY.md §2.1 S4).
+    """
+
+    separator: str = ","
+    delimiter: str = '"'  # quote char
+    header: bool = False
+    not_null: bool = False  # True => no NULL values, sentinel is literal
+    null: str = "\\N"
+    backslash_escape: bool = True
+    trim_last_sep: bool = False
+
+    def validate(self) -> None:
+        # config.go:381-392: separator must be 1 byte and differ from
+        # delimiter in the reference; Spark's reader has the same limits.
+        if len(self.separator) != 1:
+            raise ValueError("csv separator must be a single character")
+        if self.delimiter and self.separator == self.delimiter:
+            raise ValueError("csv separator and delimiter must differ")
+
+    def spark_options(self) -> dict[str, str]:
+        """Options for spark.read.csv implementing these semantics."""
+        opts = {
+            "sep": self.separator,
+            "header": str(self.header).lower(),
+            "quote": self.delimiter or '\u0000',
+            "escape": "\\" if self.backslash_escape else '\u0000',
+            "nullValue": "" if self.not_null else self.null,
+            "emptyValue": "",  # '' stays empty string, not null
+            "multiLine": "true",  # quoted newlines (csv_parser.rl:30-36)
+            "mode": "PERMISSIVE",
+            "inferSchema": "false",
+        }
+        return opts
+
+
+@dataclass
+class FilterRule:
+    """Black/white-list of db/table wildcard patterns (F1).
+
+    Reference: tidb-tools/pkg/filter rules referenced from
+    config.go:91 (``[black-white-list]``) and applied at discovery
+    time (lightning/mydump/loader.go:91-94,299-301).
+    """
+
+    do_dbs: list[str] = field(default_factory=list)
+    ignore_dbs: list[str] = field(default_factory=list)
+    do_tables: list[tuple[str, str]] = field(default_factory=list)
+    ignore_tables: list[tuple[str, str]] = field(default_factory=list)
+
+
+@dataclass
+class RouteRule:
+    """Table-router rule (F2): rename/merge shards.
+
+    Reference: tidb-tools table-router rules validated at
+    config.go:434-441, applied in (*mdLoaderSetup).route()
+    (lightning/mydump/loader.go:303-372).
+    """
+
+    schema_pattern: str
+    table_pattern: str
+    target_schema: str
+    target_table: str
+
+
+@dataclass
+class MydumperConfig:
+    """[mydumper] section (config.go:117-127)."""
+
+    source_dir: str = ""
+    no_schema: bool = False
+    character_set: str = "auto"  # auto|utf8mb4|gb18030|binary
+    read_block_size: int = 64 * 1024  # config.go:477-479
+    batch_size: int = 100 * (1 << 30)  # config.go:471-473
+    case_sensitive: bool = False
+    csv: CSVConfig = field(default_factory=CSVConfig)
+
+
+@dataclass
+class TiDBConfig:
+    """[tidb] target section (config.go:138-160); JDBC sink params."""
+
+    host: str = "127.0.0.1"
+    port: int = 4000
+    user: str = "root"
+    password: str = ""
+    sql_mode: str = "STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION"
+
+
+@dataclass
+class Config:
+    """Top-level task config (config.go:83-97)."""
+
+    mydumper: MydumperConfig = field(default_factory=MydumperConfig)
+    tidb: TiDBConfig = field(default_factory=TiDBConfig)
+    bw_list: FilterRule = field(default_factory=FilterRule)
+    routes: list[RouteRule] = field(default_factory=list)
+    backend: Literal["parquet", "jdbc", "memory"] = "parquet"
+    on_duplicate: Literal["replace", "ignore", "error"] = "replace"
+    # checkpoint section (config.go:99-108)
+    checkpoint_enable: bool = True
+    checkpoint_path: str = ""
+    # post-restore (config.go:110-115)
+    checksum: bool = True
+    analyze: bool = True
+    target_dir: str = ""  # parquet backend sink root
+
+    def adjust(self) -> "Config":
+        """Validate + default, like (*Config).Adjust (config.go:347-509)."""
+        self.mydumper.csv.validate()
+        if not self.mydumper.source_dir:
+            raise ValueError("mydumper.source-dir is required")
+        if self.backend == "parquet" and not self.target_dir:
+            raise ValueError("target-dir required for parquet backend")
+        cs = self.mydumper.character_set.lower()
+        if cs not in ("auto", "utf8mb4", "utf8", "gb18030", "binary"):
+            raise ValueError(f"invalid character-set {cs!r}")
+        return self
+
+
+def strict_sql_mode(sql_mode: str) -> bool:
+    """STRICT_TRANS_TABLES/STRICT_ALL_TABLES detection.
+
+    Mirrors mysql.ModeStrictTransTables|ModeStrictAllTables handling
+    in lightning/backend/session.go:95-121.
+    """
+    modes = {m.strip().upper() for m in sql_mode.split(",") if m.strip()}
+    return bool(modes & {"STRICT_TRANS_TABLES", "STRICT_ALL_TABLES"})

@@ -1,0 +1,225 @@
+"""T3: MySQL-compatible type casting with strict/lenient SQL modes.
+
+The reference casts every parsed datum with ``table.CastValue`` under
+session SQL-mode flags (lightning/backend/sql2kv.go:165-186,
+lightning/backend/session.go:95-121): strict mode errors on bad
+values, lenient mode truncates/clamps/zeroes with a warning
+(behavior matrix exercised by tests/sqlmode/run.sh).
+
+Spark-first design: everything is built-ins inside whole-stage
+codegen — ``try_cast``-style parsing via regexp + cast, clamping via
+least/greatest, strict-mode errors via ``raise_error`` guarded by a
+filter. No Python UDFs in this path.
+
+Documented deviations (SURVEY.md §7 known hard spots):
+- MySQL zero-dates (``0000-00-00``) cannot exist in Spark's
+  TimestampType; lenient mode maps them to NULL and
+  ``format_mysql_datetime`` renders NULL back as the zero-date
+  string for MySQL-facing output.
+- Lenient float parse of trailing garbage ('12abc' -> 12) keeps the
+  longest numeric prefix, like MySQL's truncating conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.schema_reader import ColumnSpec
+
+_INT_RANGE = {
+    "tinyint": (-128, 127, 255),
+    "smallint": (-32768, 32767, 65535),
+    "mediumint": (-8388608, 8388607, 16777215),
+    "int": (-2147483648, 2147483647, 4294967295),
+    "integer": (-2147483648, 2147483647, 4294967295),
+    "bigint": (-9223372036854775808, 9223372036854775807, None),
+}
+
+_NUM_PREFIX = r"^\s*([+-]?[0-9]+(\.[0-9]*)?([eE][+-]?[0-9]+)?|[+-]?\.[0-9]+([eE][+-]?[0-9]+)?)"
+
+
+def _numeric_prefix(c: Column) -> Column:
+    """Longest numeric prefix of a string (MySQL truncating parse)."""
+    return F.nullif(F.regexp_extract(c, _NUM_PREFIX, 1), F.lit(""))
+
+
+def mysql_cast(raw: Column, spec: ColumnSpec, strict: bool = False) -> Column:
+    """Cast a string column to spec's Spark type with MySQL semantics."""
+    t = spec.mysql_type
+    dt = spec.spark_type
+
+    if t in _INT_RANGE or t in ("bool", "boolean"):
+        lo, hi, uhi = _INT_RANGE.get(t, (-128, 127, 255))
+        num = _numeric_prefix(raw).cast("double")
+        if t == "bigint" and spec.unsigned:
+            # uint64: Decimal(20,0), clamp [0, 2^64-1]
+            dec = F.try_to_number(F.trim(raw), F.lit("999999999999999999999999"))
+            num2 = F.coalesce(dec, _numeric_prefix(raw).cast("decimal(38,4)"))
+            clamped = F.least(
+                F.greatest(num2, F.lit(0).cast("decimal(38,4)")),
+                F.lit(18446744073709551615).cast("decimal(38,4)"),
+            )
+            parsed = clamped.cast(dt)
+        else:
+            if spec.unsigned:
+                lo2, hi2 = 0, (uhi if uhi is not None else hi)
+            else:
+                lo2, hi2 = lo, hi
+            rounded = F.round(num)  # MySQL rounds fractional strings
+            clamped = F.least(
+                F.greatest(rounded, F.lit(float(lo2))), F.lit(float(hi2))
+            )
+            parsed = clamped.cast("long").cast(dt)
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t in ("float", "double", "real", "double precision"):
+        parsed = _numeric_prefix(raw).cast(dt)
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t in ("decimal", "numeric", "fixed", "dec"):
+        parsed = _numeric_prefix(raw).try_cast(dt)  # rounds to scale
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t in ("datetime", "timestamp"):
+        is_zero = raw.rlike(r"^0000-00-00")
+        parsed = F.when(is_zero, F.lit(None).cast(dt)).otherwise(
+            raw.try_cast(dt)
+        )
+        if strict:
+            # zero dates are invalid in strict mode too (sqlmode/run.sh)
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t == "date":
+        is_zero = raw.rlike(r"^0000-00-00")
+        parsed = F.when(is_zero, F.lit(None).cast(dt)).otherwise(
+            raw.try_cast(dt)
+        )
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t == "bit":
+        # numeric string, 0x-hex literal (from the dump parser), or
+        # raw bytes; BIT(n<=64) -> long (tidb.go:181-188 renders as int)
+        hexed = F.when(
+            raw.rlike("^0x[0-9A-Fa-f]*$"),
+            F.conv(F.substring(raw, 3, 16), 16, 10).cast("long"),
+        )
+        parsed = F.coalesce(
+            hexed,
+            F.trim(raw).try_cast(T.LongType()),
+            F.conv(F.hex(raw.cast("binary")), 16, 10).cast("long"),
+        )
+        return parsed
+
+    if t in ("enum",):
+        # valid member (case-insensitive in MySQL) or numeric ordinal
+        members = spec.enum_members
+        ordinal = F.trim(raw).try_cast(T.IntegerType())
+        arr = F.array(*[F.lit(m) for m in members])
+        by_ord = F.when(
+            (ordinal >= 1) & (ordinal <= len(members)),
+            F.element_at(arr, ordinal),
+        )
+        low = F.lower(F.trim(raw))
+        match = F.array_position(
+            F.transform(arr, lambda x: F.lower(x)), low
+        )
+        by_name = F.when(match > 0, F.element_at(arr, match.cast("int")))
+        parsed = F.coalesce(by_name, by_ord)
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        else:
+            parsed = F.when(raw.isNull(), F.lit(None)).otherwise(
+                F.coalesce(parsed, F.lit(""))  # invalid -> '' (ordinal 0)
+            )
+        return parsed
+
+    if t in ("set",):
+        members = spec.enum_members
+        arr = F.array(*[F.lit(m) for m in members])
+        low_members = F.transform(arr, lambda x: F.lower(x))
+        toks = F.when(F.trim(raw) == "", F.array().cast("array<string>")).otherwise(
+            F.split(F.trim(raw), ",")
+        )
+        # keep members in definition order that appear in the value
+        kept = F.filter(
+            arr,
+            lambda m: F.array_contains(
+                F.transform(toks, lambda s: F.lower(F.trim(s))), F.lower(m)
+            ),
+        )
+        valid = F.size(
+            F.filter(
+                toks,
+                lambda s: ~F.array_contains(low_members, F.lower(F.trim(s))),
+            )
+        ) == 0
+        parsed = F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
+            F.when(valid, F.concat_ws(",", kept))
+        )
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        else:
+            parsed = F.when(raw.isNull(), F.lit(None)).otherwise(
+                F.coalesce(parsed, F.lit(""))
+            )
+        return parsed
+
+    if isinstance(dt, T.BinaryType):
+        # 0x-hex literals from the dump parser decode to bytes
+        # (parser.go:474-485); plain strings encode as UTF-8
+        hexpart = F.substring(raw, 3, 1 << 30)
+        padded = F.when(
+            F.length(hexpart) % 2 == 1, F.concat(F.lit("0"), hexpart)
+        ).otherwise(hexpart)
+        return F.when(
+            raw.rlike("^0x[0-9A-Fa-f]*$"), F.unhex(padded)
+        ).otherwise(raw.cast("binary"))
+
+    if t == "json":
+        # validated canonical JSON string; invalid -> NULL (lenient) / error
+        parsed = F.when(
+            F.try_parse_json(raw).isNotNull(), raw
+        ).otherwise(F.lit(None).cast("string"))
+        if strict:
+            parsed = _raise_if(parsed, raw, spec.name)
+        return parsed
+
+    if t == "year":
+        y = F.trim(raw).try_cast(T.IntegerType())
+        # MySQL YEAR: 2-digit 0-69 -> 2000s, 70-99 -> 1900s
+        parsed = F.when((y >= 0) & (y <= 69) & (F.length(F.trim(raw)) <= 2), y + 2000) \
+            .when((y >= 70) & (y <= 99) & (F.length(F.trim(raw)) <= 2), y + 1900) \
+            .otherwise(y)
+        return parsed.cast(dt)
+
+    # string family: identity
+    return raw.cast("string")
+
+
+def _raise_if(parsed: Column, raw: Column, colname: str) -> Column:
+    bad = raw.isNotNull() & parsed.isNull()
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(F.lit(f"[strict sql_mode] bad value for {colname}: "), raw)
+        ),
+    ).otherwise(parsed)
+
+
+def format_mysql_datetime(c: Column) -> Column:
+    """Render a timestamp for MySQL-facing output; NULL (from a
+    lenient zero-date) renders as the zero-date string."""
+    return F.coalesce(
+        F.date_format(c, "yyyy-MM-dd HH:mm:ss"), F.lit("0000-00-00 00:00:00")
+    )

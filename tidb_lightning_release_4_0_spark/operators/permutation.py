@@ -1,0 +1,129 @@
+"""F3 column permutation + T4 default fill + T5 auto-increment.
+
+The reference maps file column order to table column order, marking
+missing columns with -1 to be filled from defaults
+(initializeColumns, lightning/restore/restore.go:1356-1406), fills
+defaults during encode (sql2kv.go:177 — including CURRENT_TIMESTAMP
+frozen per job via the session ``Timestamp`` var, session.go:107),
+and synthesizes missing auto-increment / hidden ``_tidb_rowid``
+columns from the deterministic row-id (sql2kv.go:167-200).
+
+Spark-first: all of this is a single ``select`` projection —
+reorder + ``lit(default)`` + row-id column — fully inside codegen.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.schema_reader import ColumnSpec, TableSchema
+from .cast import mysql_cast
+
+ROWID_COL = "_tidb_rowid"
+
+
+def column_permutation(
+    file_columns: list[str] | None, schema: TableSchema
+) -> list[int]:
+    """Index of each table column within the file columns; -1 = missing.
+
+    ``file_columns=None`` means headerless data in table order
+    (restore.go:1366-1371: identity permutation).
+    """
+    if file_columns is None:
+        n = len(schema.columns)
+        return list(range(n))
+    lower = [c.lower() for c in file_columns]
+    perm = []
+    for col in schema.columns:
+        try:
+            perm.append(lower.index(col.name.lower()))
+        except ValueError:
+            perm.append(-1)  # fill from default (restore.go:1390-1398)
+    return perm
+
+
+def default_column(
+    spec: ColumnSpec, job_timestamp: _dt.datetime | None = None
+) -> Column:
+    """T4: the default-fill expression for a missing column."""
+    if spec.default_current_ts:
+        # frozen per job, like the session Timestamp var (session.go:107)
+        ts = job_timestamp or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        return F.lit(ts).cast(spec.spark_type)
+    if spec.has_default:
+        return F.lit(spec.default).cast(spec.spark_type)
+    if spec.nullable:
+        return F.lit(None).cast(spec.spark_type)
+    # NOT NULL without default: zero value (lenient) — bad-null-as-warning
+    zero = {"string": ""}.get(spec.spark_type.simpleString(), 0)
+    return F.lit(zero).cast(spec.spark_type)
+
+
+def apply_permutation(
+    df: DataFrame,
+    schema: TableSchema,
+    file_columns: list[str] | None,
+    rowid: Column | None = None,
+    job_timestamp: _dt.datetime | None = None,
+    strict: bool = False,
+    cast: bool = True,
+    keep: list[str] | None = None,
+) -> DataFrame:
+    """Project raw (string-typed) file columns into the table schema.
+
+    - reorders file columns to table order
+    - fills missing columns from defaults / auto-increment (using the
+      deterministic ``rowid`` column, T5)
+    - applies the MySQL cast layer per column (T3)
+    - honors an explicit ``_tidb_rowid`` file column (restore.go:1381-1388)
+    """
+    perm = column_permutation(file_columns, schema)
+    # names of the df columns holding file fields, in file order
+    field_names = (
+        file_columns
+        if file_columns is not None
+        else [c for c in df.columns if c not in (ROWID_COL, "_row_id")]
+    )
+    out: list[Column] = []
+    for spec, idx in zip(schema.columns, perm):
+        if 0 <= idx < len(field_names):
+            src = F.col(field_names[idx])
+            expr = mysql_cast(src, spec, strict) if cast else src
+        elif spec.auto_increment and rowid is not None:
+            expr = rowid.cast(spec.spark_type)
+        else:
+            expr = default_column(spec, job_timestamp)
+        out.append(expr.alias(spec.name))
+
+    # hidden _tidb_rowid for tables without an integer PK (T5)
+    extra: list[Column] = []
+    if not schema.has_int_pk and rowid is not None:
+        if file_columns and ROWID_COL in [c.lower() for c in file_columns]:
+            idx = [c.lower() for c in file_columns].index(ROWID_COL)
+            extra.append(F.col(field_names[idx]).cast("long").alias(ROWID_COL))
+        else:
+            extra.append(rowid.cast("long").alias(ROWID_COL))
+    for k in keep or []:
+        extra.append(F.col(k))
+    return df.select(*out, *extra)
+
+
+def alloc_base(df: DataFrame, schema: TableSchema) -> int:
+    """C4: the post-load AUTO_INCREMENT rebase value = max(id)+1.
+
+    Mirrors the CAS allocator rebase (lightning/backend/allocator.go:40-52,
+    restore.go:1005-1014) as a single max() aggregate.
+    """
+    candidates = [c for c in (schema.auto_increment_column, ROWID_COL) if c]
+    cols = [c for c in candidates if c in df.columns]
+    if not cols:
+        pk = schema.primary_key
+        cols = [pk[0]] if pk and schema.has_int_pk else []
+    if not cols:
+        return 1
+    row = df.agg(F.max(F.col(cols[0]).cast("long")).alias("m")).collect()[0]
+    return (row["m"] or 0) + 1

@@ -1,0 +1,154 @@
+"""F4/T5: deterministic row-id assignment.
+
+The reference gives every chunk a reserved row-id range computed at
+plan time (PrevRowIDMax/RowIDMax, lightning/mydump/region.go:146-170)
+and increments within the chunk (parser.go:429, csv_parser.go:97).
+Ranges are *estimates* (file_size / column-width divisor), so ids are
+unique and monotonic but may have gaps between chunks — exactly the
+semantics we reproduce:
+
+- ``assign_rowid``: one pass, zero shuffles. Each partition is a
+  "chunk"; base = partition_id * capacity; local index via an
+  Arrow-batched cumulative counter (mapInPandas). Unique +
+  deterministic for a deterministic input plan, gaps allowed. This is
+  the 100 TB path.
+
+- ``assign_rowid_dense``: exact dense 1..N ids given a total order
+  key — two passes (per-partition counts, then offsets), mirroring
+  how the reference gets exact continuation for auto-increment
+  rebase. Range-partitioned, never a single-partition window.
+
+NOT implemented with ``monotonically_increasing_id`` (non-dense,
+non-contiguous semantics are underdocumented) nor a global
+``row_number()`` window (single-partition bottleneck).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROWID = "_row_id"
+# 2^33 rows per partition capacity: 8.5B rows/chunk never overflows
+# at 100 TB with <= 2^30 partitions.
+_PARTITION_CAPACITY = 1 << 33
+
+
+def _local_index_mapper(schema):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["_local_idx"] = range(seen, seen + n)
+            seen += n
+            yield pdf
+
+    return fn
+
+
+def _with_local_index(df: DataFrame) -> DataFrame:
+    """Add _pid + _local_idx without shuffling (Arrow batches)."""
+    from pyspark.sql import types as T
+
+    d = df.withColumn("_pid", F.spark_partition_id())
+    out_schema = T.StructType(
+        list(d.schema.fields) + [T.StructField("_local_idx", T.LongType(), False)]
+    )
+    return d.mapInPandas(_local_index_mapper(out_schema), schema=out_schema)
+
+
+def assign_rowid(df: DataFrame, start: int = 1) -> DataFrame:
+    """Single-pass unique row-ids with reserved per-partition ranges."""
+    d = _with_local_index(df)
+    return d.withColumn(
+        ROWID,
+        (F.col("_pid").cast("long") * F.lit(_PARTITION_CAPACITY))
+        + F.col("_local_idx")
+        + F.lit(start),
+    ).drop("_pid", "_local_idx")
+
+
+def file_row_bases(
+    files: list[tuple[str, int]], num_columns: int, is_sql: bool = False
+) -> dict[str, int]:
+    """Reserved row-id base per file, exactly the reference's scheme:
+    estimated rows = file_size / divisor with divisor = #columns
+    (+2 for .sql dumps), chained cumulatively
+    (lightning/mydump/region.go:146-170). The estimate is a safe
+    upper bound: every delimited row occupies >= divisor bytes.
+    """
+    divisor = max(num_columns + (2 if is_sql else 0), 1)
+    bases: dict[str, int] = {}
+    base = 0
+    for path, size in files:
+        bases[path] = base
+        base += max(size // divisor, 1) + 1
+    return bases
+
+
+def assign_rowid_by_file(df: DataFrame, bases: dict[str, int]) -> DataFrame:
+    """Row-ids = plan-time per-file base + in-file row number.
+
+    Matches the reference's chunk semantics (PrevRowIDMax + per-row
+    increment, parser.go:429): deterministic, unique, dense within a
+    file, bounded gaps between files — so ``max(rowid)`` stays O(rows)
+    and AllocBase rebase behaves like the reference's.
+
+    One shuffle, partitioned by file name (bounded by #files; large
+    tables arrive as many mydumper parts so this stays parallel).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    bases_df = spark.createDataFrame(
+        [(k, v) for k, v in bases.items()], ["_fname", "_fbase"]
+    )
+    d = df.withColumn(
+        "_fname", F.regexp_replace(F.input_file_name(), "^file:/*", "/")
+    ).withColumn("_ord", F.monotonically_increasing_id())
+    w = Window.partitionBy("_fname").orderBy("_ord")
+    return (
+        d.join(F.broadcast(bases_df), "_fname", "left")
+        .withColumn(
+            ROWID,
+            F.coalesce(F.col("_fbase"), F.lit(0))
+            + F.row_number().over(w).cast("long"),
+        )
+        .drop("_fname", "_fbase", "_ord")
+    )
+
+
+def assign_rowid_dense(
+    df: DataFrame, order_by: list[str], start: int = 1, num_partitions: int | None = None
+) -> DataFrame:
+    """Exact dense ids 1..N in the total order given by ``order_by``.
+
+    Plan: range-repartition on the key -> sort within partitions ->
+    local index (no shuffle) -> tiny per-partition count agg ->
+    broadcast-join cumulative bases. Both passes scan the shuffled
+    data; at scale, persist the sorted frame if it is reused.
+    """
+    cols = [F.col(c) for c in order_by]
+    d = df.repartitionByRange(*( [num_partitions] if num_partitions else [] ), *cols)
+    d = d.sortWithinPartitions(*cols)
+    d = _with_local_index(d)
+
+    counts = (
+        d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()
+    )  # O(partitions) rows on the driver
+    base, bases = 0, []
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        bases.append((row["_pid"], base))
+        base += row["_cnt"]
+    spark = df.sparkSession
+    bases_df = spark.createDataFrame(bases, ["_pid", "_base"])
+
+    return (
+        d.join(F.broadcast(bases_df), "_pid")
+        .withColumn(ROWID, F.col("_base") + F.col("_local_idx") + F.lit(start))
+        .drop("_pid", "_local_idx", "_base")
+    )

@@ -1,0 +1,149 @@
+"""O5/O6: checkpoint state machine for crash-resume.
+
+The reference persists a status ladder per table/engine/chunk
+(lightning/checkpoints/checkpoints.go:40-57):
+
+    30 loaded -> 60 written -> 90 closed -> 120 imported ->
+    140 index-imported -> 150 alter-inc -> 180 checksummed ->
+    210 analyzed   (invalid = status/10)
+
+with MySQL-table and protobuf-file drivers
+(checkpoints.go:369-1289). Resume filters out completed work before
+building the read plan (restore.go:687-734,861-870); write-then-
+record ordering makes chunk delivery idempotent
+(restore.go:1601-1634).
+
+Here: a JSON-file store keyed (table, file, offset) with the same
+ladder. JSON because the state is O(tables + files) — driver-side
+metadata, not data-plane — and trivially inspectable by ctl.py
+(O13). A Delta table would serve on a shared cluster; the storage
+interface is one load/save pair to keep that swap local.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from enum import IntEnum
+
+
+class Status(IntEnum):
+    """checkpoints.go:40-57 ladder (same numeric values)."""
+
+    MISSING = 0
+    MAX_INVALID = 25
+    LOADED = 30
+    ALL_WRITTEN = 60
+    CLOSED = 90
+    IMPORTED = 120
+    INDEX_IMPORTED = 140
+    ALTERED_AUTO_INC = 150
+    CHECKSUM_SKIPPED = 170
+    CHECKSUMMED = 180
+    ANALYZE_SKIPPED = 200
+    ANALYZED = 210
+
+
+def invalid(status: int) -> int:
+    """An aborted stage records status/10 (checkpoints.go:55-57)."""
+    return status // 10
+
+
+class CheckpointStore:
+    def __init__(self, path: str | None = None, enabled: bool = True):
+        self.enabled = enabled
+        self.path = path
+        self.state: dict = {"tables": {}, "chunks": {}}
+        if enabled and path and os.path.exists(path):
+            with open(path) as f:
+                self.state = json.load(f)
+
+    def _save(self) -> None:
+        if not (self.enabled and self.path):
+            return
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, self.path)  # atomic, crash-safe
+
+    # -- table-level -------------------------------------------------------
+    def table_status(self, table: str) -> int:
+        return self.state["tables"].get(table, {}).get("status", 0)
+
+    def set_table_status(self, table: str, status: int) -> None:
+        if not self.enabled:
+            return
+        self.state["tables"].setdefault(table, {})["status"] = int(status)
+        self._save()
+
+    def set_alloc_base(self, table: str, base: int) -> None:
+        if not self.enabled:
+            return
+        t = self.state["tables"].setdefault(table, {})
+        # monotonic CAS-max like allocator.Rebase (allocator.go:40-52)
+        t["alloc_base"] = max(t.get("alloc_base", 0), base)
+        self._save()
+
+    def alloc_base(self, table: str) -> int:
+        return self.state["tables"].get(table, {}).get("alloc_base", 0)
+
+    # -- chunk-level (file grain; offset kept for parity) ------------------
+    def chunk_key(self, table: str, path: str, offset: int = 0) -> str:
+        return f"{table}|{path}|{offset}"
+
+    def chunk_status(self, table: str, path: str, offset: int = 0) -> int:
+        return self.state["chunks"].get(self.chunk_key(table, path, offset), 0)
+
+    def mark_chunk(
+        self, table: str, path: str, status: int, offset: int = 0
+    ) -> None:
+        if not self.enabled:
+            return
+        self.state["chunks"][self.chunk_key(table, path, offset)] = int(status)
+        self._save()
+
+    def pending_files(
+        self, table: str, files: list[str]
+    ) -> list[str]:
+        """Resume: drop files already delivered (restore.go:861-870)."""
+        return [
+            p
+            for p in files
+            if self.chunk_status(table, p) < Status.ALL_WRITTEN
+        ]
+
+    # -- ctl ops (O13) -----------------------------------------------------
+    def remove(self, table: str | None = None) -> None:
+        if table is None or table == "all":
+            self.state = {"tables": {}, "chunks": {}}
+        else:
+            self.state["tables"].pop(table, None)
+            self.state["chunks"] = {
+                k: v
+                for k, v in self.state["chunks"].items()
+                if not k.startswith(table + "|")
+            }
+        self._save()
+
+    def ignore_error(self, table: str | None = None) -> None:
+        """checkpoint-error-ignore: clear invalid markers
+        (checkpoints.go:1022-1045)."""
+        tables = (
+            [table] if table and table != "all" else list(self.state["tables"])
+        )
+        for t in tables:
+            st = self.table_status(t)
+            if st <= Status.MAX_INVALID:
+                self.state["tables"][t]["status"] = int(st) * 10
+        self._save()
+
+    def dump(self) -> dict:
+        return self.state
+
+    def clean(self) -> None:
+        self.remove(None)
+        if self.enabled and self.path and os.path.exists(self.path):
+            os.remove(self.path)

@@ -1,0 +1,46 @@
+"""K1: backend abstraction.
+
+The reference's AbstractBackend drives an engine lifecycle
+OpenEngine -> WriteRows -> CloseEngine -> ImportEngine -> CleanupEngine
+(lightning/backend/backend.go:80-118, workflow doc backend.go:38-62).
+In Spark the Write step is one DataFrame write action, so the
+protocol collapses to write / finalize / cleanup; ``finalize`` hosts
+the post-processing the reference gates behind ShouldPostProcess
+(auto-increment rebase, checksum, analyze — restore.go:998-1053).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SinkResult:
+    table: str
+    rows: int
+    bytes_written: int = 0
+
+
+class Sink(ABC):
+    """One sink instance handles one logical target table."""
+
+    #: duplicate-key handling mode (K3: tidb.go:54-62): replace |
+    #: ignore | error
+    on_duplicate: str = "replace"
+
+    @abstractmethod
+    def write(self, df: DataFrame, table: str) -> SinkResult:
+        """Deliver rows; must be idempotent per chunk for resume."""
+
+    @abstractmethod
+    def read_back(self, spark: SparkSession, table: str) -> DataFrame:
+        """Re-scan the sink for checksum verification (C2)."""
+
+    def finalize(self, spark: SparkSession, table: str) -> None:
+        """Post-import: compaction/OPTIMIZE/ANALYZE analog (O9/C5)."""
+
+    def cleanup(self, table: str) -> None:
+        """Drop staged state (CleanupEngine analog)."""

@@ -1,0 +1,72 @@
+"""Parquet sink — the bulk-file analog of the importer backend (K2).
+
+The reference's importer backend streams KV mutations and then
+atomically ingests SSTs (lightning/backend/importer.go:104-221).
+The Spark-native analog is a partitioned parquet (or Delta) write
+followed by an atomic publish; dedup modes are applied on read-back
+for `replace`/`ignore` using the table's key columns.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .base import Sink, SinkResult
+
+
+class ParquetSink(Sink):
+    def __init__(
+        self,
+        root: str,
+        on_duplicate: str = "replace",
+        key_columns: dict[str, list[str]] | None = None,
+    ):
+        self.root = root
+        self.on_duplicate = on_duplicate
+        self.key_columns = key_columns or {}
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table.replace("`", ""))
+
+    def write(self, df: DataFrame, table: str) -> SinkResult:
+        path = self._path(table)
+        keys = self.key_columns.get(table)
+        if keys and self.on_duplicate in ("replace", "ignore"):
+            # keyed upsert semantics (K3 dup modes, tidb.go:54-62):
+            # replace -> last row per key wins; ignore -> first kept.
+            # _row_id gives the deterministic arrival order.
+            order = F.col("_row_id") if "_row_id" in df.columns else F.lit(0)
+            direction = order.desc() if self.on_duplicate == "replace" else order.asc()
+            w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(direction)
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        elif keys and self.on_duplicate == "error":
+            dup = (
+                df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
+            ).collect()
+            if dup:
+                raise ValueError(f"Duplicate entry for key {dup[0]}")
+        if "_row_id" in df.columns:
+            df = df.drop("_row_id")  # arrival order served its purpose
+        df.write.mode("overwrite").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        return SinkResult(table=table, rows=n, bytes_written=size)
+
+    def read_back(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.parquet(self._path(table))
+
+    def cleanup(self, table: str) -> None:
+        shutil.rmtree(self._path(table), ignore_errors=True)
