@@ -1,0 +1,137 @@
+"""Bench harness: headline queries + the full ingest pipeline at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "mib_per_sec": ...}
+
+The ingest benches mirror the reference's primary metric — source
+MiB/s through parse -> cast -> write -> checksum
+(lightning/restore/restore.go:468-499) — by first rendering the
+lineitem table to mydumper CSV/SQL layout, then timing a full
+restore of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench")
+
+
+def main() -> None:
+    from tidb_lightning_release_4_0_spark.session import get_spark
+    from tidb_lightning_release_4_0_spark.registry import build_queries
+
+    spark = get_spark(app_name="bench", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = build_queries()
+    bench_queries = [
+        "checksum_lineitem",
+        "pricing_summary",
+        "top_orders_by_revenue",
+        "filtered_revenue",
+        "window_running_total",
+        "dedup_exact",
+        "dedup_minhash",
+        "simhash",
+        "text_stats",
+        "ann_topk",
+        "embedding_dups",
+    ]
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with a trivial action
+    queries["alloc_base_orders"](spark, SF_DIR).collect()
+
+    for name in bench_queries:
+        t0 = time.monotonic()
+        df = queries[name](spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ingest bench: render lineitem -> CSV dump once, then restore
+    ingest_mibs = None
+    try:
+        from tidb_lightning_release_4_0_spark.config import (
+            Config,
+            MydumperConfig,
+        )
+        from tidb_lightning_release_4_0_spark.plans.pipeline import (
+            RestoreController,
+        )
+        from tidb_lightning_release_4_0_spark.sources.dump_writer import (
+            write_dump_table,
+        )
+        from tidb_lightning_release_4_0_spark.sources.testdata import load_table
+
+        dump_dir = os.path.join(TMP, "dump")
+        sink_dir = os.path.join(TMP, "sink")
+        marker = os.path.join(dump_dir, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(dump_dir, ignore_errors=True)
+            li = load_table(spark, SF_DIR, "lineitem").toPandas()
+            write_dump_table(
+                dump_dir, "tpch", "lineitem", li,
+                """CREATE TABLE lineitem (
+                  l_orderkey BIGINT NOT NULL, l_partkey BIGINT NOT NULL,
+                  l_suppkey BIGINT NOT NULL, l_linenumber INT NOT NULL,
+                  l_quantity DOUBLE NOT NULL, l_extendedprice DOUBLE NOT NULL,
+                  l_discount DOUBLE NOT NULL, l_tax DOUBLE NOT NULL,
+                  l_returnflag VARCHAR(1) NOT NULL,
+                  l_linestatus VARCHAR(1) NOT NULL,
+                  l_shipdate DATETIME NOT NULL)""",
+                fmt="csv", parts=CPUS,
+            )
+            open(marker, "w").write("ok")
+        src_bytes = sum(
+            os.path.getsize(os.path.join(dump_dir, f))
+            for f in os.listdir(dump_dir)
+            if f.endswith(".csv")
+        )
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        cfg = Config(
+            mydumper=MydumperConfig(source_dir=dump_dir),
+            backend="parquet", target_dir=sink_dir,
+            on_duplicate="error", checkpoint_enable=False, checksum=True,
+        )
+        t0 = time.monotonic()
+        summary = RestoreController(spark, cfg).run()
+        dt = time.monotonic() - t0
+        if summary.ok:
+            timings["ingest_csv_lineitem"] = round(dt, 3)
+            ingest_mibs = round(src_bytes / dt / (1 << 20), 2)
+        else:
+            timings["ingest_csv_lineitem"] = -1.0
+    except Exception as e:  # bench must still emit its JSON line
+        print(f"ingest bench failed: {e}", file=sys.stderr)
+        timings["ingest_csv_lineitem"] = -1.0
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_ingest_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "ingest_mib_per_sec": ingest_mibs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

