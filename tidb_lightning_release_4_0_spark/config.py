@@ -129,6 +129,10 @@ class Config:
     checkpoint_path: str = ""
     # post-restore (config.go:110-115)
     checksum: bool = True
+    # hash for the in-pipeline checksum: xxhash64 (fastest, JVM),
+    # hash60 (md5-based, ANSI-oracle-portable), crc64 (bit-compatible
+    # with the reference's crc64-ecma, pandas-UDF kernel)
+    checksum_algo: str = "xxhash64"
     analyze: bool = True
     target_dir: str = ""  # parquet backend sink root
 

@@ -30,12 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import (
-    hash60,
-    hash60_duckdb,
-    hash60_seeded,
-    hash60_seeded_duckdb,
-)
+from ..functions.hashing import hash60, hash60_duckdb
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -92,17 +87,37 @@ def word_shingles_sql_duckdb(expr: str, k: int = 3) -> str:
     )
 
 
-def _seeded_hasher(seed: int):
+# Universal-hash family over a < 2^59 prime: one md5 per shingle,
+# then h_i = (a_i * h + b_i) mod P. Constants keep a_i * h < 2^63 so
+# the arithmetic never overflows int64 (Spark ANSI mode would throw).
+_MH_PRIME = 576460752303423433  # prime < 2^59
+
+
+def _mh_a(i: int) -> int:
+    return 2 + (i % 13)
+
+
+def _mh_b(i: int) -> int:
+    return i * 1000003 + 17
+
+
+def _permuted(i: int):
     # NOTE: plain 1-arg lambda — PySpark HOFs treat a 2-arg lambda as
-    # (element, index), so seeds must be captured via this factory.
-    return lambda s: hash60_seeded(s, seed)
+    # (element, index), so constants are captured via this factory.
+    a, b = _mh_a(i), _mh_b(i)
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
 
 
 def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: per seed, min over shingle hash60 values."""
+    """MinHash signature: min over permuted shingle hashes.
+
+    Each shingle is md5-hashed ONCE (hash60 mod P), then the
+    ``num_hashes`` functions are cheap integer permutations — 16x
+    less hashing than naive per-seed md5."""
     sh = word_shingles(c)
+    base = F.transform(sh, lambda s: hash60(s) % F.lit(_MH_PRIME))
     mins = [
-        F.array_min(F.transform(sh, _seeded_hasher(i)))
+        F.array_min(F.transform(base, _permuted(i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -110,11 +125,16 @@ def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
 
 def minhash_signature_sql_duckdb(expr: str, num_hashes: int = 16) -> str:
     sh = word_shingles_sql_duckdb(expr)
+    h = hash60_duckdb("s")
     mins = ", ".join(
-        f"list_min(list_transform(__sh, s -> {hash60_seeded_duckdb('s', i)}))"
+        f"list_min(list_transform(__h, h -> (h * {_mh_a(i)} + {_mh_b(i)}) % {_MH_PRIME}))"
         for i in range(num_hashes)
     )
-    return f"(SELECT [{mins}] FROM (SELECT {sh} AS __sh) __t)"
+    return (
+        f"(SELECT [{mins}] FROM (SELECT list_transform(__sh, "
+        f"s -> ({h}) % {_MH_PRIME}) AS __h "
+        f"FROM (SELECT {sh} AS __sh) __t0) __t)"
+    )
 
 
 def minhash_lsh_pairs(
@@ -142,15 +162,18 @@ def minhash_lsh_pairs(
     # shingles per hash function); persist so the self-join's two sides
     # reuse one computation (at 100 TB: persist(DISK_ONLY) or a
     # checkpoint table).
-    shingled = df.select(
+    hashed = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col)).alias("_sh"),
+        F.transform(
+            word_shingles(F.col(text_col)),
+            lambda s: hash60(s) % F.lit(_MH_PRIME),
+        ).alias("_h"),
     )
     mins = [
-        F.array_min(F.transform(F.col("_sh"), _seeded_hasher(i)))
+        F.array_min(F.transform(F.col("_h"), _permuted(i)))
         for i in range(num_hashes)
     ]
-    d = shingled.select(F.col("_id"), F.array(*mins).alias("_sig")).persist()
+    d = hashed.select(F.col("_id"), F.array(*mins).alias("_sig")).persist()
 
     band_keys = F.array(
         *[

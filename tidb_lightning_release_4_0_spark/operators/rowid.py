@@ -98,27 +98,38 @@ def assign_rowid_by_file(df: DataFrame, bases: dict[str, int]) -> DataFrame:
     file, bounded gaps between files — so ``max(rowid)`` stays O(rows)
     and AllocBase rebase behaves like the reference's.
 
-    One shuffle, partitioned by file name (bounded by #files; large
-    tables arrive as many mydumper parts so this stays parallel).
+    Pure JVM, no wide shuffle, no Python exchange:
+    ``monotonically_increasing_id`` is ``(partition_id << 33) +
+    row_index_in_partition`` — contiguous within a partition — and
+    our file reads are unsplit (multiLine CSV / one-file-per-task
+    .sql), so each file's rows are one contiguous mono-id run.
+    Job 1 aggregates ``min(mono)`` per file (output: #files rows);
+    job 2 computes ``rowid = base[file] + (mono - min_mono[file]) + 1``
+    via a broadcast join. Data-plane cost: one extra column scan —
+    no repartitioning of the 100 TB stream.
     """
-    from pyspark.sql.window import Window
-
-    spark = df.sparkSession
-    bases_df = spark.createDataFrame(
-        [(k, v) for k, v in bases.items()], ["_fname", "_fbase"]
-    )
     d = df.withColumn(
         "_fname", F.regexp_replace(F.input_file_name(), "^file:/*", "/")
-    ).withColumn("_ord", F.monotonically_increasing_id())
-    w = Window.partitionBy("_fname").orderBy("_ord")
+    ).withColumn("_mono", F.monotonically_increasing_id())
+
+    mins = (
+        d.groupBy("_fname").agg(F.min("_mono").alias("_mn")).collect()
+    )  # O(#files) rows on the driver
+    spark = df.sparkSession
+    base_rows = [
+        (r["_fname"], int(r["_mn"]), bases.get(r["_fname"], 0)) for r in mins
+    ]
+    bmap = spark.createDataFrame(base_rows, ["_fname", "_mn", "_fbase"])
+
     return (
-        d.join(F.broadcast(bases_df), "_fname", "left")
+        d.join(F.broadcast(bmap), "_fname", "left")
         .withColumn(
             ROWID,
             F.coalesce(F.col("_fbase"), F.lit(0))
-            + F.row_number().over(w).cast("long"),
+            + (F.col("_mono") - F.coalesce(F.col("_mn"), F.lit(0)))
+            + F.lit(1),
         )
-        .drop("_fname", "_fbase", "_ord")
+        .drop("_fname", "_mono", "_mn", "_fbase")
     )
 
 

@@ -69,16 +69,25 @@ def topk_cosine(
     100 TB shape: corpus-side scan is embarrassingly parallel; the
     only shuffle is the per-query top-k (tiny — k rows per query per
     partition after partial ranking via AQE)."""
+    # per-row norms precomputed once (same arithmetic as cosine():
+    # dot / (sqrt*sqrt), so results stay bit-identical to the oracle)
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("c_id")).select(
         "q_id",
         "c_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("_cos"),
     )
     w = Window.partitionBy("q_id").orderBy(
         F.col("_cos").desc(), F.col("c_id").asc()
@@ -197,9 +206,15 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold within blocks
     (block = label here; LSH bucket at scale)."""
+    # norms once per row; persist so the self-join's sides share one
+    # computation (at scale: a checkpointed "normalized embeddings"
+    # table serves every downstream similarity job)
     d = df.select(
-        F.col(id_col).alias("_id"), F.col(block_col).alias("_blk"), F.col(vec_col).alias("_v")
-    )
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    ).persist()
     pairs = (
         d.alias("l")
         .join(
@@ -209,7 +224,10 @@ def cosine_dup_pairs(
         .select(
             F.col("l._id").alias("left_id"),
             F.col("r._id").alias("right_id"),
-            cosine(F.col("l._v"), F.col("r._v")).alias("_cos"),
+            (
+                dot(F.col("l._v"), F.col("r._v"))
+                / (F.col("l._n") * F.col("r._n"))
+            ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
         .select(

@@ -26,10 +26,11 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..config import Config, strict_sql_mode
-from ..functions.checksum import Checksum, checksum, verify_checksum
-from ..operators.permutation import apply_permutation, alloc_base
+from ..functions.checksum import Checksum
+from ..operators.permutation import apply_permutation
 from ..sinks.base import Sink
 from ..sinks.memory_sink import MemorySink
 from ..sinks.parquet_sink import ParquetSink
@@ -204,6 +205,21 @@ class RestoreController:
     def restore_table(
         self, name: str, meta: MDTableMeta, schema: TableSchema
     ) -> TableResult:
+        """One table's restore as (ideally) two data passes:
+
+        pass 1 — read -> transform -> WRITE, with the C1 checksum
+        triple + row count computed *during* the write via
+        ``df.observe`` (the Spark analog of the reference computing
+        checksums inside the deliver loop, restore.go:1557-1638:
+        no separate source scan);
+
+        pass 2 — sink read-back computing (checksum, max-rowid) in a
+        single aggregate: C2 remote checksum + C4 AllocBase together
+        (restore.go:998-1053 runs these as separate post-process
+        steps against TiDB; one scan serves both here).
+        """
+        from pyspark.sql import Observation
+
         t0 = time.monotonic()
         try:
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
@@ -212,28 +228,92 @@ class RestoreController:
             self.cp.set_table_status(name, Status.LOADED)
 
             cols = [c.name for c in schema.columns]
-            local = checksum(df, cols) if self.cfg.checksum else None
             keys = schema.primary_key
             if isinstance(self.sink, ParquetSink) and keys:
                 self.sink.key_columns[name] = keys
+
+            local = None
+            obs = None
+            dedup_may_drop = bool(keys) and self.cfg.on_duplicate in (
+                "replace",
+                "ignore",
+            )
+            if self.cfg.checksum:
+                from ..functions.checksum import canonical_row
+                from ..functions.hashing import hash60
+
+                # canonical row projected ONCE into _h/_len; the
+                # observe aggregates only touch those two columns, so
+                # the concat+hash runs once per row inside the write job
+                canon = canonical_row(df, cols)
+                df = df.withColumn(
+                    "_h", self._hash_fn()(canon)
+                ).withColumn("_len", F.length(canon))
+                obs = Observation(f"checksum:{name}")
+                df = df.observe(
+                    obs,
+                    F.bit_xor(F.col("_h")).alias("crc_xor"),
+                    F.sum("_len").cast("long").alias("total_bytes"),
+                    F.count(F.lit(1)).alias("total_kvs"),
+                ).drop("_h", "_len")
+
             res = self.sink.write(df, name)
             self.cp.set_table_status(name, Status.IMPORTED)
 
-            base = alloc_base(self.sink.read_back(self.spark, name), schema)
-            if self.cfg.checksum and local is not None:
-                # C2/C3: re-scan the sink and compare (only valid when
-                # dup handling did not drop rows)
-                if self.cfg.on_duplicate == "error" or not keys:
-                    verify_checksum(
-                        local, self.sink.read_back(self.spark, name), cols
+            if obs is not None:
+                m = obs.get
+                local = Checksum(
+                    m["crc_xor"], m["total_bytes"], m["total_kvs"]
+                )
+            rows = res.rows if res.rows >= 0 else (local.total_kvs if local else -1)
+
+            # pass 2: one read-back scan -> remote checksum + alloc base
+            back = self.sink.read_back(self.spark, name)
+            id_col = self._alloc_id_column(back, schema)
+            aggs = []
+            proj = back
+            if self.cfg.checksum and local is not None and not dedup_may_drop:
+                from ..functions.checksum import canonical_row
+                from ..functions.hashing import hash60
+
+                canon_b = canonical_row(back, cols)
+                proj = back.withColumn(
+                    "_h", self._hash_fn()(canon_b)
+                ).withColumn("_len", F.length(canon_b))
+                aggs += [
+                    F.bit_xor(F.col("_h")).alias("crc_xor"),
+                    F.sum("_len").cast("long").alias("total_bytes"),
+                    F.count(F.lit(1)).alias("total_kvs"),
+                ]
+            if id_col:
+                aggs.append(F.max(F.col(id_col).cast("long")).alias("max_id"))
+            base = 1
+            if aggs:
+                row = proj.agg(*aggs).collect()[0]
+                if "crc_xor" in row.__fields__:
+                    remote = Checksum(
+                        row["crc_xor"], row["total_bytes"], row["total_kvs"]
                     )
+                    if remote != local:
+                        raise ValueError(
+                            f"checksum mismatched remote vs local => "
+                            f"(checksum: {remote.crc_xor} vs {local.crc_xor}) "
+                            f"(total_kvs: {remote.total_kvs} vs {local.total_kvs}) "
+                            f"(total_bytes: {remote.total_bytes} vs "
+                            f"{local.total_bytes})"
+                        )
+                if id_col:
+                    base = (row["max_id"] or 0) + 1
+                if rows < 0 and "total_kvs" in row.__fields__:
+                    rows = row["total_kvs"]
+            if self.cfg.checksum:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)
             self.sink.finalize(self.spark, name)
             self.cp.set_table_status(name, Status.ANALYZED)
             return TableResult(
                 table=name,
                 status="restored",
-                rows=res.rows,
+                rows=rows,
                 checksum=local,
                 alloc_base=base,
                 seconds=time.monotonic() - t0,
@@ -247,6 +327,38 @@ class RestoreController:
                 error=str(e),
                 seconds=time.monotonic() - t0,
             )
+
+    def _hash_fn(self):
+        """Row-hash for the in-pipeline checksum (C1).
+
+        xxhash64 is the scale default (JVM intrinsic, ~10x md5);
+        hash60 when ANSI-SQL oracle portability is needed; crc64 for
+        bit-parity with the reference's crc64-ecma
+        (verification/checksum.go:37)."""
+        algo = getattr(self.cfg, "checksum_algo", "xxhash64")
+        if algo == "hash60":
+            from ..functions.hashing import hash60 as fn
+
+            return fn
+        if algo == "crc64":
+            from ..functions.hashing import crc64 as fn
+
+            return fn
+        return lambda c: F.xxhash64(c)
+
+    @staticmethod
+    def _alloc_id_column(df: DataFrame, schema: TableSchema) -> str | None:
+        """Column feeding AllocBase (C4): auto-inc, _tidb_rowid, or
+        the single-int PK (allocator.go:40-52 semantics)."""
+        from ..operators.permutation import ROWID_COL
+
+        for c in (schema.auto_increment_column, ROWID_COL):
+            if c and c in df.columns:
+                return c
+        pk = schema.primary_key
+        if pk and schema.has_int_pk and pk[0] in df.columns:
+            return pk[0]
+        return None
 
     def run(self) -> RunSummary:
         summary = RunSummary()

@@ -57,13 +57,13 @@ class ParquetSink(Sink):
         if "_row_id" in df.columns:
             df = df.drop("_row_id")  # arrival order served its purpose
         df.write.mode("overwrite").parquet(path)
-        n = df.sparkSession.read.parquet(path).count()
+        # rows are reported by the caller's Observation (no extra scan)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
             for f in fs
         )
-        return SinkResult(table=table, rows=n, bytes_written=size)
+        return SinkResult(table=table, rows=-1, bytes_written=size)
 
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self._path(table))

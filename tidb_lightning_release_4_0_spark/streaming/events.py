@@ -1,0 +1,118 @@
+"""Streaming ingest of the events table pattern.
+
+The reference is batch-only (SURVEY.md §2.7); its nearest streaming
+concept is the server-mode task queue (lightning/config/configlist.go)
+that feeds identical batch pipelines. This module provides the
+Spark-native streaming twins of the batch operators so the engine
+covers continuous ingestion:
+
+- ``stream_events``: file-source readStream with the same schema the
+  batch path uses — micro-batched restore of a growing dump dir.
+- ``windowed_counts``: tumbling event-time window aggregate with a
+  watermark for late data.
+- ``streaming_checksum``: running C1 checksum triple per micro-batch
+  via foreachBatch (the XOR monoid makes the combine trivially
+  incremental — Checksum.add, checksum.go:77-86).
+- ``sessionize``: session windows per user (session_window).
+
+Batch equivalence: every streaming aggregate here has a batch twin in
+registry.py (events_tumbling_window); tests assert the streaming
+result over a static file source equals the batch result — the same
+golden-value strategy the reference's integration suite uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    """File-source stream: each new file in source_dir is one
+    micro-batch chunk (the streaming analog of chunk discovery S1)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(source_dir)
+    )
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts + sums with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a new session after ``gap`` idle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_checksum(
+    events: DataFrame, checkpoint_dir: str, out: list
+) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
+    """Running checksum over a stream via foreachBatch: per batch the
+    C1 triple is computed (one agg) and XOR/sum-merged into ``out``
+    — the monoid Add from checksum.go:77-86 applied across
+    micro-batches."""
+    from ..functions.checksum import Checksum, checksum_df
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        row = checksum_df(batch_df).collect()[0]
+        c = Checksum(row["crc_xor"] or 0, row["total_bytes"] or 0, row["total_kvs"])
+        out.append(c if not out else out.pop().add(c))
+
+    return (
+        events.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
