@@ -35,6 +35,9 @@ class CSVConfig:
     null: str = "\\N"
     backslash_escape: bool = True
     trim_last_sep: bool = False
+    # fidelity switch: Spark-native reader (fast, covers the common
+    # dialect) vs the exact MySQL state-machine parser (csv_strict.py)
+    strict_parser: bool = False
 
     def validate(self) -> None:
         # config.go:381-392: separator must be 1 byte and differ from

@@ -26,7 +26,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.schema_reader import ColumnSpec
+from ..sources.schema_reader import _BINARY_TYPES, _STRING_TYPES, ColumnSpec  # noqa: F401
 
 _INT_RANGE = {
     "tinyint": (-128, 127, 255),
@@ -45,10 +45,35 @@ def _numeric_prefix(c: Column) -> Column:
     return F.nullif(F.regexp_extract(c, _NUM_PREFIX, 1), F.lit(""))
 
 
-def mysql_cast(raw: Column, spec: ColumnSpec, strict: bool = False) -> Column:
-    """Cast a string column to spec's Spark type with MySQL semantics."""
+def mysql_cast(
+    raw: Column,
+    spec: ColumnSpec,
+    strict: bool = False,
+    source_latin1: bool = False,
+    charset: str = "utf8mb4",
+) -> Column:
+    """Cast a string column to spec's Spark type with MySQL semantics.
+
+    ``source_latin1=True`` marks byte-faithful input (each char is one
+    raw byte, from the ISO-8859-1 CSV read): binary columns re-encode
+    those chars to the original bytes; text columns re-decode to the
+    table charset (utf8mb4 / gb18030 / binary passthrough) — the
+    Spark analog of the reference's byte-level parser + per-column
+    charset cast.
+    """
     t = spec.mysql_type
     dt = spec.spark_type
+
+    if source_latin1:
+        if isinstance(dt, T.BinaryType):
+            return F.encode(raw, "ISO-8859-1")
+        if t in _STRING_TYPES or t in ("enum", "set", "json"):
+            cs = charset.lower()
+            if cs in ("utf8", "utf8mb4", "auto"):
+                raw = F.decode(F.encode(raw, "ISO-8859-1"), "UTF-8")
+            elif cs == "gb18030":
+                raw = F.decode(F.encode(raw, "ISO-8859-1"), "GB18030")
+            # 'binary'/'latin1': keep the 1:1 chars as-is
 
     if t in _INT_RANGE or t in ("bool", "boolean"):
         lo, hi, uhi = _INT_RANGE.get(t, (-128, 127, 255))
@@ -59,7 +84,8 @@ def mysql_cast(raw: Column, spec: ColumnSpec, strict: bool = False) -> Column:
             num2 = F.coalesce(dec, _numeric_prefix(raw).cast("decimal(38,4)"))
             clamped = F.least(
                 F.greatest(num2, F.lit(0).cast("decimal(38,4)")),
-                F.lit(18446744073709551615).cast("decimal(38,4)"),
+                # uint64 max exceeds py4j's long; build from a string
+                F.lit("18446744073709551615").cast("decimal(38,4)"),
             )
             parsed = clamped.cast(dt)
         else:
@@ -67,11 +93,45 @@ def mysql_cast(raw: Column, spec: ColumnSpec, strict: bool = False) -> Column:
                 lo2, hi2 = 0, (uhi if uhi is not None else hi)
             else:
                 lo2, hi2 = lo, hi
-            rounded = F.round(num)  # MySQL rounds fractional strings
-            clamped = F.least(
-                F.greatest(rounded, F.lit(float(lo2))), F.lit(float(hi2))
+            # decimal(38,9) keeps full int64 precision (double would
+            # corrupt values near +/-2^63) and still parses fractions
+            prefix = _numeric_prefix(raw)
+            dec = prefix.try_cast(T.DecimalType(38, 9))
+            overflow = prefix.isNotNull() & dec.isNull()  # > 10^29
+            lo_d = F.lit(str(lo2)).cast("decimal(38,9)")
+            hi_d = F.lit(str(hi2)).cast("decimal(38,9)")
+            rounded = F.round(dec)  # MySQL rounds fractional strings
+            in_range = F.least(F.greatest(rounded, lo_d), hi_d)
+            clamped = (
+                F.when(raw.isNull(), F.lit(None).cast("decimal(38,9)"))
+                # lenient MySQL: unparseable non-null -> 0 with warning
+                .when(prefix.isNull(), F.lit(0).cast("decimal(38,9)"))
+                .when(overflow & prefix.startswith("-"), lo_d)
+                .when(overflow, hi_d)
+                .otherwise(in_range)
             )
-            parsed = clamped.cast("long").cast(dt)
+            parsed = clamped.cast("decimal(20,0)").cast("long").cast(dt)
+            if strict:
+                # strict mode also rejects out-of-range, like MySQL's
+                # "Out of range value" error (tests/sqlmode strict run)
+                bad = raw.isNotNull() & (
+                    prefix.isNull()
+                    | overflow
+                    | (rounded < lo_d)
+                    | (rounded > hi_d)
+                )
+                return F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"[strict sql_mode] bad value for {spec.name}: "
+                            ),
+                            raw,
+                        )
+                    ).cast(dt.simpleString()),
+                ).otherwise(parsed)
+            return parsed
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)
         return parsed

@@ -72,6 +72,8 @@ def apply_permutation(
     strict: bool = False,
     cast: bool = True,
     keep: list[str] | None = None,
+    source_latin1: bool = False,
+    charset: str = "utf8mb4",
 ) -> DataFrame:
     """Project raw (string-typed) file columns into the table schema.
 
@@ -92,7 +94,11 @@ def apply_permutation(
     for spec, idx in zip(schema.columns, perm):
         if 0 <= idx < len(field_names):
             src = F.col(field_names[idx])
-            expr = mysql_cast(src, spec, strict) if cast else src
+            expr = (
+                mysql_cast(src, spec, strict, source_latin1, charset)
+                if cast
+                else src
+            )
         elif spec.auto_increment and rowid is not None:
             expr = rowid.cast(spec.spark_type)
         else:

@@ -128,7 +128,34 @@ class RestoreController:
         strict = strict_sql_mode(self.cfg.tidb.sql_mode)
         frames: list[DataFrame] = []
 
-        if csv_files:
+        if csv_files and self.cfg.mydumper.csv.strict_parser:
+            from ..sources.csv_strict import read_csv_strict
+
+            csv_cfg = self.cfg.mydumper.csv
+            ncols = len(schema.columns)
+            raw, header_cols = read_csv_strict(
+                self.spark,
+                [(f.path, f.size) for f in csv_files],
+                csv_cfg,
+                ncols,
+            )
+            file_columns = header_cols or [c.name for c in schema.columns]
+            df = project_fields(raw, len(file_columns))
+            df = df.toDF(*(["_row_id"] + file_columns))
+            frames.append(
+                apply_permutation(
+                    df,
+                    schema,
+                    file_columns,
+                    rowid=df["_row_id"],
+                    job_timestamp=self.job_timestamp,
+                    strict=strict,
+                    keep=["_row_id"],
+                    source_latin1=True,
+                    charset=self.cfg.mydumper.character_set,
+                )
+            )
+        elif csv_files:
             csv_cfg = self.cfg.mydumper.csv
             ncols = len(schema.columns)
             file_cols = (
@@ -163,6 +190,8 @@ class RestoreController:
                     job_timestamp=self.job_timestamp,
                     strict=strict,
                     keep=["_row_id"],
+                    source_latin1=True,
+                    charset=self.cfg.mydumper.character_set,
                 )
             )
         if sql_files:

@@ -29,6 +29,7 @@ def read_csv(
     cfg: CSVConfig,
     num_columns: int | None = None,
     column_names: list[str] | None = None,
+    byte_faithful: bool = True,
 ) -> DataFrame:
     """Read CSV file(s) into an all-string DataFrame.
 
@@ -44,6 +45,12 @@ def read_csv(
     """
     cfg.validate()
     opts = cfg.spark_options()
+    if byte_faithful:
+        # Read ISO-8859-1: every byte maps 1:1 to a char, so BLOB
+        # columns with raw bytes survive the reader (the reference's
+        # parser is byte-oriented, csv_parser.rl). The cast layer
+        # re-decodes text columns to the table charset.
+        opts["encoding"] = "ISO-8859-1"
     reader = spark.read.options(**opts)
     if column_names:
         schema = T.StructType(

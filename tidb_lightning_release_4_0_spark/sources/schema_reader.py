@@ -288,7 +288,12 @@ def _map_type(
     return T.StringType(), (), []
 
 
-_COL_START = re.compile(r"^(`[^`]+(?:``[^`]*)*`|[A-Za-z_][A-Za-z0-9_$]*)\s+(.*)$", re.S)
+# unquoted identifiers may contain any unicode word char (MySQL
+# allows e.g. Chinese column names — tests/character_sets)
+_COL_START = re.compile(
+    r"^(`[^`]+(?:``[^`]*)*`|[A-Za-z_-￿][\w$-￿]*)\s+(.*)$",
+    re.S | re.UNICODE,
+)
 _TYPE_RE = re.compile(
     r"^([A-Za-z]+(?:\s+precision)?)\s*(\(((?:[^()']|'(?:[^'\\]|\\.)*')*)\))?\s*(.*)$",
     re.S | re.I,
