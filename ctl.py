@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Maintenance CLI — the tidb-lightning-ctl twin (SURVEY.md §3.3).
+
+Subcommands mutate the checkpoint state table / sink, mirroring
+cmd/tidb-lightning-ctl/main.go:42-307:
+
+    ctl.py checkpoint-dump   --checkpoint PATH
+    ctl.py checkpoint-remove --checkpoint PATH [--table db.tbl|all]
+    ctl.py checkpoint-error-ignore  --checkpoint PATH [--table ...]
+    ctl.py checkpoint-error-destroy --checkpoint PATH --table db.tbl \
+           [--target-dir DIR]     # also drops the sink table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tidb_lightning_release_4_0_spark.plans.checkpoints import (  # noqa: E402
+    CheckpointStore,
+)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in (
+        "checkpoint-dump",
+        "checkpoint-remove",
+        "checkpoint-error-ignore",
+        "checkpoint-error-destroy",
+    ):
+        p = sub.add_parser(name)
+        p.add_argument("--checkpoint", required=True)
+        p.add_argument("--table", default="all")
+        p.add_argument("--target-dir", default="")
+
+    args = ap.parse_args(argv)
+    cp = CheckpointStore(args.checkpoint)
+
+    if args.cmd == "checkpoint-dump":
+        print(json.dumps(cp.dump(), indent=2, sort_keys=True))
+        return 0
+    if args.cmd == "checkpoint-remove":
+        cp.remove(None if args.table == "all" else args.table)
+        print(f"removed checkpoints for {args.table}")
+        return 0
+    if args.cmd == "checkpoint-error-ignore":
+        cp.ignore_error(args.table)
+        print(f"cleared error checkpoints for {args.table}")
+        return 0
+    if args.cmd == "checkpoint-error-destroy":
+        # main.go:166-215: drop target table + remove checkpoints so
+        # the next run reimports from scratch
+        if args.target_dir and args.table != "all":
+            path = os.path.join(args.target_dir, args.table)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+                print(f"dropped sink table {path}")
+        cp.remove(None if args.table == "all" else args.table)
+        print(f"destroyed checkpoints for {args.table}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,163 @@
+"""Streaming twins, multimodal plumbing, and ctl CLI."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_features,
+    resize_stub,
+)
+from tidb_lightning_release_4_0_spark.streaming.events import (
+    sessionize,
+    stream_events,
+    streaming_checksum,
+    windowed_counts,
+)
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "stream"
+)
+
+
+def _events_json_dir(spark, tables) -> str:
+    d = os.path.join(TMP, "events_json")
+    shutil.rmtree(d, ignore_errors=True)
+    tables["events"].coalesce(2).write.json(d)
+    return d
+
+
+def test_streaming_windowed_counts_match_batch(spark, tables):
+    """Streaming result over a static source == the batch twin
+    (the golden-equivalence strategy, SURVEY.md §5)."""
+    src = _events_json_dir(spark, tables)
+    stream = stream_events(spark, src)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, window="1 hour")
+    out_dir = os.path.join(TMP, "sink_counts")
+    cp_dir = os.path.join(TMP, "cp_counts")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = (
+        tables["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    # watermark append-mode emits only closed windows; every emitted
+    # window must match the batch result exactly
+    j = got.alias("g").join(
+        batch.alias("b"),
+        (F.col("g.window_start") == F.col("b.window_start"))
+        & (F.col("g.event_type") == F.col("b.event_type")),
+    )
+    assert got.count() > 0
+    mismatches = j.filter(
+        (F.col("g.n") != F.col("b.n"))
+        | (F.abs(F.col("g.sum_value") - F.col("b.sum_value")) > 1e-9)
+    ).count()
+    assert mismatches == 0
+    assert j.count() == got.count()  # every streamed window exists in batch
+
+
+def test_streaming_checksum_monoid(spark, tables):
+    src = _events_json_dir(spark, tables)
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    cp_dir = os.path.join(TMP, "cp_cksum")
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    out: list = []
+    q = streaming_checksum(stream, cp_dir, out)
+    q.awaitTermination(120)
+    assert out, "no checksum batches observed"
+    total = out[-1]
+    assert total.total_kvs == tables["events"].count()
+
+
+def test_sessionize_batch(spark, tables):
+    """session_window over the static frame (batch mode works too)."""
+    s = sessionize(tables["events"], gap="30 minutes")
+    n_sessions = s.count()
+    n_users = tables["events"].select("user_id").distinct().count()
+    assert n_sessions >= n_users  # at least one session per active user
+    row = s.agg(F.sum("n_events")).collect()[0]
+    assert row[0] == tables["events"].count()
+
+
+def test_multimodal_plumbing(spark):
+    pdf = spark.createDataFrame(
+        [(i, bytes([i % 251]) * (100 + i)) for i in range(20)],
+        "doc_id long, payload binary",
+    )
+    with_meta = attach_media_metadata(pdf)
+    metas = with_meta.select("media_meta.*").collect()
+    assert all(16 <= r["width"] <= 527 for r in metas)
+    assert [r["n_bytes"] for r in metas] == [100 + i for i in range(20)]
+
+    feats = decode_features(with_meta).collect()
+    assert len(feats) == 20
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert all(r["height"] == 8 and r["channels"] == 3 for r in feats)
+    # deterministic: same payload -> same feature
+    feats2 = decode_features(with_meta).collect()
+    assert feats[0]["feature"] == feats2[0]["feature"]
+
+    rs = resize_stub(pdf, target=(4, 4)).collect()
+    assert all(r["out_h"] == 4 and r["out_w"] == 4 for r in rs)
+    assert all(len(r["resized"]) == 4 * 4 * 3 for r in rs)
+
+
+def test_ctl_cli(tmp_path):
+    cp_path = os.path.join(TMP, "ctl_cp.json")
+    os.makedirs(TMP, exist_ok=True)
+    from tidb_lightning_release_4_0_spark.plans.checkpoints import (
+        CheckpointStore,
+        Status,
+    )
+
+    cp = CheckpointStore(cp_path)
+    cp.set_table_status("db.good", Status.ANALYZED)
+    cp.set_table_status("db.bad", 3)  # invalid LOADED/10
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "ctl.py", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    out = run("checkpoint-dump", "--checkpoint", cp_path)
+    assert out.returncode == 0
+    assert json.loads(out.stdout)["tables"]["db.good"]["status"] == 210
+
+    out = run("checkpoint-error-ignore", "--checkpoint", cp_path)
+    assert out.returncode == 0
+    assert CheckpointStore(cp_path).table_status("db.bad") == 30
+
+    out = run(
+        "checkpoint-remove", "--checkpoint", cp_path, "--table", "db.bad"
+    )
+    assert out.returncode == 0
+    st = CheckpointStore(cp_path)
+    assert st.table_status("db.bad") == 0
+    assert st.table_status("db.good") == 210

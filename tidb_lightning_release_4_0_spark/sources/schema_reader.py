@@ -418,13 +418,14 @@ def _parse_index(item: str) -> IndexSpec | None:
     low = item.lower()
     primary = low.startswith("primary")
     unique = primary or low.startswith("unique")
-    pm = re.search(r"\(([^)]*)\)\s*$", item) or re.search(r"\(([^)]*)\)", item)
-    if not pm:
+    # outermost paren group (columns may carry prefix lengths `c`(10))
+    start, end = item.find("("), item.rfind(")")
+    if start < 0 or end <= start:
         return None
     cols = [
         # strip prefix lengths like `col`(10) and sort order
         _unquote_ident(re.sub(r"\(\d+\)|\s+(asc|desc)$", "", c.strip(), flags=re.I))
-        for c in _split_top_level(pm.group(1))
+        for c in _split_top_level(item[start + 1 : end])
     ]
     nm = re.match(
         r"(?:unique\s+)?(?:key|index)\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*)",
