@@ -1,0 +1,123 @@
+"""Physical-plan assertions: the 100 TB properties SURVEY §4 demands.
+
+These tests read `.explain()` output — the same discipline as
+"after each operator works, explain the plan and iterate":
+filters/pruning reach the parquet scan, small sides broadcast, the
+ingest hot path stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.registry import (
+    q_ann_topk_lsh,
+    q_filtered_revenue,
+    q_multimodal_features,
+    q_top_orders_by_revenue,
+    q_topk_parts,
+    build_queries,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(q_filtered_revenue(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    # the quantity/discount predicates must appear as pushed filters
+    pushed = [l for l in plan.splitlines() if "PushedFilters:" in l]
+    assert any("l_discount" in l or "l_quantity" in l for l in pushed), pushed
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _plan(q_topk_parts(spark, sf_dir))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    # only the 3 selected columns are read, not p_brand/p_type/p_size
+    assert "p_brand" not in read[0] and "p_size" not in read[0], read[0]
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    plan = _plan(q_top_orders_by_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_ingest_plan_stays_jvm(spark, tables):
+    """The native-CSV ingest path must contain no Python evaluation
+    (BatchEvalPython/ArrowEvalPython/MapInPandas) — cast, rowid and
+    checksum are all built-ins."""
+    import os
+
+    from tidb_lightning_release_4_0_spark.config import CSVConfig
+    from tidb_lightning_release_4_0_spark.operators.permutation import (
+        apply_permutation,
+    )
+    from tidb_lightning_release_4_0_spark.operators.rowid import (
+        assign_rowid_by_file,
+        file_row_bases,
+    )
+    from tidb_lightning_release_4_0_spark.sources.csv_source import read_csv
+    from tidb_lightning_release_4_0_spark.sources.dump_writer import (
+        write_dump_table,
+    )
+    from tidb_lightning_release_4_0_spark.sources.schema_reader import (
+        parse_create_table,
+    )
+
+    d = "/root/repo/.tmp/planq"
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    write_dump_table(
+        d, "db", "nation", tables["nation"].toPandas(),
+        "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, "
+        "n_name VARCHAR(32), n_regionkey INT)", fmt="csv",
+    )
+    files = [(os.path.join(d, "db.nation.csv"), 100)]
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    df = read_csv(spark, [f for f, _ in files], CSVConfig(), column_names=cols)
+    df = assign_rowid_by_file(df, file_row_bases(files, 3))
+    out = apply_permutation(
+        df, parse_create_table(
+            "CREATE TABLE nation (n_nationkey INT PRIMARY KEY, "
+            "n_name VARCHAR(32), n_regionkey INT)"
+        ), cols, rowid=df["_row_id"], source_latin1=True,
+    )
+    plan = _plan(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"{marker} found in ingest plan"
+
+
+def test_lsh_reduces_comparisons(spark, sf_dir):
+    """ANN-LSH probes strictly fewer pairs than brute force and still
+    returns k results per query."""
+    lsh = q_ann_topk_lsh(spark, sf_dir)
+    rows = lsh.collect()
+    assert rows  # buckets non-empty
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_rows_only_queries_run(spark, sf_dir):
+    out = q_multimodal_features(spark, sf_dir)
+    assert out.count() > 0
+    assert len(out.schema.fields) == 6
+
+
+def test_all_queries_return_dataframes(spark, sf_dir):
+    """Every registry entry must build a plan without error (cheap
+    analysis-only check; full execution is the oracle suite)."""
+    for name, fn in build_queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name

@@ -360,6 +360,89 @@ def q_ann_topk(spark, sf_dir):
     return S.topk_cosine(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate variant: hyperplane-LSH bucketed (the scale path).
+    Impl-specific hyperplanes => rows-only check (no SQL oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_lsh(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, num_planes=4
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing over synthetic binary payloads
+    derived from documents (rows-only: stub codec)."""
+    from .operators.multimodal import decode_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return decode_features(d, payload_col="payload", id_col="doc_id")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """Per-document MinHash signature vector (oracle-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        D.minhash_signature(F.col("text"), num_hashes=8).alias("sig"),
+    )
+
+
+def q_uint64_decimal(spark, sf_dir):
+    """uint64 fidelity (T1/T3): values near 2^64 survive via
+    DecimalType(20,0) (tests/various_types precise_types)."""
+    from .operators.cast import mysql_cast
+    from .sources.schema_reader import ColumnSpec
+
+    spec = ColumnSpec("v", "bigint", T.DecimalType(20, 0), unsigned=True)
+    o = _t(spark, sf_dir, "orders")
+    big = F.concat(F.lit("1844674407370955161"), (F.col("o_orderkey") % 10).cast("string"))
+    return o.select(
+        "o_orderkey",
+        mysql_cast(big, spec).cast("string").alias("u64"),
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Session windows (30-min gap) per user — the batch twin of the
+    streaming sessionizer, oracle-checked via lag/cumsum SQL."""
+    from .streaming.events import sessionize
+
+    s = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.col("session_start"),
+        "n_events",
+        F.col("sum_value"),
+    )
+
+
+def q_chunk_plan(spark, sf_dir):
+    """S6/S7 chunk planner semantics as a query: deterministic
+    row-id range reservation per input unit (here: per orders batch
+    of 100 keys), PrevRowIDMax chaining (region.go:146-170)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.expr("o_orderkey DIV 100").alias("chunk_id"))
+        .groupBy("chunk_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "row_id_base",
+            F.sum("n_rows").over(
+                Window.orderBy("chunk_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+        )
+        .select(
+            "chunk_id",
+            "n_rows",
+            F.coalesce(F.col("row_id_base"), F.lit(0)).alias("row_id_base"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -394,6 +477,12 @@ def build_queries():
         "text_stats": q_text_stats,
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "multimodal_features": q_multimodal_features,
+        "minhash_signatures": q_minhash_signatures,
+        "uint64_decimal": q_uint64_decimal,
+        "sessionize_events": q_sessionize_events,
+        "chunk_plan": q_chunk_plan,
     }
 
 
@@ -536,4 +625,59 @@ def build_oracle_sql():
             "embeddings", threshold=0.93
         ),
         "ann_topk": S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5),
+        # ann_topk_lsh / multimodal_features: rows-only (impl-specific
+        # hyperplanes / stub codec) — intentionally no oracle entries
+        "minhash_signatures": (
+            f"SELECT doc_id, {D.minhash_signature_sql_duckdb('text', 8)} "
+            f"AS sig FROM documents"
+        ),
+        # NOTE: DuckDB least()/greatest() coerce DECIMAL to DOUBLE,
+        # so the clamp is spelled with CASE to stay exact
+        "uint64_decimal": """
+            WITH v AS (
+              SELECT o_orderkey,
+                     cast(('1844674407370955161' ||
+                           cast(o_orderkey % 10 AS VARCHAR))
+                          AS DECIMAL(38,4)) AS x,
+                     cast('18446744073709551615' AS DECIMAL(38,4)) AS mx
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   cast(cast(CASE WHEN x < 0 THEN 0
+                                  WHEN x > mx THEN mx
+                                  ELSE x END AS DECIMAL(20,0)) AS VARCHAR)
+                       AS u64
+            FROM v
+        """,
+        "sessionize_events": """
+            WITH m AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN ts - lag(ts) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id)
+                          <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_s
+              FROM events
+            ), g AS (
+              SELECT *, sum(new_s) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events,
+                   cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM g GROUP BY user_id, sid
+        """,
+        "chunk_plan": """
+            WITH c AS (
+              SELECT o_orderkey // 100 AS chunk_id,
+                     count(*) AS n_rows
+              FROM orders GROUP BY 1
+            )
+            SELECT chunk_id, n_rows,
+                   coalesce(sum(n_rows) OVER (ORDER BY chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS row_id_base
+            FROM c
+        """,
     }
