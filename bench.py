@@ -126,9 +126,38 @@ def main() -> None:
             ingest_mibs = round(src_bytes / dt / (1 << 20), 2)
         else:
             timings["ingest_csv_lineitem"] = -1.0
+
+        # S3 path: mydumper .sql dump of orders (Python lexer fan-out)
+        sql_dump_dir = os.path.join(TMP, "dump_sql")
+        sql_sink_dir = os.path.join(TMP, "sink_sql")
+        if not os.path.exists(os.path.join(sql_dump_dir, ".complete")):
+            shutil.rmtree(sql_dump_dir, ignore_errors=True)
+            od = load_table(spark, SF_DIR, "orders").toPandas()
+            write_dump_table(
+                sql_dump_dir, "tpch", "orders", od,
+                """CREATE TABLE orders (
+                  o_orderkey BIGINT PRIMARY KEY, o_custkey BIGINT,
+                  o_orderstatus VARCHAR(1), o_totalprice DOUBLE,
+                  o_orderdate DATETIME, o_orderpriority VARCHAR(20))""",
+                fmt="sql", parts=CPUS,
+            )
+            open(os.path.join(sql_dump_dir, ".complete"), "w").write("ok")
+        shutil.rmtree(sql_sink_dir, ignore_errors=True)
+        cfg2 = Config(
+            mydumper=MydumperConfig(source_dir=sql_dump_dir),
+            backend="parquet", target_dir=sql_sink_dir,
+            on_duplicate="error", checkpoint_enable=False, checksum=True,
+        )
+        RestoreController(spark, cfg2).run()  # untimed warm-up
+        shutil.rmtree(sql_sink_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        s2 = RestoreController(spark, cfg2).run()
+        timings["ingest_sql_orders"] = (
+            round(time.monotonic() - t0, 3) if s2.ok else -1.0
+        )
     except Exception as e:  # bench must still emit its JSON line
         print(f"ingest bench failed: {e}", file=sys.stderr)
-        timings["ingest_csv_lineitem"] = -1.0
+        timings.setdefault("ingest_csv_lineitem", -1.0)
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

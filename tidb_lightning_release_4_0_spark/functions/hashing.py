@@ -36,20 +36,22 @@ _POLY = np.uint64(0xC96C5795D7870F42)  # reflected ECMA-182 polynomial
 
 
 def _make_tables() -> np.ndarray:
-    """Slice-by-8 lookup tables, shape (8, 256), dtype uint64."""
+    """Slice-by-8 lookup tables, shape (8, 256), dtype uint64.
+
+    Fully vectorized — this runs at import time in every Python
+    worker, so scalar numpy loops here would tax task startup."""
     tables = np.zeros((8, 256), dtype=np.uint64)
-    one = np.uint64(1)
-    for i in range(256):
-        crc = np.uint64(i)
-        for _ in range(8):
-            crc = (crc >> one) ^ (_POLY if crc & one else np.uint64(0))
-        tables[0, i] = crc
-    eight = np.uint64(8)
-    mask = np.uint64(0xFF)
+    crc = np.arange(256, dtype=np.uint64)
+    for _ in range(8):
+        crc = (crc >> np.uint64(1)) ^ np.where(
+            crc & np.uint64(1), _POLY, np.uint64(0)
+        ).astype(np.uint64)
+    tables[0] = crc
     for t in range(1, 8):
-        for i in range(256):
-            prev = tables[t - 1, i]
-            tables[t, i] = (prev >> eight) ^ tables[0, int(prev & mask)]
+        prev = tables[t - 1]
+        tables[t] = (prev >> np.uint64(8)) ^ tables[0][
+            (prev & np.uint64(0xFF)).astype(np.int64)
+        ]
     return tables
 
 

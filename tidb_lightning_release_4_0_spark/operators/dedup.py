@@ -162,6 +162,13 @@ def minhash_lsh_pairs(
     # shingles per hash function); persist so the self-join's two sides
     # reuse one computation (at 100 TB: persist(DISK_ONLY) or a
     # checkpoint table).
+    # small corpora often arrive as one file/partition — spread the
+    # per-row signature work across cores (at scale the input is
+    # already many partitions and this coalesces to a no-op cost
+    # relative to the signature compute)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(

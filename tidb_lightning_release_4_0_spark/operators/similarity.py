@@ -209,6 +209,9 @@ def cosine_dup_pairs(
     # norms once per row; persist so the self-join's sides share one
     # computation (at scale: a checkpointed "normalized embeddings"
     # table serves every downstream similarity job)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     d = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),

@@ -107,18 +107,62 @@ class RestoreController:
         out = {}
         for db in discover_cfg(self.cfg):
             for tbl in db.tables.values():
-                if tbl.schema_file is None:
-                    if self.cfg.mydumper.no_schema:
-                        raise NotImplementedError(
-                            "no-schema mode needs a pre-registered target table"
-                        )
-                    log.warning("missing schema file for %s.%s", db.name, tbl.name)
+                name = f"{db.name}.{tbl.name}"
+                if self.cfg.mydumper.no_schema:
+                    # no-schema mode: the target table already exists;
+                    # take its schema from the sink (config.go:143,
+                    # tests/no_schema/run.sh)
+                    schema = self._schema_from_sink(name)
+                    if schema is None:
+                        log.warning("no target table for %s (no-schema)", name)
+                        continue
+                elif tbl.schema_file is None:
+                    log.warning("missing schema file for %s", name)
                     continue
-                schema = load_table_schema(
-                    tbl.schema_file, self.cfg.mydumper.character_set
-                )
-                out[f"{db.name}.{tbl.name}"] = (tbl, schema)
+                else:
+                    schema = load_table_schema(
+                        tbl.schema_file, self.cfg.mydumper.character_set
+                    )
+                out[name] = (tbl, schema)
         return out
+
+    def _schema_from_sink(self, name: str) -> TableSchema | None:
+        """Build a TableSchema from an existing sink table's Spark
+        schema (the LoadSchemaInfo-from-target analog,
+        lightning/restore/tidb.go:154-208)."""
+        from ..sources.schema_reader import ColumnSpec
+        from pyspark.sql import types as T
+
+        try:
+            df = self.sink.read_back(self.spark, name)
+        except Exception:
+            return None
+        spark_to_mysql = {
+            T.ByteType: "tinyint", T.ShortType: "smallint",
+            T.IntegerType: "int", T.LongType: "bigint",
+            T.FloatType: "float", T.DoubleType: "double",
+            T.StringType: "varchar", T.BinaryType: "blob",
+            T.TimestampType: "datetime", T.DateType: "date",
+            T.BooleanType: "tinyint",
+        }
+        cols = []
+        for f in df.schema.fields:
+            if f.name.startswith("_"):
+                continue
+            mysql_t = (
+                "decimal"
+                if isinstance(f.dataType, T.DecimalType)
+                else spark_to_mysql.get(type(f.dataType), "varchar")
+            )
+            cols.append(
+                ColumnSpec(
+                    name=f.name,
+                    mysql_type=mysql_t,
+                    spark_type=f.dataType,
+                    nullable=f.nullable,
+                )
+            )
+        return TableSchema(name=name.split(".")[-1], columns=cols)
 
     # -- [3] per-table restore --------------------------------------------
     def read_table(self, meta: MDTableMeta, schema: TableSchema) -> DataFrame:
@@ -202,10 +246,11 @@ class RestoreController:
                 self.cfg.mydumper.character_set,
                 num_columns=ncols,
             )
-            # column list from the INSERT statement, else table order
-            first_cols = (
-                raw.select("_columns").filter("_columns is not null").limit(1).collect()
-            )
+            # column list from the INSERT statement, else table order.
+            # limit(1) on the raw frame short-circuits after one task;
+            # filtering on _columns first would force a full parse
+            # when statements carry no column list (the common case).
+            first_cols = raw.select("_columns").limit(1).collect()
             file_columns = (
                 list(first_cols[0][0])
                 if first_cols and first_cols[0][0]
