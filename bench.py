@@ -70,6 +70,7 @@ def main() -> None:
     # ingest bench: render lineitem -> CSV dump once, then restore
     spark.catalog.clearCache()  # drop frames persisted by dedup queries
     ingest_mibs = None
+    ingest_4x_mibs = None
     try:
         from tidb_lightning_release_4_0_spark.config import (
             Config,
@@ -155,6 +156,53 @@ def main() -> None:
         timings["ingest_sql_orders"] = (
             round(time.monotonic() - t0, 3) if s2.ok else -1.0
         )
+
+        # scale evidence: 4x the CSV corpus (~150 MB at sf0.1) —
+        # shows fixed per-job costs amortizing (docs/SCALE.md)
+        big_dump = os.path.join(TMP, "dump4x")
+        big_sink = os.path.join(TMP, "sink4x")
+        if not os.path.exists(os.path.join(big_dump, ".complete")):
+            shutil.rmtree(big_dump, ignore_errors=True)
+            os.makedirs(big_dump)
+            import glob
+
+            for f in glob.glob(os.path.join(dump_dir, "*")):
+                base = os.path.basename(f)
+                if base.endswith(".csv"):
+                    # keep the {db}.{table}.{part} naming: new numeric
+                    # part ids so the classifier maps all copies to
+                    # the same table
+                    stem, part = base[: -len(".csv")].rsplit(".", 1)
+                    for rep in range(4):
+                        os.link(
+                            f,
+                            os.path.join(
+                                big_dump, f"{stem}.{rep}{part}.csv"
+                            ),
+                        )
+                elif base != ".complete":
+                    shutil.copy(f, os.path.join(big_dump, base))
+            open(os.path.join(big_dump, ".complete"), "w").write("ok")
+        big_bytes = sum(
+            os.path.getsize(os.path.join(big_dump, f))
+            for f in os.listdir(big_dump)
+            if f.endswith(".csv")
+        )
+        shutil.rmtree(big_sink, ignore_errors=True)
+        cfg3 = Config(
+            mydumper=MydumperConfig(source_dir=big_dump),
+            backend="parquet", target_dir=big_sink,
+            on_duplicate="error", checkpoint_enable=False, checksum=True,
+        )
+        t0 = time.monotonic()
+        s3 = RestoreController(spark, cfg3).run()
+        dt3 = time.monotonic() - t0
+        if s3.ok:
+            timings["ingest_csv_4x"] = round(dt3, 3)
+            ingest_4x_mibs = round(big_bytes / dt3 / (1 << 20), 2)
+        else:
+            timings["ingest_csv_4x"] = -1.0
+            ingest_4x_mibs = None
     except Exception as e:  # bench must still emit its JSON line
         print(f"ingest bench failed: {e}", file=sys.stderr)
         timings.setdefault("ingest_csv_lineitem", -1.0)
@@ -170,6 +218,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "ingest_mib_per_sec": ingest_mibs,
+                "ingest_4x_mib_per_sec": ingest_4x_mibs,
             }
         )
     )

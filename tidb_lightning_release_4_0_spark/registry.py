@@ -326,6 +326,26 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
 
 
+def q_dedup_apply_exact(spark, sf_dir):
+    """Apply exact dedup: keep one survivor per distinct content
+    (smallest doc_id), returning the cleaned corpus ids."""
+    d = _t(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(d).select("keep_id")
+    return (
+        d.join(keep, d["doc_id"] == keep["keep_id"], "left_semi")
+        .select("doc_id", "lang", "source")
+    )
+
+
+def q_dedup_apply_minhash(spark, sf_dir):
+    """Apply near-dedup: drop the higher-id side of every candidate
+    pair (greedy survivor policy), return surviving doc ids."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.2)
+    losers = pairs.select(F.col("right_id").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_dedup_minhash(spark, sf_dir):
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2
@@ -471,6 +491,8 @@ def build_queries():
         "anti_join_customers": q_anti_join_customers,
         "semi_join_suppliers": q_semi_join_suppliers,
         "dedup_exact": q_dedup_exact,
+        "dedup_apply_exact": q_dedup_apply_exact,
+        "dedup_apply_minhash": q_dedup_apply_minhash,
         "dedup_minhash": q_dedup_minhash,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -599,6 +621,16 @@ def build_oracle_sql():
             "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"
         ),
         "dedup_exact": D.exact_dedup_groups_oracle_sql("documents"),
+        "dedup_apply_exact": f"""
+            WITH g AS ({D.exact_dedup_groups_oracle_sql('documents')})
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN (SELECT keep_id FROM g)
+        """,
+        "dedup_apply_minhash": f"""
+            WITH pairs AS ({D.minhash_lsh_pairs_oracle_sql('documents', threshold=0.2)})
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT DISTINCT right_id FROM pairs)
+        """,
         "dedup_minhash": D.minhash_lsh_pairs_oracle_sql(
             "documents", threshold=0.2
         ),
