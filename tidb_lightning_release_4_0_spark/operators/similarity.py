@@ -196,6 +196,72 @@ def ann_topk_lsh(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize against n_cells
+    centroid vectors (deterministic corpus sample, broadcast as
+    literals), probe only the query's nearest cell.
+
+    At 100 TB the centroids come from a sampled k-means job and live
+    in a broadcast table; cell assignment is a narrow projection, and
+    the candidate join shuffles only same-cell rows."""
+    cents = [
+        (r[0], list(r[1]))
+        for r in corpus.select(id_col, vec_col).limit(n_cells).collect()
+    ]
+
+    def cell_of(vec: Column) -> Column:
+        best_i, best_d = F.lit(-1), F.lit(float("-inf"))
+        for i, (_, cv) in enumerate(cents):
+            cvec = F.array(*[F.lit(float(x)) for x in cv])
+            d = dot(vec, cvec) / (norm(vec) * norm(cvec))
+            cond = d > best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+        return best_i
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        cell_of(F.col(vec_col)).alias("_cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        cell_of(F.col(vec_col)).alias("_cell"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("c_id")) & (q["_cell"] == c["_cell"]),
+    ).select(
+        "q_id",
+        "c_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_cos"), 4).alias("cos_sim"),
+        )
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     block_col: str = "label",

@@ -389,6 +389,19 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF coarse-quantized ANN (scale path; rows-only)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
+
+
+def q_checksum_crc64_lineitem(spark, sf_dir):
+    """C1 with the reference's exact crc64-ecma polynomial
+    (verification/checksum.go:37; Arrow kernel — rows-only since
+    DuckDB has no crc64)."""
+    return checksum_df(_t(spark, sf_dir, "lineitem").limit(2000), algo="crc64")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing over synthetic binary payloads
     derived from documents (rows-only: stub codec)."""
@@ -500,6 +513,8 @@ def build_queries():
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
