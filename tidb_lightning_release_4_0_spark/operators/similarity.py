@@ -196,6 +196,47 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_lsh_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+) -> str:
+    """ANSI twin of ann_topk_lsh: the deterministic hyperplanes are
+    emitted as literal arrays (repr round-trips doubles exactly)."""
+    buckets = []
+    for p in range(num_planes):
+        plane = ", ".join(repr(x) for x in _hyperplane(p, dim))
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> cast(e[i] as double) * ([{plane}])[i]))"
+        )
+        buckets.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
+    bucket_expr = " + ".join(buckets)
+    cos = cosine_sql_duckdb("q.embedding", "c.embedding", dim)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         (SELECT {bucket_expr} FROM (SELECT embedding AS e) __t) AS bkt
+  FROM {table}
+),
+q AS (SELECT * FROM b WHERE {query_pred}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {cos} AS _cos
+  FROM q JOIN b c ON q.vec_id <> c.vec_id AND q.bkt = c.bkt
+),
+ranked AS (
+  SELECT q_id, c_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, c_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cast(rank AS INT) AS rank, round(_cos, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

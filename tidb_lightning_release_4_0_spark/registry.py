@@ -672,8 +672,11 @@ def build_oracle_sql():
             "embeddings", threshold=0.93
         ),
         "ann_topk": S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5),
-        # ann_topk_lsh / multimodal_features: rows-only (impl-specific
-        # hyperplanes / stub codec) — intentionally no oracle entries
+        "ann_topk_lsh": S.ann_topk_lsh_oracle_sql(
+            "embeddings", "vec_id < 3", 5, 64, 4
+        ),
+        # ann_topk_ivf / multimodal_features / checksum_crc64: rows-only
+        # (driver-side centroid sample / stub codec / no crc64 in DuckDB)
         "minhash_signatures": (
             f"SELECT doc_id, {D.minhash_signature_sql_duckdb('text', 8)} "
             f"AS sig FROM documents"
