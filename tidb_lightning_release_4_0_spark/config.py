@@ -132,11 +132,15 @@ class Config:
     checkpoint_path: str = ""
     # post-restore (config.go:110-115)
     checksum: bool = True
-    # hash for the in-pipeline checksum: xxhash64 (fastest, JVM),
-    # hash60 (md5-based, ANSI-oracle-portable), crc64 (bit-compatible
-    # with the reference's crc64-ecma, pandas-UDF kernel)
-    checksum_algo: str = "xxhash64"
+    # hash for the in-pipeline checksum: xxdirect (xxhash64 over typed
+    # columns, no canonicalization — fastest), xxhash64/hash60 over the
+    # canonical serialization (hash60 = ANSI-oracle-portable), crc64
+    # (bit-compatible with the reference's crc64-ecma, Arrow kernel)
+    checksum_algo: str = "xxdirect"
     analyze: bool = True
+    # concurrent tables in flight (reference table-concurrency,
+    # config.go:373-386); Spark's FAIR/ FIFO scheduler multiplexes
+    table_concurrency: int = 4
     target_dir: str = ""  # parquet backend sink root
 
     def adjust(self) -> "Config":

@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import threading
 from enum import IntEnum
 
 
@@ -55,6 +56,10 @@ class CheckpointStore:
         self.enabled = enabled
         self.path = path
         self.state: dict = {"tables": {}, "chunks": {}}
+        # concurrent table restores write from worker threads (O1);
+        # the reference serializes via its checkpoint channel
+        # (restore.go:345-441) — a lock is our equivalent
+        self._lock = threading.Lock()
         if enabled and path and os.path.exists(path):
             with open(path) as f:
                 self.state = json.load(f)
@@ -62,12 +67,13 @@ class CheckpointStore:
     def _save(self) -> None:
         if not (self.enabled and self.path):
             return
-        d = os.path.dirname(self.path) or "."
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d)
-        with os.fdopen(fd, "w") as f:
-            json.dump(self.state, f)
-        os.replace(tmp, self.path)  # atomic, crash-safe
+        with self._lock:
+            d = os.path.dirname(self.path) or "."
+            os.makedirs(d, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=d)
+            with os.fdopen(fd, "w") as f:
+                json.dump(self.state, f)
+            os.replace(tmp, self.path)  # atomic, crash-safe
 
     # -- table-level -------------------------------------------------------
     def table_status(self, table: str) -> int:

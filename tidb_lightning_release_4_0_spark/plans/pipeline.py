@@ -313,23 +313,24 @@ class RestoreController:
                 "ignore",
             )
             if self.cfg.checksum:
-                from ..functions.checksum import canonical_row
-                from ..functions.hashing import hash60
-
-                # canonical row projected ONCE into _h/_len; the
-                # observe aggregates only touch those two columns, so
-                # the concat+hash runs once per row inside the write job
-                canon = canonical_row(df, cols)
-                df = df.withColumn(
-                    "_h", self._hash_fn()(canon)
-                ).withColumn("_len", F.length(canon))
+                # row hash projected ONCE into _h (+_len for the
+                # canonical modes); the observe aggregates only touch
+                # those columns, so hashing runs once per row inside
+                # the write job
+                df = self._with_row_hash(df, cols)
                 obs = Observation(f"checksum:{name}")
-                df = df.observe(
-                    obs,
+                metrics = [
                     F.bit_xor(F.col("_h")).alias("crc_xor"),
-                    F.sum("_len").cast("long").alias("total_bytes"),
+                    (
+                        F.sum("_len").cast("long")
+                        if "_len" in df.columns
+                        else F.lit(-1).cast("long")
+                    ).alias("total_bytes"),
                     F.count(F.lit(1)).alias("total_kvs"),
-                ).drop("_h", "_len")
+                ]
+                df = df.observe(obs, *metrics).drop(
+                    *[c for c in ("_h", "_len") if c in df.columns]
+                )
 
             res = self.sink.write(df, name)
             self.cp.set_table_status(name, Status.IMPORTED)
@@ -350,13 +351,14 @@ class RestoreController:
                 from ..functions.checksum import canonical_row
                 from ..functions.hashing import hash60
 
-                canon_b = canonical_row(back, cols)
-                proj = back.withColumn(
-                    "_h", self._hash_fn()(canon_b)
-                ).withColumn("_len", F.length(canon_b))
+                proj = self._with_row_hash(back, cols)
                 aggs += [
                     F.bit_xor(F.col("_h")).alias("crc_xor"),
-                    F.sum("_len").cast("long").alias("total_bytes"),
+                    (
+                        F.sum("_len").cast("long")
+                        if "_len" in proj.columns
+                        else F.lit(-1).cast("long")
+                    ).alias("total_bytes"),
                     F.count(F.lit(1)).alias("total_kvs"),
                 ]
             if id_col:
@@ -402,23 +404,38 @@ class RestoreController:
                 seconds=time.monotonic() - t0,
             )
 
-    def _hash_fn(self):
-        """Row-hash for the in-pipeline checksum (C1).
+    def _with_row_hash(self, df: DataFrame, cols: list[str]) -> DataFrame:
+        """Project the per-row checksum hash `_h` (+ `_len` for the
+        canonical-serialization modes) — C1's map side.
 
-        xxhash64 is the scale default (JVM intrinsic, ~10x md5);
-        hash60 when ANSI-SQL oracle portability is needed; crc64 for
-        bit-parity with the reference's crc64-ecma
-        (verification/checksum.go:37)."""
-        algo = getattr(self.cfg, "checksum_algo", "xxhash64")
+        Modes (cfg.checksum_algo):
+        - ``xxdirect`` (default, the 100 TB path): xxhash64 straight
+          over the typed columns — no string canonicalization at all;
+          byte accounting not tracked (total_bytes = -1). Valid
+          because both sides of the compare (observe vs read-back)
+          use the identical function.
+        - ``xxhash64`` / ``hash60`` / ``crc64``: canonical-string
+          serialization then hash; hash60 is ANSI-oracle-portable,
+          crc64 is bit-compatible with the reference
+          (verification/checksum.go:37).
+        """
+        algo = getattr(self.cfg, "checksum_algo", "xxdirect")
+        if algo == "xxdirect":
+            return df.withColumn(
+                "_h", F.xxhash64(*[F.col(c) for c in cols])
+            )
+        from ..functions.checksum import canonical_row
+
         if algo == "hash60":
             from ..functions.hashing import hash60 as fn
-
-            return fn
-        if algo == "crc64":
+        elif algo == "crc64":
             from ..functions.hashing import crc64 as fn
-
-            return fn
-        return lambda c: F.xxhash64(c)
+        else:
+            fn = F.xxhash64
+        canon = canonical_row(df, cols)
+        return df.withColumn("_h", fn(canon)).withColumn(
+            "_len", F.length(canon)
+        )
 
     @staticmethod
     def _alloc_id_column(df: DataFrame, schema: TableSchema) -> str | None:
@@ -435,13 +452,29 @@ class RestoreController:
         return None
 
     def run(self) -> RunSummary:
+        """[3] restoreTables: small-first submission (O3), up to
+        ``table_concurrency`` tables in flight (O1: the reference's
+        table worker pool, config.go:373-386 — here Spark's scheduler
+        multiplexes the concurrent jobs across executor cores)."""
+        import concurrent.futures as cf
+
         summary = RunSummary()
         schemas = self.load_schemas()
-        # O3: small tables first
-        for name, (meta, schema) in sorted(
+        ordered = sorted(
             schemas.items(), key=lambda kv: kv[1][0].total_size
-        ):
-            summary.tables[name] = self.restore_table(name, meta, schema)
+        )
+        conc = max(int(getattr(self.cfg, "table_concurrency", 1)), 1)
+        if conc == 1 or len(ordered) <= 1:
+            for name, (meta, schema) in ordered:
+                summary.tables[name] = self.restore_table(name, meta, schema)
+        else:
+            with cf.ThreadPoolExecutor(max_workers=conc) as pool:
+                futs = {
+                    pool.submit(self.restore_table, name, meta, schema): name
+                    for name, (meta, schema) in ordered
+                }
+                for fut in cf.as_completed(futs):
+                    summary.tables[futs[fut]] = fut.result()
         if summary.ok:
             self.cp.clean()  # [6]
         return summary
