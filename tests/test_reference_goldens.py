@@ -460,6 +460,61 @@ def test_character_sets_gb18030(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_examples_mocker_scale(spark):
+    """tests/examples: tbl_autoid 10k rows with auto-inc PK —
+    distinct-count 10000 golden (run.sh:20-24), compaction finalize."""
+    import numpy as np
+    import pandas as pd
+
+    from tidb_lightning_release_4_0_spark.sinks.parquet_sink import ParquetSink
+    from tidb_lightning_release_4_0_spark.sources.dump_writer import (
+        write_dump_table,
+    )
+
+    d = os.path.join(TMP, "mocker")
+    tgt = os.path.join(TMP, "mocker_sink")
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    rng = np.random.default_rng(42)
+    names = pd.DataFrame(
+        {
+            "ID": [None] * 10000,  # NULL auto-inc -> assigned from rowid
+            "Name": ["u%06d" % i for i in rng.permutation(10000)],
+        }
+    )
+    write_dump_table(
+        d, "mocker", "tbl_autoid", names,
+        "CREATE TABLE tbl_autoid (ID INT UNSIGNED AUTO_INCREMENT "
+        "PRIMARY KEY, Name VARCHAR(64))",
+        fmt="sql", parts=16,
+    )
+    sink = ParquetSink(tgt, on_duplicate="error")
+    sink.target_file_bytes = 1 << 20  # force compaction on tiny files
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet", target_dir=tgt, checkpoint_enable=False,
+    )
+    s = RestoreController(spark, cfg, sink=sink).run()
+    assert s.ok, s.report()
+    t = spark.read.parquet(os.path.join(tgt, "mocker.tbl_autoid"))
+    assert t.select("ID").distinct().count() == 10000
+    assert t.select("Name").distinct().count() == 10000
+    # alloc_base continues past every assigned id (gaps between
+    # per-file reserved ranges are reference semantics,
+    # region.go:146-170; the dense guarantee is per file only)
+    assert s.tables["mocker.tbl_autoid"].alloc_base >= 10001
+    assert (
+        t.agg(F.max("ID")).collect()[0][0]
+        < s.tables["mocker.tbl_autoid"].alloc_base
+    )
+    # finalize compacted the 16 task outputs into fewer files
+    n_files = len(
+        [f for f in os.listdir(os.path.join(tgt, "mocker.tbl_autoid"))
+         if f.endswith(".parquet")]
+    )
+    assert n_files <= 8
+
+
 class _FailOnceSink(MemorySink):
     """Fails the first write of a chosen table (failpoint analog)."""
 

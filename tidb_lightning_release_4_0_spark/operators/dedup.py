@@ -144,9 +144,15 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + exact-signature
     Jaccard estimate filter.
+
+    ``max_bucket`` guards against skew: a band bucket holding more
+    than this many docs (boilerplate/empty text collapsing to one
+    signature) is dropped rather than joined quadratically — the
+    standard LSH skew mitigation. The oracle mirrors the cap.
 
     Plan shape (the 100 TB path):
       1. narrow: signature per row (no shuffle)
@@ -202,6 +208,14 @@ def minhash_lsh_pairs(
     e = d.select("_id", "_sig", F.explode(band_keys).alias("bk")).select(
         "_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    if max_bucket:
+        sizes = e.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        e = e.join(
+            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
+            ["band", "bkey"],
+        )
     left = e.alias("l")
     right = e.alias("r")
     pairs = (
@@ -242,6 +256,7 @@ def minhash_lsh_pairs_oracle_sql(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int = 200,
 ) -> str:
     rpb = num_hashes // bands
     sig = minhash_signature_sql_duckdb("text", num_hashes)
@@ -255,9 +270,15 @@ def minhash_lsh_pairs_oracle_sql(
 WITH sigs AS (
   SELECT doc_id AS _id, {sig} AS _sig FROM {table}
 ),
-bandtab AS (
+bandtab0 AS (
   SELECT _id, _sig, t.b AS band, {band_key} AS bkey
   FROM sigs, (SELECT unnest([{band_list}]) AS b) t
+),
+bandtab AS (
+  SELECT b0.* FROM bandtab0 b0
+  JOIN (SELECT band, bkey FROM bandtab0
+        GROUP BY band, bkey HAVING count(*) <= {max_bucket}) ok
+  USING (band, bkey)
 ),
 cand AS (
   SELECT DISTINCT l._id AS left_id, r._id AS right_id,

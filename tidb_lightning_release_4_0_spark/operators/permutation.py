@@ -99,6 +99,12 @@ def apply_permutation(
                 if cast
                 else src
             )
+            if spec.auto_increment and rowid is not None:
+                # MySQL assigns the next auto-inc value for NULL too;
+                # non-null values keep full cast (strict) semantics
+                expr = F.when(
+                    src.isNull(), rowid.cast(spec.spark_type)
+                ).otherwise(expr)
         elif spec.auto_increment and rowid is not None:
             expr = rowid.cast(spec.spark_type)
         else:

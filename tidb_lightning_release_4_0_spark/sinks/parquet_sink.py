@@ -68,5 +68,31 @@ class ParquetSink(Sink):
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self._path(table))
 
+    # target output file size for finalize-compaction (O9's
+    # full-compact analog; Delta OPTIMIZE equivalent)
+    target_file_bytes: int = 128 << 20
+
+    def finalize(self, spark: SparkSession, table: str) -> None:
+        """Compact small output files (restore.go:1056-1070 runs a
+        full TiKV compaction post-import; the bulk-file analog is
+        rewriting tiny parquet files into ~target-size ones)."""
+        path = self._path(table)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if len(files) <= 1:
+            return
+        total = sum(os.path.getsize(f) for f in files)
+        want = max(int(total / self.target_file_bytes), 1)
+        if want < len(files) / 2:  # only rewrite when clearly fragmented
+            df = spark.read.parquet(path)
+            tmp = path + ".compact"
+            df.coalesce(want).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.replace(tmp, path)
+
     def cleanup(self, table: str) -> None:
         shutil.rmtree(self._path(table), ignore_errors=True)
