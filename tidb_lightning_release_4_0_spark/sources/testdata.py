@@ -44,6 +44,9 @@ def _nanos_ts_cols(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC so timestamp rendering/collection matches DuckDB's naive
+    # timestamps regardless of the caller's session defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _nanos_ts_cols(path):
         # integer DIV keeps full precision (ns values overflow double)
