@@ -71,6 +71,7 @@ def main() -> None:
     spark.catalog.clearCache()  # drop frames persisted by dedup queries
     ingest_mibs = None
     ingest_4x_mibs = None
+    writephase_mibs = None
     try:
         from tidb_lightning_release_4_0_spark.config import (
             Config,
@@ -127,6 +128,26 @@ def main() -> None:
             ingest_mibs = round(src_bytes / dt / (1 << 20), 2)
         else:
             timings["ingest_csv_lineitem"] = -1.0
+
+        # write-phase-only timing (checksum verification off): the
+        # direct comparable to the reference's 28 MiB/s figure, which
+        # is its WRITE-phase progress speed (restore.go:491) — its
+        # ADMIN CHECKSUM phase is separate
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        cfg_w = Config(
+            mydumper=MydumperConfig(source_dir=dump_dir),
+            backend="parquet", target_dir=sink_dir,
+            on_duplicate="error", checkpoint_enable=False, checksum=False,
+        )
+        t0 = time.monotonic()
+        sw = RestoreController(spark, cfg_w).run()
+        dtw = time.monotonic() - t0
+        if sw.ok:
+            timings["ingest_csv_writephase"] = round(dtw, 3)
+            writephase_mibs = round(src_bytes / dtw / (1 << 20), 2)
+        else:
+            timings["ingest_csv_writephase"] = -1.0
+            writephase_mibs = None
 
         # S3 path: mydumper .sql dump of orders (Python lexer fan-out)
         sql_dump_dir = os.path.join(TMP, "dump_sql")
@@ -219,6 +240,7 @@ def main() -> None:
                 "sf": float(sf),
                 "ingest_mib_per_sec": ingest_mibs,
                 "ingest_4x_mib_per_sec": ingest_4x_mibs,
+                "ingest_writephase_mib_per_sec": writephase_mibs,
             }
         )
     )

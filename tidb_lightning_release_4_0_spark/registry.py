@@ -451,6 +451,30 @@ def q_sessionize_events(spark, sf_dir):
     )
 
 
+def q_salted_agg_lineitem(spark, sf_dir):
+    """Skew-safe two-phase salted aggregation — results identical to
+    the plain aggregate (the oracle is unsalted SQL)."""
+    from .operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"n": ("count", "qty"), "sum_qty": ("sum", "qty"),
+         "max_qty": ("max", "qty")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
+
+
 def q_chunk_plan(spark, sf_dir):
     """S6/S7 chunk planner semantics as a query: deterministic
     row-id range reservation per input unit (here: per orders batch
@@ -519,6 +543,7 @@ def build_queries():
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
         "sessionize_events": q_sessionize_events,
+        "salted_agg_lineitem": q_salted_agg_lineitem,
         "chunk_plan": q_chunk_plan,
     }
 
@@ -717,6 +742,14 @@ def build_oracle_sql():
                    cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
                        AS sum_value
             FROM g GROUP BY user_id, sid
+        """,
+        "salted_agg_lineitem": """
+            SELECT l_returnflag, count(*) AS n,
+                   cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   cast(max(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS max_qty
+            FROM lineitem GROUP BY l_returnflag
         """,
         "chunk_plan": """
             WITH c AS (
