@@ -12,6 +12,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -48,8 +49,10 @@ def _norm_cell(v) -> str:
         return f"{v:.6g}"
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        return _norm_cell(v.item())
     return str(v)
 
 

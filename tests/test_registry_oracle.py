@@ -15,12 +15,20 @@ QUERIES = build_queries()
 ORACLES = build_oracle_sql()
 
 
+import os
+
+# the driver compares at sf0.01 — test at exactly that scale
+DRIVER_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
 def test_registry_complete():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    compare(df, ORACLES[name], sf_dir)
+def test_query_matches_oracle(name, spark):
+    df = QUERIES[name](spark, DRIVER_SF_DIR)
+    compare(df, ORACLES[name], DRIVER_SF_DIR)

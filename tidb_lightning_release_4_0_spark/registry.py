@@ -64,6 +64,15 @@ def q_checksum_orders(spark, sf_dir):
     return checksum_df(_t(spark, sf_dir, "orders"))
 
 
+def q_index_checksum_orders(spark, sf_dir):
+    """T8/C1: separate checksum class for an index projection — the
+    analog of the reference's data-vs-index KV split with per-class
+    checksums (sql2kv.go:218-239, restore.go:61-63). The 'index KV'
+    here is the (key columns -> handle) projection."""
+    o = _t(spark, sf_dir, "orders")
+    return checksum_df(o.select("o_custkey", "o_orderkey"))
+
+
 def q_rowid_dense_orders(spark, sf_dir):
     """F4/T5: deterministic dense row-id assignment (region.go:146-170)."""
     df = assign_rowid_dense(
@@ -414,11 +423,19 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """Per-document MinHash signature vector (oracle-checked)."""
+    """Per-document MinHash signature (oracle-checked).
+
+    Emitted as a comma-joined string: array-valued result columns
+    stringify differently across engine->pandas bridges (numpy
+    ndarray vs list), which breaks order-insensitive value hashing
+    even when the numbers are identical."""
     d = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), num_hashes=8)
     return d.select(
         "doc_id",
-        D.minhash_signature(F.col("text"), num_hashes=8).alias("sig"),
+        F.concat_ws(
+            ",", F.transform(sig, lambda x: x.cast("string"))
+        ).alias("sig"),
     )
 
 
@@ -509,6 +526,7 @@ def build_queries():
     return {
         "checksum_lineitem": q_checksum_lineitem,
         "checksum_orders": q_checksum_orders,
+        "index_checksum_orders": q_index_checksum_orders,
         "rowid_dense_orders": q_rowid_dense_orders,
         "alloc_base_orders": q_alloc_base_orders,
         "mysql_cast_tinyint": q_mysql_cast_tinyint,
@@ -553,6 +571,9 @@ def build_oracle_sql():
     return {
         "checksum_lineitem": checksum_oracle_sql("lineitem", LINEITEM_TYPES),
         "checksum_orders": checksum_oracle_sql("orders", ORDERS_TYPES),
+        "index_checksum_orders": checksum_oracle_sql(
+            "orders", [("o_custkey", "BIGINT"), ("o_orderkey", "BIGINT")]
+        ),
         "rowid_dense_orders": (
             "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) "
             "AS row_id FROM orders"
@@ -703,7 +724,8 @@ def build_oracle_sql():
         # ann_topk_ivf / multimodal_features / checksum_crc64: rows-only
         # (driver-side centroid sample / stub codec / no crc64 in DuckDB)
         "minhash_signatures": (
-            f"SELECT doc_id, {D.minhash_signature_sql_duckdb('text', 8)} "
+            f"SELECT doc_id, array_to_string("
+            f"{D.minhash_signature_sql_duckdb('text', 8)}, ',') "
             f"AS sig FROM documents"
         ),
         # NOTE: DuckDB least()/greatest() coerce DECIMAL to DOUBLE,
