@@ -60,6 +60,8 @@ def main() -> None:
     queries["alloc_base_orders"](spark, warm_dir).collect()
     queries["checksum_orders"](spark, warm_dir).collect()
     queries["dedup_exact"](spark, warm_dir).count()
+    queries["dedup_minhash"](spark, warm_dir).count()
+    queries["embedding_dups"](spark, warm_dir).count()
 
     for name in bench_queries:
         t0 = time.monotonic()

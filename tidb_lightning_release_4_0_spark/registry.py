@@ -102,6 +102,25 @@ def q_mysql_cast_tinyint(spark, sf_dir):
     )
 
 
+def q_enum_cast_events(spark, sf_dir):
+    """T3 ENUM semantics: member validation (case-insensitive) +
+    numeric-ordinal acceptance + lenient invalid -> '' (ordinal 0)."""
+    spec = ColumnSpec(
+        "e", "enum", T.StringType(),
+        enum_members=["click", "view", "error", "purchase"],
+    )
+    ev = _t(spark, sf_dir, "events")
+    # mix of valid members (event_type), ordinals, and garbage
+    raw = (
+        F.when(F.col("event_id") % 5 == 0, (F.col("event_id") % 4 + 1).cast("string"))
+        .when(F.col("event_id") % 7 == 0, F.lit("INVALID"))
+        .otherwise(F.upper(F.col("event_type")))
+    )
+    return ev.select(
+        "event_id", mysql_cast(raw, spec).alias("enum_val")
+    )
+
+
 def q_default_fill_customer(spark, sf_dir):
     """F3/T4: missing columns filled from DDL defaults
     (restore.go:1356-1406, sql2kv.go:177)."""
@@ -530,6 +549,7 @@ def build_queries():
         "rowid_dense_orders": q_rowid_dense_orders,
         "alloc_base_orders": q_alloc_base_orders,
         "mysql_cast_tinyint": q_mysql_cast_tinyint,
+        "enum_cast_events": q_enum_cast_events,
         "default_fill_customer": q_default_fill_customer,
         "router_merge_orders": q_router_merge_orders,
         "dup_replace_events": q_dup_replace_events,
@@ -586,6 +606,27 @@ def build_oracle_sql():
             "cast(least(greatest(round(l_extendedprice), -128), 127) AS INT) "
             "AS clamped FROM lineitem"
         ),
+        "enum_cast_events": """
+            WITH r AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 5 = 0
+                            THEN cast(event_id % 4 + 1 AS VARCHAR)
+                          WHEN event_id % 7 = 0 THEN 'INVALID'
+                          ELSE upper(event_type) END AS raw
+              FROM events
+            )
+            SELECT event_id,
+                   CASE
+                     WHEN raw IS NULL THEN NULL
+                     WHEN list_contains(['click','view','error','purchase'],
+                                        lower(trim(raw)))
+                       THEN lower(trim(raw))
+                     WHEN try_cast(trim(raw) AS INT) BETWEEN 1 AND 4
+                       THEN (['click','view','error','purchase'])
+                            [try_cast(trim(raw) AS INT)]
+                     ELSE '' END AS enum_val
+            FROM r
+        """,
         "default_fill_customer": (
             "SELECT c_custkey, c_name, 123::INT AS y_default, "
             "'pending' AS status_default FROM customer"
