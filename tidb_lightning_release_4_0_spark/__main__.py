@@ -1,0 +1,88 @@
+"""CLI entry point — the ``tidb-lightning -config task.toml`` twin.
+
+    python -m tidb_lightning_release_4_0_spark \
+        --source-dir /path/to/dump --target-dir /path/to/warehouse \
+        [--backend parquet] [--on-duplicate replace|ignore|error] \
+        [--sql-mode "STRICT_TRANS_TABLES"] [--no-schema] \
+        [--checkpoint PATH] [--character-set auto|utf8mb4|gb18030|binary] \
+        [--csv-separator ,] [--csv-header] [--csv-strict] \
+        [--filter-db PATTERN ...] [--route src_db src_tbl dst_db dst_tbl ...]
+
+Exit code 0 when every table restores (error summary printed either
+way, O12 style).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="tidb_lightning_release_4_0_spark", description=__doc__
+    )
+    ap.add_argument("--source-dir", required=True)
+    ap.add_argument("--target-dir", default="")
+    ap.add_argument("--backend", default="parquet",
+                    choices=["parquet", "memory"])
+    ap.add_argument("--on-duplicate", default="replace",
+                    choices=["replace", "ignore", "error"])
+    ap.add_argument("--sql-mode",
+                    default="STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")
+    ap.add_argument("--no-schema", action="store_true")
+    ap.add_argument("--no-checksum", action="store_true")
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--character-set", default="auto")
+    ap.add_argument("--csv-separator", default=",")
+    ap.add_argument("--csv-header", action="store_true")
+    ap.add_argument("--csv-strict", action="store_true")
+    ap.add_argument("--table-concurrency", type=int, default=4)
+    ap.add_argument("--filter-db", action="append", default=[])
+    ap.add_argument("--route", nargs=4, action="append", default=[],
+                    metavar=("SRC_DB", "SRC_TBL", "DST_DB", "DST_TBL"))
+    args = ap.parse_args(argv)
+
+    from .config import (
+        Config, CSVConfig, FilterRule, MydumperConfig, RouteRule, TiDBConfig,
+    )
+    from .plans.pipeline import RestoreController
+    from .session import get_spark
+
+    csv = CSVConfig(
+        separator=args.csv_separator,
+        header=args.csv_header,
+        strict_parser=args.csv_strict,
+    )
+    cfg = Config(
+        mydumper=MydumperConfig(
+            source_dir=args.source_dir,
+            no_schema=args.no_schema,
+            character_set=args.character_set,
+            csv=csv,
+        ),
+        tidb=TiDBConfig(sql_mode=args.sql_mode),
+        bw_list=FilterRule(do_dbs=args.filter_db),
+        routes=[RouteRule(*r) for r in args.route],
+        backend=args.backend,
+        target_dir=args.target_dir,
+        on_duplicate=args.on_duplicate,
+        checksum=not args.no_checksum,
+        checkpoint_enable=bool(args.checkpoint),
+        checkpoint_path=args.checkpoint,
+        table_concurrency=args.table_concurrency,
+    )
+    try:
+        cfg.adjust()  # preflight validation before starting the JVM
+        spark = get_spark(app_name="tidb-lightning-spark")
+        spark.sparkContext.setLogLevel("WARN")
+        summary = RestoreController(spark, cfg).run()
+    except (ValueError, FileNotFoundError, NotImplementedError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(summary.report())
+    return 0 if summary.ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

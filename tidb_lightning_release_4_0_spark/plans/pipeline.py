@@ -363,9 +363,15 @@ class RestoreController:
                 ]
             if id_col:
                 aggs.append(F.max(F.col(id_col).cast("long")).alias("max_id"))
+            if dedup_may_drop:
+                # observation counted pre-dedup rows; report the
+                # sink's actual row count instead
+                aggs.append(F.count(F.lit(1)).alias("sink_rows"))
             base = 1
             if aggs:
                 row = proj.agg(*aggs).collect()[0]
+                if "sink_rows" in row.__fields__:
+                    rows = row["sink_rows"]
                 if "crc_xor" in row.__fields__:
                     remote = Checksum(
                         row["crc_xor"], row["total_bytes"], row["total_kvs"]
