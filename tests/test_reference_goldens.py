@@ -493,6 +493,7 @@ def test_examples_mocker_scale(spark):
     cfg = Config(
         mydumper=MydumperConfig(source_dir=d),
         backend="parquet", target_dir=tgt, checkpoint_enable=False,
+        compact=True,  # opt-in, like the reference's post-restore compact
     )
     s = RestoreController(spark, cfg, sink=sink).run()
     assert s.ok, s.report()

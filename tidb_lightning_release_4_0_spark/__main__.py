@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
                     default="STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")
     ap.add_argument("--no-schema", action="store_true")
     ap.add_argument("--no-checksum", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="post-restore small-file compaction (default off, "
+                         "like the reference's post-restore.compact)")
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--character-set", default="auto")
     ap.add_argument("--csv-separator", default=",")
@@ -68,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
         target_dir=args.target_dir,
         on_duplicate=args.on_duplicate,
         checksum=not args.no_checksum,
+        compact=args.compact,
         checkpoint_enable=bool(args.checkpoint),
         checkpoint_path=args.checkpoint,
         table_concurrency=args.table_concurrency,

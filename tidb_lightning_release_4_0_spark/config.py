@@ -138,6 +138,10 @@ class Config:
     # (bit-compatible with the reference's crc64-ecma, Arrow kernel)
     checksum_algo: str = "xxdirect"
     analyze: bool = True
+    # post-import full compaction (O9 analog: parquet small-file
+    # rewrite). Defaults FALSE like the reference's post-restore
+    # compact/level-1-compact (config.go:122-123, toml:181-184)
+    compact: bool = False
     # concurrent tables in flight (reference table-concurrency,
     # config.go:373-386); Spark's FAIR/ FIFO scheduler multiplexes
     table_concurrency: int = 4

@@ -120,7 +120,7 @@ def mysql_cast(
                     | (rounded < lo_d)
                     | (rounded > hi_d)
                 )
-                return F.when(
+                parsed = F.when(
                     bad,
                     F.raise_error(
                         F.concat(
@@ -131,7 +131,15 @@ def mysql_cast(
                         )
                     ).cast(dt.simpleString()),
                 ).otherwise(parsed)
-            return parsed
+            # clean-value fast path: an in-range integral string casts
+            # identically under MySQL semantics (no clamp, no error,
+            # no fractional rounding) — skip the regex/decimal slow
+            # path for it. try_cast string->long accepts only
+            # [ws][+-]digits[ws] and NULLs on overflow, so fast-path
+            # hits are exactly the values both engines agree on.
+            fl = raw.try_cast(T.LongType())
+            fast_ok = fl.isNotNull() & (fl >= F.lit(lo2)) & (fl <= F.lit(hi2))
+            return F.when(fast_ok, fl.cast(dt)).otherwise(parsed)
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)
         return parsed
@@ -140,29 +148,38 @@ def mysql_cast(
         parsed = _numeric_prefix(raw).cast(dt)
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)
-        return parsed
+        # clean-value fast path: Java's float parser agrees with the
+        # MySQL numeric-prefix parse whenever it yields a finite
+        # non-NaN value from a non-hex string ("12f" suffixes parse
+        # to the same number; "NaN"/"Infinity"/"0x1.8p1"/overflow are
+        # excluded and fall back to the slow path)
+        fd = raw.try_cast(dt)
+        inf = float("inf")
+        fast_ok = (
+            fd.isNotNull()
+            & ~F.isnan(fd)
+            & (fd > F.lit(-inf))
+            & (fd < F.lit(inf))
+            & ~F.lower(raw).contains("x")
+        )
+        return F.when(fast_ok, fd).otherwise(parsed)
 
     if t in ("decimal", "numeric", "fixed", "dec"):
         parsed = _numeric_prefix(raw).try_cast(dt)  # rounds to scale
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)
-        return parsed
+        # fast path: Spark's direct string->decimal parse succeeds
+        # only on fully-numeric strings, where it matches the
+        # numeric-prefix parse (same HALF_UP scale rounding)
+        fd = raw.try_cast(dt)
+        return F.when(fd.isNotNull(), fd).otherwise(parsed)
 
-    if t in ("datetime", "timestamp"):
-        is_zero = raw.rlike(r"^0000-00-00")
-        parsed = F.when(is_zero, F.lit(None).cast(dt)).otherwise(
-            raw.try_cast(dt)
-        )
-        if strict:
-            # zero dates are invalid in strict mode too (sqlmode/run.sh)
-            parsed = _raise_if(parsed, raw, spec.name)
-        return parsed
-
-    if t == "date":
-        is_zero = raw.rlike(r"^0000-00-00")
-        parsed = F.when(is_zero, F.lit(None).cast(dt)).otherwise(
-            raw.try_cast(dt)
-        )
+    if t in ("datetime", "timestamp", "date"):
+        # try_cast rejects zero-dates ('0000-00-00...' has month 00)
+        # by itself, so lenient mode needs no explicit zero-date
+        # branch: invalid & zero dates -> NULL (documented deviation),
+        # strict mode -> error (sqlmode/run.sh)
+        parsed = raw.try_cast(dt)
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)
         return parsed

@@ -390,7 +390,10 @@ class RestoreController:
                     rows = row["total_kvs"]
             if self.cfg.checksum:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)
-            self.sink.finalize(self.spark, name)
+            if self.cfg.compact:
+                # post-restore full compaction is opt-in, like the
+                # reference (config.go:122-123 default false)
+                self.sink.finalize(self.spark, name)
             self.cp.set_table_status(name, Status.ANALYZED)
             return TableResult(
                 table=name,
