@@ -65,9 +65,29 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows)
 
 
+def driver_canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Replica of the driver's canonicalization: sort by every column.
+
+    This is intentionally stricter than normalize(): list/ndarray
+    cells make pandas lexsort raise (unhashable type) exactly like
+    the driver did on multimodal_features in round 1 — so any
+    array-typed result column fails HERE, in pytest, first.
+    """
+    cols = sorted(df.columns)
+    return df[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+def check_rows_only(spark_df) -> pd.DataFrame:
+    """Validate a no-oracle query the way the driver does: it must
+    collect and survive driver-style canonicalization."""
+    sp = spark_df.toPandas()
+    return driver_canon(sp)
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert spark result == duckdb oracle result (order-insensitive)."""
     sp = spark_df.toPandas()
+    driver_canon(sp)  # must never raise (driver sorts result cells)
     con = duck_con(sf_dir)
     du = con.execute(oracle_sql).fetchdf()
     assert sorted(sp.columns) == sorted(du.columns), (

@@ -9,7 +9,7 @@ from tidb_lightning_release_4_0_spark.registry import (
     build_oracle_sql,
     build_queries,
 )
-from tests.oracle import compare
+from tests.oracle import check_rows_only, compare
 
 QUERIES = build_queries()
 ORACLES = build_oracle_sql()
@@ -32,3 +32,13 @@ def test_registry_complete():
 def test_query_matches_oracle(name, spark):
     df = QUERIES[name](spark, DRIVER_SF_DIR)
     compare(df, ORACLES[name], DRIVER_SF_DIR)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_query_survives_driver_canon(name, spark):
+    """No-oracle queries still pass through the driver's canonicalizer
+    (sort over all result cells) — they must collect rows and contain
+    no unsortable (array-typed) cells."""
+    df = QUERIES[name](spark, DRIVER_SF_DIR)
+    out = check_rows_only(df)
+    assert len(out) >= 0

@@ -77,17 +77,44 @@ def mysql_cast(
 
     if t in _INT_RANGE or t in ("bool", "boolean"):
         lo, hi, uhi = _INT_RANGE.get(t, (-128, 127, 255))
-        num = _numeric_prefix(raw).cast("double")
         if t == "bigint" and spec.unsigned:
             # uint64: Decimal(20,0), clamp [0, 2^64-1]
             dec = F.try_to_number(F.trim(raw), F.lit("999999999999999999999999"))
             num2 = F.coalesce(dec, _numeric_prefix(raw).cast("decimal(38,4)"))
+            # uint64 max exceeds py4j's long; build from a string
+            u64_max = F.lit("18446744073709551615").cast("decimal(38,4)")
+            # greatest/least SKIP nulls (unlike MySQL), so guard NULL
+            # and unparseable explicitly: NULL -> NULL, garbage -> 0
+            # (lenient MySQL truncating parse)
             clamped = F.least(
-                F.greatest(num2, F.lit(0).cast("decimal(38,4)")),
-                # uint64 max exceeds py4j's long; build from a string
-                F.lit("18446744073709551615").cast("decimal(38,4)"),
+                F.greatest(num2, F.lit(0).cast("decimal(38,4)")), u64_max
             )
-            parsed = clamped.cast(dt)
+            parsed = (
+                F.when(raw.isNull(), F.lit(None).cast(dt.simpleString()))
+                .when(num2.isNull(), F.lit(0).cast(dt.simpleString()))
+                .otherwise(clamped.cast(dt))
+            )
+            if strict:
+                # MySQL strict raises 'Out of range value' BEFORE the
+                # clamp ('-1' must error, not become 0), and 'Incorrect
+                # integer value' on unparseable input
+                bad = raw.isNotNull() & (
+                    num2.isNull()
+                    | (F.round(num2) < F.lit(0).cast("decimal(38,4)"))
+                    | (F.round(num2) > u64_max)
+                )
+                parsed = F.when(
+                    bad,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"[strict sql_mode] bad value for {spec.name}: "
+                            ),
+                            raw,
+                        )
+                    ).cast(dt.simpleString()),
+                ).otherwise(parsed)
+            return parsed
         else:
             if spec.unsigned:
                 lo2, hi2 = 0, (uhi if uhi is not None else hi)
@@ -140,9 +167,6 @@ def mysql_cast(
             fl = raw.try_cast(T.LongType())
             fast_ok = fl.isNotNull() & (fl >= F.lit(lo2)) & (fl <= F.lit(hi2))
             return F.when(fast_ok, fl.cast(dt)).otherwise(parsed)
-        if strict:
-            parsed = _raise_if(parsed, raw, spec.name)
-        return parsed
 
     if t in ("float", "double", "real", "double precision"):
         parsed = _numeric_prefix(raw).cast(dt)

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ROWID = "_row_id"
 # 2^33 rows per partition capacity: 8.5B rows/chunk never overflows
@@ -119,7 +120,16 @@ def assign_rowid_by_file(df: DataFrame, bases: dict[str, int]) -> DataFrame:
     base_rows = [
         (r["_fname"], int(r["_mn"]), bases.get(r["_fname"], 0)) for r in mins
     ]
-    bmap = spark.createDataFrame(base_rows, ["_fname", "_mn", "_fbase"])
+    # explicit schema: zero-row input (valid empty table) yields no
+    # rows to infer from, and createDataFrame([], [names]) raises
+    bmap_schema = T.StructType(
+        [
+            T.StructField("_fname", T.StringType()),
+            T.StructField("_mn", T.LongType()),
+            T.StructField("_fbase", T.LongType()),
+        ]
+    )
+    bmap = spark.createDataFrame(base_rows, bmap_schema)
 
     return (
         d.join(F.broadcast(bmap), "_fname", "left")

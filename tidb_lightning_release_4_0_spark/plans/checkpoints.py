@@ -59,12 +59,18 @@ class CheckpointStore:
         # concurrent table restores write from worker threads (O1);
         # the reference serializes via its checkpoint channel
         # (restore.go:345-441) — a lock is our equivalent
-        self._lock = threading.Lock()
+        self._lock = threading.RLock()
         if enabled and path and os.path.exists(path):
             with open(path) as f:
                 self.state = json.load(f)
 
     def _save(self) -> None:
+        """Serialize under self._lock. Mutators hold the (reentrant)
+        lock across the read-modify-write AND this dump — json.dump
+        over a dict being mutated by another table-worker thread
+        raises 'dictionary changed size during iteration' or persists
+        a torn snapshot (the reference serializes all checkpoint
+        writes through one channel, restore.go:345-441)."""
         if not (self.enabled and self.path):
             return
         with self._lock:
@@ -82,16 +88,18 @@ class CheckpointStore:
     def set_table_status(self, table: str, status: int) -> None:
         if not self.enabled:
             return
-        self.state["tables"].setdefault(table, {})["status"] = int(status)
-        self._save()
+        with self._lock:
+            self.state["tables"].setdefault(table, {})["status"] = int(status)
+            self._save()
 
     def set_alloc_base(self, table: str, base: int) -> None:
         if not self.enabled:
             return
-        t = self.state["tables"].setdefault(table, {})
-        # monotonic CAS-max like allocator.Rebase (allocator.go:40-52)
-        t["alloc_base"] = max(t.get("alloc_base", 0), base)
-        self._save()
+        with self._lock:
+            t = self.state["tables"].setdefault(table, {})
+            # monotonic CAS-max like allocator.Rebase (allocator.go:40-52)
+            t["alloc_base"] = max(t.get("alloc_base", 0), base)
+            self._save()
 
     def alloc_base(self, table: str) -> int:
         return self.state["tables"].get(table, {}).get("alloc_base", 0)
@@ -108,8 +116,9 @@ class CheckpointStore:
     ) -> None:
         if not self.enabled:
             return
-        self.state["chunks"][self.chunk_key(table, path, offset)] = int(status)
-        self._save()
+        with self._lock:
+            self.state["chunks"][self.chunk_key(table, path, offset)] = int(status)
+            self._save()
 
     def pending_files(
         self, table: str, files: list[str]
@@ -123,16 +132,17 @@ class CheckpointStore:
 
     # -- ctl ops (O13) -----------------------------------------------------
     def remove(self, table: str | None = None) -> None:
-        if table is None or table == "all":
-            self.state = {"tables": {}, "chunks": {}}
-        else:
-            self.state["tables"].pop(table, None)
-            self.state["chunks"] = {
-                k: v
-                for k, v in self.state["chunks"].items()
-                if not k.startswith(table + "|")
-            }
-        self._save()
+        with self._lock:
+            if table is None or table == "all":
+                self.state = {"tables": {}, "chunks": {}}
+            else:
+                self.state["tables"].pop(table, None)
+                self.state["chunks"] = {
+                    k: v
+                    for k, v in self.state["chunks"].items()
+                    if not k.startswith(table + "|")
+                }
+            self._save()
 
     def ignore_error(self, table: str | None = None) -> None:
         """checkpoint-error-ignore: clear invalid markers
@@ -140,11 +150,12 @@ class CheckpointStore:
         tables = (
             [table] if table and table != "all" else list(self.state["tables"])
         )
-        for t in tables:
-            st = self.table_status(t)
-            if st <= Status.MAX_INVALID:
-                self.state["tables"][t]["status"] = int(st) * 10
-        self._save()
+        with self._lock:
+            for t in tables:
+                st = self.table_status(t)
+                if st <= Status.MAX_INVALID:
+                    self.state["tables"][t]["status"] = int(st) * 10
+            self._save()
 
     def dump(self) -> dict:
         return self.state

@@ -100,7 +100,19 @@ class RestoreController:
     def _default_sink(self) -> Sink:
         if self.cfg.backend == "parquet":
             return ParquetSink(self.cfg.target_dir, self.cfg.on_duplicate)
-        return MemorySink(self.cfg.on_duplicate)
+        if self.cfg.backend == "jdbc":
+            from ..sinks.jdbc_sink import JDBCSink
+
+            t = self.cfg.tidb
+            return JDBCSink(
+                url=f"jdbc:mysql://{t.host}:{t.port}",
+                user=t.user,
+                password=t.password,
+                on_duplicate=self.cfg.on_duplicate,
+            )
+        if self.cfg.backend == "memory":
+            return MemorySink(self.cfg.on_duplicate)
+        raise ValueError(f"unknown backend: {self.cfg.backend!r}")
 
     # -- [2] schema restore ------------------------------------------------
     def load_schemas(self) -> dict[str, tuple[MDTableMeta, TableSchema]]:

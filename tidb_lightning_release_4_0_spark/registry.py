@@ -432,13 +432,32 @@ def q_checksum_crc64_lineitem(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode plumbing over synthetic binary payloads
-    derived from documents (rows-only: stub codec)."""
+    derived from documents (rows-only: stub codec).
+
+    The feature vector is emitted as a comma-joined string: the
+    driver's canonicalizer sorts result cells and list-typed cells
+    are unhashable/unsortable in pandas, so array columns must never
+    reach a correctness result surface."""
     from .operators.multimodal import decode_features
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    return decode_features(d, payload_col="payload", id_col="doc_id")
+    out = decode_features(d, payload_col="payload", id_col="doc_id")
+    return out.select(
+        "id",
+        "height",
+        "width",
+        "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.format_string("%.4f", x.cast("double")),
+            ),
+        ).alias("feature_csv"),
+    )
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -820,10 +839,12 @@ def build_oracle_sql():
                      count(*) AS n_rows
               FROM orders GROUP BY 1
             )
+            -- sum(BIGINT) is HUGEINT in DuckDB -> float64 via pandas;
+            -- cast back to BIGINT so dtypes match the Spark LongType
             SELECT chunk_id, n_rows,
                    coalesce(sum(n_rows) OVER (ORDER BY chunk_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS row_id_base
+                       0)::BIGINT AS row_id_base
             FROM c
         """,
     }

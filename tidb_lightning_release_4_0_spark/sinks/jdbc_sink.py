@@ -94,7 +94,16 @@ def render_insert(
 
 
 class JDBCSink(Sink):
-    """DataFrame -> JDBC delivery; needs a reachable MySQL-protocol DB."""
+    """DataFrame -> SQL delivery; needs a reachable MySQL-protocol DB.
+
+    Duplicate handling mirrors the reference's statement prefixes
+    (tidb.go:54-62): ``error`` -> plain INSERT (Spark's built-in JDBC
+    writer), ``replace``/``ignore`` -> REPLACE INTO / INSERT IGNORE
+    rendered per partition (tidb.go:271-311) and executed through a
+    picklable DBAPI ``connection_factory`` (e.g. a pymysql/mysql-
+    connector lambda), with the reference's 3-attempt retry
+    (backend.go:218-238). Without a factory those modes raise instead
+    of silently appending."""
 
     def __init__(
         self,
@@ -103,23 +112,75 @@ class JDBCSink(Sink):
         password: str,
         on_duplicate: str = "replace",
         batch_size: int = 10000,
+        connection_factory=None,
+        max_retries: int = 3,
     ):
         self.url = url
         self.user = user
         self.password = password
         self.on_duplicate = on_duplicate
         self.batch_size = batch_size
+        self.connection_factory = connection_factory
+        self.max_retries = max_retries
 
     def _props(self) -> dict[str, str]:
         return {"user": self.user, "password": self.password}
 
     def write(self, df: DataFrame, table: str) -> SinkResult:
         n = df.count()
-        (
-            df.write.mode("append")
-            .option("batchsize", str(self.batch_size))
-            .jdbc(self.url, table, properties=self._props())
-        )
+        if self.on_duplicate == "error" and self.connection_factory is None:
+            (
+                df.write.mode("append")
+                .option("batchsize", str(self.batch_size))
+                .jdbc(self.url, table, properties=self._props())
+            )
+            return SinkResult(table=table, rows=n)
+        if self.connection_factory is None:
+            # plain spark-jdbc append would silently violate
+            # replace/ignore semantics — reject instead
+            raise NotImplementedError(
+                f"on_duplicate={self.on_duplicate!r} needs a DBAPI "
+                "connection_factory (REPLACE INTO / INSERT IGNORE are "
+                "not expressible through spark's plain JDBC writer)"
+            )
+        cols = list(df.columns)
+        factory = self.connection_factory
+        dup = self.on_duplicate
+        bs = self.batch_size
+        retries = self.max_retries
+
+        def deliver(rows) -> None:
+            import time as _time
+
+            conn = factory()
+            try:
+                cur = conn.cursor()
+                buf: list[tuple] = []
+
+                def flush() -> None:
+                    if not buf:
+                        return
+                    stmt = render_insert(table, cols, buf, dup)
+                    for attempt in range(retries):
+                        try:
+                            cur.execute(stmt)
+                            break
+                        except Exception:
+                            if attempt == retries - 1:
+                                raise
+                            _time.sleep(0.1 * (attempt + 1))
+                    buf.clear()
+
+                for r in rows:
+                    buf.append(tuple(r))
+                    if len(buf) >= bs:
+                        flush()
+                flush()
+                conn.commit()
+            finally:
+                conn.close()
+
+        df.foreachPartition(deliver)
         return SinkResult(table=table, rows=n)
 
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:

@@ -17,7 +17,6 @@ string datum (csv_parser.go:62-76).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CSVConfig
@@ -52,28 +51,33 @@ def read_csv(
         # re-decodes text columns to the table charset.
         opts["encoding"] = "ISO-8859-1"
     reader = spark.read.options(**opts)
+    # mydumper writes a trailing separator: the lexer DROPS the extra
+    # field it produces (csv_parser.rl trim-last-sep), it does not
+    # null out the real last column — so read n+1 columns and drop
+    # the synthetic one. A legitimately-empty last value ('' vs NULL)
+    # survives intact.
+    extra = "_trailing_sep" if cfg.trim_last_sep else None
     if column_names:
+        names = list(column_names) + ([extra] if extra else [])
         schema = T.StructType(
-            [T.StructField(c, T.StringType(), True) for c in column_names]
+            [T.StructField(c, T.StringType(), True) for c in names]
         )
         df = reader.schema(schema).csv(paths)
     elif num_columns:
+        n = num_columns + (1 if extra else 0)
         schema = T.StructType(
-            [
-                T.StructField(f"_c{i}", T.StringType(), True)
-                for i in range(num_columns)
-            ]
+            [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n)]
         )
         df = reader.schema(schema).csv(paths)
+        if extra:
+            extra = f"_c{num_columns}"
     else:
-        # infer column COUNT only (types stay string)
+        # infer column COUNT only (types stay string); with a trailing
+        # separator the inferred frame already carries the extra field
+        # as its last column
         df = reader.option("inferSchema", "false").csv(paths)
-
-    if cfg.trim_last_sep:
-        # mydumper writes a trailing separator; drop the empty last col
-        # (csv_parser.go:137-143)
-        last = df.columns[-1]
-        df = df.withColumn(
-            last, F.when(F.col(last) == "", None).otherwise(F.col(last))
-        )
+        if cfg.trim_last_sep:
+            extra = df.columns[-1]
+    if extra:
+        df = df.drop(extra)
     return df
