@@ -208,3 +208,57 @@ def test_assign_rowid_by_file_empty_input(spark):
     out = assign_rowid_by_file(df, {})
     assert out.count() == 0
     assert "_row_id" in out.columns
+
+
+# -- rowid fast path (no-aggregation row-ids for whole-file reads) ------------
+
+
+def test_rowid_fast_path_dense_many_small_files(spark, tmp_path):
+    """200 small files would normally bin-pack into ~30 FilePartitions
+    (breaking the mono-id bit trick); the session's openCostInBytes
+    forces one file per task, so the job-free fast path must produce
+    exactly the same dense per-file ids as the min-agg slow path."""
+    import os
+
+    from tidb_lightning_release_4_0_spark.operators.rowid import (
+        file_row_bases,
+    )
+
+    nfiles, rows_per = 200, 20
+    for i in range(nfiles):
+        with open(tmp_path / f"p{i:03d}.csv", "w") as f:
+            for j in range(rows_per):
+                f.write(f"{i},{j}\n")
+    files = sorted(
+        (str(tmp_path / n), os.path.getsize(tmp_path / n))
+        for n in os.listdir(tmp_path)
+    )
+    bases = file_row_bases(files, num_columns=2, is_sql=False)
+    cfg = CSVConfig(separator=",", header=False)
+    df = read_csv(spark, [p for p, _ in files], cfg, num_columns=2)
+
+    fast = assign_rowid_by_file(df, bases, one_file_per_partition=True)
+    slow = assign_rowid_by_file(df, bases)
+    a = {(r["_c0"], r["_c1"]): r["_row_id"] for r in fast.collect()}
+    b = {(r["_c0"], r["_c1"]): r["_row_id"] for r in slow.collect()}
+    assert a == b
+    assert len(a) == nfiles * rows_per
+    assert len(set(a.values())) == nfiles * rows_per  # globally unique
+
+
+def test_rowid_fast_path_broadcast_join_branch(spark, tmp_path):
+    """>1024 files takes the broadcast-join branch; exercise it by
+    lowering the literal-map cutoff indirectly: call with a bases dict
+    padded past the cutoff."""
+    import os
+
+    p = tmp_path / "one.csv"
+    p.write_text("1,a\n2,b\n3,c\n")
+    real = str(p)
+    bases = {f"/nonexistent/pad{i}": i for i in range(1030)}
+    bases[real] = 100
+    cfg = CSVConfig(separator=",", header=False)
+    df = read_csv(spark, [real], cfg, num_columns=2)
+    out = assign_rowid_by_file(df, bases, one_file_per_partition=True)
+    ids = sorted(r["_row_id"] for r in out.collect())
+    assert ids == [101, 102, 103]

@@ -69,10 +69,20 @@ def mysql_cast(
             return F.encode(raw, "ISO-8859-1")
         if t in _STRING_TYPES or t in ("enum", "set", "json"):
             cs = charset.lower()
+            # ASCII fast path: a byte-faithful (latin1-read) string
+            # whose UTF-8 octet count equals its char count is pure
+            # ASCII, and the charset round-trip is an identity — skip
+            # the two per-row re-encodes (they dominated cast cost on
+            # text-heavy tables)
+            is_ascii = F.octet_length(raw) == F.length(raw)
             if cs in ("utf8", "utf8mb4", "auto"):
-                raw = F.decode(F.encode(raw, "ISO-8859-1"), "UTF-8")
+                raw = F.when(is_ascii, raw).otherwise(
+                    F.decode(F.encode(raw, "ISO-8859-1"), "UTF-8")
+                )
             elif cs == "gb18030":
-                raw = F.decode(F.encode(raw, "ISO-8859-1"), "GB18030")
+                raw = F.when(is_ascii, raw).otherwise(
+                    F.decode(F.encode(raw, "ISO-8859-1"), "GB18030")
+                )
             # 'binary'/'latin1': keep the 1:1 chars as-is
 
     if t in _INT_RANGE or t in ("bool", "boolean"):

@@ -91,7 +91,11 @@ def file_row_bases(
     return bases
 
 
-def assign_rowid_by_file(df: DataFrame, bases: dict[str, int]) -> DataFrame:
+def assign_rowid_by_file(
+    df: DataFrame,
+    bases: dict[str, int],
+    one_file_per_partition: bool = False,
+) -> DataFrame:
     """Row-ids = plan-time per-file base + in-file row number.
 
     Matches the reference's chunk semantics (PrevRowIDMax + per-row
@@ -108,7 +112,60 @@ def assign_rowid_by_file(df: DataFrame, bases: dict[str, int]) -> DataFrame:
     job 2 computes ``rowid = base[file] + (mono - min_mono[file]) + 1``
     via a broadcast join. Data-plane cost: one extra column scan —
     no repartitioning of the 100 TB stream.
+
+    ``one_file_per_partition=True`` (the caller guarantees each task
+    owns exactly one whole file — true for multiLine CSV / .sql reads
+    under the session's huge ``spark.sql.files.openCostInBytes``,
+    which disables FilePartition bin-packing): then ``mono & (2^33-1)``
+    IS the in-file row index and the min-agg job disappears — row-ids
+    come from plan-time ``bases`` with ZERO extra jobs/scans.
     """
+    if one_file_per_partition:
+        local = F.monotonically_increasing_id().bitwiseAND(
+            F.lit(_PARTITION_CAPACITY - 1)
+        )
+        # normalize map keys to input_file_name()'s URI form at PLAN
+        # time ("file:///x" / raw path aliases) so no per-row regexp
+        # runs — the rowid expression gets inlined into multiple
+        # downstream projections (CollapseProject duplicates it), so
+        # per-row cost matters doubly
+        def _keyed(k: str) -> list[str]:
+            if "://" in k:
+                return [k]
+            return [f"file://{k}", k]
+
+        expanded = {
+            alias: int(v) for k, v in bases.items() for alias in _keyed(k)
+        }
+        if not expanded:
+            return df.withColumn(ROWID, local + F.lit(1))
+        # broadcast-join the plan-time base table: O(1) hash probe per
+        # row (a literal create_map is rebuilt PER ROW by codegen —
+        # measurably slower even at 32 files), and still zero
+        # data-plane aggregation jobs
+        spark = df.sparkSession
+        bmap_schema = T.StructType(
+            [
+                T.StructField("_fname", T.StringType()),
+                T.StructField("_fbase", T.LongType()),
+            ]
+        )
+        bmap = spark.createDataFrame(
+            [(k, int(v)) for k, v in expanded.items()], bmap_schema
+        )
+        return (
+            df.withColumn("_fname", F.input_file_name())
+            .withColumn("_local", local)
+            .join(F.broadcast(bmap), "_fname", "left")
+            .withColumn(
+                ROWID,
+                F.coalesce(F.col("_fbase"), F.lit(0))
+                + F.col("_local")
+                + F.lit(1),
+            )
+            .drop("_fname", "_local", "_fbase")
+        )
+
     d = df.withColumn(
         "_fname", F.regexp_replace(F.input_file_name(), "^file:/*", "/")
     ).withColumn("_mono", F.monotonically_increasing_id())

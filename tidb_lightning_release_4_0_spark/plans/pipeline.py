@@ -231,7 +231,10 @@ class RestoreController:
             bases = file_row_bases(
                 [(f.path, f.size) for f in csv_files], ncols, is_sql=False
             )
-            df = assign_rowid_by_file(df, bases)
+            # multiLine CSV reads are whole-file, and the session's
+            # openCostInBytes disables file packing -> one file per
+            # task, so row-ids need no extra aggregation job
+            df = assign_rowid_by_file(df, bases, one_file_per_partition=True)
             file_columns = (
                 [c for c in df.columns if c != "_row_id"]
                 if csv_cfg.header

@@ -51,6 +51,14 @@ def get_spark(
             str(shuffle_partitions or _DEF_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        # one FILE per partition for unsplittable (whole-file) reads:
+        # a huge per-file open cost stops FilePartition bin-packing, so
+        # multiLine CSV / .sql dump tasks each own exactly one file and
+        # the low 33 bits of monotonically_increasing_id are the exact
+        # in-file row index (assign_rowid_by_file fast path — no extra
+        # scan for row-id bases). Splittable formats (parquet) still
+        # split at maxPartitionBytes; only small-file packing is lost.
+        .config("spark.sql.files.openCostInBytes", str(1 << 40))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
@@ -62,4 +70,11 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate may return a pre-existing session whose builder confs
+    # were ignored; re-apply the runtime-settable invariants the engine
+    # depends on (rowid fast path needs openCostInBytes; checksum
+    # canonicalization needs UTC)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
