@@ -37,7 +37,11 @@ from ..sinks.parquet_sink import ParquetSink
 from ..sources.csv_source import read_csv
 from ..sources.mydump_loader import MDTableMeta, discover_cfg
 from ..sources.schema_reader import TableSchema, load_table_schema
-from ..sources.sql_dump_source import project_fields, read_sql_dump
+from ..sources.sql_dump_source import (
+    probe_insert_columns,
+    project_fields,
+    read_sql_dump,
+)
 from .checkpoints import CheckpointStore, Status
 
 log = logging.getLogger("tidb_lightning_spark")
@@ -254,24 +258,19 @@ class RestoreController:
                 )
             )
         if sql_files:
-            ncols = len(schema.columns)
-            raw = read_sql_dump(
+            # column list from the first INSERT's header, read
+            # driver-side (64 KiB peek — no Spark job); else table
+            # order (the common mydumper case)
+            file_columns = probe_insert_columns(
+                sql_files[0].path, self.cfg.mydumper.character_set
+            ) or [c.name for c in schema.columns]
+            df = read_sql_dump(
                 self.spark,
                 [(f.path, f.size) for f in sql_files],
                 self.cfg.mydumper.character_set,
-                num_columns=ncols,
+                num_columns=len(file_columns),
+                columnar=True,
             )
-            # column list from the INSERT statement, else table order.
-            # limit(1) on the raw frame short-circuits after one task;
-            # filtering on _columns first would force a full parse
-            # when statements carry no column list (the common case).
-            first_cols = raw.select("_columns").limit(1).collect()
-            file_columns = (
-                list(first_cols[0][0])
-                if first_cols and first_cols[0][0]
-                else [c.name for c in schema.columns]
-            )
-            df = project_fields(raw, len(file_columns))
             df = df.toDF(*(["_row_id"] + file_columns))
             frames.append(
                 apply_permutation(
