@@ -125,3 +125,71 @@ def test_comments_inside_statement():
 def test_unicode_values():
     (_, rows), = parse_all("INSERT INTO t VALUES ('中文', '🙂');")
     assert rows == [["中文", "🙂"]]
+
+
+# -- fast path & byte-range split --------------------------------------------
+
+
+def test_fast_path_equals_tokenizer_on_tricky_inputs():
+    from tidb_lightning_release_4_0_spark.sources.sql_dump_source import (
+        _parse_insert_statements_slow,
+        parse_insert_statements,
+    )
+
+    cases = [
+        "INSERT INTO `db`.`t` (a,`b`) VALUES (NULL,TRUE),(FALSE,-1.5e3);",
+        r"INSERT INTO t VALUES ('it''s','a\nb'),('c\\d','e');",
+        "INSERT INTO t VALUES (0x1A2b, x'4F', b'101', 0b11, x'', b'');",
+        "-- c\nINSERT /*x*/ INTO t VALUES ('a;b','c,(d)');",
+        "CREATE TABLE x (a int);\nINSERT INTO x VALUES (1);\nSET foo=1;",
+        "INSERT INTO t VALUES (1,'a') ON DUPLICATE KEY UPDATE a=1;",
+        'INSERT INTO t VALUES ("dq''","x""y");',
+        "insert into t values (1),(2) insert into t values (3);",
+    ]
+    for c in cases:
+        assert list(parse_insert_statements(c)) == list(
+            _parse_insert_statements_slow(c)
+        ), c
+    for c in [r"INSERT INTO t VALUES ('a\nb','c''d');"]:
+        assert list(parse_insert_statements(c, False)) == list(
+            _parse_insert_statements_slow(c, False)
+        )
+
+
+def test_byte_range_split_matches_whole_file(spark, tmp_path):
+    """Chunked .sql reads must yield identical field rows with unique
+    ids for any split size, including splits landing mid-statement and
+    mid-string."""
+    import random
+
+    from tidb_lightning_release_4_0_spark.sources.sql_dump_source import (
+        read_sql_dump,
+    )
+
+    rng = random.Random(7)
+    stmts = []
+    for s in range(40):
+        vals = ",".join(
+            "(%d,'%s')"
+            % (s * 100 + i, "v" + "x" * rng.randrange(0, 30) + "'',)(")
+            for i in range(rng.randrange(1, 50))
+        )
+        stmts.append(f"INSERT INTO t VALUES {vals};")
+    p = tmp_path / "tpch.t.sql"
+    p.write_text("\n".join(stmts), encoding="utf-8")
+    sz = p.stat().st_size
+    files = [(str(p), sz)]
+
+    def fetch(split):
+        df = read_sql_dump(spark, files, "auto", num_columns=2, split_bytes=split)
+        rows = df.collect()
+        return (
+            [r["_row_id"] for r in rows],
+            sorted(tuple(r["_fields"]) for r in rows),
+        )
+
+    ids_w, f_w = fetch(sz * 2)
+    for split in (256, 1000, sz // 3):
+        ids, f = fetch(split)
+        assert len(set(ids)) == len(ids) == len(ids_w)
+        assert f == f_w, f"split={split} diverged"

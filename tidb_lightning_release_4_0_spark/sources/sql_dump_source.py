@@ -608,7 +608,10 @@ def read_sql_dump(
                     with open(path, "rb") as fh:
                         read_from = max(start - 1, 0)
                         fh.seek(read_from)
-                        buf = fh.read(end - read_from)
+                        # +7: a marker whose pos+1 is inside [start,end)
+                        # can have its text spill past end-1 — without
+                        # the overlap no chunk would claim it
+                        buf = fh.read(end - read_from + 7)
                         # region start: first marker with pos+1 >= start
                         if start == 0:
                             s_abs = 0
