@@ -1,0 +1,94 @@
+"""Beyond-reference temporal joins: as-of join and range join.
+
+The reference has no joins at all (SURVEY.md §2.7) — these are M7
+additions a training-data / event-analytics pipeline needs. Both are
+built from Spark primitives only, shaped for 100 TB:
+
+- ``asof_join``: the classic "nearest prior fact" join (market-data
+  style). NOT implemented as a theta-join (quadratic blowup) but as
+  union → single hash shuffle on the key → one running ``last(...,
+  ignorenulls)`` window per payload column. Cost: ONE shuffle of
+  left+right, no candidate explosion, skew bounded by per-key row
+  counts (salt hot keys upstream if a key exceeds a partition).
+
+- range joins are expressed as plain joins with interval predicates
+  (Catalyst turns equi-key + range residual into a shuffled hash join
+  with a post-filter — linear, not cross-product, when an equi-key
+  exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row
+    with ``right_ts <= left_ts`` (``<`` when ``strict``) and equal
+    join keys. Left rows with no prior right row are dropped (inner
+    as-of semantics, like DuckDB's ``ASOF JOIN``).
+
+    Determinism contract: at most one right row per (key, right_ts) —
+    pre-aggregate the right side if it can carry duplicates (ties at
+    the same timestamp would otherwise make ``last()`` pick an
+    arbitrary one).
+    """
+    lcols = left.columns
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_l"),
+    )
+    r = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[F.col(c) for c in on],
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_l"),
+    ).select(*lcols, *[f"_p_{c}" for c in payload], "_t", "_is_l")
+
+    u = l.unionByName(r)
+    # right rows order before left rows at equal _t => inclusive
+    # matches; with strict=True left rows order first instead
+    order = [F.col("_t"), F.col("_is_l") if not strict else (1 - F.col("_is_l"))]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        u = u.withColumn(f"_p_{c}", F.last(f"_p_{c}", ignorenulls=True).over(w))
+    out = u.filter(F.col("_is_l") == 1).drop("_t", "_is_l")
+    # inner semantics: require a match on the first payload column
+    out = out.filter(F.col(f"_p_{payload[0]}").isNotNull())
+    for c in payload:
+        out = out.withColumnRenamed(f"_p_{c}", c)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    range_pred: Column,
+) -> DataFrame:
+    """Equi-key join with an interval residual predicate. The equi
+    keys make this a hash join (linear); the range condition is a
+    post-filter — never express a pure range join without an equi-key
+    at scale (cross-product)."""
+    cond = None
+    for lc, rc in on:
+        c = left[lc] == right[rc]
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond & range_pred)

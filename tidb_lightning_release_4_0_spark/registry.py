@@ -380,6 +380,88 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_asof_join_orders(spark, sf_dir):
+    """As-of join (M7): each event matched to the customer's latest
+    order at-or-before the event time. Union + running-last window —
+    ONE shuffle, no candidate explosion (operators/temporal.py)."""
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_ts"),
+        )
+        .agg(F.max("o_orderkey").alias("matched_order"))
+    )
+    out = asof_join(
+        e, od, on=["user_id"], left_ts="ts", right_ts="order_ts",
+        payload=["matched_order"],
+    )
+    return out.select("event_id", "user_id", "matched_order")
+
+
+def q_range_join_events(spark, sf_dir):
+    """Range join (M7): events within 7 days after the customer's
+    order. Equi-key hash join + interval residual — linear, never a
+    cross-product (operators/temporal.py)."""
+    from .operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    j = range_join(
+        o, e, on=[("o_custkey", "user_id")],
+        range_pred=(e["ts"] >= o["o_orderdate"])
+        & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    """Corpus top-k terms: tokenize -> explode -> count (the
+    wordcount shape every text pipeline needs; shuffle only carries
+    (term, partial count) after map-side combine)."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") > 3)
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+def q_percentiles_lineitem(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, both type-7 linear interpolation)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def p(q, alias):
+        return (
+            F.expr(f"percentile(l_quantity, {q})")
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias(alias)
+        )
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.95, "p95"))
+        .orderBy("l_returnflag")
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", D.simhash(F.col("text")).alias("simhash"))
@@ -602,6 +684,10 @@ def build_queries():
         "sessionize_events": q_sessionize_events,
         "salted_agg_lineitem": q_salted_agg_lineitem,
         "chunk_plan": q_chunk_plan,
+        "asof_join_orders": q_asof_join_orders,
+        "range_join_events": q_range_join_events,
+        "top_terms": q_top_terms,
+        "percentiles_lineitem": q_percentiles_lineitem,
     }
 
 
@@ -846,5 +932,51 @@ def build_oracle_sql():
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                        0)::BIGINT AS row_id_base
             FROM c
+        """,
+        "asof_join_orders": """
+            WITH od AS (
+              SELECT o_custkey AS user_id, o_orderdate AS order_ts,
+                     max(o_orderkey) AS matched_order
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, o.matched_order
+            FROM events e ASOF JOIN od o
+              ON e.user_id = o.user_id AND e.ts >= o.order_ts
+        """,
+        "range_join_events": """
+            SELECT o.o_orderkey,
+                   count(*) AS n_events,
+                   cast(sum(cast(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS value_sum
+            FROM orders o JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY o.o_orderkey
+        """,
+        "top_terms": """
+            SELECT term, count(*) AS cnt
+            FROM (
+              SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS term
+              FROM documents
+            )
+            WHERE length(term) > 3
+            GROUP BY term
+            ORDER BY cnt DESC, term
+            LIMIT 20
+        """,
+        "percentiles_lineitem": """
+            SELECT l_returnflag,
+                   cast(cast(quantile_cont(l_quantity, 0.25)
+                        AS DECIMAL(18,6)) AS DOUBLE) AS p25,
+                   cast(cast(quantile_cont(l_quantity, 0.5)
+                        AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+                   cast(cast(quantile_cont(l_quantity, 0.75)
+                        AS DECIMAL(18,6)) AS DOUBLE) AS p75,
+                   cast(cast(quantile_cont(l_quantity, 0.95)
+                        AS DECIMAL(18,6)) AS DOUBLE) AS p95
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
     }
