@@ -161,3 +161,85 @@ def test_ctl_cli(tmp_path):
     st = CheckpointStore(cp_path)
     assert st.table_status("db.bad") == 0
     assert st.table_status("db.good") == 210
+
+
+def test_stateful_user_stats_matches_batch(spark, tables):
+    """applyInPandasWithState running per-user totals: the last
+    emitted row per user must equal the batch groupBy."""
+    from tidb_lightning_release_4_0_spark.streaming.events import (
+        stateful_user_stats,
+    )
+
+    src = _events_json_dir(spark, tables)
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    cp_dir = os.path.join(TMP, "cp_state")
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    q = (
+        stateful_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_stats_updates")
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.table("user_stats_updates")
+    # keep each user's final update (max n_events)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        got.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    # batch twin over the SAME json files (the json round-trip
+    # truncates timestamps to millis — source fidelity, not operator
+    # semantics)
+    from tidb_lightning_release_4_0_spark.streaming.events import (
+        EVENTS_SCHEMA,
+    )
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .json(src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum(F.col("value")).alias("b_sum"),
+            (F.unix_micros(F.max("ts"))).alias("b_last"),
+        )
+    )
+    j = final.join(batch, "user_id")
+    assert j.count() == batch.count()
+    bad = j.filter(
+        (F.col("n_events") != F.col("b_n"))
+        | (F.abs(F.col("value_sum") - F.col("b_sum")) > 1e-6)
+        | (F.col("last_ts_us") != F.col("b_last"))
+    ).count()
+    assert bad == 0
+
+
+def test_frame_sample_stub(spark, tables):
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        frame_sample_stub,
+    )
+
+    docs = tables["documents"].limit(20).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = frame_sample_stub(docs, payload_col="payload")
+    rows = out.collect()
+    assert rows, "no frames sampled"
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+        assert len(r["feature"]) == 16  # 4 float32s
+        assert r["frame_idx"] % 8 == 0
+    assert all(len(v) <= 4 for v in by_id.values())
+    # deterministic: rerun gives identical rows
+    rows2 = out.collect()
+    assert sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows) == \
+           sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows2)

@@ -164,3 +164,56 @@ def resize_stub(
             )
 
     return d.mapInPandas(kernel, schema=out_schema)
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 8,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling skeleton: treat the payload as a frame
+    sequence, keep every ``every_n``-th frame up to ``max_frames``,
+    emit one row per kept frame with a per-frame feature vector.
+
+    The container has no video codec, so frames are derived from the
+    stub decoder deterministically (each "frame" is a byte slice);
+    a real decoder (pyav/ffmpeg) slots into the same kernel without
+    touching the Spark plan. One input row fans out to ≤max_frames
+    output rows — at 100 TB the explode happens inside the Arrow
+    batch, never on the driver."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("feature", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                # stub: fixed-size pseudo-frames over the byte stream
+                frame_bytes = 64
+                n_frames = max(len(raw) // frame_bytes, 1)
+                kept = list(range(0, n_frames, every_n))[:max_frames]
+                for k in kept:
+                    frame = raw[k * frame_bytes : (k + 1) * frame_bytes]
+                    arr = _stub_decode(frame)
+                    ids.append(i)
+                    idxs.append(k)
+                    feats.append(
+                        np.asarray(
+                            [arr.mean(), arr.std(), arr.min(), arr.max()],
+                            dtype=np.float32,
+                        ).tobytes()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "feature": feats}
+            )
+
+    return d.mapInPandas(kernel, schema=out_schema)

@@ -96,6 +96,67 @@ def sessionize(
     )
 
 
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("value_sum", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+_USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("last", T.LongType()),
+    ]
+)
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, value-sum, last-seen) maintained in the
+    state store across micro-batches, updated rows emitted each batch.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregates can't express (per-key accumulators, custom
+    eviction, model state). State is partitioned by the group key —
+    the same shuffle boundary a batch groupBy would have, so the
+    operator scales exactly like the aggregation it replaces."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            n, s, last = state.get
+        else:
+            n, s, last = 0, 0.0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).astype(float).sum())
+            # pandas Timestamp.value is ns since epoch -> microseconds
+            last = max(last, int(pd.Timestamp(pdf["ts"].max()).value // 1000))
+        state.update((int(n), float(s), int(last)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(n)],
+                "value_sum": [float(s)],
+                "last_ts_us": [int(last)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        USER_STATS_SCHEMA,
+        _USER_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_checksum(
     events: DataFrame, checkpoint_dir: str, out: list
 ) -> "pyspark.sql.streaming.StreamingQuery":  # noqa: F821
