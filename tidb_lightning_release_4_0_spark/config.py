@@ -38,6 +38,13 @@ class CSVConfig:
     # fidelity switch: Spark-native reader (fast, covers the common
     # dialect) vs the exact MySQL state-machine parser (csv_strict.py)
     strict_parser: bool = False
+    # typed fast path (csv_source.read_csv_native): clean rows parse
+    # natively in the vectorized JVM reader, malformed rows fall back
+    # to the MySQL cast layer via the corrupt-record column. Auto-
+    # disabled for header files, not-null mode and an empty-string
+    # null sentinel. Documented deviation: '' tokens in numeric/date
+    # columns load as NULL (MySQL lenient: 0; MySQL strict: error).
+    native_typed: bool = True
 
     def validate(self) -> None:
         # config.go:381-392: separator must be 1 byte and differ from

@@ -130,32 +130,52 @@ def mysql_cast(
                 lo2, hi2 = 0, (uhi if uhi is not None else hi)
             else:
                 lo2, hi2 = lo, hi
-            # decimal(38,9) keeps full int64 precision (double would
-            # corrupt values near +/-2^63) and still parses fractions
-            prefix = _numeric_prefix(raw)
-            dec = prefix.try_cast(T.DecimalType(38, 9))
-            overflow = prefix.isNotNull() & dec.isNull()  # > 10^29
+            # COMPACT expression tree, deliberately: the previous
+            # formulation repeated the numeric-prefix regexp ~16x per
+            # column, blowing the generated projection method past
+            # HotSpot's 8 KB JIT limit — the whole stage then ran
+            # INTERPRETED (~3x slower end-to-end ingest). Every
+            # subexpression below is referenced at most 3 times.
+            #
+            # Parse ladder (decimal(38,9) keeps full int64 precision;
+            # double would corrupt values near +/-2^63):
+            #   fl  — try_cast long: clean integral strings (fast path)
+            #   fd  — try_cast decimal: any fully-numeric string
+            #         (fractions, exponents); MySQL rounds these
+            #   pfx — longest numeric prefix: garbage like '12abc'
+            #         (rare; the only regexp, referenced twice)
+            fl = raw.try_cast(T.LongType())
+            fd = F.trim(raw).try_cast(T.DecimalType(38, 9))
+            pfx = _numeric_prefix(raw)
+            num = F.coalesce(fd, pfx.try_cast(T.DecimalType(38, 9)))
             lo_d = F.lit(str(lo2)).cast("decimal(38,9)")
             hi_d = F.lit(str(hi2)).cast("decimal(38,9)")
-            rounded = F.round(dec)  # MySQL rounds fractional strings
-            in_range = F.least(F.greatest(rounded, lo_d), hi_d)
+            rounded = F.round(num)  # MySQL rounds fractional strings
             clamped = (
-                F.when(raw.isNull(), F.lit(None).cast("decimal(38,9)"))
-                # lenient MySQL: unparseable non-null -> 0 with warning
-                .when(prefix.isNull(), F.lit(0).cast("decimal(38,9)"))
-                .when(overflow & prefix.startswith("-"), lo_d)
-                .when(overflow, hi_d)
-                .otherwise(in_range)
+                F.least(F.greatest(rounded, lo_d), hi_d)
+                .cast("decimal(20,0)")
+                .cast("long")
+                .cast(dt)
             )
-            parsed = clamped.cast("decimal(20,0)").cast("long").cast(dt)
+            # num NULL but prefix non-null => magnitude > 10^29:
+            # clamp by sign (MySQL out-of-range clamp in lenient mode)
+            parsed = (
+                F.when(raw.isNull(), F.lit(None).cast(dt.simpleString()))
+                .when(num.isNotNull(), clamped)
+                .when(pfx.startswith("-"), F.lit(lo2).cast(dt.simpleString()))
+                .when(pfx.isNotNull(), F.lit(hi2).cast(dt.simpleString()))
+                # lenient MySQL: unparseable non-null -> 0 with warning
+                .otherwise(F.lit(0).cast(dt.simpleString()))
+            )
             if strict:
-                # strict mode also rejects out-of-range, like MySQL's
-                # "Out of range value" error (tests/sqlmode strict run)
+                # strict mode rejects unparseable AND out-of-range,
+                # like MySQL's "Out of range value" error
+                # (tests/sqlmode strict run)
                 bad = raw.isNotNull() & (
-                    prefix.isNull()
-                    | overflow
-                    | (rounded < lo_d)
-                    | (rounded > hi_d)
+                    F.when(
+                        num.isNotNull(),
+                        (rounded < lo_d) | (rounded > hi_d),
+                    ).otherwise(F.lit(True))
                 )
                 parsed = F.when(
                     bad,
@@ -170,11 +190,10 @@ def mysql_cast(
                 ).otherwise(parsed)
             # clean-value fast path: an in-range integral string casts
             # identically under MySQL semantics (no clamp, no error,
-            # no fractional rounding) — skip the regex/decimal slow
-            # path for it. try_cast string->long accepts only
-            # [ws][+-]digits[ws] and NULLs on overflow, so fast-path
-            # hits are exactly the values both engines agree on.
-            fl = raw.try_cast(T.LongType())
+            # no fractional rounding). try_cast string->long accepts
+            # only [ws][+-]digits[ws] and NULLs on overflow, so
+            # fast-path hits are exactly the values both engines
+            # agree on.
             fast_ok = fl.isNotNull() & (fl >= F.lit(lo2)) & (fl <= F.lit(hi2))
             return F.when(fast_ok, fl.cast(dt)).otherwise(parsed)
 
@@ -189,12 +208,15 @@ def mysql_cast(
         # excluded and fall back to the slow path)
         fd = raw.try_cast(dt)
         inf = float("inf")
+        # note: plain contains(), not lower().contains() — lower()
+        # allocates a new string per row in the hot projection
         fast_ok = (
             fd.isNotNull()
             & ~F.isnan(fd)
             & (fd > F.lit(-inf))
             & (fd < F.lit(inf))
-            & ~F.lower(raw).contains("x")
+            & ~raw.contains("x")
+            & ~raw.contains("X")
         )
         return F.when(fast_ok, fd).otherwise(parsed)
 

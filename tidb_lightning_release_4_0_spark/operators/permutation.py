@@ -74,6 +74,7 @@ def apply_permutation(
     keep: list[str] | None = None,
     source_latin1: bool = False,
     charset: str = "utf8mb4",
+    native_frame=None,  # NativeCsvFrame from read_csv_native
 ) -> DataFrame:
     """Project raw (string-typed) file columns into the table schema.
 
@@ -82,6 +83,14 @@ def apply_permutation(
       deterministic ``rowid`` column, T5)
     - applies the MySQL cast layer per column (T3)
     - honors an explicit ``_tidb_rowid`` file column (restore.go:1381-1388)
+
+    With ``native_frame`` (the typed CSV fast path,
+    csv_source.read_csv_native): natively-typed columns pass through
+    untouched on clean rows; rows the native parser rejected carry
+    the raw record in the corrupt column and have EVERY field
+    re-derived from it through mysql_cast — the hot path stays a
+    column reference, the MySQL semantics live in the rarely-taken
+    branch.
     """
     perm = column_permutation(file_columns, schema)
     # names of the df columns holding file fields, in file order
@@ -90,15 +99,44 @@ def apply_permutation(
         if file_columns is not None
         else [c for c in df.columns if c not in (ROWID_COL, "_row_id")]
     )
+    corrupt = (
+        F.col(native_frame.corrupt_col) if native_frame is not None else None
+    )
     out: list[Column] = []
     for spec, idx in zip(schema.columns, perm):
         if 0 <= idx < len(field_names):
-            src = F.col(field_names[idx])
-            expr = (
-                mysql_cast(src, spec, strict, source_latin1, charset)
-                if cast
-                else src
-            )
+            fname = field_names[idx]
+            src = F.col(fname)
+            if native_frame is not None and fname in native_frame.native_cols:
+                # typed by the JVM reader; mysql_cast only on rows the
+                # native parse rejected (re-parsed from the raw record)
+                fb = mysql_cast(
+                    native_frame.raw_field(fname),
+                    spec,
+                    strict,
+                    source_latin1,
+                    charset,
+                ).cast(spec.spark_type)
+                expr = F.when(corrupt.isNull(), src.cast(spec.spark_type)).otherwise(fb)
+            elif native_frame is not None:
+                # string-read column: cast layer always applies, but a
+                # corrupt row's PERMISSIVE field values are not
+                # trusted — take them from the raw record instead
+                raw_src = F.when(corrupt.isNull(), src).otherwise(
+                    native_frame.raw_field(fname)
+                )
+                expr = (
+                    mysql_cast(raw_src, spec, strict, source_latin1, charset)
+                    if cast
+                    else raw_src
+                )
+                src = raw_src  # for the auto-inc NULL check below
+            else:
+                expr = (
+                    mysql_cast(src, spec, strict, source_latin1, charset)
+                    if cast
+                    else src
+                )
             if spec.auto_increment and rowid is not None:
                 # MySQL assigns the next auto-inc value for NULL too;
                 # non-null values keep full cast (strict) semantics

@@ -218,45 +218,87 @@ class RestoreController:
         elif csv_files:
             csv_cfg = self.cfg.mydumper.csv
             ncols = len(schema.columns)
-            file_cols = (
-                None  # header row names columns; read by reader itself
-                if csv_cfg.header
-                else [c.name for c in schema.columns]
-            )
-            df = read_csv(
-                self.spark,
-                [f.path for f in csv_files],
-                csv_cfg,
-                column_names=file_cols,
-                num_columns=None if file_cols else ncols,
-            )
             from ..operators.rowid import assign_rowid_by_file, file_row_bases
 
             bases = file_row_bases(
                 [(f.path, f.size) for f in csv_files], ncols, is_sql=False
             )
-            # multiLine CSV reads are whole-file, and the session's
-            # openCostInBytes disables file packing -> one file per
-            # task, so row-ids need no extra aggregation job
-            df = assign_rowid_by_file(df, bases, one_file_per_partition=True)
-            file_columns = (
-                [c for c in df.columns if c != "_row_id"]
-                if csv_cfg.header
-                else file_cols
+            # strict sql_mode keeps the fast path: corrupt-record rows
+            # re-parse through mysql_cast(strict=True), which raises
+            # exactly like the string path; only the ''-token
+            # deviation (NULL instead of error) remains, documented
+            # on CSVConfig.native_typed
+            native_ok = (
+                csv_cfg.native_typed
+                and not csv_cfg.header
+                and not csv_cfg.not_null
+                and csv_cfg.null != ""
             )
-            frames.append(
-                apply_permutation(
-                    df,
-                    schema,
-                    [c for c in file_columns if c != "_row_id"],
-                    rowid=df["_row_id"],
-                    job_timestamp=self.job_timestamp,
-                    strict=strict,
-                    keep=["_row_id"],
-                    source_latin1=True,
-                    charset=self.cfg.mydumper.character_set,
+            if native_ok:
+                # typed fast path: vectorized JVM parse for clean
+                # rows; corrupt-record fallback through mysql_cast
+                from ..sources.csv_source import read_csv_native
+
+                nf = read_csv_native(
+                    self.spark,
+                    [f.path for f in csv_files],
+                    csv_cfg,
+                    schema.columns,
                 )
-            )
+                # multiLine CSV reads are whole-file, and the
+                # session's openCostInBytes disables file packing ->
+                # one file per task, so row-ids need no extra job
+                df = assign_rowid_by_file(
+                    nf.df, bases, one_file_per_partition=True
+                )
+                frames.append(
+                    apply_permutation(
+                        df,
+                        schema,
+                        [c.name for c in schema.columns],
+                        rowid=df["_row_id"],
+                        job_timestamp=self.job_timestamp,
+                        strict=strict,
+                        keep=["_row_id"],
+                        source_latin1=True,
+                        charset=self.cfg.mydumper.character_set,
+                        native_frame=nf,
+                    )
+                )
+            else:
+                file_cols = (
+                    None  # header row names columns; read by reader
+                    if csv_cfg.header
+                    else [c.name for c in schema.columns]
+                )
+                df = read_csv(
+                    self.spark,
+                    [f.path for f in csv_files],
+                    csv_cfg,
+                    column_names=file_cols,
+                    num_columns=None if file_cols else ncols,
+                )
+                df = assign_rowid_by_file(
+                    df, bases, one_file_per_partition=True
+                )
+                file_columns = (
+                    [c for c in df.columns if c != "_row_id"]
+                    if csv_cfg.header
+                    else file_cols
+                )
+                frames.append(
+                    apply_permutation(
+                        df,
+                        schema,
+                        [c for c in file_columns if c != "_row_id"],
+                        rowid=df["_row_id"],
+                        job_timestamp=self.job_timestamp,
+                        strict=strict,
+                        keep=["_row_id"],
+                        source_latin1=True,
+                        charset=self.cfg.mydumper.character_set,
+                    )
+                )
         if sql_files:
             # column list from the first INSERT's header, read
             # driver-side (64 KiB peek — no Spark job); else table

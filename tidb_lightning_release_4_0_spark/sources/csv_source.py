@@ -16,7 +16,10 @@ string datum (csv_parser.go:62-76).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import CSVConfig
@@ -81,3 +84,153 @@ def read_csv(
     if extra:
         df = df.drop(extra)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Native-typed fast path: clean rows parse inside the vectorized JVM
+# CSV reader; malformed rows fall back to the MySQL cast layer.
+# ---------------------------------------------------------------------------
+
+# MySQL base types the JVM CSV parser can decode with semantics
+# identical to the MySQL cast layer *for every token it accepts*.
+# Anything the native parser rejects lands in the corrupt-record
+# column and is re-parsed through mysql_cast, so the native set only
+# needs "accepted => same value":
+#  - signed ints: Long/Integer.parse accepts exactly the in-range
+#    integral strings try_cast does; overflow / fractions / garbage
+#    all become corrupt records.
+#  - float/double: Double.parseDouble agrees with the numeric-prefix
+#    parse on every finite value it accepts (NaN/Infinity/hex-float
+#    literals cannot occur in a MySQL dump; documented deviation).
+#  - date/datetime: explicit strict patterns; any other shape is a
+#    corrupt record.
+# Deliberately NOT native:
+#  - decimal: Spark's locale-aware decimal parser accepts grouped
+#    digits ("1,234") that MySQL parses as a prefix; keep the
+#    string + mysql_cast path (its try_cast fast path is cheap).
+#  - unsigned ints: values above the signed range parse natively but
+#    MySQL clamps them differently.
+#  - enum/set/bit/json/binary/year: always need the cast layer.
+_NATIVE_INTS = {
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint",
+    "bool", "boolean",
+}
+_NATIVE_FLOATS = {"float", "double", "real", "double precision"}
+
+_TS_FORMAT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
+_DATE_FORMAT = "yyyy-MM-dd"
+
+
+def native_read_type(spec) -> T.DataType | None:
+    """The JVM-parser type for a column, or None to read as string."""
+    t = spec.mysql_type
+    if spec.unsigned:
+        return None
+    if t in _NATIVE_INTS or t in _NATIVE_FLOATS:
+        return spec.spark_type
+    if t == "date":
+        return T.DateType()
+    if t in ("datetime", "timestamp"):
+        return T.TimestampType()
+    return None
+
+
+@dataclass
+class NativeCsvFrame:
+    """A typed CSV read plus what the caller needs for fallback.
+
+    ``df`` columns: one per file column (native type or string), plus
+    ``corrupt_col`` (the raw record text of rows the native parser
+    could not fully decode; NULL for clean rows).
+    """
+
+    df: DataFrame
+    corrupt_col: str
+    native_cols: set[str]  # file columns parsed natively (not string)
+    fallback_schema_ddl: str  # all-string schema for from_csv re-parse
+    fallback_options: dict[str, str]
+
+    def raw_field(self, name: str) -> Column:
+        """Re-parse the corrupt record and project one file column —
+        evaluated lazily, only on rows where corrupt_col is non-NULL."""
+        struct = F.from_csv(
+            F.col(self.corrupt_col),
+            F.lit(self.fallback_schema_ddl),
+            self.fallback_options,
+        )
+        return struct[name]
+
+
+def read_csv_native(
+    spark: SparkSession,
+    paths: list[str] | str,
+    cfg: CSVConfig,
+    column_specs: list,  # list[ColumnSpec] in FILE column order
+    byte_faithful: bool = True,
+) -> NativeCsvFrame:
+    """S4 fast path: typed read with corrupt-record fallback.
+
+    Design (the 100 TB path): the reference pays a per-byte Ragel
+    state machine plus a per-datum cast for every row
+    (csv_parser.rl, sql2kv.go:165-186). Here the vectorized JVM CSV
+    reader parses straight into typed columns — clean rows never
+    materialize field strings at all — and PERMISSIVE mode captures
+    any row the strict native parse rejects into a corrupt-record
+    column, which the caller re-parses through the exact MySQL cast
+    layer. The per-row hot path stays inside whole-stage codegen
+    with small, JIT-friendly methods.
+
+    Preconditions (enforced by the caller): headerless files, lenient
+    sql_mode, csv.null != '' and not csv.not_null. Documented
+    deviations: an empty-string token in a native numeric/date column
+    yields NULL (MySQL lenient: 0); NaN/Infinity/hex-float literals
+    in double columns parse to their Java values (impossible in a
+    MySQL dump).
+    """
+    cfg.validate()
+    opts = cfg.spark_options()
+    if byte_faithful:
+        opts["encoding"] = "ISO-8859-1"
+    opts["timestampFormat"] = _TS_FORMAT
+    opts["dateFormat"] = _DATE_FORMAT
+    corrupt = "_corrupt_record"
+    opts["columnNameOfCorruptRecord"] = corrupt
+
+    fields = []
+    native_cols: set[str] = set()
+    for spec in column_specs:
+        nt = native_read_type(spec)
+        if nt is not None:
+            native_cols.add(spec.name)
+        fields.append(T.StructField(spec.name, nt or T.StringType(), True))
+    if cfg.trim_last_sep:
+        # mydumper's trailing separator produces one synthetic empty
+        # field per row; read it and drop it (csv_parser.rl
+        # trim-last-sep drops a FIELD, not a value)
+        fields.append(T.StructField("_trailing_sep", T.StringType(), True))
+    fields.append(T.StructField(corrupt, T.StringType(), True))
+    schema = T.StructType(fields)
+
+    df = spark.read.options(**opts).schema(schema).csv(paths)
+    if cfg.trim_last_sep:
+        df = df.drop("_trailing_sep")
+
+    # from_csv fallback: same dialect, all-string fields
+    fb_names = [s.name for s in column_specs] + (
+        ["_trailing_sep"] if cfg.trim_last_sep else []
+    )
+    ddl = ", ".join(
+        "`%s` STRING" % n.replace("`", "``") for n in fb_names
+    )
+    fb_opts = {
+        k: v
+        for k, v in opts.items()
+        if k in ("sep", "quote", "escape", "nullValue", "emptyValue")
+    }
+    return NativeCsvFrame(
+        df=df,
+        corrupt_col=corrupt,
+        native_cols=native_cols,
+        fallback_schema_ddl=ddl,
+        fallback_options=fb_opts,
+    )
