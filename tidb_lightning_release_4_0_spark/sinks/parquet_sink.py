@@ -48,15 +48,30 @@ class ParquetSink(Sink):
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-        elif keys and self.on_duplicate == "error":
-            dup = (
-                df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-            ).collect()
-            if dup:
-                raise ValueError(f"Duplicate entry for key {dup[0]}")
         if "_row_id" in df.columns:
             df = df.drop("_row_id")  # arrival order served its purpose
         df.write.mode("overwrite").parquet(path)
+        if keys and self.on_duplicate == "error":
+            # dup detection AFTER the write, against the parquet we
+            # just produced: the scan prunes to the key columns only,
+            # instead of re-running the whole source parse/cast
+            # pipeline a second time (for .sql dumps that second pass
+            # was a full Python-lexer re-read). Failing post-write
+            # matches the reference's tidb backend, which hits
+            # "Duplicate entry" mid-INSERT with rows already delivered
+            # (tidb.go:271-316); we additionally clean the sink so a
+            # failed table leaves no partial data.
+            spark = df.sparkSession
+            dup = (
+                spark.read.parquet(path)
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+            ).collect()
+            if dup:
+                shutil.rmtree(path, ignore_errors=True)
+                raise ValueError(f"Duplicate entry for key {dup[0]}")
         # rows are reported by the caller's Observation (no extra scan)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
