@@ -41,9 +41,13 @@ class CSVConfig:
     # typed fast path (csv_source.read_csv_native): clean rows parse
     # natively in the vectorized JVM reader, malformed rows fall back
     # to the MySQL cast layer via the corrupt-record column. Auto-
-    # disabled for header files, not-null mode and an empty-string
-    # null sentinel. Documented deviation: '' tokens in numeric/date
-    # columns load as NULL (MySQL lenient: 0; MySQL strict: error).
+    # disabled for header files, not-null mode, an empty-string null
+    # sentinel, AND strict sql_mode (the JVM parser silently loads ''
+    # tokens in numeric/date columns as NULL and NaN/Infinity/
+    # hex-float literals as Java doubles — values strict MySQL must
+    # reject; the string path keeps the error guarantee). Documented
+    # lenient-mode deviation: '' in a numeric/date column loads as
+    # NULL (MySQL lenient: 0 with warning).
     native_typed: bool = True
 
     def validate(self) -> None:

@@ -118,6 +118,13 @@ def apply_permutation(
                     charset,
                 ).cast(spec.spark_type)
                 expr = F.when(corrupt.isNull(), src.cast(spec.spark_type)).otherwise(fb)
+                # auto-inc NULL check must see the *raw* token on corrupt
+                # rows: a value MySQL would parse ('5.0', ' 5') reads as
+                # NULL in the typed field, and treating it as NULL would
+                # silently assign a fresh rowid instead of the cast value
+                src = F.when(corrupt.isNull(), src).otherwise(
+                    native_frame.raw_field(fname)
+                )
             elif native_frame is not None:
                 # string-read column: cast layer always applies, but a
                 # corrupt row's PERMISSIVE field values are not

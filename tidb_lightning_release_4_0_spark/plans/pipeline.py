@@ -223,13 +223,16 @@ class RestoreController:
             bases = file_row_bases(
                 [(f.path, f.size) for f in csv_files], ncols, is_sql=False
             )
-            # strict sql_mode keeps the fast path: corrupt-record rows
-            # re-parse through mysql_cast(strict=True), which raises
-            # exactly like the string path; only the ''-token
-            # deviation (NULL instead of error) remains, documented
-            # on CSVConfig.native_typed
+            # strict sql_mode disables the fast path: the JVM parser
+            # silently accepts tokens strict MySQL must reject — ''
+            # in a numeric/date column reads as NULL (univocity nulls
+            # empty tokens before type parse, indistinguishable from
+            # \N afterwards), and NaN/Infinity/hex-float/'5d' parse
+            # as Java double values. The string path routes every
+            # token through mysql_cast(strict=True), which raises.
             native_ok = (
                 csv_cfg.native_typed
+                and not strict
                 and not csv_cfg.header
                 and not csv_cfg.not_null
                 and csv_cfg.null != ""

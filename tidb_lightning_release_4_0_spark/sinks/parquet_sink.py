@@ -50,28 +50,33 @@ class ParquetSink(Sink):
             )
         if "_row_id" in df.columns:
             df = df.drop("_row_id")  # arrival order served its purpose
-        df.write.mode("overwrite").parquet(path)
         if keys and self.on_duplicate == "error":
-            # dup detection AFTER the write, against the parquet we
-            # just produced: the scan prunes to the key columns only,
-            # instead of re-running the whole source parse/cast
-            # pipeline a second time (for .sql dumps that second pass
-            # was a full Python-lexer re-read). Failing post-write
-            # matches the reference's tidb backend, which hits
-            # "Duplicate entry" mid-INSERT with rows already delivered
-            # (tidb.go:271-316); we additionally clean the sink so a
-            # failed table leaves no partial data.
+            # dup detection runs against a STAGING copy, key-pruned, so
+            # the whole source parse/cast pipeline isn't re-run (for
+            # .sql dumps that second pass was a full Python-lexer
+            # re-read). Only a validated result is published — a
+            # duplicate input or a crash mid-check leaves prior good
+            # data at the destination untouched (the reference's tidb
+            # backend errors mid-INSERT without clobbering the target,
+            # tidb.go:271-316).
+            tmp = path + ".staging"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
             spark = df.sparkSession
             dup = (
-                spark.read.parquet(path)
+                spark.read.parquet(tmp)
                 .groupBy(*keys)
                 .count()
                 .filter(F.col("count") > 1)
                 .limit(1)
             ).collect()
             if dup:
-                shutil.rmtree(path, ignore_errors=True)
+                shutil.rmtree(tmp, ignore_errors=True)
                 raise ValueError(f"Duplicate entry for key {dup[0]}")
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp, path)
+        else:
+            df.write.mode("overwrite").parquet(path)
         # rows are reported by the caller's Observation (no extra scan)
         size = sum(
             os.path.getsize(os.path.join(dp, f))

@@ -16,7 +16,7 @@ string datum (csv_parser.go:62-76).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,16 +149,16 @@ class NativeCsvFrame:
     native_cols: set[str]  # file columns parsed natively (not string)
     fallback_schema_ddl: str  # all-string schema for from_csv re-parse
     fallback_options: dict[str, str]
+    parsed_col: str = "_corrupt_parsed"
 
     def raw_field(self, name: str) -> Column:
-        """Re-parse the corrupt record and project one file column —
-        evaluated lazily, only on rows where corrupt_col is non-NULL."""
-        struct = F.from_csv(
-            F.col(self.corrupt_col),
-            F.lit(self.fallback_schema_ddl),
-            self.fallback_options,
-        )
-        return struct[name]
+        """Project one file column out of the re-parsed corrupt
+        record (NULL on clean rows). The from_csv struct is
+        materialized ONCE as ``parsed_col`` by read_csv_native —
+        referencing it per column does not re-embed the parse tree,
+        so a table with N columns still parses the corrupt record a
+        single time per row."""
+        return F.col(self.parsed_col)[name]
 
 
 def read_csv_native(
@@ -227,6 +227,18 @@ def read_csv_native(
         for k, v in opts.items()
         if k in ("sep", "quote", "escape", "nullValue", "emptyValue")
     }
+    # materialize the corrupt-record re-parse ONCE per row: every
+    # raw_field() projection references this struct column instead of
+    # embedding its own from_csv tree (N columns would otherwise mean
+    # N full re-parse+cast trees in the projection — the same
+    # codegen-size blowup the cast layer works to avoid)
+    df = df.withColumn(
+        "_corrupt_parsed",
+        F.when(
+            F.col(corrupt).isNotNull(),
+            F.from_csv(F.col(corrupt), ddl, fb_opts),
+        ),
+    )
     return NativeCsvFrame(
         df=df,
         corrupt_col=corrupt,
