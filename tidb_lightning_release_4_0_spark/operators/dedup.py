@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, hash60_duckdb
+from .partitioning import spread_small_input as _spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -162,19 +163,16 @@ def minhash_lsh_pairs(
       4. estimate jaccard = matching signature positions / num_hashes
          and filter; dedup pairs via left_id < right_id.
     """
+    from pyspark.sql.window import Window
+
     rows_per_band = num_hashes // bands
-    # two-phase projection: shingles materialize once per row, then the
-    # num_hashes mins read that array column (instead of re-deriving
-    # shingles per hash function); persist so the self-join's two sides
-    # reuse one computation (at 100 TB: persist(DISK_ONLY) or a
-    # checkpoint table).
-    # small corpora often arrive as one file/partition — spread the
-    # per-row signature work across cores (at scale the input is
-    # already many partitions and this coalesces to a no-op cost
-    # relative to the signature compute)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # two-phase projection: shingles materialize once per row, then
+    # the num_hashes mins read that array column (instead of
+    # re-deriving shingles per hash function). Single-lineage plan —
+    # no persist to leak: the expensive signature computation is
+    # evaluated exactly once because the bucket-local pair generation
+    # below never self-joins the signature frame.
+    df = _spread(df)
     hashed = df.select(
         F.col(id_col).alias("_id"),
         F.transform(
@@ -186,7 +184,7 @@ def minhash_lsh_pairs(
         F.array_min(F.transform(F.col("_h"), _permuted(i)))
         for i in range(num_hashes)
     ]
-    d = hashed.select(F.col("_id"), F.array(*mins).alias("_sig")).persist()
+    d = hashed.select(F.col("_id"), F.array(*mins).alias("_sig"))
 
     band_keys = F.array(
         *[
@@ -208,31 +206,50 @@ def minhash_lsh_pairs(
     e = d.select("_id", "_sig", F.explode(band_keys).alias("bk")).select(
         "_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # ONE shuffle by (band, bkey): the windowed count drops
+    # boilerplate mega-buckets (skew cap) BEFORE any buffering of
+    # bucket contents, then the groupBy reuses the same partitioning
+    # (no second exchange) and collects each surviving bucket —
+    # bounded at max_bucket rows — for local quadratic pair
+    # generation. This replaces the previous sizes-aggregate join +
+    # bucket self-join, which evaluated the signature lineage three
+    # times (hence needed a persist that leaked cached partitions).
     if max_bucket:
-        sizes = e.groupBy("band", "bkey").agg(
-            F.count(F.lit(1)).alias("_bn")
+        w = Window.partitionBy("band", "bkey")
+        e = (
+            e.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
         )
-        e = e.join(
-            sizes.filter(F.col("_bn") <= max_bucket).drop("_bn"),
-            ["band", "bkey"],
+    grouped = e.groupBy("band", "bkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_id"), F.col("_sig")))
+        ).alias("_items")
+    )
+    items = F.col("_items")
+    # all (i, j>i) pairs within the bucket; items sorted by _id so
+    # left_id < right_id by construction
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("l"), y.alias("r")),
+            ),
         )
-    left = e.alias("l")
-    right = e.alias("r")
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("l._id").alias("left_id"),
-            F.col("r._id").alias("right_id"),
+            F.col("p.l._id").alias("left_id"),
+            F.col("p.r._id").alias("right_id"),
             (
                 F.size(
                     F.filter(
                         F.zip_with(
-                            F.col("l._sig"), F.col("r._sig"), lambda a, b: a == b
+                            F.col("p.l._sig"),
+                            F.col("p.r._sig"),
+                            lambda a, b: a == b,
                         ),
                         lambda x: x,
                     )
@@ -240,6 +257,7 @@ def minhash_lsh_pairs(
                 / F.lit(float(num_hashes))
             ).alias("est_jaccard"),
         )
+        .filter(F.col("left_id") < F.col("right_id"))
         .distinct()  # same pair can collide in several bands
         .filter(F.col("est_jaccard") >= threshold)
         .select(
@@ -294,23 +312,48 @@ FROM cand WHERE est_jaccard >= {threshold}
 
 def simhash(c: Column, bits: int = 32) -> Column:
     """SimHash signature over word tokens: per bit, sign of the sum of
-    +/-1 votes from each token's hash."""
+    +/-1 votes from each token's hash.
+
+    Single fold: ONE pass over the token-hash array accumulates all
+    ``bits`` vote counters (array of longs, zip_with merge), then one
+    weighted pass over the counter array packs the sign bits. The
+    naive shape — ``bits`` independent F.aggregate folds — re-walks
+    the array per bit: O(bits * tokens) with ``bits`` expression-tree
+    traversals; this is O(tokens + bits) traversals for the same
+    result (votes_b > 0 <=> counter_b > 0, so the oracle SQL is
+    unchanged)."""
     toks = F.array_distinct(
         F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
     )
     hashes = F.transform(toks, lambda t: hash60(t))
-    acc = F.lit(0).cast("long")
-    for b in range(bits):
-        mask = F.lit(1 << b).cast("long")
-        votes = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            (lambda m: lambda s, h: s + F.when(
-                h.bitwiseAND(m) != 0, 1
-            ).otherwise(-1))(mask),
+
+    def votes(h: Column) -> Column:
+        # +1/-1 per bit of this token's hash (constant masks,
+        # Python-unrolled once into a single array constructor)
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(bits)
+            ]
         )
-        acc = acc + F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return acc
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            weights,
+            lambda cnt, w: F.when(cnt > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_sql_duckdb(expr: str, bits: int = 32) -> str:

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .partitioning import spread_small_input as _spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double (deterministic)."""
@@ -246,15 +248,22 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize against n_cells
-    centroid vectors (deterministic corpus sample, broadcast as
-    literals), probe only the query's nearest cell.
+    centroid vectors, probe only the query's nearest cell.
 
-    At 100 TB the centroids come from a sampled k-means job and live
-    in a broadcast table; cell assignment is a narrow projection, and
-    the candidate join shuffles only same-cell rows."""
+    Centroids are the ``n_cells`` lowest-id corpus vectors — a
+    DETERMINISTIC choice (orderBy id, not an arbitrary limit), so the
+    operator is oracle-verifiable (ivf_topk_oracle_sql picks the same
+    rows). The collect is O(n_cells) driver-side metadata, inlined as
+    literal vectors into the plan. At 100 TB the centroids come from
+    a sampled k-means job instead; the plan shape is identical —
+    broadcast centroids, narrow cell-assignment projection, candidate
+    join shuffles only same-cell rows."""
     cents = [
         (r[0], list(r[1]))
-        for r in corpus.select(id_col, vec_col).limit(n_cells).collect()
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
     ]
 
     def cell_of(vec: Column) -> Column:
@@ -303,6 +312,49 @@ def ivf_topk(
     )
 
 
+def ivf_topk_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_cells: int = 8,
+    dim: int = 64,
+) -> str:
+    """ANSI twin of ivf_topk: centroids are the same deterministic
+    rows (lowest ``n_cells`` ids), and the argmax tie-break matches
+    the Spark side's iterate-ascending strictly-greater update
+    (ORDER BY cos DESC, ci ASC LIMIT 1 = first maximum)."""
+    cell_cos = cosine_sql_duckdb("e.embedding", "c.embedding", dim)
+    cos = cosine_sql_duckdb("q.embedding", "c.embedding", dim)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS ci, embedding
+  FROM {table} ORDER BY vec_id ASC LIMIT {n_cells}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.ci AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cell_cos} DESC, c.ci ASC) AS _rn
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE _rn = 1
+),
+q AS (SELECT * FROM assigned WHERE {query_pred}),
+scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id, {cos} AS _cos
+  FROM q JOIN assigned c ON q.vec_id <> c.vec_id AND q.cell = c.cell
+),
+ranked AS (
+  SELECT q_id, c_id, _cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY _cos DESC, c_id ASC)
+             AS rank
+  FROM scored
+)
+SELECT q_id, c_id, cast(rank AS INT) AS rank, round(_cos, 4) AS cos_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     block_col: str = "label",
@@ -313,18 +365,17 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold within blocks
     (block = label here; LSH bucket at scale)."""
-    # norms once per row; persist so the self-join's sides share one
-    # computation (at scale: a checkpointed "normalized embeddings"
-    # table serves every downstream similarity job)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    d = df.select(
+    # norms are projected once per row per join side; no persist — a
+    # cached-but-never-unpersisted frame leaks executor memory across
+    # calls, and recomputing the narrow norm projection is cheaper
+    # than the leak (at scale: a checkpointed "normalized embeddings"
+    # TABLE serves every downstream similarity job instead)
+    d = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
-    ).persist()
+    )
     pairs = (
         d.alias("l")
         .join(

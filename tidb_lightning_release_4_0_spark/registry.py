@@ -500,7 +500,8 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF coarse-quantized ANN (scale path; rows-only)."""
+    """IVF coarse-quantized ANN (scale path; oracle-checked — the
+    deterministic lowest-id centroids are reproduced in SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
@@ -867,8 +868,11 @@ def build_oracle_sql():
         "ann_topk_lsh": S.ann_topk_lsh_oracle_sql(
             "embeddings", "vec_id < 3", 5, 64, 4
         ),
-        # ann_topk_ivf / multimodal_features / checksum_crc64: rows-only
-        # (driver-side centroid sample / stub codec / no crc64 in DuckDB)
+        "ann_topk_ivf": S.ivf_topk_oracle_sql(
+            "embeddings", "vec_id < 3", 5, 8, 64
+        ),
+        # multimodal_features / checksum_crc64: rows-only
+        # (stub codec / no crc64 in DuckDB)
         "minhash_signatures": (
             f"SELECT doc_id, array_to_string("
             f"{D.minhash_signature_sql_duckdb('text', 8)}, ',') "

@@ -127,14 +127,19 @@ class JDBCSink(Sink):
         return {"user": self.user, "password": self.password}
 
     def write(self, df: DataFrame, table: str) -> SinkResult:
-        n = df.count()
+        # NO df.count() here: that would run the entire source
+        # parse/cast pipeline an extra time before delivering a row
+        # (for .sql dumps, a full Python-lexer re-read). The caller's
+        # Observation reports rows for the built-in writer (rows=-1
+        # sentinel); the DBAPI path counts via an accumulator inside
+        # the single delivery pass.
         if self.on_duplicate == "error" and self.connection_factory is None:
             (
                 df.write.mode("append")
                 .option("batchsize", str(self.batch_size))
                 .jdbc(self.url, table, properties=self._props())
             )
-            return SinkResult(table=table, rows=n)
+            return SinkResult(table=table, rows=-1)
         if self.connection_factory is None:
             # plain spark-jdbc append would silently violate
             # replace/ignore semantics — reject instead
@@ -148,6 +153,8 @@ class JDBCSink(Sink):
         dup = self.on_duplicate
         bs = self.batch_size
         retries = self.max_retries
+        # row count rides the delivery pass (single materialization)
+        acc = df.sparkSession.sparkContext.accumulator(0)
 
         def deliver(rows) -> None:
             import time as _time
@@ -156,6 +163,7 @@ class JDBCSink(Sink):
             try:
                 cur = conn.cursor()
                 buf: list[tuple] = []
+                delivered = 0
 
                 def flush() -> None:
                     if not buf:
@@ -173,15 +181,17 @@ class JDBCSink(Sink):
 
                 for r in rows:
                     buf.append(tuple(r))
+                    delivered += 1
                     if len(buf) >= bs:
                         flush()
                 flush()
                 conn.commit()
+                acc.add(delivered)
             finally:
                 conn.close()
 
         df.foreachPartition(deliver)
-        return SinkResult(table=table, rows=n)
+        return SinkResult(table=table, rows=acc.value)
 
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.jdbc(self.url, table, properties=self._props())
