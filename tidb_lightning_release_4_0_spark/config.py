@@ -41,13 +41,15 @@ class CSVConfig:
     # typed fast path (csv_source.read_csv_native): clean rows parse
     # natively in the vectorized JVM reader, malformed rows fall back
     # to the MySQL cast layer via the corrupt-record column. Auto-
-    # disabled for header files, not-null mode, an empty-string null
-    # sentinel, AND strict sql_mode (the JVM parser silently loads ''
-    # tokens in numeric/date columns as NULL and NaN/Infinity/
-    # hex-float literals as Java doubles — values strict MySQL must
-    # reject; the string path keeps the error guarantee). Documented
-    # lenient-mode deviation: '' in a numeric/date column loads as
-    # NULL (MySQL lenient: 0 with warning).
+    # disabled for header files, not-null mode and an empty-string
+    # null sentinel. Under strict sql_mode, float/double columns drop
+    # to the string path (Double.parseDouble accepts NaN/Infinity/
+    # hex-float literals strict MySQL must reject); ints/dates stay
+    # native because every rejected token errors through the strict
+    # cast fallback. Documented deviation (both modes): an unquoted
+    # empty token reads as NULL — identical to the string path, where
+    # univocity substitutes the null sentinel for empty unquoted
+    # fields (MySQL LOAD DATA: 0 with warning / strict error).
     native_typed: bool = True
 
     def validate(self) -> None:
@@ -156,6 +158,10 @@ class Config:
     # concurrent tables in flight (reference table-concurrency,
     # config.go:373-386); Spark's FAIR/ FIFO scheduler multiplexes
     table_concurrency: int = 4
+    # O7: seconds between periodic progress/ETA log lines during
+    # run() (the reference's logProgress ticker, restore.go:443-501);
+    # 0 disables the ticker
+    progress_interval: float = 60.0
     target_dir: str = ""  # parquet backend sink root
 
     def adjust(self) -> "Config":

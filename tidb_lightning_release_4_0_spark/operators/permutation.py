@@ -121,8 +121,12 @@ def apply_permutation(
                 # auto-inc NULL check must see the *raw* token on corrupt
                 # rows: a value MySQL would parse ('5.0', ' 5') reads as
                 # NULL in the typed field, and treating it as NULL would
-                # silently assign a fresh rowid instead of the cast value
-                src = F.when(corrupt.isNull(), src).otherwise(
+                # silently assign a fresh rowid instead of the cast value.
+                # Both branches string-typed: mixing the typed column
+                # with the raw token would coerce the token to the
+                # numeric type and throw on exactly the rows this
+                # branch exists for.
+                src = F.when(corrupt.isNull(), src.cast("string")).otherwise(
                     native_frame.raw_field(fname)
                 )
             elif native_frame is not None:

@@ -120,6 +120,37 @@ class CheckpointStore:
             self.state["chunks"][self.chunk_key(table, path, offset)] = int(status)
             self._save()
 
+    def mark_chunks(self, table: str, paths: list[str], status: int) -> None:
+        """Bulk mark (one persisted write for a whole engine batch)."""
+        if not self.enabled:
+            return
+        with self._lock:
+            for p in paths:
+                self.state["chunks"][self.chunk_key(table, p)] = int(status)
+            self._save()
+
+    # -- engine-level (checksum-so-far for resume) -------------------------
+    # The reference persists each chunk's running checksum triple so a
+    # resumed run can rebuild the table's local checksum without
+    # re-reading delivered data (checkpoints.go:92-130, the
+    # checksum/kvc columns of chunk_v5). Engine grain here: one record
+    # per delivered engine batch.
+    def set_engine_state(self, table: str, engine_id: int, rec: dict) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            t = self.state["tables"].setdefault(table, {})
+            t.setdefault("engines", {})[str(int(engine_id))] = rec
+            self._save()
+
+    def engine_state(self, table: str, engine_id: int) -> dict | None:
+        return (
+            self.state["tables"]
+            .get(table, {})
+            .get("engines", {})
+            .get(str(int(engine_id)))
+        )
+
     def pending_files(
         self, table: str, files: list[str]
     ) -> list[str]:
@@ -164,3 +195,173 @@ class CheckpointStore:
         self.remove(None)
         if self.enabled and self.path and os.path.exists(self.path):
             os.remove(self.path)
+
+
+class SQLCheckpointStore(CheckpointStore):
+    """Checkpoint driver backed by a DBAPI connection — the analog of
+    the reference's MySQL checkpoint driver (checkpoints.go:369-760),
+    where state lives WITH the target database so resume survives
+    loss of the driver machine (a file store dies with its disk).
+
+    ``connection_factory`` returns a DBAPI connection: MySQL-protocol
+    in production, ``sqlite3`` in tests (both accept the dialect
+    subset used here — ``REPLACE INTO`` upserts and plain DDL, like
+    the reference's INSERT/REPLACE statements checkpoints.go:436-520).
+    Schema mirrors the reference's table/engine/chunk checkpoint
+    tables reduced to the columns this engine uses. All reads hit the
+    in-memory mirror hydrated at construction; mutators write through
+    row-targeted upserts (bulk rewrites only for the rare ctl ops).
+
+    ``paramstyle``: "qmark" for sqlite3, "format" for
+    pymysql/mysql-connector.
+    """
+
+    _DDL = (
+        "CREATE TABLE IF NOT EXISTS cp_table_v1 ("
+        "tbl VARCHAR(255) PRIMARY KEY, status INTEGER NOT NULL, "
+        "alloc_base BIGINT NOT NULL)",
+        "CREATE TABLE IF NOT EXISTS cp_engine_v1 ("
+        "tbl VARCHAR(255) NOT NULL, engine_id INTEGER NOT NULL, "
+        "payload TEXT, PRIMARY KEY (tbl, engine_id))",
+        "CREATE TABLE IF NOT EXISTS cp_chunk_v1 ("
+        "ck VARCHAR(512) PRIMARY KEY, status INTEGER NOT NULL)",
+    )
+
+    def __init__(
+        self,
+        connection_factory,
+        enabled: bool = True,
+        paramstyle: str = "qmark",
+    ):
+        self.enabled = enabled
+        self.path = None
+        self._ph = "?" if paramstyle == "qmark" else "%s"
+        self.state = {"tables": {}, "chunks": {}}
+        self._lock = threading.RLock()
+        if not enabled:
+            return
+        self._conn = connection_factory()
+        cur = self._conn.cursor()
+        for ddl in self._DDL:
+            cur.execute(ddl)
+        self._conn.commit()
+        cur.execute("SELECT tbl, status, alloc_base FROM cp_table_v1")
+        for tbl, status, base in cur.fetchall():
+            rec = self.state["tables"].setdefault(tbl, {})
+            rec["status"] = int(status)
+            if base:
+                rec["alloc_base"] = int(base)
+        cur.execute("SELECT tbl, engine_id, payload FROM cp_engine_v1")
+        for tbl, eid, payload in cur.fetchall():
+            self.state["tables"].setdefault(tbl, {}).setdefault("engines", {})[
+                str(int(eid))
+            ] = json.loads(payload)
+        cur.execute("SELECT ck, status FROM cp_chunk_v1")
+        for ck, status in cur.fetchall():
+            self.state["chunks"][ck] = int(status)
+
+    def _exec(self, sql: str, rows: list[tuple]) -> None:
+        cur = self._conn.cursor()
+        if len(rows) == 1:
+            cur.execute(sql, rows[0])
+        elif rows:
+            cur.executemany(sql, rows)
+        else:
+            cur.execute(sql)
+        self._conn.commit()
+
+    def _upsert_table_row(self, table: str) -> None:
+        t = self.state["tables"].get(table, {})
+        p = self._ph
+        self._exec(
+            f"REPLACE INTO cp_table_v1 (tbl, status, alloc_base) "
+            f"VALUES ({p}, {p}, {p})",
+            [(table, int(t.get("status", 0)), int(t.get("alloc_base", 0)))],
+        )
+
+    # -- targeted write-through mutators -----------------------------------
+    def set_table_status(self, table: str, status: int) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self.state["tables"].setdefault(table, {})["status"] = int(status)
+            self._upsert_table_row(table)
+
+    def set_alloc_base(self, table: str, base: int) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            t = self.state["tables"].setdefault(table, {})
+            t["alloc_base"] = max(t.get("alloc_base", 0), base)
+            self._upsert_table_row(table)
+
+    def mark_chunk(
+        self, table: str, path: str, status: int, offset: int = 0
+    ) -> None:
+        self.mark_chunks(table, [path], status)
+
+    def mark_chunks(self, table: str, paths: list[str], status: int) -> None:
+        if not self.enabled:
+            return
+        p = self._ph
+        with self._lock:
+            rows = []
+            for pa in paths:
+                key = self.chunk_key(table, pa)
+                self.state["chunks"][key] = int(status)
+                rows.append((key, int(status)))
+            self._exec(
+                f"REPLACE INTO cp_chunk_v1 (ck, status) VALUES ({p}, {p})",
+                rows,
+            )
+
+    def set_engine_state(self, table: str, engine_id: int, rec: dict) -> None:
+        if not self.enabled:
+            return
+        p = self._ph
+        with self._lock:
+            t = self.state["tables"].setdefault(table, {})
+            t.setdefault("engines", {})[str(int(engine_id))] = rec
+            self._exec(
+                f"REPLACE INTO cp_engine_v1 (tbl, engine_id, payload) "
+                f"VALUES ({p}, {p}, {p})",
+                [(table, int(engine_id), json.dumps(rec))],
+            )
+
+    # -- rare ctl ops fall back to a full flush ----------------------------
+    def _save(self) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            p = self._ph
+            self._exec("DELETE FROM cp_table_v1", [])
+            self._exec("DELETE FROM cp_engine_v1", [])
+            self._exec("DELETE FROM cp_chunk_v1", [])
+            trows, erows = [], []
+            for tbl, t in self.state["tables"].items():
+                trows.append(
+                    (tbl, int(t.get("status", 0)), int(t.get("alloc_base", 0)))
+                )
+                for eid, rec in t.get("engines", {}).items():
+                    erows.append((tbl, int(eid), json.dumps(rec)))
+            if trows:
+                self._exec(
+                    f"REPLACE INTO cp_table_v1 (tbl, status, alloc_base) "
+                    f"VALUES ({p}, {p}, {p})",
+                    trows,
+                )
+            if erows:
+                self._exec(
+                    f"REPLACE INTO cp_engine_v1 (tbl, engine_id, payload) "
+                    f"VALUES ({p}, {p}, {p})",
+                    erows,
+                )
+            crows = [(k, int(v)) for k, v in self.state["chunks"].items()]
+            if crows:
+                self._exec(
+                    f"REPLACE INTO cp_chunk_v1 (ck, status) VALUES ({p}, {p})",
+                    crows,
+                )
+
+    def clean(self) -> None:
+        self.remove(None)  # remove() persists the emptied state via _save

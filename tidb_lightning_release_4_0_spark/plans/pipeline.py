@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import logging
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -85,6 +86,73 @@ class RunSummary:
         return "\n".join(lines)
 
 
+def plan_engines(files, batch_size: int) -> list[list]:
+    """S7: group a table's data files into engine batches of
+    ~``batch_size`` cumulative bytes (region.go:64-133; the dynamic
+    batch ramp is dropped per SURVEY §2.1 S7). Each engine is the
+    unit of idempotent delivery and file-grain checkpoint resume."""
+    engines: list[list] = []
+    cur: list = []
+    size = 0
+    for f in files:
+        cur.append(f)
+        size += f.size
+        if size >= batch_size:
+            engines.append(cur)
+            cur, size = [], 0
+    if cur:
+        engines.append(cur)
+    return engines
+
+
+class _ProgressTicker:
+    """O7: periodic progress logging — restored bytes / total, speed
+    and ETA on a daemon timer (the reference's logProgress ticker,
+    restore.go:443-501). ``add`` is called per delivered engine batch
+    (file grain) or per restored table (single-shot grain)."""
+
+    def __init__(self, total_bytes: int, interval: float):
+        self.total = max(int(total_bytes), 1)
+        self.done = 0
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._t0 = time.monotonic()
+        self._thread = threading.Thread(
+            target=self._loop, args=(float(interval),), daemon=True
+        )
+
+    def start(self) -> "_ProgressTicker":
+        self._thread.start()
+        return self
+
+    def add(self, nbytes: int) -> None:
+        with self._lock:
+            self.done += int(nbytes)
+
+    def _loop(self, interval: float) -> None:
+        while not self._stop.wait(interval):
+            self.emit()
+
+    def emit(self) -> None:
+        with self._lock:
+            done = self.done
+        dt = max(time.monotonic() - self._t0, 1e-9)
+        mib = 1 << 20
+        pct = min(100.0 * done / self.total, 100.0)
+        speed = done / dt / mib
+        if done:
+            eta = f"{(self.total - done) / (done / dt):.0f}s"
+        else:
+            eta = "..."
+        log.info(
+            "progress: %.1f%% (%.1f/%.1f MiB), speed %.2f MiB/s, ETA %s",
+            pct, done / mib, self.total / mib, speed, eta,
+        )
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class RestoreController:
     def __init__(
         self,
@@ -99,7 +167,10 @@ class RestoreController:
         self.cp = checkpoints or CheckpointStore(
             cfg.checkpoint_path or None, enabled=cfg.checkpoint_enable
         )
-        self.job_timestamp = _dt.datetime.utcnow().replace(microsecond=0)
+        self.job_timestamp = _dt.datetime.now(_dt.timezone.utc).replace(
+            tzinfo=None, microsecond=0
+        )
+        self._ticker: _ProgressTicker | None = None
 
     def _default_sink(self) -> Sink:
         if self.cfg.backend == "parquet":
@@ -181,10 +252,23 @@ class RestoreController:
         return TableSchema(name=name.split(".")[-1], columns=cols)
 
     # -- [3] per-table restore --------------------------------------------
-    def read_table(self, meta: MDTableMeta, schema: TableSchema) -> DataFrame:
-        """Source read + permutation/cast/rowid; one Spark plan."""
-        csv_files = [f for f in meta.data_files if f.path.lower().endswith(".csv")]
-        sql_files = [f for f in meta.data_files if f.path.lower().endswith(".sql")]
+    def read_table(
+        self,
+        meta: MDTableMeta,
+        schema: TableSchema,
+        only: set[str] | None = None,
+    ) -> DataFrame:
+        """Source read + permutation/cast/rowid; one Spark plan.
+
+        ``only`` restricts the READ to a subset of the table's data
+        files (one engine batch) while row-id bases stay computed
+        over the FULL file list — a file's ids must not depend on
+        which other files ride along, or checkpoint resume would
+        renumber rows (restore.go:861-870 parity)."""
+        all_csv = [f for f in meta.data_files if f.path.lower().endswith(".csv")]
+        all_sql = [f for f in meta.data_files if f.path.lower().endswith(".sql")]
+        csv_files = [f for f in all_csv if only is None or f.path in only]
+        sql_files = [f for f in all_sql if only is None or f.path in only]
         strict = strict_sql_mode(self.cfg.tidb.sql_mode)
         frames: list[DataFrame] = []
 
@@ -221,18 +305,17 @@ class RestoreController:
             from ..operators.rowid import assign_rowid_by_file, file_row_bases
 
             bases = file_row_bases(
-                [(f.path, f.size) for f in csv_files], ncols, is_sql=False
+                [(f.path, f.size) for f in all_csv], ncols, is_sql=False
             )
-            # strict sql_mode disables the fast path: the JVM parser
-            # silently accepts tokens strict MySQL must reject — ''
-            # in a numeric/date column reads as NULL (univocity nulls
-            # empty tokens before type parse, indistinguishable from
-            # \N afterwards), and NaN/Infinity/hex-float/'5d' parse
-            # as Java double values. The string path routes every
-            # token through mysql_cast(strict=True), which raises.
+            # strict sql_mode keeps the fast path for ints/dates
+            # (every natively-rejected token re-parses through
+            # mysql_cast(strict=True), which raises exactly like the
+            # string path) but float/double columns drop to the
+            # string path: Double.parseDouble accepts NaN/Infinity/
+            # hex-float literals strict MySQL must reject — see
+            # native_read_type
             native_ok = (
                 csv_cfg.native_typed
-                and not strict
                 and not csv_cfg.header
                 and not csv_cfg.not_null
                 and csv_cfg.null != ""
@@ -247,6 +330,7 @@ class RestoreController:
                     [f.path for f in csv_files],
                     csv_cfg,
                     schema.columns,
+                    strict=strict,
                 )
                 # multiLine CSV reads are whole-file, and the
                 # session's openCostInBytes disables file packing ->
@@ -315,6 +399,7 @@ class RestoreController:
                 self.cfg.mydumper.character_set,
                 num_columns=len(file_columns),
                 columnar=True,
+                all_files=[(f.path, f.size) for f in all_sql],
             )
             df = df.toDF(*(["_row_id"] + file_columns))
             frames.append(
@@ -335,125 +420,314 @@ class RestoreController:
             df = df.unionByName(f)
         return df
 
+    def _observe_write(
+        self,
+        df: DataFrame,
+        name: str,
+        cols: list[str],
+        schema: TableSchema,
+        want_checksum: bool,
+        tag: str = "",
+    ):
+        """Attach an Observation computing (C1 checksum triple?, row
+        count, max alloc-id) INSIDE the write job — the Spark analog
+        of the reference computing checksums in the deliver loop
+        (restore.go:1557-1638): no separate source scan, ever."""
+        from pyspark.sql import Observation
+
+        metrics = []
+        if want_checksum:
+            # row hash projected ONCE into _h (+_len for the
+            # canonical modes); the observe aggregates only touch
+            # those columns, so hashing runs once per row inside
+            # the write job
+            df = self._with_row_hash(df, cols)
+            metrics += [
+                F.bit_xor(F.col("_h")).alias("crc_xor"),
+                (
+                    F.sum("_len").cast("long")
+                    if "_len" in df.columns
+                    else F.lit(-1).cast("long")
+                ).alias("total_bytes"),
+            ]
+        metrics.append(F.count(F.lit(1)).alias("total_kvs"))
+        id_col = self._alloc_id_column(df, schema)
+        if id_col:
+            metrics.append(F.max(F.col(id_col).cast("long")).alias("max_id"))
+        obs = Observation(f"write:{name}{tag}")
+        df = df.observe(obs, *metrics).drop(
+            *[c for c in ("_h", "_len") if c in df.columns]
+        )
+        return df, obs
+
+    @staticmethod
+    def _merge_ck(a: Checksum | None, b: Checksum) -> Checksum:
+        """XOR-monoid merge of engine checksums; a -1 byte count is
+        the xxdirect 'bytes not tracked' sentinel and must stay -1."""
+        if a is None:
+            return b
+        nbytes = (
+            -1
+            if (a.total_bytes < 0 or b.total_bytes < 0)
+            else a.total_bytes + b.total_bytes
+        )
+        return Checksum(
+            a.crc_xor ^ b.crc_xor, nbytes, a.total_kvs + b.total_kvs
+        )
+
+    def _restore_single(
+        self, name: str, meta: MDTableMeta, schema: TableSchema, cols: list[str]
+    ):
+        """Whole-table single write job (table-grain resume)."""
+        df = self.read_table(meta, schema)
+        self.cp.set_table_status(name, Status.LOADED)
+        df, obs = self._observe_write(df, name, cols, schema, self.cfg.checksum)
+        res = self.sink.write(df, name)
+        m = obs.get
+        local = (
+            Checksum(m["crc_xor"] or 0, m["total_bytes"], m["total_kvs"])
+            if self.cfg.checksum
+            else None
+        )
+        rows = res.rows if res.rows >= 0 else m["total_kvs"]
+        self.cp.mark_chunks(
+            name, [f.path for f in meta.data_files], Status.ALL_WRITTEN
+        )
+        if self._ticker:
+            self._ticker.add(meta.total_size)
+        return local, rows, m.get("max_id")
+
+    def _restore_engines(
+        self,
+        name: str,
+        meta: MDTableMeta,
+        schema: TableSchema,
+        cols: list[str],
+        engines: list[list],
+    ):
+        """File-grain checkpoint resume (O5): one idempotent
+        write-engine job per batch, each batch's files marked
+        ALL_WRITTEN with the engine's checksum-so-far persisted
+        (checkpoints.go:92-130); a resumed run skips delivered
+        engines without re-reading their data (restore.go:861-870),
+        rebuilding the table's local checksum from the stored
+        triples."""
+        want_cs = self.cfg.checksum
+        total: Checksum | None = None
+        rows = 0
+        max_id: int | None = None
+        loaded = False
+        for eid, files in enumerate(engines):
+            paths = [f.path for f in files]
+            saved = self.cp.engine_state(name, eid)
+            delivered = saved is not None and all(
+                self.cp.chunk_status(name, p) >= Status.ALL_WRITTEN
+                for p in paths
+            )
+            if delivered:
+                if want_cs and saved.get("crc_xor") is not None:
+                    total = self._merge_ck(
+                        total,
+                        Checksum(
+                            saved["crc_xor"],
+                            saved["total_bytes"],
+                            saved["total_kvs"],
+                        ),
+                    )
+                rows += int(saved.get("rows") or 0)
+                if saved.get("max_id") is not None:
+                    max_id = max(max_id or 0, int(saved["max_id"]))
+                log.info(
+                    "[table: %s] engine %d already delivered, skipping "
+                    "%d file(s)", name, eid, len(paths)
+                )
+                continue
+            df = self.read_table(meta, schema, only=set(paths))
+            if not loaded:
+                self.cp.set_table_status(name, Status.LOADED)
+                loaded = True
+            df, obs = self._observe_write(
+                df, name, cols, schema, want_cs, tag=f":e{eid}"
+            )
+            self.sink.write_engine(df, name, eid)
+            m = obs.get
+            rec = {
+                "rows": int(m["total_kvs"]),
+                "max_id": int(m["max_id"]) if m.get("max_id") is not None else None,
+            }
+            if want_cs:
+                ck = Checksum(
+                    int(m["crc_xor"] or 0),
+                    int(m["total_bytes"]),
+                    int(m["total_kvs"]),
+                )
+                rec.update(
+                    crc_xor=ck.crc_xor,
+                    total_bytes=ck.total_bytes,
+                    total_kvs=ck.total_kvs,
+                )
+                total = self._merge_ck(total, ck)
+            rows += int(m["total_kvs"])
+            if rec["max_id"] is not None:
+                max_id = max(max_id or 0, rec["max_id"])
+            # write THEN record, like the reference's deliver loop
+            # (restore.go:1601-1634): a crash in between re-runs the
+            # engine, whose directory-replace delivery is idempotent
+            self.cp.set_engine_state(name, eid, rec)
+            self.cp.mark_chunks(name, paths, Status.ALL_WRITTEN)
+            if self._ticker:
+                self._ticker.add(sum(f.size for f in files))
+        return total, rows, max_id
+
     def restore_table(
         self, name: str, meta: MDTableMeta, schema: TableSchema
     ) -> TableResult:
         """One table's restore as (ideally) two data passes:
 
-        pass 1 — read -> transform -> WRITE, with the C1 checksum
-        triple + row count computed *during* the write via
-        ``df.observe`` (the Spark analog of the reference computing
-        checksums inside the deliver loop, restore.go:1557-1638:
-        no separate source scan);
+        pass 1 — read -> transform -> WRITE (one job per engine
+        batch; a single batch for most tables), with the C1 checksum
+        triple + row count + max alloc-id computed *during* the write
+        via ``df.observe``;
 
-        pass 2 — sink read-back computing (checksum, max-rowid) in a
+        pass 2 — sink read-back computing (checksum, row count) in a
         single aggregate: C2 remote checksum + C4 AllocBase together
         (restore.go:998-1053 runs these as separate post-process
-        steps against TiDB; one scan serves both here).
+        steps against TiDB; one scan serves both here). When checksum
+        verification is off and no dedup mode can drop rows, pass 2
+        is SKIPPED entirely — the write job's observation already
+        carries rows + max-id, so the restore is one data pass.
         """
-        from pyspark.sql import Observation
-
         t0 = time.monotonic()
         try:
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
                 return TableResult(table=name, status="skipped")
-            df = self.read_table(meta, schema)
-            self.cp.set_table_status(name, Status.LOADED)
-
             cols = [c.name for c in schema.columns]
             keys = schema.primary_key
-            if isinstance(self.sink, ParquetSink) and keys:
-                self.sink.key_columns[name] = keys
-
-            local = None
-            obs = None
+            if isinstance(self.sink, ParquetSink):
+                if keys:
+                    self.sink.key_columns[name] = keys
+                if schema.partition_col and schema.partition_count:
+                    # PARTITION BY HASH/KEY target -> partitioned
+                    # parquet layout (tests/partitioned-table)
+                    self.sink.partition_spec[name] = (
+                        schema.partition_col,
+                        schema.partition_count,
+                    )
             dedup_may_drop = bool(keys) and self.cfg.on_duplicate in (
                 "replace",
                 "ignore",
             )
-            if self.cfg.checksum:
-                # row hash projected ONCE into _h (+_len for the
-                # canonical modes); the observe aggregates only touch
-                # those columns, so hashing runs once per row inside
-                # the write job
-                df = self._with_row_hash(df, cols)
-                obs = Observation(f"checksum:{name}")
-                metrics = [
-                    F.bit_xor(F.col("_h")).alias("crc_xor"),
-                    (
-                        F.sum("_len").cast("long")
-                        if "_len" in df.columns
-                        else F.lit(-1).cast("long")
-                    ).alias("total_bytes"),
-                    F.count(F.lit(1)).alias("total_kvs"),
-                ]
-                df = df.observe(obs, *metrics).drop(
-                    *[c for c in ("_h", "_len") if c in df.columns]
-                )
 
-            res = self.sink.write(df, name)
+            engines = plan_engines(
+                meta.data_files, self.cfg.mydumper.batch_size
+            )
+            # engine grain needs: >1 batch, a checkpoint store to
+            # record progress in, a sink with idempotent engine
+            # delivery, and no cross-engine keyed dedup (replace/
+            # ignore rewrite rows across the whole table -> those
+            # stay single-shot; dup=error is verified post-hoc below)
+            engine_grain = (
+                len(engines) > 1
+                and self.cp.enabled
+                and not dedup_may_drop
+                and not self.cfg.mydumper.csv.strict_parser
+                and type(self.sink).write_engine is not Sink.write_engine
+            )
+            if engine_grain:
+                local, rows, obs_max_id = self._restore_engines(
+                    name, meta, schema, cols, engines
+                )
+            else:
+                local, rows, obs_max_id = self._restore_single(
+                    name, meta, schema, cols
+                )
             self.cp.set_table_status(name, Status.IMPORTED)
 
-            if obs is not None:
-                m = obs.get
-                local = Checksum(
-                    m["crc_xor"], m["total_bytes"], m["total_kvs"]
-                )
-            rows = res.rows if res.rows >= 0 else (local.total_kvs if local else -1)
-
-            # pass 2: one read-back scan -> remote checksum + alloc base
-            back = self.sink.read_back(self.spark, name)
-            id_col = self._alloc_id_column(back, schema)
-            aggs = []
-            proj = back
-            if self.cfg.checksum and local is not None and not dedup_may_drop:
-                from ..functions.checksum import canonical_row
-                from ..functions.hashing import hash60
-
-                proj = self._with_row_hash(back, cols)
-                aggs += [
-                    F.bit_xor(F.col("_h")).alias("crc_xor"),
-                    (
-                        F.sum("_len").cast("long")
-                        if "_len" in proj.columns
-                        else F.lit(-1).cast("long")
-                    ).alias("total_bytes"),
-                    F.count(F.lit(1)).alias("total_kvs"),
-                ]
-            if id_col:
-                aggs.append(F.max(F.col(id_col).cast("long")).alias("max_id"))
-            if dedup_may_drop:
-                # observation counted pre-dedup rows; report the
-                # sink's actual row count instead
-                aggs.append(F.count(F.lit(1)).alias("sink_rows"))
+            # pass 2 (only when something must be read back)
+            need_remote = self.cfg.checksum and local is not None
+            post_dup_check = engine_grain and bool(keys) and (
+                self.cfg.on_duplicate == "error"
+            )
             base = 1
-            if aggs:
-                row = proj.agg(*aggs).collect()[0]
-                if "sink_rows" in row.__fields__:
-                    rows = row["sink_rows"]
-                if "crc_xor" in row.__fields__:
-                    remote = Checksum(
-                        row["crc_xor"], row["total_bytes"], row["total_kvs"]
+            if need_remote or dedup_may_drop or post_dup_check:
+                back = self.sink.read_back(self.spark, name)
+                if post_dup_check:
+                    dup = (
+                        back.groupBy(*keys)
+                        .count()
+                        .filter(F.col("count") > 1)
+                        .limit(1)
+                        .collect()
                     )
-                    if remote != local:
+                    if dup:
                         raise ValueError(
-                            f"checksum mismatched remote vs local => "
-                            f"(checksum: {remote.crc_xor} vs {local.crc_xor}) "
-                            f"(total_kvs: {remote.total_kvs} vs {local.total_kvs}) "
-                            f"(total_bytes: {remote.total_bytes} vs "
-                            f"{local.total_bytes})"
+                            f"Duplicate entry for key {dup[0]}"
                         )
+                id_col = self._alloc_id_column(back, schema)
+                aggs = []
+                proj = back
+                if need_remote and not dedup_may_drop:
+                    proj = self._with_row_hash(back, cols)
+                    aggs += [
+                        F.bit_xor(F.col("_h")).alias("crc_xor"),
+                        (
+                            F.sum("_len").cast("long")
+                            if "_len" in proj.columns
+                            else F.lit(-1).cast("long")
+                        ).alias("total_bytes"),
+                        F.count(F.lit(1)).alias("total_kvs"),
+                    ]
                 if id_col:
-                    base = (row["max_id"] or 0) + 1
-                if rows < 0 and "total_kvs" in row.__fields__:
-                    rows = row["total_kvs"]
+                    aggs.append(
+                        F.max(F.col(id_col).cast("long")).alias("max_id")
+                    )
+                if dedup_may_drop:
+                    # observation counted pre-dedup rows; report the
+                    # sink's actual row count instead
+                    aggs.append(F.count(F.lit(1)).alias("sink_rows"))
+                if aggs:
+                    row = proj.agg(*aggs).collect()[0]
+                    if "sink_rows" in row.__fields__:
+                        rows = row["sink_rows"]
+                    if "crc_xor" in row.__fields__:
+                        remote = Checksum(
+                            row["crc_xor"] or 0,
+                            row["total_bytes"],
+                            row["total_kvs"],
+                        )
+                        if remote != local:
+                            raise ValueError(
+                                f"checksum mismatched remote vs local => "
+                                f"(checksum: {remote.crc_xor} vs {local.crc_xor}) "
+                                f"(total_kvs: {remote.total_kvs} vs {local.total_kvs}) "
+                                f"(total_bytes: {remote.total_bytes} vs "
+                                f"{local.total_bytes})"
+                            )
+                    if id_col:
+                        base = (row["max_id"] or 0) + 1
+                    if rows < 0 and "total_kvs" in row.__fields__:
+                        rows = row["total_kvs"]
+            elif obs_max_id is not None:
+                # no read-back needed: nothing was dropped, so the
+                # write job's observed max id IS the alloc base (C4
+                # with zero extra jobs)
+                base = int(obs_max_id) + 1
+            self.cp.set_alloc_base(name, base)
             if self.cfg.checksum:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)
+            else:
+                self.cp.set_table_status(name, Status.CHECKSUM_SKIPPED)
             if self.cfg.compact:
                 # post-restore full compaction is opt-in, like the
                 # reference (config.go:122-123 default false)
                 self.sink.finalize(self.spark, name)
-            self.cp.set_table_status(name, Status.ANALYZED)
+            # C5: ANALYZE actually runs (restore.go:1038-1050) — the
+            # ANALYZED status is only recorded when the sink computed
+            # statistics
+            if self.cfg.analyze and self.sink.analyze(self.spark, name):
+                self.cp.set_table_status(name, Status.ANALYZED)
+            else:
+                self.cp.set_table_status(name, Status.ANALYZE_SKIPPED)
             return TableResult(
                 table=name,
                 status="restored",
@@ -531,18 +805,33 @@ class RestoreController:
         ordered = sorted(
             schemas.items(), key=lambda kv: kv[1][0].total_size
         )
-        conc = max(int(getattr(self.cfg, "table_concurrency", 1)), 1)
-        if conc == 1 or len(ordered) <= 1:
-            for name, (meta, schema) in ordered:
-                summary.tables[name] = self.restore_table(name, meta, schema)
-        else:
-            with cf.ThreadPoolExecutor(max_workers=conc) as pool:
-                futs = {
-                    pool.submit(self.restore_table, name, meta, schema): name
-                    for name, (meta, schema) in ordered
-                }
-                for fut in cf.as_completed(futs):
-                    summary.tables[futs[fut]] = fut.result()
+        interval = float(getattr(self.cfg, "progress_interval", 0) or 0)
+        if interval > 0 and ordered:
+            self._ticker = _ProgressTicker(
+                sum(meta.total_size for _, (meta, _s) in ordered), interval
+            ).start()
+        try:
+            conc = max(int(getattr(self.cfg, "table_concurrency", 1)), 1)
+            if conc == 1 or len(ordered) <= 1:
+                for name, (meta, schema) in ordered:
+                    summary.tables[name] = self.restore_table(
+                        name, meta, schema
+                    )
+            else:
+                with cf.ThreadPoolExecutor(max_workers=conc) as pool:
+                    futs = {
+                        pool.submit(
+                            self.restore_table, name, meta, schema
+                        ): name
+                        for name, (meta, schema) in ordered
+                    }
+                    for fut in cf.as_completed(futs):
+                        summary.tables[futs[fut]] = fut.result()
+        finally:
+            if self._ticker:
+                self._ticker.emit()  # final progress line
+                self._ticker.stop()
+                self._ticker = None
         if summary.ok:
             self.cp.clean()  # [6]
         return summary

@@ -39,8 +39,27 @@ class Sink(ABC):
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         """Re-scan the sink for checksum verification (C2)."""
 
+    def write_engine(
+        self, df: DataFrame, table: str, engine_id: int
+    ) -> SinkResult:
+        """Deliver one engine batch IDEMPOTENTLY: re-delivering the
+        same engine_id replaces that engine's rows only (the
+        WriteRows->ImportEngine unit, backend.go:80-118), which is
+        what makes file-grain checkpoint resume safe — a crash after
+        delivery but before the checkpoint mark re-runs the engine
+        without duplicating rows. Sinks that cannot isolate engines
+        leave this unimplemented; the pipeline then restores the
+        table single-shot (table-grain resume only)."""
+        raise NotImplementedError
+
     def finalize(self, spark: SparkSession, table: str) -> None:
-        """Post-import: compaction/OPTIMIZE/ANALYZE analog (O9/C5)."""
+        """Post-import: compaction/OPTIMIZE analog (O9)."""
+
+    def analyze(self, spark: SparkSession, table: str) -> bool:
+        """C5: compute optimizer statistics on the restored table
+        (ANALYZE TABLE, restore.go:1038-1050). Returns True if
+        statistics were actually computed."""
+        return False
 
     def cleanup(self, table: str) -> None:
         """Drop staged state (CleanupEngine analog)."""

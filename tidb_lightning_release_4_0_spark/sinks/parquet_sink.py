@@ -25,13 +25,29 @@ class ParquetSink(Sink):
         root: str,
         on_duplicate: str = "replace",
         key_columns: dict[str, list[str]] | None = None,
+        partition_spec: dict[str, tuple[str, int]] | None = None,
     ):
         self.root = root
         self.on_duplicate = on_duplicate
         self.key_columns = key_columns or {}
+        # table -> (column, n): PARTITION BY HASH/KEY targets map to a
+        # partitioned parquet layout, `_p = value mod n` directory
+        # partitions (MySQL hash partitioning is modulo for integer
+        # columns; tests/partitioned-table golden)
+        self.partition_spec = partition_spec or {}
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table.replace("`", ""))
+
+    def _partitioned(self, df: DataFrame, table: str):
+        spec = self.partition_spec.get(table)
+        if not spec or spec[0] not in df.columns or spec[1] <= 0:
+            return df, []
+        col, n = spec
+        return (
+            df.withColumn("_p", F.pmod(F.col(col).cast("long"), F.lit(n))),
+            ["_p"],
+        )
 
     def write(self, df: DataFrame, table: str) -> SinkResult:
         path = self._path(table)
@@ -61,7 +77,8 @@ class ParquetSink(Sink):
             # tidb.go:271-316).
             tmp = path + ".staging"
             shutil.rmtree(tmp, ignore_errors=True)
-            df.write.mode("overwrite").parquet(tmp)
+            pdf, pcols = self._partitioned(df, table)
+            pdf.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
             spark = df.sparkSession
             dup = (
                 spark.read.parquet(tmp)
@@ -76,7 +93,8 @@ class ParquetSink(Sink):
             shutil.rmtree(path, ignore_errors=True)
             os.replace(tmp, path)
         else:
-            df.write.mode("overwrite").parquet(path)
+            pdf, pcols = self._partitioned(df, table)
+            pdf.write.mode("overwrite").partitionBy(*pcols).parquet(path)
         # rows are reported by the caller's Observation (no extra scan)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -85,8 +103,36 @@ class ParquetSink(Sink):
         )
         return SinkResult(table=table, rows=-1, bytes_written=size)
 
+    def write_engine(
+        self, df: DataFrame, table: str, engine_id: int
+    ) -> SinkResult:
+        """One engine batch -> one overwritten subdirectory.
+
+        ``engine_<id>`` is overwritten atomically per delivery (Spark
+        job commit), so re-running an engine after a crash between
+        delivery and checkpoint mark is idempotent — the K2 engine
+        lifecycle (OpenEngine->ImportEngine, backend.go:80-118) mapped
+        onto directory-grain replace. Keyed dedup modes are handled by
+        the caller across engines."""
+        path = os.path.join(self._path(table), f"engine_{int(engine_id)}")
+        if "_row_id" in df.columns:
+            df = df.drop("_row_id")
+        df, pcols = self._partitioned(df, table)
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        return SinkResult(table=table, rows=-1, bytes_written=size)
+
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(self._path(table))
+        # recursive: the engine-grain path writes engine_<n>/
+        # subdirectories; single-shot writes files at the root —
+        # recursiveFileLookup reads both layouts
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            self._path(table)
+        )
 
     # target output file size for finalize-compaction (O9's
     # full-compact analog; Delta OPTIMIZE equivalent)
@@ -108,11 +154,38 @@ class ParquetSink(Sink):
         total = sum(os.path.getsize(f) for f in files)
         want = max(int(total / self.target_file_bytes), 1)
         if want < len(files) / 2:  # only rewrite when clearly fragmented
-            df = spark.read.parquet(path)
+            df = spark.read.option("recursiveFileLookup", "true").parquet(path)
             tmp = path + ".compact"
             df.coalesce(want).write.mode("overwrite").parquet(tmp)
             shutil.rmtree(path)
             os.replace(tmp, path)
+
+    def analyze(self, spark: SparkSession, table: str) -> bool:
+        """C5: register the restored parquet as an external catalog
+        table and run ANALYZE TABLE ... COMPUTE STATISTICS — the
+        Spark-native twin of the post-import ANALYZE the reference
+        executes against TiDB (restore.go:1038-1050). The catalog
+        entry persists: downstream queries on the registered name get
+        CBO row/size statistics."""
+        path = self._path(table)
+        if not os.path.isdir(path):
+            return False
+        import re
+
+        name = "tlr4s_" + re.sub(r"[^0-9A-Za-z_]", "_", table)
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        # explicit schema + recursive lookup: the engine-grain layout
+        # nests files under engine_<n>/ subdirectories
+        schema = self.read_back(spark, table).schema
+        spark.catalog.createTable(
+            name,
+            path=path,
+            source="parquet",
+            schema=schema,
+            recursiveFileLookup="true",
+        )
+        spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS")
+        return True
 
     def cleanup(self, table: str) -> None:
         shutil.rmtree(self._path(table), ignore_errors=True)

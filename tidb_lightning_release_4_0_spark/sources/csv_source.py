@@ -121,13 +121,28 @@ _TS_FORMAT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
 _DATE_FORMAT = "yyyy-MM-dd"
 
 
-def native_read_type(spec) -> T.DataType | None:
-    """The JVM-parser type for a column, or None to read as string."""
+def native_read_type(spec, strict: bool = False) -> T.DataType | None:
+    """The JVM-parser type for a column, or None to read as string.
+
+    Strict sql_mode keeps ints/dates native — every token the JVM
+    parser rejects (fractions, overflow, invalid dates like
+    2024-02-30, loose formats) lands in the corrupt record and
+    re-parses through mysql_cast(strict=True), which raises exactly
+    like the string path; tokens it accepts are value-identical.
+    float/double are EXCLUDED under strict: Double.parseDouble
+    accepts NaN/Infinity/hex-float/'5d' literals that strict MySQL
+    must reject, and those parse natively without a trace. (Empty
+    unquoted tokens are NOT a strict gap: univocity substitutes the
+    null sentinel for them, so '' reads as NULL in the string path
+    too; quoted '' fails the native parse and errors via the strict
+    fallback.)"""
     t = spec.mysql_type
     if spec.unsigned:
         return None
-    if t in _NATIVE_INTS or t in _NATIVE_FLOATS:
+    if t in _NATIVE_INTS:
         return spec.spark_type
+    if t in _NATIVE_FLOATS:
+        return None if strict else spec.spark_type
     if t == "date":
         return T.DateType()
     if t in ("datetime", "timestamp"):
@@ -167,6 +182,7 @@ def read_csv_native(
     cfg: CSVConfig,
     column_specs: list,  # list[ColumnSpec] in FILE column order
     byte_faithful: bool = True,
+    strict: bool = False,
 ) -> NativeCsvFrame:
     """S4 fast path: typed read with corrupt-record fallback.
 
@@ -199,7 +215,7 @@ def read_csv_native(
     fields = []
     native_cols: set[str] = set()
     for spec in column_specs:
-        nt = native_read_type(spec)
+        nt = native_read_type(spec, strict)
         if nt is not None:
             native_cols.add(spec.name)
         fields.append(T.StructField(spec.name, nt or T.StringType(), True))

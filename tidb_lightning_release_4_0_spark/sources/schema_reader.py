@@ -134,6 +134,11 @@ class TableSchema:
     columns: list[ColumnSpec]
     indexes: list[IndexSpec] = field(default_factory=list)
     partitioned: bool = False
+    # hash/key partitioning spec (PARTITION BY HASH(col) PARTITIONS n,
+    # tests/partitioned-table): the sink maps it to a partitioned
+    # output layout; range/list clauses only set `partitioned`
+    partition_col: str | None = None
+    partition_count: int = 0
 
     @property
     def struct_type(self) -> T.StructType:
@@ -406,11 +411,22 @@ def parse_create_table(sql: str) -> TableSchema:
                         spec.default = dv
         cols.append(spec)
 
+    # hash/key partitioning maps to a partitioned sink layout; the
+    # clause itself never affects row values (the reference loads
+    # partitioned targets transparently, tests/partitioned-table)
+    pm = re.search(
+        r"\bpartition\s+by\s+(?:linear\s+)?(hash|key)\s*\(\s*`?(\w+)`?\s*\)"
+        r"\s*(?:partitions\s+(\d+))?",
+        tail,
+        re.I,
+    )
     return TableSchema(
         name=tbl_name,
         columns=cols,
         indexes=indexes,
         partitioned=bool(re.search(r"\bpartition\s+by\b", tail, re.I)),
+        partition_col=pm.group(2) if pm else None,
+        partition_count=int(pm.group(3) or 0) if pm else 0,
     )
 
 

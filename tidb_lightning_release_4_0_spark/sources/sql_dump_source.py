@@ -483,6 +483,7 @@ def read_sql_dump(
     num_columns: int | None = None,
     split_bytes: int | None = None,
     columnar: bool = False,
+    all_files: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Parse mydumper .sql data files into (file, row_id, fields) rows.
 
@@ -507,7 +508,15 @@ def read_sql_dump(
     from ..operators.rowid import file_row_bases
 
     divisor = max((num_columns or 0) + 2, 1)
-    base_map = file_row_bases(files, num_columns or 0, is_sql=True)
+    # row-id bases always come from the table's FULL file list:
+    # engine-grain resume reads a subset of files per call, and the
+    # ids of a file must not depend on which other files ride along
+    # (checkpoint resume parity, restore.go:861-870)
+    base_map = file_row_bases(
+        all_files if all_files is not None else files,
+        num_columns or 0,
+        is_sql=True,
+    )
 
     if split_bytes is None:
         par = max(spark.sparkContext.defaultParallelism, 1)
