@@ -15,6 +15,7 @@ reorder + ``lit(default)`` + row-id column — fully inside codegen.
 from __future__ import annotations
 
 import datetime as _dt
+import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +24,27 @@ from ..sources.schema_reader import ColumnSpec, TableSchema
 from .cast import mysql_cast
 
 ROWID_COL = "_tidb_rowid"
+
+# Built cast expression trees cached per SparkSession. Unresolved
+# Column trees are plan-independent — the same tree selects against
+# any DataFrame carrying the referenced column names — and mysql_cast
+# builds hundreds of expression nodes per column, each a py4j
+# roundtrip (~0.7 s per 11-column plan build, measured). Without the
+# memo the identical tree is rebuilt for EVERY engine batch of every
+# restore; with it, plan construction is paid once per (schema,
+# sql-mode, charset) per session.
+_CAST_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _memo_cast(df: DataFrame, key: tuple, builder) -> Column:
+    try:
+        cache = _CAST_MEMO.setdefault(df.sparkSession, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        return builder()
+    col = cache.get(key)
+    if col is None:
+        col = cache[key] = builder()
+    return col
 
 
 def column_permutation(
@@ -110,13 +132,17 @@ def apply_permutation(
             if native_frame is not None and fname in native_frame.native_cols:
                 # typed by the JVM reader; mysql_cast only on rows the
                 # native parse rejected (re-parsed from the raw record)
-                fb = mysql_cast(
-                    native_frame.raw_field(fname),
-                    spec,
-                    strict,
-                    source_latin1,
-                    charset,
-                ).cast(spec.spark_type)
+                fb = _memo_cast(
+                    df,
+                    ("fb", fname, repr(spec), strict, source_latin1, charset),
+                    lambda: mysql_cast(
+                        native_frame.raw_field(fname),
+                        spec,
+                        strict,
+                        source_latin1,
+                        charset,
+                    ).cast(spec.spark_type),
+                )
                 expr = F.when(corrupt.isNull(), src.cast(spec.spark_type)).otherwise(fb)
                 # auto-inc NULL check must see the *raw* token on corrupt
                 # rows: a value MySQL would parse ('5.0', ' 5') reads as
@@ -137,14 +163,28 @@ def apply_permutation(
                     native_frame.raw_field(fname)
                 )
                 expr = (
-                    mysql_cast(raw_src, spec, strict, source_latin1, charset)
+                    _memo_cast(
+                        df,
+                        ("rawsrc", fname, repr(spec), strict,
+                         source_latin1, charset),
+                        lambda: mysql_cast(
+                            raw_src, spec, strict, source_latin1, charset
+                        ),
+                    )
                     if cast
                     else raw_src
                 )
                 src = raw_src  # for the auto-inc NULL check below
             else:
                 expr = (
-                    mysql_cast(src, spec, strict, source_latin1, charset)
+                    _memo_cast(
+                        df,
+                        ("plain", fname, repr(spec), strict,
+                         source_latin1, charset),
+                        lambda: mysql_cast(
+                            src, spec, strict, source_latin1, charset
+                        ),
+                    )
                     if cast
                     else src
                 )
