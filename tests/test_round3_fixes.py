@@ -442,6 +442,29 @@ def test_strict_mode_native_int_bad_token_raises(spark):
 
 
 # ---------------------------------------------------------------------------
+# O10: sink preflight probe
+# ---------------------------------------------------------------------------
+
+
+def test_sink_probe_fails_fast(spark):
+    files = {
+        "pf-schema-create.sql": b"CREATE DATABASE pf;",
+        "pf.t-schema.sql": b"create table t (i bigint primary key);",
+        "pf.t.sql": b"INSERT INTO t VALUES (1);",
+    }
+    d = _dump("probe", files)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir="/proc/definitely/not/writable",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    with pytest.raises(RuntimeError, match="not writable"):
+        RestoreController(spark, cfg).run()
+
+
+# ---------------------------------------------------------------------------
 # partitioned-table golden (tests/partitioned-table/run.sh)
 # ---------------------------------------------------------------------------
 

@@ -800,6 +800,11 @@ class RestoreController:
         multiplexes the concurrent jobs across executor cores)."""
         import concurrent.futures as cf
 
+        # [1] preflight requirement checks (O10, restore.go:1117-1134):
+        # fail the whole task early if the sink is unreachable, instead
+        # of recording one failure per table
+        self.sink.probe(self.spark)
+
         summary = RunSummary()
         schemas = self.load_schemas()
         ordered = sorted(

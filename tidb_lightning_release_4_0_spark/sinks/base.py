@@ -52,6 +52,12 @@ class Sink(ABC):
         table single-shot (table-grain resume only)."""
         raise NotImplementedError
 
+    def probe(self, spark: SparkSession) -> None:
+        """O10 preflight: verify the sink is reachable/writable BEFORE
+        any table work starts (the reference's requirement checks,
+        restore.go:1117-1134 — fail the task early, not per-table).
+        Raises on failure."""
+
     def finalize(self, spark: SparkSession, table: str) -> None:
         """Post-import: compaction/OPTIMIZE analog (O9)."""
 

@@ -193,6 +193,19 @@ class JDBCSink(Sink):
         df.foreachPartition(deliver)
         return SinkResult(table=table, rows=acc.value)
 
+    def probe(self, spark: SparkSession) -> None:
+        """O10: open (and close) one connection before any restore
+        work — the reference pings the target during its requirement
+        checks (restore.go:1117-1134)."""
+        if self.connection_factory is None:
+            return  # plain spark-jdbc path: no driver-side DBAPI
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute("SELECT 1")
+        finally:
+            conn.close()
+
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.jdbc(self.url, table, properties=self._props())
 

@@ -39,6 +39,19 @@ class ParquetSink(Sink):
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table.replace("`", ""))
 
+    def probe(self, spark: SparkSession) -> None:
+        """O10: the target root must be creatable and writable."""
+        try:
+            os.makedirs(self.root, exist_ok=True)
+            t = os.path.join(self.root, ".tlr4s_probe")
+            with open(t, "w") as f:
+                f.write("ok")
+            os.remove(t)
+        except OSError as e:
+            raise RuntimeError(
+                f"parquet sink target {self.root!r} is not writable: {e}"
+            ) from e
+
     def _partitioned(self, df: DataFrame, table: str):
         spec = self.partition_spec.get(table)
         if not spec or spec[0] not in df.columns or spec[1] <= 0:
