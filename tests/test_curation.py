@@ -1,0 +1,110 @@
+"""Unit edge cases for operators/curation.py (the registry oracle
+test covers the value-level Spark<->DuckDB equivalence)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.operators import curation as C
+
+
+def test_connected_components_chain(spark):
+    """A 4-node chain needs multiple propagation rounds (label must
+    travel the diameter); a separate pair stays its own cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["left_id", "right_id"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "left_id long, right_id long")
+    assert C.connected_components(pairs).count() == 0
+
+
+def test_connected_components_up_down_path(spark):
+    """Min label must cross a peak: 2-10, 10-1 — node 2 only reaches
+    cluster id 1 through the larger node 10."""
+    pairs = spark.createDataFrame([(2, 10), (1, 10)], ["left_id", "right_id"])
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 10: 1}
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -2.0])], ["vec_id", "embedding"]
+    )
+    rows = {
+        r["vec_id"]: r for r in C.quantize_embeddings(df).collect()
+    }
+    assert rows[1]["scale"] == 1.0 and rows[1]["qvec"] == "0,0"
+    # scale = 2/127; max component quantizes to -127, the other to 64
+    assert rows[2]["qvec"] == "64,-127"
+
+
+def test_pack_sequences_straddle(spark):
+    """Docs straddle the budget boundary: seq_id/offset follow the
+    running prefix sum, per shard."""
+    df = spark.createDataFrame(
+        [
+            (1, "a " * 300, "s1"),   # 300 tokens -> seq 0 @ 0
+            (2, "b " * 300, "s1"),   # starts at 300 -> seq 0 @ 300
+            (3, "c " * 10, "s1"),    # starts at 600 -> seq 1 @ 88
+            (4, "d " * 5, "s2"),     # other shard resets -> seq 0 @ 0
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["doc_id"]: (r["seq_id"], r["offset"])
+        for r in C.pack_sequences(df, budget=512).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (0, 0)}
+
+
+def test_decontaminate_disjoint(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(2, "one two three four five six")], ["doc_id", "text"]
+    )
+    assert C.decontaminate(corpus, bench, k=5).count() == 0
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    text = "one two three four five six"
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(9, text)], ["doc_id", "text"])
+    rows = C.decontaminate(corpus, bench, k=5).collect()
+    # 6 tokens -> two 5-grams, both shared
+    assert rows == [
+        spark.createDataFrame(
+            [(1, 2)], ["doc_id", "n_shared_grams"]
+        ).collect()[0]
+    ] or (rows[0]["doc_id"] == 1 and rows[0]["n_shared_grams"] == 2)
+
+
+def test_stratified_sample_exact_n(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr") for i in range(40)],
+        ["doc_id", "lang"],
+    )
+    out = C.stratified_sample(df, ["lang"], 5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"en": 5, "fr": 5}
+    # deterministic: same result on a rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in C.stratified_sample(df, ["lang"], 5).collect()
+    )
+    assert a == b

@@ -1,0 +1,449 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §7 M7): the steps that turn a
+raw ingested corpus into a training set —
+
+- **connected components** over near-dup candidate pairs, so that
+  transitive duplicate chains (A~B, B~C) collapse into one cluster
+  and a single survivor can be elected per cluster (plain pairwise
+  "drop the right side" over-keeps on chains).
+- **test-set decontamination**: flag corpus documents sharing any
+  k-gram with a benchmark/eval set (the n-gram-overlap rule used by
+  public LM data pipelines).
+- **deterministic stratified sampling**: exact top-n per stratum in
+  pseudo-random (hash) order — reproducible across runs and engines,
+  unlike ``rand()``-based sampling.
+- **quality filtering**: keep/drop with a first-failing-rule reason
+  column, built from the operators/text.py metrics.
+- **sequence packing**: assign documents to fixed token-budget
+  training sequences by running prefix-sum within a shard.
+- **embedding quantization**: int8 scalar quantization with a
+  per-vector scale, the standard memory-reduction step before ANN
+  indexing.
+
+All operators are pure Spark built-ins (whole-stage codegen; the one
+iterative operator — connected components — loops small DataFrame
+jobs on the driver with localCheckpoint lineage truncation). Every
+operator has an exact DuckDB-SQL twin for oracle verification.
+
+Scale notes (100 TB):
+- connected_components runs on the candidate-PAIR graph, which is
+  orders of magnitude smaller than the corpus (only near-dup
+  candidates appear). Rounds = O(cluster diameter); dup clusters are
+  near-star-shaped so 2-4 rounds dominate in practice. Each round is
+  two hash joins partitioned by node id. For adversarial long-chain
+  graphs, switch to large-star/small-star (same loop skeleton).
+- decontaminate broadcasts the benchmark gram set (eval sets are
+  tiny vs the corpus) — corpus side stays narrow: explode + hash
+  semi-join + per-doc count, no corpus-wide shuffle of text.
+- stratified_sample's exact per-stratum top-n funnels each stratum
+  through one reducer; for huge strata use the documented
+  hash-threshold variant (WHERE hash % M < k*M/N — no global sort).
+- pack_sequences partitions by shard (``source``), so the running
+  sum parallelizes across shards; a global pack would serialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash60, hash60_duckdb
+from .dedup import word_shingles, word_shingles_sql_duckdb
+from .text import (
+    punct_ratio,
+    punct_ratio_sql_duckdb,
+    stopword_ratio,
+    stopword_ratio_sql_duckdb,
+    token_count,
+    token_count_sql_duckdb,
+)
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``;
+    cluster_id = min node id in the connected component.
+
+    Min-label propagation: label(v) starts at min(v, neighbors(v))
+    and each round takes the min over neighbors' labels. Labels are
+    monotonically non-increasing and bounded, so an unchanged
+    label-sum aggregate certifies the fixpoint. ``localCheckpoint``
+    per round truncates lineage (the loop would otherwise build an
+    exponentially deep plan)."""
+    e = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_nb"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nb")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        cand = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("_cand"))
+        )
+        labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_cand"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def connected_components_oracle_sql(pairs_sql: str) -> str:
+    """Recursive-CTE twin: full reachability, component = min reached.
+
+    Finite state space + UNION (distinct) guarantees termination;
+    only viable at oracle scale — the Spark loop is the scale path."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination (k-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, n_shared_grams) for corpus docs sharing at least one
+    k-word-gram with any benchmark document.
+
+    The benchmark gram set is deduplicated and broadcast (eval sets
+    are tiny); the corpus side is a narrow explode + broadcast-join
+    + per-doc count — the corpus text itself never shuffles."""
+    cg = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+    bg = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("gram")).alias("n_shared_grams"))
+    )
+
+
+def decontaminate_oracle_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 97 = 0",
+    k: int = 5,
+) -> str:
+    sh = word_shingles_sql_duckdb("text", k)
+    return f"""
+WITH cg AS (
+  SELECT doc_id, unnest({sh}) AS gram FROM {table}
+  WHERE NOT ({bench_pred})
+),
+bg AS (
+  SELECT DISTINCT unnest({sh}) AS gram FROM {table} WHERE {bench_pred}
+)
+SELECT doc_id, count(DISTINCT gram) AS n_shared_grams
+FROM cg JOIN bg USING (gram) GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n rows per stratum, chosen in deterministic pseudo-random
+    order (hash of the id, ties by id) — reproducible across runs,
+    engines, and partitionings, unlike ``rand()``.
+
+    Scale: one shuffle by strata; each stratum's top-n funnels
+    through a single reducer (row_number). For strata too large for
+    that, use rate-based hash sampling instead:
+    ``WHERE hash60(id) % M < n * M / stratum_count`` — fully narrow."""
+    key = hash60(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def stratified_sample_oracle_sql(
+    table: str,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    select_cols: list[str],
+    id_col: str = "doc_id",
+) -> str:
+    key = hash60_duckdb(f"cast({id_col} AS VARCHAR)")
+    strata = ", ".join(strata_cols)
+    return f"""
+SELECT {', '.join(select_cols)} FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {strata} ORDER BY {key} ASC, {id_col} ASC
+  ) AS _rk FROM {table}
+) WHERE _rk <= {n_per_stratum}
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality filtering with reasons
+# ---------------------------------------------------------------------------
+
+# First failing rule wins, evaluated in order. The Spark and SQL
+# builders MUST stay rule-for-rule in sync (the oracle test enforces
+# it value-for-value).
+def _quality_rules_spark(c: Column):
+    n = F.length(c)
+    tc = token_count(c)
+    mean_word = F.when(tc == 0, F.lit(0.0)).otherwise(n / tc)
+    return [
+        ("too_short", n < 100),
+        ("too_long", n > 10000),
+        ("high_punct", punct_ratio(c) >= 0.1),
+        ("low_stopword", stopword_ratio(c) < 0.01),
+        ("word_length", (mean_word < 3) | (mean_word > 12)),
+    ]
+
+
+def _quality_rules_sql(expr: str):
+    tc_sql = token_count_sql_duckdb(expr)
+    mean_sql = (
+        f"CASE WHEN ({tc_sql}) = 0 THEN 0.0 "
+        f"ELSE length({expr})::DOUBLE / ({tc_sql}) END"
+    )
+    return [
+        ("too_short", f"length({expr}) < 100"),
+        ("too_long", f"length({expr}) > 10000"),
+        ("high_punct", f"({punct_ratio_sql_duckdb(expr)}) >= 0.1"),
+        ("low_stopword", f"({stopword_ratio_sql_duckdb(expr)}) < 0.01"),
+        ("word_length", f"(({mean_sql}) < 3 OR ({mean_sql}) > 12)"),
+    ]
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, keep, reason): reason = first failing rule, 'ok' when
+    the document passes every rule. Narrow per-row projection."""
+    c = F.col(text_col)
+    reason = None
+    for name, pred in _quality_rules_spark(c):
+        reason = (
+            F.when(pred, F.lit(name))
+            if reason is None
+            else reason.when(pred, F.lit(name))
+        )
+    reason = reason.otherwise(F.lit("ok"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def quality_filter_oracle_sql(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    cases = " ".join(
+        f"WHEN {sql} THEN '{name}'"
+        for name, sql in _quality_rules_sql(text_col)
+    )
+    reason = f"CASE {cases} ELSE 'ok' END"
+    return (
+        f"SELECT doc_id, ({reason}) = 'ok' AS keep, {reason} AS reason "
+        f"FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign docs to fixed token-budget training sequences by running
+    prefix-sum of token counts within each shard (docs may straddle a
+    sequence boundary — document-level chunking accounting).
+
+    Output: (doc_id, shard, n_tokens, seq_id, offset) where seq_id is
+    the sequence the doc STARTS in and offset its start position.
+    Partitioned by shard, so packing parallelizes across shards."""
+    nt = token_count(F.col(text_col))
+    # window refers to the POST-rename columns (shard/doc_id)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(shard_col).alias("shard"),
+            nt.cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (cum - F.col("n_tokens")).alias("_start"),
+        )
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            F.floor(F.col("_start") / budget).cast("long").alias("seq_id"),
+            (F.col("_start") % budget).cast("long").alias("offset"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str = "documents",
+    budget: int = 512,
+    shard_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    tc = token_count_sql_duckdb(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {shard_col} AS shard,
+         ({tc})::BIGINT AS n_tokens FROM {table}
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - n_tokens AS _start
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (_start // {budget})::BIGINT AS seq_id,
+       (_start % {budget})::BIGINT AS offset
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Int8 scalar quantization: per-vector scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5) (round-half-up, identical across
+    engines as pure double arithmetic; zero vectors get scale 1).
+
+    Output: (vec_id, scale rounded to 6, qvec as comma-joined string
+    — array cells stringify differently across engine→pandas bridges,
+    see q_minhash_signatures). Narrow per-row projection."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(1.0)).otherwise(amax / F.lit(127.0))
+    q = F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("long")
+    )
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(scale, 6).alias("scale"),
+        F.concat_ws(
+            ",", F.transform(q, lambda x: x.cast("string"))
+        ).alias("qvec"),
+    )
+
+
+def quantize_embeddings_oracle_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    v = f"list_transform({vec_col}, x -> cast(x AS DOUBLE))"
+    amax = f"list_max(list_transform(__v, x -> abs(x)))"
+    return f"""
+WITH t AS (SELECT {id_col} AS vec_id, {v} AS __v FROM {table}),
+s AS (
+  SELECT vec_id, __v,
+         CASE WHEN {amax} = 0.0 THEN 1.0 ELSE {amax} / 127.0 END AS __s
+  FROM t
+)
+SELECT vec_id, round(__s, 6) AS scale,
+       array_to_string(list_transform(__v,
+         x -> cast(cast(floor(x / __s + 0.5) AS BIGINT) AS VARCHAR)),
+         ',') AS qvec
+FROM s
+"""

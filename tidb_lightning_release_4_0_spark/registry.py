@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.checksum import checksum_df, checksum_oracle_sql
+from .operators import curation as CU
 from .operators import dedup as D
 from .operators import similarity as S
 from .operators import text as X
@@ -639,6 +640,88 @@ def q_chunk_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation operators (M7: training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster(spark, sf_dir):
+    """Connected components over the MinHash near-dup pair graph:
+    transitive chains (A~B, B~C) collapse to one cluster keyed by the
+    min doc_id (operators/curation.py — min-label propagation on the
+    candidate-pair graph, which is tiny vs the corpus)."""
+    from .operators import curation as C
+
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return C.connected_components(pairs)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: corpus docs sharing any 5-word-gram
+    with the held-out benchmark slice (doc_id % 97 = 0). Benchmark
+    gram set is broadcast; corpus text never shuffles."""
+    from .operators import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return C.decontaminate(corpus, bench, k=5)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly 25 docs per lang in
+    hash-of-id pseudo-random order — reproducible across engines,
+    unlike rand()-based sampling."""
+    from .operators import curation as C
+
+    d = _t(spark, sf_dir, "documents")
+    return C.stratified_sample(d, ["lang"], 25).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality filter with first-failing-rule reason column
+    (length band, punct ratio, stopword floor, mean word length)."""
+    from .operators import curation as C
+
+    return C.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: running token prefix-sum within each source
+    shard assigns docs to 512-token training sequences (parallel
+    across shards)."""
+    from .operators import curation as C
+
+    return C.pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column with
+    per-vector scale (round-half-up, engine-exact arithmetic)."""
+    from .operators import curation as C
+
+    return C.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+def q_token_histogram(spark, sf_dir):
+    """Token-count distribution: 50-token buckets with doc count and
+    token mass per bucket (map-side combined aggregate)."""
+    nt = X.token_count(F.col("text")).cast("long")
+    return (
+        _t(spark, sf_dir, "documents")
+        .select((F.floor(nt / 50) * 50).cast("long").alias("bucket"), nt.alias("_nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
 
@@ -689,6 +772,13 @@ def build_queries():
         "range_join_events": q_range_join_events,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
+        "dedup_cluster": q_dedup_cluster,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "quality_filter": q_quality_filter,
+        "pack_sequences": q_pack_sequences,
+        "quantize_embeddings": q_quantize_embeddings,
+        "token_histogram": q_token_histogram,
     }
 
 
@@ -982,5 +1072,27 @@ def build_oracle_sql():
                         AS DECIMAL(18,6)) AS DOUBLE) AS p95
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "dedup_cluster": CU.connected_components_oracle_sql(
+            D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
+        ),
+        "decontaminate": CU.decontaminate_oracle_sql(
+            "documents", "doc_id % 97 = 0", k=5
+        ),
+        "sample_stratified": CU.stratified_sample_oracle_sql(
+            "documents", ["lang"], 25, ["doc_id", "lang", "source"]
+        ),
+        "quality_filter": CU.quality_filter_oracle_sql("documents"),
+        "pack_sequences": CU.pack_sequences_oracle_sql(
+            "documents", budget=512
+        ),
+        "quantize_embeddings": CU.quantize_embeddings_oracle_sql(
+            "embeddings"
+        ),
+        "token_histogram": f"""
+            SELECT (({tq}) // 50 * 50)::BIGINT AS bucket,
+                   count(*) AS n_docs,
+                   sum(({tq})::BIGINT)::BIGINT AS total_tokens
+            FROM documents GROUP BY 1
         """,
     }
