@@ -121,3 +121,36 @@ def test_all_queries_return_dataframes(spark, sf_dir):
     for name, fn in build_queries().items():
         df = fn(spark, sf_dir)
         assert df.columns, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval sets are tiny);
+    corpus scan stays pruned to (doc_id, text)."""
+    from tidb_lightning_release_4_0_spark.registry import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("lang" not in l and "n_chars" not in l for l in read), read
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    """Packing parallelizes across shards: exactly one exchange (by
+    shard) feeds the running-sum window."""
+    from tidb_lightning_release_4_0_spark.registry import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, sf_dir))
+    # formatted explain prints each node twice (tree + details) —
+    # count tree nodes only
+    assert plan.count("- Exchange") == 1, plan
+
+
+def test_stratified_sample_partial_topn(spark, sf_dir):
+    """Spark's WindowGroupLimit must apply the per-stratum top-n on
+    the map side (Partial) before the shuffle — the property that
+    keeps exact stratified sampling viable on large strata."""
+    from tidb_lightning_release_4_0_spark.registry import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
