@@ -1,0 +1,209 @@
+"""Continuous restore: the batch ingest pipeline as a Structured
+Streaming job.
+
+The reference is batch-only; its nearest concept is server mode —
+an HTTP task queue feeding identical batch pipelines
+(lightning/lightning.go:149-167, lightning/config/configlist.go).
+Spark-first, the task queue IS the file source: new dump files
+landing in the source directory become micro-batches, and each
+micro-batch runs the exact same permutation/cast ladder as the batch
+path (operators/permutation.py::apply_permutation), so semantics are
+identical by construction.
+
+Design (and why it survives a real cluster):
+
+- **File-source stream** with ``maxFilesPerTrigger``: Spark's file
+  source checkpoint tracks which dump files are consumed — the
+  streaming analog of the chunk checkpoint (checkpoints.go:92-130).
+- **Row-id allocation across micro-batches** mirrors the reference's
+  AllocBase chaining (restore.go:1005-1014): a JSON ledger in the
+  stream checkpoint dir reserves ``[base, base+n)`` per batch_id
+  BEFORE the batch writes. Replayed batches (crash between reserve
+  and commit) find their reservation and reuse it — ids never skip
+  or collide.
+- **Idempotent sink**: each micro-batch overwrites its own
+  ``batch=<id>`` subdirectory, so at-least-once foreachBatch replay
+  yields exactly-once table contents (the same replace-on-republish
+  trick the batch parquet sink's finalize uses).
+- **Incremental checksum**: the C1 XOR/sum monoid (checksum.go:77-86)
+  merges per-batch triples in the ledger — a crash-resumed stream
+  continues the running checksum instead of rescanning the sink.
+
+Per-batch dense row-ids are ordered by (source file, canonical row
+hash): deterministic for distinct rows; identical duplicate rows may
+permute ids among themselves across replays, which is
+data-equivalent (same multiset, same checksum).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.checksum import Checksum, canonical_row, checksum_df
+from ..operators.permutation import ROWID_COL, apply_permutation
+from ..sources.schema_reader import TableSchema
+
+
+class _Ledger:
+    """Atomic JSON state: row-id reservations + running checksum."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def load(self) -> dict:
+        try:
+            with open(self.path, "r", encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"next": 1, "batches": {}, "crc": 0, "bytes": 0, "kvs": 0}
+
+    def save(self, state: dict) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.path), suffix=".ledger"
+        )
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+
+class StreamingRestore:
+    """Continuous restore of one table from a growing dump directory
+    of headerless CSV parts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        source_dir: str,
+        sink_dir: str,
+        checkpoint_dir: str,
+        strict: bool = False,
+        charset: str = "utf8mb4",
+        sep: str = ",",
+        quote: str = '"',
+        max_files_per_trigger: int = 8,
+    ):
+        self.spark = spark
+        self.schema = schema
+        self.source_dir = source_dir
+        self.sink_dir = sink_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.strict = strict
+        self.charset = charset
+        self.sep = sep
+        self.quote = quote
+        self.max_files = max_files_per_trigger
+        self.ledger = _Ledger(os.path.join(checkpoint_dir, "rowid_ledger.json"))
+
+    # -- source ---------------------------------------------------------
+
+    def _raw_stream(self) -> DataFrame:
+        ncols = len(self.schema.columns)
+        st = T.StructType(
+            [T.StructField(f"_c{i}", T.StringType()) for i in range(ncols)]
+        )
+        return (
+            self.spark.readStream.schema(st)
+            .option("maxFilesPerTrigger", str(self.max_files))
+            .option("sep", self.sep)
+            .option("quote", self.quote)
+            .option("encoding", "ISO-8859-1")  # byte-faithful, as batch S4
+            .option("mode", "PERMISSIVE")
+            .csv(self.source_dir)
+        )
+
+    # -- per-batch transform -------------------------------------------
+
+    def _transform(self, batch_df: DataFrame, base: int) -> DataFrame:
+        """The batch-path ladder on one micro-batch: dense row-ids
+        from the reserved base, then permutation + MySQL cast."""
+        cols = [c.name for c in self.schema.columns]
+        df = batch_df.toDF(*cols).withColumn(
+            "_file", F.input_file_name()
+        )
+        rn = F.row_number().over(
+            Window.orderBy(
+                F.col("_file"),
+                F.md5(canonical_row(df, cols).cast("binary")),
+            )
+        )
+        df = df.withColumn("_rowid", (F.lit(base) - 1 + rn).cast("long"))
+        out = apply_permutation(
+            df,
+            self.schema,
+            cols,
+            rowid=F.col("_rowid"),
+            strict=self.strict,
+            source_latin1=True,
+            charset=self.charset,
+        )
+        return out
+
+    # -- sink -----------------------------------------------------------
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        state = self.ledger.load()
+        bid = str(batch_id)
+        if bid in state["batches"]:
+            # replayed batch: reuse its reservation, rewrite its dir
+            base = state["batches"][bid]["base"]
+        else:
+            base = state["next"]
+        out = self._transform(batch_df, base)
+        path = os.path.join(self.sink_dir, f"batch={batch_id}")
+        out.write.mode("overwrite").parquet(path)
+        # count + checksum from the WRITTEN data (one scan, no
+        # re-execution of the transform lineage)
+        written = self.spark.read.parquet(path)
+        row = checksum_df(written).collect()[0]
+        n = row["total_kvs"]
+        if bid not in state["batches"]:
+            c = Checksum(
+                row["crc_xor"] or 0, row["total_bytes"] or 0, n
+            ).add(Checksum(state["crc"], state["bytes"], state["kvs"]))
+            state["batches"][bid] = {"base": base, "rows": n}
+            state["next"] = base + n
+            state["crc"], state["bytes"], state["kvs"] = (
+                c.crc_xor,
+                c.total_bytes,
+                c.total_kvs,
+            )
+            self.ledger.save(state)
+
+    # -- driver ---------------------------------------------------------
+
+    def start(self, available_now: bool = True):
+        """Start the stream; availableNow drains the current directory
+        contents then stops (the batch-equivalence mode)."""
+        w = (
+            self._raw_stream()
+            .writeStream.foreachBatch(self._process_batch)
+            .option(
+                "checkpointLocation",
+                os.path.join(self.checkpoint_dir, "stream"),
+            )
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    def run_until_complete(self, timeout_s: int = 300) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_s)
+
+    def result(self) -> DataFrame:
+        """The restored table (batch view over all committed batches)."""
+        df = self.spark.read.parquet(self.sink_dir)
+        return df.drop("batch")
+
+    def checksum(self) -> Checksum:
+        s = self.ledger.load()
+        return Checksum(s["crc"], s["bytes"], s["kvs"])
