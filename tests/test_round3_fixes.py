@@ -263,7 +263,7 @@ def test_analyze_executes_parquet(spark):
     # status reflects a real ANALYZE run
     assert cp.table_status(name) == Status.ANALYZED
     # the registered catalog table carries CBO statistics
-    desc = spark.sql("DESCRIBE TABLE EXTENDED tlr4s_ana_t").collect()
+    desc = spark.sql("DESCRIBE TABLE EXTENDED tlr4s_ana.t").collect()
     stats = [r for r in desc if r["col_name"] == "Statistics"]
     assert stats and "rows" in stats[0]["data_type"], desc
 
@@ -565,3 +565,47 @@ def test_jdbc_write_single_pass(spark, tmp_path):
     # the source was evaluated exactly once per row (df.count() would
     # have doubled this)
     assert evals.value == 100
+
+
+# ---------------------------------------------------------------------------
+# 8. schema-DDL passthrough (K5, restore.go:329-373)
+# ---------------------------------------------------------------------------
+
+
+def test_init_schema_registers_catalog_table(spark):
+    """run() applies each dump DDL to the target catalog BEFORE data
+    lands: the database/table exist with the dump's structure, and
+    the registered name serves the restored rows afterwards."""
+    files = {
+        "k5db-schema-create.sql": b"CREATE DATABASE k5db;",
+        "k5db.t-schema.sql": (
+            b"create table t (i bigint primary key, s varchar(8));"
+        ),
+        "k5db.t.sql": b"INSERT INTO t VALUES (1,'a'), (2,'b');",
+    }
+    d = _dump("k5db", files)
+    tgt = os.path.join(TMP, "k5_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    tables = [r["tableName"] for r in spark.sql("SHOW TABLES IN tlr4s_k5db").collect()]
+    assert "t" in tables, tables
+    got = spark.sql("SELECT i, s FROM tlr4s_k5db.t ORDER BY i").collect()
+    assert [(r["i"], r["s"]) for r in got] == [(1, "a"), (2, "b")]
+
+
+def test_init_schema_jdbc_records_ddl(spark):
+    """The JDBC sink records (and without a live MySQL connection
+    does not execute) the verbatim dump DDL."""
+    from tidb_lightning_release_4_0_spark.sinks.jdbc_sink import JDBCSink
+
+    sink = JDBCSink("jdbc:mysql://x/db", "u", "p")
+    sink.init_schema(spark, "db.t", None, "CREATE TABLE t (i INT)")
+    assert sink.applied_ddl == ["CREATE TABLE t (i INT)"]

@@ -807,6 +807,20 @@ class RestoreController:
 
         summary = RunSummary()
         schemas = self.load_schemas()
+        # [2] schema restore (K5, restore.go:329-373): apply each
+        # dump DDL to the target catalog before any data lands
+        if not self.cfg.mydumper.no_schema:
+            from ..sources.schema_reader import export_statement
+
+            for name, (meta, schema) in schemas.items():
+                ddl = (
+                    export_statement(
+                        meta.schema_file, self.cfg.mydumper.character_set
+                    )
+                    if meta.schema_file
+                    else None
+                )
+                self.sink.init_schema(self.spark, name, schema, ddl)
         ordered = sorted(
             schemas.items(), key=lambda kv: kv[1][0].total_size
         )

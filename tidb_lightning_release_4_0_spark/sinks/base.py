@@ -58,6 +58,16 @@ class Sink(ABC):
         restore.go:1117-1134 — fail the task early, not per-table).
         Raises on failure."""
 
+    def init_schema(
+        self, spark: SparkSession, table: str, schema, ddl: str | None = None
+    ) -> None:
+        """K5 schema sink: apply the dump's schema DDL to the target
+        BEFORE any data lands (the reference's restoreSchema step
+        executes each *-schema.sql verbatim, restore.go:329-373).
+        ``ddl`` is the raw CREATE TABLE statement when available;
+        ``schema`` the parsed TableSchema. Default: no-op for sinks
+        without a catalog."""
+
     def finalize(self, spark: SparkSession, table: str) -> None:
         """Post-import: compaction/OPTIMIZE analog (O9)."""
 

@@ -122,6 +122,31 @@ class JDBCSink(Sink):
         self.batch_size = batch_size
         self.connection_factory = connection_factory
         self.max_retries = max_retries
+        # DDL statements applied (or queued) by init_schema, in order
+        self.applied_ddl: list[str] = []
+
+    def init_schema(self, spark, table, schema, ddl=None) -> None:
+        """K5 passthrough: execute the dump's CREATE TABLE verbatim on
+        the target connection (restoreSchema, restore.go:329-373).
+        MySQL DDL is dialect-specific, so it only executes when a
+        DBAPI ``connection_factory`` is configured AND
+        ``execute_ddl`` is opted in (test DBAPIs like sqlite cannot
+        parse it); either way the statement is recorded on
+        ``applied_ddl`` for audit."""
+        if not ddl:
+            return
+        self.applied_ddl.append(ddl)
+        if self.connection_factory is None or not getattr(
+            self, "execute_ddl", False
+        ):
+            return
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(ddl)
+            conn.commit()
+        finally:
+            conn.close()
 
     def _props(self) -> dict[str, str]:
         return {"user": self.user, "password": self.password}

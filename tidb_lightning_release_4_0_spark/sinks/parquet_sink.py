@@ -39,6 +39,43 @@ class ParquetSink(Sink):
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table.replace("`", ""))
 
+    @staticmethod
+    def _catalog_ident(table: str) -> tuple[str, str]:
+        """'db.tbl' -> catalog (database, table) names: the dump's
+        database becomes `tlr4s_<db>` in the session catalog."""
+        import re
+
+        parts = table.replace("`", "").split(".")
+        db = parts[0] if len(parts) > 1 else "default"
+        san = lambda x: re.sub(r"[^0-9A-Za-z_]", "_", x)  # noqa: E731
+        return "tlr4s_" + san(db), san(parts[-1])
+
+    def init_schema(self, spark, table, schema, ddl=None) -> None:
+        """K5: create the catalog database + external table from the
+        dump's DDL before any data lands (restoreSchema analog,
+        restore.go:329-373) — `SHOW TABLES IN tlr4s_<db>` reflects
+        the dump's structure immediately; the entry points at the
+        (still empty) sink path and becomes queryable as engines
+        deliver."""
+        db, tbl = self._catalog_ident(table)
+        path = self._path(table)
+        os.makedirs(path, exist_ok=True)
+        st = schema.struct_type
+        if not schema.has_int_pk:
+            from ..operators.permutation import ROWID_COL
+            from pyspark.sql import types as T
+
+            st = st.add(T.StructField(ROWID_COL, T.LongType()))
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+        spark.catalog.createTable(
+            f"{db}.{tbl}",
+            path=path,
+            source="parquet",
+            schema=st,
+            recursiveFileLookup="true",
+        )
+
     def probe(self, spark: SparkSession) -> None:
         """O10: the target root must be creatable and writable."""
         try:
@@ -183,21 +220,21 @@ class ParquetSink(Sink):
         path = self._path(table)
         if not os.path.isdir(path):
             return False
-        import re
-
-        name = "tlr4s_" + re.sub(r"[^0-9A-Za-z_]", "_", table)
-        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-        # explicit schema + recursive lookup: the engine-grain layout
-        # nests files under engine_<n>/ subdirectories
+        db, tbl = self._catalog_ident(table)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+        # re-register with the DELIVERED schema (authoritative over
+        # the DDL prediction init_schema used) + recursive lookup:
+        # the engine-grain layout nests files under engine_<n>/
         schema = self.read_back(spark, table).schema
         spark.catalog.createTable(
-            name,
+            f"{db}.{tbl}",
             path=path,
             source="parquet",
             schema=schema,
             recursiveFileLookup="true",
         )
-        spark.sql(f"ANALYZE TABLE `{name}` COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE `{db}`.`{tbl}` COMPUTE STATISTICS")
         return True
 
     def cleanup(self, table: str) -> None:
