@@ -640,6 +640,82 @@ def q_chunk_plan(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# analytics widening (§2.7: pivot, cube, sliding frames, ntile,
+# ordered string agg — "free" in Spark, oracle-checked for parity)
+# ---------------------------------------------------------------------------
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: one column per event_type with per-user counts (explicit
+    pivot values keep the plan a single pass, no value-discovery job)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error", "purchase"])
+    )
+
+
+def q_cube_lineitem(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all grouping-set combos in
+    one shuffle (the expand operator), GROUPING() id disambiguates
+    NULL group keys from NULL data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def q_moving_avg_events(spark, sf_dir):
+    """Sliding ROWS frame: 7-row centered moving average of event
+    values per user (narrow after one shuffle by user)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.avg(F.col("value").cast("decimal(18,6)")).over(w), 4
+        )
+        .cast("double")
+        .alias("mavg"),
+    )
+
+
+def q_ntile_customers(spark, sf_dir):
+    """NTILE(4) account-balance quartiles per nation."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+def q_string_agg_nations(spark, sf_dir):
+    """Ordered string aggregation: nation names per region,
+    comma-joined in collation-stable (binary) order."""
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_list("n_name"))
+        ).alias("nations")
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus-curation operators (M7: training-data pipeline)
 # ---------------------------------------------------------------------------
 
@@ -772,6 +848,11 @@ def build_queries():
         "range_join_events": q_range_join_events,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
+        "pivot_events": q_pivot_events,
+        "cube_lineitem": q_cube_lineitem,
+        "moving_avg_events": q_moving_avg_events,
+        "ntile_customers": q_ntile_customers,
+        "string_agg_nations": q_string_agg_nations,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
@@ -1072,6 +1153,43 @@ def build_oracle_sql():
                         AS DECIMAL(18,6)) AS DOUBLE) AS p95
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase
+            FROM events GROUP BY user_id
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   cast(grouping(l_returnflag) * 2
+                        + grouping(l_linestatus) AS INT) AS gid
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "moving_avg_events": """
+            SELECT event_id, user_id,
+                   cast(round(avg(cast(value AS DECIMAL(18,6))) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING
+                   ), 4) AS DOUBLE) AS mavg
+            FROM events
+        """,
+        "ntile_customers": """
+            SELECT c_custkey, c_nationkey,
+                   cast(ntile(4) OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS INT) AS quartile
+            FROM customer
+        """,
+        "string_agg_nations": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey
         """,
         "dedup_cluster": CU.connected_components_oracle_sql(
             D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
