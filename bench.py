@@ -70,6 +70,8 @@ def main() -> None:
         "text_stats",
         "ann_topk",
         "embedding_dups",
+        "quality_filter",
+        "dedup_cluster",
     ]
 
     timings: dict[str, float] = {}
