@@ -108,3 +108,35 @@ def test_stratified_sample_exact_n(spark):
         r["doc_id"] for r in C.stratified_sample(df, ["lang"], 5).collect()
     )
     assert a == b
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    return split clusters."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["left_id", "right_id"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        C.connected_components(pairs, max_iter=1)
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(pairs).collect()
+    }
+    assert set(out.values()) == {1}
+
+
+def test_connected_components_hash_scale_ids(spark):
+    """60-bit hash ids: the convergence aggregate must not overflow
+    int64 (decimal sum)."""
+    big = 1 << 59
+    pairs = spark.createDataFrame(
+        [(big + 1, big + 2), (big + 2, big + 3)] * 1,
+        ["left_id", "right_id"],
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(pairs).collect()
+    }
+    assert set(out.values()) == {big + 1}

@@ -609,3 +609,65 @@ def test_init_schema_jdbc_records_ddl(spark):
     sink = JDBCSink("jdbc:mysql://x/db", "u", "p")
     sink.init_schema(spark, "db.t", None, "CREATE TABLE t (i INT)")
     assert sink.applied_ddl == ["CREATE TABLE t (i INT)"]
+
+
+def test_init_schema_skipped_on_resumed_tables(spark):
+    """Resume must not drop a completed table's finalized catalog
+    entry (ANALYZE stats + delivered schema)."""
+    files = {
+        "k5r-schema-create.sql": b"CREATE DATABASE k5r;",
+        "k5r.t-schema.sql": b"create table t (i bigint primary key);",
+        "k5r.t.sql": b"INSERT INTO t VALUES (1);",
+    }
+    d = _dump("k5r", files)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="memory",
+        tidb=TiDBConfig(sql_mode=""),
+    )
+
+    class _RecordingSink(MemorySink):
+        def __init__(self):
+            super().__init__(on_duplicate="error")
+            self.inits: list[str] = []
+
+        def init_schema(self, spark, table, schema, ddl=None):
+            self.inits.append(table)
+
+    cp = CheckpointStore(None, enabled=True)
+    sink = _RecordingSink()
+    run1 = RestoreController(spark, cfg, sink=sink, checkpoints=cp).run()
+    assert run1.ok and sink.inits == ["k5r.t"]
+    # table completed -> a rerun with the same checkpoints skips init
+    cp.set_table_status("k5r.t", Status.CHECKSUMMED)
+    RestoreController(spark, cfg, sink=sink, checkpoints=cp).run()
+    assert sink.inits == ["k5r.t"]
+
+
+def test_catalog_ident_digit_leading():
+    assert ParquetSink._catalog_ident("db.2024_log") == (
+        "tlr4s_db",
+        "t_2024_log",
+    )
+    assert ParquetSink._catalog_ident("db.t") == ("tlr4s_db", "t")
+
+
+def test_jdbc_execute_ddl_opt_in(spark, tmp_path):
+    """execute_ddl=True runs the DDL on the DBAPI connection."""
+    from tidb_lightning_release_4_0_spark.sinks.jdbc_sink import JDBCSink
+
+    db = str(tmp_path / "k5.sqlite")
+    sink = JDBCSink(
+        "jdbc:sqlite://x", "u", "p",
+        connection_factory=lambda: sqlite3.connect(db),
+        execute_ddl=True,
+    )
+    sink.init_schema(spark, "d.t", None, "CREATE TABLE t (i INT)")
+    assert sink.applied_ddl == ["CREATE TABLE t (i INT)"]
+    with sqlite3.connect(db) as conn:
+        names = [
+            r[0] for r in conn.execute(
+                "SELECT name FROM sqlite_master WHERE type='table'"
+            )
+        ]
+    assert names == ["t"]

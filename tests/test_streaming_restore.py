@@ -121,3 +121,15 @@ def test_streaming_replay_is_idempotent(spark):
     assert sr.checksum() == before
     assert sr.result().count() == 2
     assert {r["id"] for r in sr.result().collect()} == {1, 2}
+
+
+def test_streaming_restore_table_with_batch_column(spark):
+    """A real column named `batch` must survive: the sink's partition
+    dirs are namespaced (tlr4s_batch=N) to avoid the collision."""
+    src, sink, ckpt = _fresh("batchcol")
+    _write(src, "b.0001.csv", "1,7\n2,9\n")
+    ddl = "create table b (id int primary key, batch int)"
+    sr = StreamingRestore(spark, parse_create_table(ddl), src, sink, ckpt)
+    sr.run_until_complete()
+    got = {r["id"]: r["batch"] for r in sr.result().collect()}
+    assert got == {1: 7, 2: 9}

@@ -77,9 +77,15 @@ def connected_components(
     Min-label propagation: label(v) starts at min(v, neighbors(v))
     and each round takes the min over neighbors' labels. Labels are
     monotonically non-increasing and bounded, so an unchanged
-    label-sum aggregate certifies the fixpoint. ``localCheckpoint``
-    per round truncates lineage (the loop would otherwise build an
-    exponentially deep plan)."""
+    label-sum aggregate certifies the fixpoint (summed as
+    DECIMAL(38,0): node ids may be 60-bit hashes, and an int64 sum
+    would overflow — throw under ANSI, silently wrap otherwise).
+    ``localCheckpoint`` per round truncates lineage (the loop would
+    otherwise build an exponentially deep plan).
+
+    Raises RuntimeError if ``max_iter`` rounds don't converge
+    (component diameter > max_iter) — a silently split cluster would
+    make survivor election keep duplicate documents."""
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
@@ -96,7 +102,9 @@ def connected_components(
         )
         .localCheckpoint()
     )
-    prev = labels.agg(F.sum("label")).first()[0]
+    _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev = labels.agg(_lsum).first()[0]
+    converged = False
     for _ in range(max_iter):
         cand = (
             edges.join(
@@ -118,10 +126,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur = labels.agg(F.sum("label")).first()[0]
+        cur = labels.agg(_lsum).first()[0]
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or "
+            "switch to large-star/small-star for long-chain graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

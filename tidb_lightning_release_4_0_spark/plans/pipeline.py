@@ -810,17 +810,15 @@ class RestoreController:
         # [2] schema restore (K5, restore.go:329-373): apply each
         # dump DDL to the target catalog before any data lands
         if not self.cfg.mydumper.no_schema:
-            from ..sources.schema_reader import export_statement
-
             for name, (meta, schema) in schemas.items():
-                ddl = (
-                    export_statement(
-                        meta.schema_file, self.cfg.mydumper.character_set
-                    )
-                    if meta.schema_file
-                    else None
+                # resume: a completed table's catalog entry carries the
+                # DELIVERED schema + ANALYZE stats (finalize) — do not
+                # drop/recreate it from the DDL prediction
+                if self.cp.table_status(name) >= Status.CHECKSUMMED:
+                    continue
+                self.sink.init_schema(
+                    self.spark, name, schema, getattr(schema, "raw_ddl", None)
                 )
-                self.sink.init_schema(self.spark, name, schema, ddl)
         ordered = sorted(
             schemas.items(), key=lambda kv: kv[1][0].total_size
         )

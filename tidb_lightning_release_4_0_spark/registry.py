@@ -725,34 +725,28 @@ def q_dedup_cluster(spark, sf_dir):
     transitive chains (A~B, B~C) collapse to one cluster keyed by the
     min doc_id (operators/curation.py — min-label propagation on the
     candidate-pair graph, which is tiny vs the corpus)."""
-    from .operators import curation as C
-
     pairs = D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2
     )
-    return C.connected_components(pairs)
+    return CU.connected_components(pairs)
 
 
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: corpus docs sharing any 5-word-gram
     with the held-out benchmark slice (doc_id % 97 = 0). Benchmark
     gram set is broadcast; corpus text never shuffles."""
-    from .operators import curation as C
-
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
-    return C.decontaminate(corpus, bench, k=5)
+    return CU.decontaminate(corpus, bench, k=5)
 
 
 def q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sample: exactly 25 docs per lang in
     hash-of-id pseudo-random order — reproducible across engines,
     unlike rand()-based sampling."""
-    from .operators import curation as C
-
     d = _t(spark, sf_dir, "documents")
-    return C.stratified_sample(d, ["lang"], 25).select(
+    return CU.stratified_sample(d, ["lang"], 25).select(
         "doc_id", "lang", "source"
     )
 
@@ -760,26 +754,20 @@ def q_sample_stratified(spark, sf_dir):
 def q_quality_filter(spark, sf_dir):
     """Quality filter with first-failing-rule reason column
     (length band, punct ratio, stopword floor, mean word length)."""
-    from .operators import curation as C
-
-    return C.quality_filter(_t(spark, sf_dir, "documents"))
+    return CU.quality_filter(_t(spark, sf_dir, "documents"))
 
 
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing: running token prefix-sum within each source
     shard assigns docs to 512-token training sequences (parallel
     across shards)."""
-    from .operators import curation as C
-
-    return C.pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+    return CU.pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
 
 
 def q_quantize_embeddings(spark, sf_dir):
     """Int8 scalar quantization of the embedding column with
     per-vector scale (round-half-up, engine-exact arithmetic)."""
-    from .operators import curation as C
-
-    return C.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return CU.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
 def q_token_histogram(spark, sf_dir):

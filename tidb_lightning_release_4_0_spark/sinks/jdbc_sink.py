@@ -114,6 +114,7 @@ class JDBCSink(Sink):
         batch_size: int = 10000,
         connection_factory=None,
         max_retries: int = 3,
+        execute_ddl: bool = False,
     ):
         self.url = url
         self.user = user
@@ -122,6 +123,10 @@ class JDBCSink(Sink):
         self.batch_size = batch_size
         self.connection_factory = connection_factory
         self.max_retries = max_retries
+        # opt-in: init_schema executes the dump's (MySQL-dialect) DDL
+        # on the DBAPI connection; off by default because test DBAPIs
+        # (sqlite) cannot parse it
+        self.execute_ddl = execute_ddl
         # DDL statements applied (or queued) by init_schema, in order
         self.applied_ddl: list[str] = []
 
@@ -136,9 +141,7 @@ class JDBCSink(Sink):
         if not ddl:
             return
         self.applied_ddl.append(ddl)
-        if self.connection_factory is None or not getattr(
-            self, "execute_ddl", False
-        ):
+        if self.connection_factory is None or not self.execute_ddl:
             return
         conn = self.connection_factory()
         try:

@@ -42,13 +42,21 @@ class ParquetSink(Sink):
     @staticmethod
     def _catalog_ident(table: str) -> tuple[str, str]:
         """'db.tbl' -> catalog (database, table) names: the dump's
-        database becomes `tlr4s_<db>` in the session catalog."""
+        database becomes `tlr4s_<db>` in the session catalog. Names
+        are sanitized to bare identifiers (catalog.createTable parses
+        its name argument unquoted) and digit-leading table names —
+        legal in MySQL — get a ``t_`` prefix; collisions between
+        sanitized names (``a-b`` vs ``a_b``) are accepted and
+        documented, the sink path keeps the original name."""
         import re
 
         parts = table.replace("`", "").split(".")
         db = parts[0] if len(parts) > 1 else "default"
         san = lambda x: re.sub(r"[^0-9A-Za-z_]", "_", x)  # noqa: E731
-        return "tlr4s_" + san(db), san(parts[-1])
+        tbl = san(parts[-1])
+        if tbl and tbl[0].isdigit():
+            tbl = "t_" + tbl
+        return "tlr4s_" + san(db), tbl
 
     def init_schema(self, spark, table, schema, ddl=None) -> None:
         """K5: create the catalog database + external table from the

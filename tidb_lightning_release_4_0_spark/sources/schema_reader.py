@@ -139,6 +139,9 @@ class TableSchema:
     # output layout; range/list clauses only set `partitioned`
     partition_col: str | None = None
     partition_count: int = 0
+    # verbatim CREATE TABLE text (K5 schema passthrough); set by
+    # load_table_schema so the pipeline needn't re-read the file
+    raw_ddl: str | None = None
 
     @property
     def struct_type(self) -> T.StructType:
@@ -452,4 +455,7 @@ def _parse_index(item: str) -> IndexSpec | None:
 
 
 def load_table_schema(path: str, character_set: str = "auto") -> TableSchema:
-    return parse_create_table(export_statement(path, character_set))
+    ddl = export_statement(path, character_set)
+    schema = parse_create_table(ddl)
+    schema.raw_ddl = ddl  # K5 passthrough: no second file read/decode
+    return schema

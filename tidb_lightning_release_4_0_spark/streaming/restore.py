@@ -124,18 +124,36 @@ class StreamingRestore:
 
     def _transform(self, batch_df: DataFrame, base: int) -> DataFrame:
         """The batch-path ladder on one micro-batch: dense row-ids
-        from the reserved base, then permutation + MySQL cast."""
+        from the reserved base, then permutation + MySQL cast.
+
+        Row-ids parallelize per file: an O(#files) count pass fixes
+        each file's base offset, then row_number windows PER FILE —
+        a global unpartitioned window would funnel the whole batch
+        through one task (the count is a second scan of the batch,
+        bounded by maxFilesPerTrigger)."""
         cols = [c.name for c in self.schema.columns]
         df = batch_df.toDF(*cols).withColumn(
             "_file", F.input_file_name()
         )
+        counts = (
+            df.groupBy("_file").count().orderBy("_file").collect()
+        )
+        mapping: list = []
+        acc = base
+        for r in counts:
+            mapping += [F.lit(r["_file"]), F.lit(acc)]
+            acc += r["count"]
+        fbase = (
+            F.create_map(*mapping)[F.col("_file")]
+            if mapping
+            else F.lit(base)
+        )
         rn = F.row_number().over(
-            Window.orderBy(
-                F.col("_file"),
-                F.md5(canonical_row(df, cols).cast("binary")),
+            Window.partitionBy("_file").orderBy(
+                F.md5(canonical_row(df, cols).cast("binary"))
             )
         )
-        df = df.withColumn("_rowid", (F.lit(base) - 1 + rn).cast("long"))
+        df = df.withColumn("_rowid", (fbase - 1 + rn).cast("long"))
         out = apply_permutation(
             df,
             self.schema,
@@ -158,7 +176,9 @@ class StreamingRestore:
         else:
             base = state["next"]
         out = self._transform(batch_df, base)
-        path = os.path.join(self.sink_dir, f"batch={batch_id}")
+        # namespaced partition-dir name: a plain `batch=` would
+        # collide with a real table column named `batch`
+        path = os.path.join(self.sink_dir, f"tlr4s_batch={batch_id}")
         out.write.mode("overwrite").parquet(path)
         # count + checksum from the WRITTEN data (one scan, no
         # re-execution of the transform lineage)
@@ -197,12 +217,16 @@ class StreamingRestore:
 
     def run_until_complete(self, timeout_s: int = 300) -> None:
         q = self.start(available_now=True)
-        q.awaitTermination(timeout_s)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming restore did not drain within {timeout_s}s"
+            )
 
     def result(self) -> DataFrame:
         """The restored table (batch view over all committed batches)."""
         df = self.spark.read.parquet(self.sink_dir)
-        return df.drop("batch")
+        return df.drop("tlr4s_batch")
 
     def checksum(self) -> Checksum:
         s = self.ledger.load()
