@@ -671,3 +671,37 @@ def test_jdbc_execute_ddl_opt_in(spark, tmp_path):
             )
         ]
     assert names == ["t"]
+
+
+def test_index_engine_delivery(spark):
+    """T8: with index_engine on, each secondary index lands as a
+    sorted projection under _indexes/<name>, keyed by the handle,
+    and the data read_back does not see the index files."""
+    files = {
+        "ixe-schema-create.sql": b"CREATE DATABASE ixe;",
+        "ixe.t-schema.sql": (
+            b"create table t (i bigint primary key, v int, "
+            b"key idx_v (v));"
+        ),
+        "ixe.t.sql": b"INSERT INTO t VALUES (1,30), (2,10), (3,20);",
+    }
+    d = _dump("ixe", files)
+    tgt = os.path.join(TMP, "ixe_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        index_engine=True,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    sink = ParquetSink(tgt, on_duplicate="error")
+    run = RestoreController(spark, cfg, sink=sink).run()
+    assert run.ok, run.report()
+    ix = sink.read_index(spark, "ixe.t", "idx_v")
+    assert sorted(ix.columns) == ["i", "v"]
+    rows = [(r["v"], r["i"]) for r in ix.coalesce(1).sortWithinPartitions("v").collect()]
+    assert rows == [(10, 2), (20, 3), (30, 1)]
+    # data read_back unaffected by the _indexes subtree
+    assert sink.read_back(spark, "ixe.t").count() == 3

@@ -151,6 +151,11 @@ class Config:
     # (bit-compatible with the reference's crc64-ecma, Arrow kernel)
     checksum_algo: str = "xxdirect"
     analyze: bool = True
+    # T8: deliver secondary-index projections as separate sorted
+    # "index engines" alongside the data (the reference's index-KV
+    # engine split, sql2kv.go:218-239). Opt-in: doubles write volume
+    # for indexed tables, exactly like index KVs do in the reference.
+    index_engine: bool = False
     # post-import full compaction (O9 analog: parquet small-file
     # rewrite). Defaults FALSE like the reference's post-restore
     # compact/level-1-compact (config.go:122-123, toml:181-184)

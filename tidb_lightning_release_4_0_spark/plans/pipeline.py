@@ -717,6 +717,8 @@ class RestoreController:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)
             else:
                 self.cp.set_table_status(name, Status.CHECKSUM_SKIPPED)
+            if self.cfg.index_engine:
+                self._write_index_engines(name, schema)
             if self.cfg.compact:
                 # post-restore full compaction is opt-in, like the
                 # reference (config.go:122-123 default false)
@@ -744,6 +746,37 @@ class RestoreController:
                 status="failed",
                 error=str(e),
                 seconds=time.monotonic() - t0,
+            )
+
+    def _write_index_engines(self, name: str, schema) -> None:
+        """T8: deliver each secondary index as its own sorted engine
+        (the reference classifies row KVs vs index KVs and ships them
+        to separate engines, sql2kv.go:218-239). The projection reads
+        the DELIVERED table (one sink scan per index), keyed by the
+        handle — int PK when present, else `_tidb_rowid`."""
+        from ..operators.permutation import ROWID_COL
+
+        sink = self.sink
+        if not hasattr(sink, "write_index"):
+            return
+        secondary = [ix for ix in schema.indexes if not ix.primary]
+        if not secondary:
+            return
+        delivered = sink.read_back(self.spark, name)
+        pk = schema.primary_key
+        if schema.has_int_pk and pk and pk[0] in delivered.columns:
+            handle = pk[0]
+        elif ROWID_COL in delivered.columns:
+            handle = ROWID_COL
+        else:
+            handle = None
+        for ix in secondary:
+            cols = [c for c in ix.columns if c in delivered.columns]
+            if not cols:
+                continue
+            extra = [handle] if handle and handle not in cols else []
+            sink.write_index(
+                delivered.select(*cols, *extra), name, ix.name, cols
             )
 
     def _with_row_hash(self, df: DataFrame, cols: list[str]) -> DataFrame:

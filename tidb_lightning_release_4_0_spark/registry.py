@@ -704,6 +704,37 @@ def q_ntile_customers(spark, sf_dir):
     )
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """TF-IDF: top-15 (doc, term) weights — tf * ln(N/df). The corpus
+    size joins in as a broadcast scalar frame (no driver collect);
+    weight rounded to 4 so libm ln differences cannot flip the hash."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+    ).filter(F.length("term") > 3)
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = d.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("nn").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "doc_id", "term")
+        .limit(15)
+    )
+
+
 def q_string_agg_nations(spark, sf_dir):
     """Ordered string aggregation: nation names per region,
     comma-joined in collation-stable (binary) order."""
@@ -841,6 +872,7 @@ def build_queries():
         "moving_avg_events": q_moving_avg_events,
         "ntile_customers": q_ntile_customers,
         "string_agg_nations": q_string_agg_nations,
+        "tfidf_terms": q_tfidf_terms,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
@@ -1178,6 +1210,24 @@ def build_oracle_sql():
             SELECT n_regionkey,
                    string_agg(n_name, ',' ORDER BY n_name) AS nations
             FROM nation GROUP BY n_regionkey
+        """,
+        "tfidf_terms": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms
+              WHERE length(term) > 3 GROUP BY doc_id, term
+            ),
+            dfc AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS nn FROM documents)
+            SELECT doc_id, term,
+                   round(tf * ln(nn::DOUBLE / dfreq), 4) AS tfidf
+            FROM tf JOIN dfc USING (term), n
+            ORDER BY tfidf DESC, doc_id, term LIMIT 15
         """,
         "dedup_cluster": CU.connected_components_oracle_sql(
             D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)

@@ -184,6 +184,30 @@ class ParquetSink(Sink):
         )
         return SinkResult(table=table, rows=-1, bytes_written=size)
 
+    def write_index(
+        self, df: DataFrame, table: str, index_name: str, sort_cols: list[str]
+    ) -> None:
+        """T8 index engine: deliver one secondary index as a range-
+        partitioned, sorted-within-partition projection — the analog
+        of the reference's sorted index-KV engine (sql2kv.go:218-239;
+        index engines are separate from the data engine,
+        backend.go:80-118). `_indexes/` is underscore-prefixed, so
+        data read_back / analyze never see these files."""
+        path = os.path.join(self._path(table), "_indexes", index_name)
+        (
+            df.repartitionByRange(*sort_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+
+    def read_index(
+        self, spark: SparkSession, table: str, index_name: str
+    ) -> DataFrame:
+        return spark.read.parquet(
+            os.path.join(self._path(table), "_indexes", index_name)
+        )
+
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         # recursive: the engine-grain path writes engine_<n>/
         # subdirectories; single-shot writes files at the root —
