@@ -140,3 +140,33 @@ def test_connected_components_hash_scale_ids(spark):
         for r in C.connected_components(pairs).collect()
     }
     assert set(out.values()) == {big + 1}
+
+
+def test_quantize_error_bound(spark):
+    """Scalar quantization invariant: |x - q*scale| <= scale/2."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-10, 10) for _ in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in C.quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        q = [int(x) for x in r["qvec"].split(",")]
+        for x, qi in zip(vec, q):
+            assert abs(x - qi * r["scale"]) <= r["scale"] / 2 + 1e-6
+
+
+def test_pack_offsets_within_budget(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, "w " * rng.randint(1, 700), f"s{i % 3}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    for r in C.pack_sequences(df, budget=256).collect():
+        assert 0 <= r["offset"] < 256
+        assert r["seq_id"] * 256 + r["offset"] >= 0

@@ -801,6 +801,41 @@ def q_quantize_embeddings(spark, sf_dir):
     return CU.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end curation funnel: raw corpus -> quality filter ->
+    exact dedup -> decontamination, reporting rows surviving each
+    stage. Composes the individual operators (each independently
+    oracle-checked) the way a real training-data pipeline chains
+    them; every stage is a semi/anti join on doc_id, so the corpus
+    text is only scanned where a stage needs it."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    s1 = corpus.join(
+        CU.quality_filter(corpus).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = D.exact_dedup_groups(s1).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    s2 = s1.join(survivors, "doc_id", "left_semi")
+    contaminated = CU.decontaminate(s2, bench, k=5).select("doc_id")
+    s3 = s2.join(contaminated, "doc_id", "left_anti")
+
+    def _n(df, stage):
+        return df.agg(
+            F.lit(stage).alias("stage"), F.count(F.lit(1)).alias("n")
+        )
+
+    return (
+        _n(corpus, "0_raw")
+        .unionByName(_n(s1, "1_quality"))
+        .unionByName(_n(s2, "2_dedup"))
+        .unionByName(_n(s3, "3_decontaminated"))
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     """Token-count distribution: 50-token buckets with doc count and
     token mass per bucket (map-side combined aggregate)."""
@@ -880,6 +915,7 @@ def build_queries():
         "pack_sequences": q_pack_sequences,
         "quantize_embeddings": q_quantize_embeddings,
         "token_histogram": q_token_histogram,
+        "curation_funnel": q_curation_funnel,
     }
 
 
@@ -1251,4 +1287,39 @@ def build_oracle_sql():
                    sum(({tq})::BIGINT)::BIGINT AS total_tokens
             FROM documents GROUP BY 1
         """,
+        "curation_funnel": _curation_funnel_oracle_sql(),
     }
+
+
+def _curation_funnel_oracle_sql() -> str:
+    """CTE chain mirroring q_curation_funnel stage by stage, built
+    from the same fragment builders the individual oracles use."""
+    keep = " OR ".join(sql for _, sql in CU._quality_rules_sql("text"))
+    h = CU.hash60_duckdb("text")
+    sh = CU.word_shingles_sql_duckdb("text", 5)
+    return f"""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+q AS (SELECT * FROM corpus WHERE NOT ({keep})),
+surv AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, {h} AS h FROM q) GROUP BY h
+),
+s2 AS (SELECT q.* FROM q JOIN surv USING (doc_id)),
+bg AS (
+  SELECT DISTINCT unnest({sh}) AS gram FROM documents
+  WHERE doc_id % 97 = 0
+),
+cont AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest({sh}) AS gram FROM s2) cg
+  JOIN bg USING (gram)
+),
+s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+)
+SELECT '0_raw' AS stage, count(*) AS n FROM corpus
+UNION ALL SELECT '1_quality', count(*) FROM q
+UNION ALL SELECT '2_dedup', count(*) FROM s2
+UNION ALL SELECT '3_decontaminated', count(*) FROM s3
+"""
