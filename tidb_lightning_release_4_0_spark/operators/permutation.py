@@ -97,6 +97,7 @@ def apply_permutation(
     source_latin1: bool = False,
     charset: str = "utf8mb4",
     native_frame=None,  # NativeCsvFrame from read_csv_native
+    missing_sentinel: str | None = None,
 ) -> DataFrame:
     """Project raw (string-typed) file columns into the table schema.
 
@@ -188,11 +189,27 @@ def apply_permutation(
                     if cast
                     else src
                 )
+            if missing_sentinel is not None:
+                # a SHORT VALUES tuple marks absent positions with the
+                # sentinel: fill the column default, exactly as if the
+                # column were missing from the permutation
+                # (restore.go:1356-1406); explicit NULL stays NULL
+                expr = F.when(
+                    src == F.lit(missing_sentinel),
+                    default_column(spec, job_timestamp),
+                ).otherwise(expr)
             if spec.auto_increment and rowid is not None:
                 # MySQL assigns the next auto-inc value for NULL too;
-                # non-null values keep full cast (strict) semantics
+                # non-null values keep full cast (strict) semantics.
+                # An absent position behaves like NULL here: VALUES ()
+                # on an auto-inc column allocates the next id
+                null_like = src.isNull()
+                if missing_sentinel is not None:
+                    null_like = null_like | (
+                        src == F.lit(missing_sentinel)
+                    )
                 expr = F.when(
-                    src.isNull(), rowid.cast(spec.spark_type)
+                    null_like, rowid.cast(spec.spark_type)
                 ).otherwise(expr)
         elif spec.auto_increment and rowid is not None:
             expr = rowid.cast(spec.spark_type)

@@ -81,6 +81,21 @@ class CheckpointStore:
                 json.dump(self.state, f)
             os.replace(tmp, self.path)  # atomic, crash-safe
 
+    # -- task-level --------------------------------------------------------
+    def task_meta(self, key: str) -> str | None:
+        """Task-scoped metadata (e.g. the frozen CURRENT_TIMESTAMP):
+        the reference stores task id/timestamp with the checkpoint so
+        a resumed task keeps identical default values
+        (tests/checkpoint_timestamp/run.sh; checkpoints.go TaskCheckpoint)."""
+        return self.state.get("task", {}).get(key)
+
+    def set_task_meta(self, key: str, value: str) -> None:
+        if not self.enabled:
+            return
+        with self._lock:
+            self.state.setdefault("task", {})[key] = str(value)
+            self._save()
+
     # -- table-level -------------------------------------------------------
     def table_status(self, table: str) -> int:
         return self.state["tables"].get(table, {}).get("status", 0)
@@ -225,6 +240,8 @@ class SQLCheckpointStore(CheckpointStore):
         "payload TEXT, PRIMARY KEY (tbl, engine_id))",
         "CREATE TABLE IF NOT EXISTS cp_chunk_v1 ("
         "ck VARCHAR(512) PRIMARY KEY, status INTEGER NOT NULL)",
+        "CREATE TABLE IF NOT EXISTS cp_task_v1 ("
+        "k VARCHAR(255) PRIMARY KEY, v TEXT)",
     )
 
     def __init__(
@@ -259,6 +276,9 @@ class SQLCheckpointStore(CheckpointStore):
         cur.execute("SELECT ck, status FROM cp_chunk_v1")
         for ck, status in cur.fetchall():
             self.state["chunks"][ck] = int(status)
+        cur.execute("SELECT k, v FROM cp_task_v1")
+        for k, v in cur.fetchall():
+            self.state.setdefault("task", {})[k] = v
 
     def _exec(self, sql: str, rows: list[tuple]) -> None:
         cur = self._conn.cursor()
@@ -328,6 +348,17 @@ class SQLCheckpointStore(CheckpointStore):
                 [(table, int(engine_id), json.dumps(rec))],
             )
 
+    def set_task_meta(self, key: str, value: str) -> None:
+        if not self.enabled:
+            return
+        p = self._ph
+        with self._lock:
+            self.state.setdefault("task", {})[key] = str(value)
+            self._exec(
+                f"REPLACE INTO cp_task_v1 (k, v) VALUES ({p}, {p})",
+                [(key, str(value))],
+            )
+
     # -- rare ctl ops fall back to a full flush ----------------------------
     def _save(self) -> None:
         if not self.enabled:
@@ -337,6 +368,15 @@ class SQLCheckpointStore(CheckpointStore):
             self._exec("DELETE FROM cp_table_v1", [])
             self._exec("DELETE FROM cp_engine_v1", [])
             self._exec("DELETE FROM cp_chunk_v1", [])
+            self._exec("DELETE FROM cp_task_v1", [])
+            krows = [
+                (k, str(v)) for k, v in self.state.get("task", {}).items()
+            ]
+            if krows:
+                self._exec(
+                    f"REPLACE INTO cp_task_v1 (k, v) VALUES ({p}, {p})",
+                    krows,
+                )
             trows, erows = [], []
             for tbl, t in self.state["tables"].items():
                 trows.append(

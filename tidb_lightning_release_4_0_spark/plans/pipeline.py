@@ -167,9 +167,21 @@ class RestoreController:
         self.cp = checkpoints or CheckpointStore(
             cfg.checkpoint_path or None, enabled=cfg.checkpoint_enable
         )
-        self.job_timestamp = _dt.datetime.now(_dt.timezone.utc).replace(
-            tzinfo=None, microsecond=0
-        )
+        # freeze CURRENT_TIMESTAMP once per TASK, not per controller:
+        # a resumed task must fill identical default timestamps
+        # (reference stores the task checkpoint's timestamp —
+        # tests/checkpoint_timestamp/run.sh asserts one distinct ts
+        # across a crash-resume cycle)
+        saved_ts = self.cp.task_meta("job_timestamp")
+        if saved_ts:
+            self.job_timestamp = _dt.datetime.fromisoformat(saved_ts)
+        else:
+            self.job_timestamp = _dt.datetime.now(_dt.timezone.utc).replace(
+                tzinfo=None, microsecond=0
+            )
+            self.cp.set_task_meta(
+                "job_timestamp", self.job_timestamp.isoformat()
+            )
         self._ticker: _ProgressTicker | None = None
 
     def _default_sink(self) -> Sink:
@@ -402,6 +414,8 @@ class RestoreController:
                 all_files=[(f.path, f.size) for f in all_sql],
             )
             df = df.toDF(*(["_row_id"] + file_columns))
+            from ..sources.sql_dump_source import MISSING_FIELD
+
             frames.append(
                 apply_permutation(
                     df,
@@ -411,6 +425,7 @@ class RestoreController:
                     job_timestamp=self.job_timestamp,
                     strict=strict,
                     keep=["_row_id"],
+                    missing_sentinel=MISSING_FIELD,
                 )
             )
         if not frames:

@@ -412,6 +412,13 @@ def _decode(raw: bytes, character_set: str) -> str:
             return raw.decode("latin-1")
 
 
+# marks a field position ABSENT from the source row (short VALUES
+# tuple) — distinct from an explicit NULL literal; the permutation
+# layer fills the column default for it. Control-char framing keeps
+# collision with real data out of reach (a dump string would need
+# this exact 20-byte sequence).
+MISSING_FIELD = "\x00\x1f\x7f__tlr4s_default__\x7f\x1f\x00"
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("_file", T.StringType(), False),
@@ -664,11 +671,16 @@ def read_sql_dump(
                     # emit positional string columns directly: no
                     # list<string> Arrow arrays, no JVM-side getItem
                     # re-projection — measurably faster at 100 TB
-                    # where every extra pass over the row stream counts
+                    # where every extra pass over the row stream counts.
+                    # Short rows pad with MISSING_FIELD (NOT None):
+                    # `VALUES ()` means column defaults, an explicit
+                    # NULL literal means NULL (restore.go:1356-1406)
                     n = int(num_columns or 0)
                     if {len(r) for r in out_fields} != {n}:
                         out_fields = [
-                            (r + [None] * (n - len(r)))[:n] if len(r) != n else r
+                            (r + [MISSING_FIELD] * (n - len(r)))[:n]
+                            if len(r) != n
+                            else r
                             for r in out_fields
                         ]
                     cols_t = list(zip(*out_fields)) if out_fields else []
@@ -700,8 +712,18 @@ def read_sql_dump(
 
 
 def project_fields(df: DataFrame, num_columns: int) -> DataFrame:
-    """Explode the _fields array into positional string columns."""
+    """Explode the _fields array into positional string columns.
+
+    A row SHORTER than num_columns marks the absent positions with
+    MISSING_FIELD (not NULL): `INSERT INTO t VALUES ()` means "use
+    the column defaults" in MySQL, while an explicit NULL literal
+    means NULL — the two must stay distinguishable through the
+    permutation layer (restore.go:1356-1406 default fill)."""
+    arr = F.col("_fields")
     cols = [
-        F.col("_fields").getItem(i).alias(f"_c{i}") for i in range(num_columns)
+        F.when(F.size(arr) > i, arr.getItem(i))
+        .otherwise(F.lit(MISSING_FIELD))
+        .alias(f"_c{i}")
+        for i in range(num_columns)
     ]
     return df.select(F.col("_row_id"), *cols)
