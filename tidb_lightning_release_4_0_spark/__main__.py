@@ -22,7 +22,11 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="tidb_lightning_release_4_0_spark", description=__doc__
     )
-    ap.add_argument("--source-dir", required=True)
+    ap.add_argument("--config", default="",
+                    help="task.toml in the reference's layout "
+                         "(config.go:83-160); explicit CLI flags override "
+                         "file values (tests/cmdline_override/run.sh)")
+    ap.add_argument("--source-dir", default="")
     ap.add_argument("--target-dir", default="")
     ap.add_argument("--backend", default="parquet",
                     choices=["parquet", "memory"])
@@ -52,30 +56,77 @@ def main(argv: list[str] | None = None) -> int:
     from .plans.pipeline import RestoreController
     from .session import get_spark
 
-    csv = CSVConfig(
-        separator=args.csv_separator,
-        header=args.csv_header,
-        strict_parser=args.csv_strict,
-    )
-    cfg = Config(
-        mydumper=MydumperConfig(
-            source_dir=args.source_dir,
-            no_schema=args.no_schema,
-            character_set=args.character_set,
-            csv=csv,
-        ),
-        tidb=TiDBConfig(sql_mode=args.sql_mode),
-        bw_list=FilterRule(do_dbs=args.filter_db),
-        routes=[RouteRule(*r) for r in args.route],
-        backend=args.backend,
-        target_dir=args.target_dir,
-        on_duplicate=args.on_duplicate,
-        checksum=not args.no_checksum,
-        compact=args.compact,
-        checkpoint_enable=bool(args.checkpoint),
-        checkpoint_path=args.checkpoint,
-        table_concurrency=args.table_concurrency,
-    )
+    if args.config:
+        # task.toml as the base; ONLY explicitly-typed CLI flags
+        # override it (the reference's cmdline_override semantics)
+        from .config_toml import load_toml
+
+        raw = argv if argv is not None else sys.argv[1:]
+        given = {t.split("=", 1)[0] for t in raw if t.startswith("--")}
+        provided = {
+            a.dest for a in ap._actions if set(a.option_strings) & given
+        }
+        cfg = load_toml(args.config)
+        if "source_dir" in provided:
+            cfg.mydumper.source_dir = args.source_dir
+        if "target_dir" in provided:
+            cfg.target_dir = args.target_dir
+        if "backend" in provided:
+            cfg.backend = args.backend
+        if "on_duplicate" in provided:
+            cfg.on_duplicate = args.on_duplicate
+        if "sql_mode" in provided:
+            cfg.tidb.sql_mode = args.sql_mode
+        if "no_schema" in provided:
+            cfg.mydumper.no_schema = args.no_schema
+        if "no_checksum" in provided:
+            cfg.checksum = not args.no_checksum
+        if "compact" in provided:
+            cfg.compact = args.compact
+        if "checkpoint" in provided:
+            cfg.checkpoint_enable = bool(args.checkpoint)
+            cfg.checkpoint_path = args.checkpoint
+        if "character_set" in provided:
+            cfg.mydumper.character_set = args.character_set
+        if "csv_separator" in provided:
+            cfg.mydumper.csv.separator = args.csv_separator
+        if "csv_header" in provided:
+            cfg.mydumper.csv.header = args.csv_header
+        if "csv_strict" in provided:
+            cfg.mydumper.csv.strict_parser = args.csv_strict
+        if "table_concurrency" in provided:
+            cfg.table_concurrency = args.table_concurrency
+        if "filter_db" in provided:
+            cfg.bw_list = FilterRule(do_dbs=args.filter_db)
+        if "route" in provided:
+            cfg.routes = [RouteRule(*r) for r in args.route]
+    else:
+        if not args.source_dir:
+            ap.error("--source-dir is required (or pass --config task.toml)")
+        csv = CSVConfig(
+            separator=args.csv_separator,
+            header=args.csv_header,
+            strict_parser=args.csv_strict,
+        )
+        cfg = Config(
+            mydumper=MydumperConfig(
+                source_dir=args.source_dir,
+                no_schema=args.no_schema,
+                character_set=args.character_set,
+                csv=csv,
+            ),
+            tidb=TiDBConfig(sql_mode=args.sql_mode),
+            bw_list=FilterRule(do_dbs=args.filter_db),
+            routes=[RouteRule(*r) for r in args.route],
+            backend=args.backend,
+            target_dir=args.target_dir,
+            on_duplicate=args.on_duplicate,
+            checksum=not args.no_checksum,
+            compact=args.compact,
+            checkpoint_enable=bool(args.checkpoint),
+            checkpoint_path=args.checkpoint,
+            table_concurrency=args.table_concurrency,
+        )
     try:
         cfg.adjust()  # preflight validation before starting the JVM
         spark = get_spark(app_name="tidb-lightning-spark")
