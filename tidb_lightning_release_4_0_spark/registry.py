@@ -500,6 +500,30 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_recall_lsh(spark, sf_dir):
+    """ANN quality metric: per-query recall of the LSH bucketed
+    top-k against the exact brute-force top-k — the measurement a
+    pipeline needs before trusting the approximate path at scale.
+    (On the synthetic i.i.d.-random embeddings recall is near zero —
+    random vectors have no cluster structure for 4 single-probe
+    hyperplanes to exploit; that is the finding, not a bug: the
+    metric is what tells an operator to add planes/multi-probe.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = S.topk_cosine(q, emb, k=5).select("q_id", "c_id")
+    approx = S.ann_topk_lsh(q, emb, k=5, num_planes=4).select(
+        F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+    )
+    j = exact.join(
+        approx,
+        (exact["q_id"] == approx["aq"]) & (exact["c_id"] == approx["ac"]),
+        "left",
+    )
+    return j.groupBy("q_id").agg(
+        F.round(F.count("ac") / F.lit(5.0), 4).alias("recall")
+    )
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF coarse-quantized ANN (scale path; oracle-checked — the
     deterministic lowest-id centroids are reproduced in SQL)."""
@@ -890,6 +914,7 @@ def build_queries():
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_recall_lsh": q_ann_recall_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
@@ -1095,6 +1120,19 @@ def build_oracle_sql():
         "ann_topk_lsh": S.ann_topk_lsh_oracle_sql(
             "embeddings", "vec_id < 3", 5, 64, 4
         ),
+        "ann_recall_lsh": f"""
+            WITH exact AS (
+              {S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5)}
+            ),
+            approx AS (
+              {S.ann_topk_lsh_oracle_sql("embeddings", "vec_id < 3", 5, 64, 4)}
+            )
+            SELECT e.q_id,
+                   round(count(a.c_id)::DOUBLE / 5, 4) AS recall
+            FROM exact e LEFT JOIN approx a
+              ON a.q_id = e.q_id AND a.c_id = e.c_id
+            GROUP BY e.q_id
+        """,
         "ann_topk_ivf": S.ivf_topk_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 64
         ),
