@@ -166,17 +166,33 @@ def ann_topk_lsh(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only within matching LSH buckets.
 
     The bucketed join replaces the full cross join: expected work
     drops by ~2^num_planes. Recall is tunable via num_planes (fewer
-    planes = bigger buckets = higher recall & cost)."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, num_planes).alias("_bucket"),
-    )
+    planes = bigger buckets = higher recall & cost) and via
+    ``multiprobe``: the query side also probes every bucket at
+    Hamming distance 1 (one flipped plane) — 1+num_planes probes,
+    the standard multi-probe LSH recall boost at ~(planes+1)× the
+    candidate cost, still exponentially below brute force."""
+    qb = lsh_bucket(F.col(vec_col), dim, num_planes)
+    if multiprobe:
+        probes = F.array(
+            qb, *[qb.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)]
+        )
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(probes).alias("_bucket"),
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            qb.alias("_bucket"),
+        )
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
@@ -204,6 +220,7 @@ def ann_topk_lsh_oracle_sql(
     k: int = 5,
     dim: int = 64,
     num_planes: int = 8,
+    multiprobe: bool = False,
 ) -> str:
     """ANSI twin of ann_topk_lsh: the deterministic hyperplanes are
     emitted as literal arrays (repr round-trips doubles exactly)."""
@@ -217,16 +234,26 @@ def ann_topk_lsh_oracle_sql(
         buckets.append(f"CASE WHEN ({d}) > 0 THEN {1 << p} ELSE 0 END")
     bucket_expr = " + ".join(buckets)
     cos = cosine_sql_duckdb("q.embedding", "c.embedding", dim)
+    if multiprobe:
+        probe_list = "[q0.bkt" + "".join(
+            f", xor(q0.bkt, {1 << p})" for p in range(num_planes)
+        ) + "]"
+        q_cte = (
+            f"SELECT q0.vec_id, q0.embedding, unnest({probe_list}) AS pbkt "
+            f"FROM b q0 WHERE {query_pred}"
+        )
+    else:
+        q_cte = f"SELECT vec_id, embedding, bkt AS pbkt FROM b WHERE {query_pred}"
     return f"""
 WITH b AS (
   SELECT vec_id, embedding,
          (SELECT {bucket_expr} FROM (SELECT embedding AS e) __t) AS bkt
   FROM {table}
 ),
-q AS (SELECT * FROM b WHERE {query_pred}),
+q AS ({q_cte}),
 scored AS (
   SELECT q.vec_id AS q_id, c.vec_id AS c_id, {cos} AS _cos
-  FROM q JOIN b c ON q.vec_id <> c.vec_id AND q.bkt = c.bkt
+  FROM q JOIN b c ON q.vec_id <> c.vec_id AND q.pbkt = c.bkt
 ),
 ranked AS (
   SELECT q_id, c_id, _cos,

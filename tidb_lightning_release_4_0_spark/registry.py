@@ -511,17 +511,26 @@ def q_ann_recall_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     exact = S.topk_cosine(q, emb, k=5).select("q_id", "c_id")
-    approx = S.ann_topk_lsh(q, emb, k=5, num_planes=4).select(
-        F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+
+    def rec(approx, out_col):
+        a = approx.select(
+            F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+        )
+        j = exact.join(
+            a,
+            (exact["q_id"] == a["aq"]) & (exact["c_id"] == a["ac"]),
+            "left",
+        )
+        return j.groupBy("q_id").agg(
+            F.round(F.count("ac") / F.lit(5.0), 4).alias(out_col)
+        )
+
+    single = rec(S.ann_topk_lsh(q, emb, k=5, num_planes=4), "recall")
+    multi = rec(
+        S.ann_topk_lsh(q, emb, k=5, num_planes=4, multiprobe=True),
+        "recall_mp",
     )
-    j = exact.join(
-        approx,
-        (exact["q_id"] == approx["aq"]) & (exact["c_id"] == approx["ac"]),
-        "left",
-    )
-    return j.groupBy("q_id").agg(
-        F.round(F.count("ac") / F.lit(5.0), 4).alias("recall")
-    )
+    return single.join(multi, "q_id")
 
 
 def q_ann_topk_ivf(spark, sf_dir):
@@ -1124,14 +1133,28 @@ def build_oracle_sql():
             WITH exact AS (
               {S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5)}
             ),
-            approx AS (
+            ap1 AS (
               {S.ann_topk_lsh_oracle_sql("embeddings", "vec_id < 3", 5, 64, 4)}
+            ),
+            ap2 AS (
+              {S.ann_topk_lsh_oracle_sql(
+                  "embeddings", "vec_id < 3", 5, 64, 4, multiprobe=True
+              )}
+            ),
+            r1 AS (
+              SELECT e.q_id, round(count(a.c_id)::DOUBLE / 5, 4) AS recall
+              FROM exact e LEFT JOIN ap1 a
+                ON a.q_id = e.q_id AND a.c_id = e.c_id
+              GROUP BY e.q_id
+            ),
+            r2 AS (
+              SELECT e.q_id, round(count(a.c_id)::DOUBLE / 5, 4) AS recall_mp
+              FROM exact e LEFT JOIN ap2 a
+                ON a.q_id = e.q_id AND a.c_id = e.c_id
+              GROUP BY e.q_id
             )
-            SELECT e.q_id,
-                   round(count(a.c_id)::DOUBLE / 5, 4) AS recall
-            FROM exact e LEFT JOIN approx a
-              ON a.q_id = e.q_id AND a.c_id = e.c_id
-            GROUP BY e.q_id
+            SELECT r1.q_id, r1.recall, r2.recall_mp
+            FROM r1 JOIN r2 USING (q_id)
         """,
         "ann_topk_ivf": S.ivf_topk_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 64
