@@ -737,6 +737,51 @@ def q_ntile_customers(spark, sf_dir):
     )
 
 
+def q_custdist_orders(spark, sf_dir):
+    """TPC-H Q13 pattern: order-count distribution over customers via
+    LEFT OUTER join — customers with zero orders must appear (the
+    outer side survives the aggregate)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_promo_share_lineitem(spark, sf_dir):
+    """TPC-H Q14 pattern: conditional aggregation over a join —
+    share of revenue from ECONOMY-type parts (decimal-exact, the
+    part side broadcast)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,4)"))
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.agg(
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+                        F.lit(0).cast("decimal(38,8)")
+                    )
+                )
+                / F.sum(rev)
+            ).cast("double")
+            * 100.0,
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
 def q_tfidf_terms(spark, sf_dir):
     """TF-IDF: top-15 (doc, term) weights — tf * ln(N/df). The corpus
     size joins in as a broadcast scalar frame (no driver collect);
@@ -942,6 +987,8 @@ def build_queries():
         "ntile_customers": q_ntile_customers,
         "string_agg_nations": q_string_agg_nations,
         "tfidf_terms": q_tfidf_terms,
+        "custdist_orders": q_custdist_orders,
+        "promo_share_lineitem": q_promo_share_lineitem,
         "dedup_cluster": q_dedup_cluster,
         "decontaminate": q_decontaminate,
         "sample_stratified": q_sample_stratified,
@@ -1307,6 +1354,28 @@ def build_oracle_sql():
             SELECT n_regionkey,
                    string_agg(n_name, ',' ORDER BY n_name) AS nations
             FROM nation GROUP BY n_regionkey
+        """,
+        "custdist_orders": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "promo_share_lineitem": """
+            SELECT round(cast(
+                     sum(CASE WHEN p.p_type = 'ECONOMY'
+                         THEN cast(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - cast(l.l_discount AS DECIMAL(18,4)))
+                         ELSE 0 END)
+                     / sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                           * (1 - cast(l.l_discount AS DECIMAL(18,4))))
+                   AS DOUBLE) * 100.0, 6) AS promo_share_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         """,
         "tfidf_terms": """
             WITH terms AS (
