@@ -189,3 +189,96 @@ user = "xyzxyzxyz"
         os.path.join(tgt, "ovr.t")
     )
     assert sorted(r["i"] for r in t.collect()) == [1, 2]
+
+
+def test_bw_table_rules_reference_tags(tmp_path):
+    """do-tables entries use the tidb-tools db-name/tbl-name tags."""
+    p = _write(
+        tmp_path,
+        """
+[mydumper]
+data-source-dir = "/d"
+
+[black-white-list]
+do-dbs = ["a"]
+
+[[black-white-list.do-tables]]
+db-name = "tpch"
+tbl-name = "orders"
+""",
+    )
+    cfg = load_toml(p)
+    assert cfg.bw_list.do_tables == [("tpch", "orders")]
+
+
+def test_bw_table_rules_unknown_tag_listed(tmp_path):
+    p = _write(
+        tmp_path,
+        """
+[black-white-list]
+[[black-white-list.do-tables]]
+db = "tpch"
+tbl-name = "orders"
+""",
+    )
+    with pytest.raises(ValueError, match=r"do-tables\[0\].db"):
+        load_toml(p)
+
+
+def test_routes_table_instead_of_array(tmp_path):
+    p = _write(tmp_path, '[routes]\nschema-pattern = "s"\n')
+    with pytest.raises(ValueError, match="expected \\[\\[routes\\]\\]"):
+        load_toml(p)
+
+
+def test_checkpoint_mysql_driver_fails_loud(tmp_path):
+    p = _write(
+        tmp_path,
+        """
+[mydumper]
+data-source-dir = "/d"
+
+[checkpoint]
+enable = true
+driver = "mysql"
+dsn = "root@tcp(1.2.3.4:4000)/"
+""",
+    )
+    with pytest.raises(ValueError, match="SQLCheckpointStore"):
+        load_toml(p)
+
+
+def test_cmdline_override_accepts_abbreviations(spark, tmp_path):
+    """argparse prefix abbreviations must still count as explicitly
+    provided (detection is a suppressed re-parse, not token match)."""
+    from tidb_lightning_release_4_0_spark.__main__ import main
+
+    d = os.path.join(TMP, "abbr_dump")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for name, content in {
+        "ab-schema-create.sql": "create database ab;",
+        "ab.t-schema.sql": "create table t (i bigint primary key);",
+        "ab.t.sql": "INSERT INTO t VALUES (5);",
+    }.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+    tgt = os.path.join(TMP, "abbr_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    toml = _write(
+        tmp_path, '[mydumper]\ndata-source-dir = "bogus"\n'
+    )
+    rc = main(
+        [
+            "--config", toml,
+            "--source", d,          # abbreviation of --source-dir
+            "--target-dir", tgt,
+            "--sql-mode", "",
+            "--no-checksum",
+        ]
+    )
+    assert rc == 0
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "ab.t")
+    )
+    assert [r["i"] for r in t.collect()] == [5]

@@ -705,3 +705,71 @@ def test_index_engine_delivery(spark):
     assert rows == [(10, 2), (20, 3), (30, 1)]
     # data read_back unaffected by the _indexes subtree
     assert sink.read_back(spark, "ixe.t").count() == 3
+
+
+def test_compact_preserves_index_engines(spark):
+    """Post-restore compaction must carry _indexes/ over to the
+    compacted layout, and must not count index files in its
+    fragmentation heuristic."""
+    files = {
+        "ixc-schema-create.sql": b"CREATE DATABASE ixc;",
+        "ixc.t-schema.sql": (
+            b"create table t (i bigint primary key, v int, key idx_v (v));"
+        ),
+    }
+    # many tiny part files -> clearly fragmented -> compaction rewrites
+    for p in range(6):
+        files[f"ixc.t.{p:04d}.sql"] = (
+            f"INSERT INTO t VALUES ({p * 2 + 1},{p}), ({p * 2 + 2},{p});"
+        ).encode()
+    d = _dump("ixc", files)
+    tgt = os.path.join(TMP, "ixc_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d, batch_size=1),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        index_engine=True,
+        compact=True,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    sink = ParquetSink(tgt, on_duplicate="error")
+    run = RestoreController(spark, cfg, sink=sink).run()
+    assert run.ok, run.report()
+    ix = sink.read_index(spark, "ixc.t", "idx_v")
+    assert ix.count() == 12
+    assert sink.read_back(spark, "ixc.t").count() == 12
+
+
+def test_strict_csv_short_row_fills_default(spark):
+    """Strict-CSV path: a row with fewer fields than the table fills
+    column defaults (LOAD DATA semantics) — never the internal
+    missing-field sentinel."""
+    files = {
+        "scs-schema-create.sql": b"CREATE DATABASE scs;",
+        "scs.t-schema.sql": (
+            b"create table t (i bigint primary key, "
+            b"s varchar(8) default 'dd', n int default 7);"
+        ),
+        "scs.t.csv": b"1,aa,5\n2\n",
+    }
+    d = _dump("scs", files)
+    tgt = os.path.join(TMP, "scs_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(
+            source_dir=d, csv=CSVConfig(strict_parser=True)
+        ),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "scs.t")
+    )
+    got = {r["i"]: (r["s"], r["n"]) for r in t.collect()}
+    assert got == {1: ("aa", 5), 2: ("dd", 7)}

@@ -61,11 +61,18 @@ def main(argv: list[str] | None = None) -> int:
         # override it (the reference's cmdline_override semantics)
         from .config_toml import load_toml
 
+        # detect which flags were EXPLICITLY typed: re-parse with all
+        # defaults suppressed — robust against --opt=value forms and
+        # argparse prefix abbreviations, which raw-token matching is not
         raw = argv if argv is not None else sys.argv[1:]
-        given = {t.split("=", 1)[0] for t in raw if t.startswith("--")}
-        provided = {
-            a.dest for a in ap._actions if set(a.option_strings) & given
-        }
+        saved_defaults = [(a, a.default) for a in ap._actions]
+        try:
+            for a in ap._actions:
+                a.default = argparse.SUPPRESS
+            provided = set(vars(ap.parse_args(raw)).keys())
+        finally:
+            for a, d in saved_defaults:
+                a.default = d
         cfg = load_toml(args.config)
         if "source_dir" in provided:
             cfg.mydumper.source_dir = args.source_dir

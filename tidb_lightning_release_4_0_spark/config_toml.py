@@ -66,6 +66,8 @@ _KNOWN: dict[str, set[str]] = {
 _ROUTE_KEYS = {
     "schema-pattern", "table-pattern", "target-schema", "target-table",
 }
+# tidb-tools filter TOML tags (black-white-list do/ignore-tables)
+_TABLE_RULE_KEYS = {"db-name", "tbl-name"}
 
 
 def _check_unknown(doc: dict) -> list[str]:
@@ -75,6 +77,9 @@ def _check_unknown(doc: dict) -> list[str]:
             bad.append(section)
             continue
         if section == "routes":
+            if isinstance(body, dict):
+                bad.append("routes (expected [[routes]] array of tables)")
+                continue
             for i, r in enumerate(body or []):
                 bad += [
                     f"routes[{i}].{k}" for k in r if k not in _ROUTE_KEYS
@@ -90,6 +95,16 @@ def _check_unknown(doc: dict) -> list[str]:
                     if ck not in _KNOWN["mydumper.csv"]
                 ]
                 continue
+            if section == "black-white-list" and k in (
+                "do-tables", "ignore-tables",
+            ):
+                for i, r in enumerate(v or []):
+                    bad += [
+                        f"black-white-list.{k}[{i}].{rk}"
+                        for rk in r
+                        if rk not in _TABLE_RULE_KEYS
+                    ]
+                continue
             if k not in _KNOWN[section]:
                 bad.append(f"{section}.{k}")
     return bad
@@ -102,6 +117,16 @@ _BACKEND_MAP = {
     "local": "parquet",
     "tidb": "jdbc",
 }
+
+
+def _pick(src: dict, mapping: dict[str, tuple[str, type]]) -> dict:
+    """kwargs for keys PRESENT in the TOML section — absent keys fall
+    through to the dataclass defaults (single source of truth)."""
+    out = {}
+    for toml_key, (field_name, conv) in mapping.items():
+        if toml_key in src:
+            out[field_name] = conv(src[toml_key])
+    return out
 
 
 def load_toml(path: str) -> Config:
@@ -126,15 +151,15 @@ def load_toml(path: str) -> Config:
     post = doc.get("post-restore", {})
     bw = doc.get("black-white-list", {})
 
-    csv = CSVConfig(
-        separator=csv_d.get("separator", ","),
-        delimiter=csv_d.get("delimiter", '"'),
-        header=bool(csv_d.get("header", False)),
-        not_null=bool(csv_d.get("not-null", False)),
-        null=csv_d.get("null", "\\N"),
-        backslash_escape=bool(csv_d.get("backslash-escape", True)),
-        trim_last_sep=bool(csv_d.get("trim-last-separator", False)),
-    )
+    csv = CSVConfig(**_pick(csv_d, {
+        "separator": ("separator", str),
+        "delimiter": ("delimiter", str),
+        "header": ("header", bool),
+        "not-null": ("not_null", bool),
+        "null": ("null", str),
+        "backslash-escape": ("backslash_escape", bool),
+        "trim-last-separator": ("trim_last_sep", bool),
+    }))
     routes = [
         RouteRule(
             r["schema-pattern"],
@@ -144,26 +169,36 @@ def load_toml(path: str) -> Config:
         )
         for r in doc.get("routes", [])
     ]
-    to_pair = lambda d: (d["db"], d["tbl"])  # noqa: E731
+    # tidb-tools filter tags: db-name / tbl-name
+    to_pair = lambda d: (d["db-name"], d["tbl-name"])  # noqa: E731
+    driver = ck.get("driver", "file")
+    if driver not in ("file", ""):
+        # a non-file driver silently downgraded to an in-memory store
+        # would LOSE crash-resume; fail loud with the supported path
+        raise ValueError(
+            f"checkpoint driver {driver!r} is not supported by the TOML "
+            "loader; use driver='file' with a dsn path, or construct "
+            "RestoreController with a SQLCheckpointStore(connection_factory)"
+        )
     cfg = Config(
         mydumper=MydumperConfig(
-            source_dir=md.get("data-source-dir", ""),
-            no_schema=bool(md.get("no-schema", False)),
-            character_set=md.get("character-set", "auto"),
-            read_block_size=int(md.get("read-block-size", 64 * 1024)),
-            batch_size=int(md.get("batch-size", 100 << 30)),
-            case_sensitive=bool(md.get("case-sensitive", False)),
             csv=csv,
+            **_pick(md, {
+                "data-source-dir": ("source_dir", str),
+                "no-schema": ("no_schema", bool),
+                "character-set": ("character_set", str),
+                "read-block-size": ("read_block_size", int),
+                "batch-size": ("batch_size", int),
+                "case-sensitive": ("case_sensitive", bool),
+            }),
         ),
-        tidb=TiDBConfig(
-            host=tidb.get("host", "127.0.0.1"),
-            port=int(tidb.get("port", 4000)),
-            user=tidb.get("user", "root"),
-            password=str(tidb.get("password", "")),
-            sql_mode=tidb.get(
-                "sql-mode", "STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION"
-            ),
-        ),
+        tidb=TiDBConfig(**_pick(tidb, {
+            "host": ("host", str),
+            "port": ("port", int),
+            "user": ("user", str),
+            "password": ("password", str),
+            "sql-mode": ("sql_mode", str),
+        })),
         bw_list=FilterRule(
             do_dbs=list(bw.get("do-dbs", [])),
             ignore_dbs=list(bw.get("ignore-dbs", [])),
@@ -172,12 +207,14 @@ def load_toml(path: str) -> Config:
         ),
         routes=routes,
         backend=_BACKEND_MAP.get(imp.get("backend", "importer"), "parquet"),
-        on_duplicate=imp.get("on-duplicate", "replace"),
-        checkpoint_enable=bool(ck.get("enable", True)),
-        checkpoint_path=ck.get("dsn", "") if ck.get("driver", "file") == "file" else "",
-        checksum=bool(post.get("checksum", True)),
-        compact=bool(post.get("compact", False)),
-        analyze=bool(post.get("analyze", True)),
-        table_concurrency=int(light.get("table-concurrency", 4)),
+        checkpoint_path=ck.get("dsn", ""),
+        **_pick(imp, {"on-duplicate": ("on_duplicate", str)}),
+        **_pick(ck, {"enable": ("checkpoint_enable", bool)}),
+        **_pick(post, {
+            "checksum": ("checksum", bool),
+            "compact": ("compact", bool),
+            "analyze": ("analyze", bool),
+        }),
+        **_pick(light, {"table-concurrency": ("table_concurrency", int)}),
     )
     return cfg

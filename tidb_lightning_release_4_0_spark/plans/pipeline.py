@@ -298,6 +298,10 @@ class RestoreController:
             file_columns = header_cols or [c.name for c in schema.columns]
             df = project_fields(raw, len(file_columns))
             df = df.toDF(*(["_row_id"] + file_columns))
+            from ..sources.sql_dump_source import MISSING_FIELD
+
+            # project_fields marks short rows with the sentinel:
+            # LOAD DATA fills defaults for missing trailing fields
             frames.append(
                 apply_permutation(
                     df,
@@ -309,6 +313,7 @@ class RestoreController:
                     keep=["_row_id"],
                     source_latin1=True,
                     charset=self.cfg.mydumper.character_set,
+                    missing_sentinel=MISSING_FIELD,
                 )
             )
         elif csv_files:

@@ -223,13 +223,20 @@ class ParquetSink(Sink):
     def finalize(self, spark: SparkSession, table: str) -> None:
         """Compact small output files (restore.go:1056-1070 runs a
         full TiKV compaction post-import; the bulk-file analog is
-        rewriting tiny parquet files into ~target-size ones)."""
+        rewriting tiny parquet files into ~target-size ones).
+
+        Index engines under `_indexes/` are excluded from the size
+        heuristic (they are not data files) and carried over to the
+        compacted layout — a compaction must never drop delivered
+        indexes."""
         path = self._path(table)
+        idx_dir = os.path.join(path, "_indexes")
         files = [
             os.path.join(dp, f)
             for dp, _, fs in os.walk(path)
             for f in fs
             if f.endswith(".parquet")
+            and not os.path.join(dp, f).startswith(idx_dir + os.sep)
         ]
         if len(files) <= 1:
             return
@@ -239,6 +246,8 @@ class ParquetSink(Sink):
             df = spark.read.option("recursiveFileLookup", "true").parquet(path)
             tmp = path + ".compact"
             df.coalesce(want).write.mode("overwrite").parquet(tmp)
+            if os.path.isdir(idx_dir):
+                shutil.move(idx_dir, os.path.join(tmp, "_indexes"))
             shutil.rmtree(path)
             os.replace(tmp, path)
 
