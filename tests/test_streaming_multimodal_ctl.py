@@ -243,3 +243,38 @@ def test_frame_sample_stub(spark, tables):
     rows2 = out.collect()
     assert sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows) == \
            sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows2)
+
+
+def test_streaming_dedup_within_watermark(spark, tables):
+    """Streaming exact dedup with bounded state: a source containing
+    duplicated events drains to exactly the batch-distinct multiset."""
+    from tidb_lightning_release_4_0_spark.streaming.events import (
+        dedup_within_watermark,
+    )
+
+    d = os.path.join(TMP, "events_dup_json")
+    shutil.rmtree(d, ignore_errors=True)
+    ev = tables["events"].limit(2000)
+    ev.unionAll(ev).coalesce(2).write.json(d)  # every event twice
+
+    stream = stream_events(spark, d)
+    deduped = dedup_within_watermark(stream, ["user_id", "event_id"])
+    out_dir = os.path.join(TMP, "sink_dedup")
+    cp_dir = os.path.join(TMP, "cp_dedup")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == ev.count()
+    assert (
+        got.groupBy("user_id", "event_id").count().filter("count > 1").count()
+        == 0
+    )

@@ -96,6 +96,23 @@ def sessionize(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: duplicates arriving
+    within the watermark horizon are dropped; state for keys older
+    than the watermark is evicted (``dropDuplicatesWithinWatermark``)
+    — the streaming twin of the batch exact-dedup operator, with the
+    state-size guarantee an unbounded ``dropDuplicates`` lacks at
+    100 TB/day stream rates."""
+    keys = keys or ["user_id", "event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
