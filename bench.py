@@ -144,7 +144,7 @@ def main() -> None:
         cfg = Config(
             mydumper=MydumperConfig(source_dir=dump_dir),
             backend="parquet", target_dir=sink_dir,
-            on_duplicate="error", checkpoint_enable=False, checksum=True,
+            on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         # untimed warm-up restore per config: JITs the csv-parse/cast/
         # observe/parquet-write stage shapes so timed runs measure
@@ -162,7 +162,7 @@ def main() -> None:
         cfg_w = Config(
             mydumper=MydumperConfig(source_dir=dump_dir),
             backend="parquet", target_dir=sink_dir,
-            on_duplicate="error", checkpoint_enable=False, checksum=False,
+            on_duplicate="physical", checkpoint_enable=False, checksum=False,
             analyze=False,  # isolate the write phase (restore.go:491)
         )
         restore(cfg_w)  # own warm-up: different plan shape (no observe hash)
@@ -189,7 +189,7 @@ def main() -> None:
         cfg2 = Config(
             mydumper=MydumperConfig(source_dir=sql_dump_dir),
             backend="parquet", target_dir=sql_sink_dir,
-            on_duplicate="error", checkpoint_enable=False, checksum=True,
+            on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         restore(cfg2)  # untimed warm-up
         ts = _reps(lambda: restore(cfg2))
@@ -230,7 +230,7 @@ def main() -> None:
         cfg3 = Config(
             mydumper=MydumperConfig(source_dir=big_dump),
             backend="parquet", target_dir=big_sink,
-            on_duplicate="error", checkpoint_enable=False, checksum=True,
+            on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         ts = _reps(lambda: restore(cfg3))  # warm from the 1x runs
         timings["ingest_csv_4x"] = _med(ts)

@@ -773,3 +773,62 @@ def test_strict_csv_short_row_fills_default(spark):
     )
     got = {r["i"]: (r["s"], r["n"]) for r in t.collect()}
     assert got == {1: ("aa", 5), 2: ("dd", 7)}
+
+
+def test_physical_mode_single_pass(spark):
+    """on_duplicate='physical' (importer-backend analog) must deliver
+    in exactly ONE Spark job — no keyed window shuffle, no staging
+    dup-scan (parity with restore.go's write phase, which has no
+    dedup pass either)."""
+    files = {
+        "phy-schema-create.sql": b"CREATE DATABASE phy;",
+        "phy.t-schema.sql": b"create table t (i bigint primary key);",
+        "phy.t.sql": b"INSERT INTO t VALUES (1), (2), (3);",
+    }
+    d = _dump("phy", files)
+    tgt = os.path.join(TMP, "phy_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        checksum=False,
+        analyze=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    st = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(st.getJobIdsForGroup(None))
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    after = len(st.getJobIdsForGroup(None))
+    assert after - before == 1, f"expected 1 job, got {after - before}"
+
+
+def test_physical_mode_retains_duplicates(spark):
+    """Documented semantics: physical mode does no logical dedup — a
+    dup-key input lands as-is (use replace/ignore/error for logical
+    dup handling)."""
+    files = {
+        "phy2-schema-create.sql": b"CREATE DATABASE phy2;",
+        "phy2.t-schema.sql": b"create table t (i bigint primary key);",
+        "phy2.t.sql": b"INSERT INTO t VALUES (1), (1), (2);",
+    }
+    d = _dump("phy2", files)
+    tgt = os.path.join(TMP, "phy2_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "phy2.t")
+    )
+    assert sorted(r["i"] for r in t.collect()) == [1, 1, 2]

@@ -139,7 +139,16 @@ class Config:
     bw_list: FilterRule = field(default_factory=FilterRule)
     routes: list[RouteRule] = field(default_factory=list)
     backend: Literal["parquet", "jdbc", "memory"] = "parquet"
-    on_duplicate: Literal["replace", "ignore", "error"] = "replace"
+    # Duplicate-key handling (K3, tidb.go:54-62). replace/ignore run a
+    # keyed window over the delivery (one extra shuffle); error stages
+    # the write and scans it for dup keys before publishing. "physical"
+    # is the importer-backend analog: single-pass delivery with NO
+    # keyed work — the reference's bulk path equally has no dedup pass
+    # (TiKV key overwrite resolves dups physically; a file sink cannot
+    # reproduce that, so physical mode RETAINS duplicate rows — use it
+    # when the dump is trusted dup-free, e.g. a mydumper export, and
+    # rely on the checksum/verify phases otherwise).
+    on_duplicate: Literal["replace", "ignore", "error", "physical"] = "replace"
     # checkpoint section (config.go:99-108)
     checkpoint_enable: bool = True
     checkpoint_path: str = ""

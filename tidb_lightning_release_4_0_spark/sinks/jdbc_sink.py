@@ -161,7 +161,13 @@ class JDBCSink(Sink):
         # Observation reports rows for the built-in writer (rows=-1
         # sentinel); the DBAPI path counts via an accumulator inside
         # the single delivery pass.
-        if self.on_duplicate == "error" and self.connection_factory is None:
+        # "physical" maps to plain INSERT too: the SQL path has no
+        # physical-overwrite concept, so it behaves like error-mode
+        # delivery (the DB's own PK constraint reports duplicates)
+        if (
+            self.on_duplicate in ("error", "physical")
+            and self.connection_factory is None
+        ):
             (
                 df.write.mode("append")
                 .option("batchsize", str(self.batch_size))

@@ -546,17 +546,22 @@ def read_sql_dump(
         else:
             chunks.append((p, 0, sz, base_map[p]))
 
+    # one PARTITION per chunk directly (parallelize with explicit
+    # slice count) — a .repartition(len(chunks)) here would be a full
+    # shuffle that AQE materializes as its own N-task job before
+    # every read: pure fixed overhead on the write phase
+    plan_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("start", T.LongType(), False),
+            T.StructField("end", T.LongType(), False),
+            T.StructField("base", T.LongType(), False),
+        ]
+    )
     plan = spark.createDataFrame(
-        chunks,
-        T.StructType(
-            [
-                T.StructField("path", T.StringType(), False),
-                T.StructField("start", T.LongType(), False),
-                T.StructField("end", T.LongType(), False),
-                T.StructField("base", T.LongType(), False),
-            ]
-        ),
-    ).repartition(max(len(chunks), 1))
+        spark.sparkContext.parallelize(chunks, max(len(chunks), 1)),
+        plan_schema,
+    )
 
     whole_file = {p: (len([c for c in chunks if c[0] == p]) == 1) for p, _ in files}
 
