@@ -33,6 +33,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ROWID = "_row_id"
+
+
+def _tiny_df(spark, rows: list, schema) -> DataFrame:
+    """Driver-sized metadata frame in ONE slice: plain createDataFrame
+    splits even a 32-row list across defaultParallelism partitions, so
+    its broadcast build schedules 32 near-empty tasks as an extra job
+    per restore — pure fixed overhead on the write phase."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 # 2^33 rows per partition capacity: 8.5B rows/chunk never overflows
 # at 100 TB with <= 2^30 partitions.
 _PARTITION_CAPACITY = 1 << 33
@@ -150,8 +160,8 @@ def assign_rowid_by_file(
                 T.StructField("_fbase", T.LongType()),
             ]
         )
-        bmap = spark.createDataFrame(
-            [(k, int(v)) for k, v in expanded.items()], bmap_schema
+        bmap = _tiny_df(
+            spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
         )
         return (
             df.withColumn("_fname", F.input_file_name())
@@ -186,7 +196,7 @@ def assign_rowid_by_file(
             T.StructField("_fbase", T.LongType()),
         ]
     )
-    bmap = spark.createDataFrame(base_rows, bmap_schema)
+    bmap = _tiny_df(spark, base_rows, bmap_schema)
 
     return (
         d.join(F.broadcast(bmap), "_fname", "left")
@@ -223,7 +233,15 @@ def assign_rowid_dense(
         bases.append((row["_pid"], base))
         base += row["_cnt"]
     spark = df.sparkSession
-    bases_df = spark.createDataFrame(bases, ["_pid", "_base"])
+    bases_schema = T.StructType(
+        [
+            T.StructField("_pid", T.IntegerType()),
+            T.StructField("_base", T.LongType()),
+        ]
+    )
+    bases_df = _tiny_df(
+        spark, [(int(p), int(b)) for p, b in bases], bases_schema
+    )
 
     return (
         d.join(F.broadcast(bases_df), "_pid")

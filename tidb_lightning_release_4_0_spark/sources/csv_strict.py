@@ -154,15 +154,19 @@ def read_csv_strict(
         first = next(parse_csv_text(head_text, cfg), None)
         header_cols = [c if c is not None else "" for c in (first or [])]
 
+    # one partition per file directly — a .repartition here would be
+    # a shuffle that AQE materializes as its own job before the read
     plan = spark.createDataFrame(
-        [(p, bases[p]) for p, _ in files],
+        spark.sparkContext.parallelize(
+            [(p, bases[p]) for p, _ in files], max(len(files), 1)
+        ),
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),
                 T.StructField("base", T.LongType(), False),
             ]
         ),
-    ).repartition(max(len(files), 1))
+    )
 
     has_header = cfg.header
     cfg_copy = CSVConfig(**cfg.__dict__)
