@@ -798,12 +798,19 @@ def test_physical_mode_single_pass(spark):
         analyze=False,
         tidb=TiDBConfig(sql_mode=""),
     )
-    st = spark.sparkContext._jsc.sc().statusTracker()
-    before = len(st.getJobIdsForGroup(None))
-    run = RestoreController(spark, cfg).run()
+    # count jobs via a dedicated job group: getJobIdsForGroup(None)
+    # is capped by spark.ui.retainedJobs, so a long suite session
+    # would evict old ids and make a before/after diff read 0
+    sc = spark.sparkContext
+    st = sc._jsc.sc().statusTracker()
+    sc.setJobGroup("phy_single_pass", "physical-mode job count")
+    try:
+        run = RestoreController(spark, cfg).run()
+    finally:
+        sc.setJobGroup("", "")
     assert run.ok, run.report()
-    after = len(st.getJobIdsForGroup(None))
-    assert after - before == 1, f"expected 1 job, got {after - before}"
+    n = len(st.getJobIdsForGroup("phy_single_pass"))
+    assert n == 1, f"expected 1 job, got {n}"
 
 
 def test_physical_mode_retains_duplicates(spark):

@@ -2,7 +2,7 @@
 
     python -m tidb_lightning_release_4_0_spark \
         --source-dir /path/to/dump --target-dir /path/to/warehouse \
-        [--backend parquet] [--on-duplicate replace|ignore|error] \
+        [--backend parquet] [--on-duplicate replace|ignore|error|physical] \
         [--sql-mode "STRICT_TRANS_TABLES"] [--no-schema] \
         [--checkpoint PATH] [--character-set auto|utf8mb4|gb18030|binary] \
         [--csv-separator ,] [--csv-header] [--csv-strict] \
@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--backend", default="parquet",
                     choices=["parquet", "memory"])
     ap.add_argument("--on-duplicate", default="replace",
-                    choices=["replace", "ignore", "error"])
+                    choices=["replace", "ignore", "error", "physical"])
     ap.add_argument("--sql-mode",
                     default="STRICT_TRANS_TABLES,NO_ENGINE_SUBSTITUTION")
     ap.add_argument("--no-schema", action="store_true")

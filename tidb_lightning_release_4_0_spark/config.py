@@ -144,10 +144,13 @@ class Config:
     # the write and scans it for dup keys before publishing. "physical"
     # is the importer-backend analog: single-pass delivery with NO
     # keyed work — the reference's bulk path equally has no dedup pass
-    # (TiKV key overwrite resolves dups physically; a file sink cannot
-    # reproduce that, so physical mode RETAINS duplicate rows — use it
-    # when the dump is trusted dup-free, e.g. a mydumper export, and
-    # rely on the checksum/verify phases otherwise).
+    # CAVEAT: TiKV key overwrite resolves dups physically and its
+    # checksum then catches them; a file sink cannot reproduce the
+    # overwrite, so physical mode RETAINS duplicate rows and the
+    # checksum compare (local == read-back over the SAME rows) cannot
+    # detect them. Use physical only for trusted dup-free dumps
+    # (e.g. a mydumper export); use replace/ignore/error whenever the
+    # input may contain duplicate keys.
     on_duplicate: Literal["replace", "ignore", "error", "physical"] = "replace"
     # checkpoint section (config.go:99-108)
     checkpoint_enable: bool = True

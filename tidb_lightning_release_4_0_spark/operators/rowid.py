@@ -35,14 +35,19 @@ from pyspark.sql import types as T
 ROWID = "_row_id"
 
 
-def _tiny_df(spark, rows: list, schema) -> DataFrame:
-    """Driver-sized metadata frame in ONE slice: plain createDataFrame
-    splits even a 32-row list across defaultParallelism partitions, so
-    its broadcast build schedules 32 near-empty tasks as an extra job
-    per restore — pure fixed overhead on the write phase."""
+def metadata_df(spark, rows: list, schema, slices: int = 1) -> DataFrame:
+    """Driver-sized metadata frame with an EXPLICIT slice count:
+    plain createDataFrame splits even a 32-row list across
+    defaultParallelism partitions (a broadcast build then schedules
+    32 near-empty tasks as an extra job per restore), and a
+    .repartition to fix the layout is a shuffle AQE materializes as
+    its own job. slices=1 for broadcast tables; slices=len(rows) for
+    one-task-per-row read plans."""
     return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
+        spark.sparkContext.parallelize(rows, max(slices, 1)), schema
     )
+
+
 # 2^33 rows per partition capacity: 8.5B rows/chunk never overflows
 # at 100 TB with <= 2^30 partitions.
 _PARTITION_CAPACITY = 1 << 33
@@ -160,7 +165,7 @@ def assign_rowid_by_file(
                 T.StructField("_fbase", T.LongType()),
             ]
         )
-        bmap = _tiny_df(
+        bmap = metadata_df(
             spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
         )
         return (
@@ -196,7 +201,7 @@ def assign_rowid_by_file(
             T.StructField("_fbase", T.LongType()),
         ]
     )
-    bmap = _tiny_df(spark, base_rows, bmap_schema)
+    bmap = metadata_df(spark, base_rows, bmap_schema)
 
     return (
         d.join(F.broadcast(bmap), "_fname", "left")
@@ -239,7 +244,7 @@ def assign_rowid_dense(
             T.StructField("_base", T.LongType()),
         ]
     )
-    bases_df = _tiny_df(
+    bases_df = metadata_df(
         spark, [(int(p), int(b)) for p, b in bases], bases_schema
     )
 

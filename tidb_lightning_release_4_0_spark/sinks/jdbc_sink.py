@@ -85,6 +85,9 @@ def render_insert(
         "replace": "REPLACE INTO",
         "ignore": "INSERT IGNORE INTO",
         "error": "INSERT INTO",
+        # the SQL path has no physical-overwrite concept: plain
+        # INSERT, the DB's PK constraint reports duplicates
+        "physical": "INSERT INTO",
     }[on_duplicate]
     collist = "(" + ",".join(f"`{c}`" for c in columns) + ")"
     tuples = ",".join(

@@ -154,18 +154,20 @@ def read_csv_strict(
         first = next(parse_csv_text(head_text, cfg), None)
         header_cols = [c if c is not None else "" for c in (first or [])]
 
-    # one partition per file directly — a .repartition here would be
-    # a shuffle that AQE materializes as its own job before the read
-    plan = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(p, bases[p]) for p, _ in files], max(len(files), 1)
-        ),
+    # one partition per file directly — see metadata_df for why a
+    # .repartition here would cost an extra shuffle job per read
+    from ..operators.rowid import metadata_df
+
+    plan = metadata_df(
+        spark,
+        [(p, bases[p]) for p, _ in files],
         T.StructType(
             [
                 T.StructField("path", T.StringType(), False),
                 T.StructField("base", T.LongType(), False),
             ]
         ),
+        slices=len(files),
     )
 
     has_header = cfg.header

@@ -546,10 +546,10 @@ def read_sql_dump(
         else:
             chunks.append((p, 0, sz, base_map[p]))
 
-    # one PARTITION per chunk directly (parallelize with explicit
-    # slice count) — a .repartition(len(chunks)) here would be a full
-    # shuffle that AQE materializes as its own N-task job before
-    # every read: pure fixed overhead on the write phase
+    # one PARTITION per chunk directly — see metadata_df for why a
+    # .repartition here would cost an extra shuffle job per read
+    from ..operators.rowid import metadata_df
+
     plan_schema = T.StructType(
         [
             T.StructField("path", T.StringType(), False),
@@ -558,10 +558,7 @@ def read_sql_dump(
             T.StructField("base", T.LongType(), False),
         ]
     )
-    plan = spark.createDataFrame(
-        spark.sparkContext.parallelize(chunks, max(len(chunks), 1)),
-        plan_schema,
-    )
+    plan = metadata_df(spark, chunks, plan_schema, slices=len(chunks))
 
     whole_file = {p: (len([c for c in chunks if c[0] == p]) == 1) for p, _ in files}
 
