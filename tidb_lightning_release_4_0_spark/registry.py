@@ -914,6 +914,28 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Intra-document repetition: duplicated-sentence ratio (split on
+    '.'), the standard boilerplate/repetition cleaning signal. Counts
+    only — set-distinct needs no order guarantee, so the SQL twin is
+    engine-exact. Narrow per-row projection."""
+    c = F.col("text")
+    sents = F.filter(
+        F.transform(F.split(c, r"\."), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(sents)
+    nd = F.size(F.array_distinct(sents))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.alias("n_sents"),
+        nd.alias("n_distinct_sents"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - nd / n, 4))
+        .alias("rep_ratio"),
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     """Token-count distribution: 50-token buckets with doc count and
     token mass per bucket (map-side combined aggregate)."""
@@ -997,6 +1019,7 @@ def build_queries():
         "quantize_embeddings": q_quantize_embeddings,
         "token_histogram": q_token_histogram,
         "curation_funnel": q_curation_funnel,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1418,6 +1441,22 @@ def build_oracle_sql():
             FROM documents GROUP BY 1
         """,
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "repetition_stats": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, '.'),
+                                                x -> trim(x)),
+                                 x -> x <> '') AS sents
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(sents) AS n_sents,
+                   len(list_distinct(sents)) AS n_distinct_sents,
+                   CASE WHEN len(sents) = 0 THEN 0.0
+                        ELSE round(1.0 - len(list_distinct(sents))::DOUBLE
+                                   / len(sents), 4) END AS rep_ratio
+            FROM s
+        """,
     }
 
 
