@@ -914,6 +914,26 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_media_metadata(spark, sf_dir):
+    """Multimodal metadata derivation (the JVM-side, prunable half of
+    the media pipeline): typed (mime, width, height, n_bytes) struct
+    from a binary payload — fully SQL-expressible, so unlike the
+    stub-codec decode path this half is oracle-checked."""
+    from .operators.multimodal import attach_media_metadata
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = attach_media_metadata(d)
+    return out.select(
+        "doc_id",
+        F.col("media_meta.mime").alias("mime"),
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+    )
+
+
 def q_repetition_stats(spark, sf_dir):
     """Intra-document repetition: duplicated-sentence ratio (split on
     '.'), the standard boilerplate/repetition cleaning signal. Counts
@@ -1020,6 +1040,7 @@ def build_queries():
         "token_histogram": q_token_histogram,
         "curation_funnel": q_curation_funnel,
         "repetition_stats": q_repetition_stats,
+        "media_metadata": q_media_metadata,
     }
 
 
@@ -1441,6 +1462,19 @@ def build_oracle_sql():
             FROM documents GROUP BY 1
         """,
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "media_metadata": """
+            SELECT doc_id,
+                   'image/fake' AS mime,
+                   cast(h % 512 + 16 AS INT) AS width,
+                   cast((h + 7) % 512 + 16 AS INT) AS height,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM (
+              SELECT doc_id, text,
+                     CAST(concat('0x', substring(md5(text), 1, 4)) AS INT)
+                         AS h
+              FROM documents
+            )
+        """,
         "repetition_stats": """
             WITH s AS (
               SELECT doc_id,
