@@ -839,3 +839,50 @@ def test_physical_mode_retains_duplicates(spark):
         os.path.join(tgt, "phy2.t")
     )
     assert sorted(r["i"] for r in t.collect()) == [1, 1, 2]
+
+
+def test_parquet_source_ingest(spark):
+    """Spark-native source extension: .parquet data files load through
+    align-to-DDL (reorder, default fill, cast) with no string-cast
+    pass; no-PK tables get _tidb_rowid (capacity scheme, gaps
+    allowed)."""
+    import pandas as pd
+
+    d = _dump("pqsrc", {
+        "pq-schema-create.sql": b"CREATE DATABASE pq;",
+        "pq.t-schema.sql": (
+            b"create table t (i bigint primary key, s varchar(8), "
+            b"n int default 7);"
+        ),
+        "pq.nk-schema.sql": b"create table nk (v varchar(8));",
+    })
+    # typed parquet part with a column order different from the DDL
+    pd.DataFrame({"s": ["a", "b"], "i": [2, 1]}).to_parquet(
+        os.path.join(d, "pq.t.0001.parquet")
+    )
+    pd.DataFrame({"v": ["x", "y", "z"]}).to_parquet(
+        os.path.join(d, "pq.nk.0001.parquet")
+    )
+    tgt = os.path.join(TMP, "pqsrc_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pq.t")
+    )
+    got = {r["i"]: (r["s"], r["n"]) for r in t.collect()}
+    assert got == {1: ("b", 7), 2: ("a", 7)}  # reorder + default fill
+    nk = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pq.nk")
+    )
+    rows = nk.collect()
+    assert sorted(r["v"] for r in rows) == ["x", "y", "z"]
+    assert len({r["_tidb_rowid"] for r in rows}) == 3  # unique rowids

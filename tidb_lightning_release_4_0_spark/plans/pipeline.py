@@ -279,10 +279,58 @@ class RestoreController:
         renumber rows (restore.go:861-870 parity)."""
         all_csv = [f for f in meta.data_files if f.path.lower().endswith(".csv")]
         all_sql = [f for f in meta.data_files if f.path.lower().endswith(".sql")]
+        all_pq = [
+            f for f in meta.data_files if f.path.lower().endswith(".parquet")
+        ]
         csv_files = [f for f in all_csv if only is None or f.path in only]
         sql_files = [f for f in all_sql if only is None or f.path in only]
+        pq_files = [f for f in all_pq if only is None or f.path in only]
         strict = strict_sql_mode(self.cfg.tidb.sql_mode)
         frames: list[DataFrame] = []
+
+        if pq_files:
+            # Spark-native source extension: columnar dumps are
+            # already typed, so the ladder is align-to-DDL (reorder,
+            # default-fill missing columns, cast to the DDL types) —
+            # no MySQL string-cast pass. Splittable scan, all-JVM.
+            # Row-ids use the partition-capacity scheme (assign_rowid:
+            # unique, deterministic, gaps allowed — the byte-estimate
+            # base reservation is UNSAFE for compressed columnar
+            # files, where a row can occupy less than a byte).
+            from ..operators.permutation import default_column
+            from ..operators.rowid import assign_rowid
+
+            pdf = self.spark.read.parquet(*[f.path for f in pq_files])
+            needs_rowid = (
+                not schema.has_int_pk or schema.auto_increment_column
+            )
+            if needs_rowid:
+                pdf = assign_rowid(pdf)
+            cols = []
+            for spec in schema.columns:
+                if spec.name in pdf.columns:
+                    src = F.col(spec.name).cast(spec.spark_type)
+                    if spec.auto_increment and needs_rowid:
+                        src = F.coalesce(
+                            src, F.col("_row_id").cast(spec.spark_type)
+                        )
+                    cols.append(src.alias(spec.name))
+                elif spec.auto_increment and needs_rowid:
+                    cols.append(
+                        F.col("_row_id").cast(spec.spark_type).alias(spec.name)
+                    )
+                else:
+                    cols.append(
+                        default_column(spec, self.job_timestamp).alias(
+                            spec.name
+                        )
+                    )
+            extra = []
+            if not schema.has_int_pk and needs_rowid:
+                extra.append(F.col("_row_id").cast("long").alias("_tidb_rowid"))
+            if needs_rowid:
+                extra.append(F.col("_row_id"))
+            frames.append(pdf.select(*cols, *extra))
 
         if csv_files and self.cfg.mydumper.csv.strict_parser:
             from ..sources.csv_strict import read_csv_strict

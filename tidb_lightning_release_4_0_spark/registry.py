@@ -914,6 +914,25 @@ def q_curation_funnel(spark, sf_dir):
     )
 
 
+def q_salted_join_orders(spark, sf_dir):
+    """Skew-safe salted equi-join (left keys salted, right side
+    replicated across salt values) — results identical to the plain
+    join, which is the oracle (operators/skew.py)."""
+    from .operators.skew import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "o_custkey", salt_buckets=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").cast("double").alias("sum_price"),
+    )
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal metadata derivation (the JVM-side, prunable half of
     the media pipeline): typed (mime, width, height, n_bytes) struct
@@ -1041,6 +1060,7 @@ def build_queries():
         "curation_funnel": q_curation_funnel,
         "repetition_stats": q_repetition_stats,
         "media_metadata": q_media_metadata,
+        "salted_join_orders": q_salted_join_orders,
     }
 
 
@@ -1462,6 +1482,14 @@ def build_oracle_sql():
             FROM documents GROUP BY 1
         """,
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "salted_join_orders": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n,
+                   cast(sum(cast(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
+        """,
         "media_metadata": """
             SELECT doc_id,
                    'image/fake' AS mime,

@@ -135,6 +135,10 @@ def _classify(fname: str) -> tuple[str, str] | None:
         return "table-schema", name[: -len("-schema.sql")]
     if lower.endswith(".sql") or lower.endswith(".csv"):
         return "data", name[:-4]
+    if lower.endswith(".parquet"):
+        # Spark-native extension beyond the reference's suffix switch:
+        # columnar dumps load through the same permutation/cast ladder
+        return "data", name[: -len(".parquet")]
     return None
 
 
