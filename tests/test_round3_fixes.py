@@ -886,3 +886,110 @@ def test_parquet_source_ingest(spark):
     rows = nk.collect()
     assert sorted(r["v"] for r in rows) == ["x", "y", "z"]
     assert len({r["_tidb_rowid"] for r in rows}) == 3  # unique rowids
+
+
+def test_parquet_source_case_insensitive_and_strict(spark):
+    """Parquet align-to-DDL matches columns case-insensitively, and
+    strict sql_mode raises on values a cast would null-fill."""
+    import pandas as pd
+
+    d = _dump("pqcase", {
+        "pqc-schema-create.sql": b"CREATE DATABASE pqc;",
+        "pqc.t-schema.sql": b"create table t (i bigint primary key, s varchar(8));",
+    })
+    pd.DataFrame({"I": [5], "S": ["up"]}).to_parquet(
+        os.path.join(d, "pqc.t.0001.parquet")
+    )
+    tgt = os.path.join(TMP, "pqcase_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet", target_dir=tgt,
+        on_duplicate="physical", checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pqc.t")
+    )
+    assert [(r["i"], r["s"]) for r in t.collect()] == [(5, "up")]
+
+    # strict: a string that cannot cast to the DDL int must error
+    d2 = _dump("pqstrict", {
+        "pqs-schema-create.sql": b"CREATE DATABASE pqs;",
+        "pqs.t-schema.sql": b"create table t (i bigint primary key);",
+    })
+    pd.DataFrame({"i": ["abc"]}).to_parquet(
+        os.path.join(d2, "pqs.t.0001.parquet")
+    )
+    tgt2 = os.path.join(TMP, "pqstrict_sink")
+    shutil.rmtree(tgt2, ignore_errors=True)
+    cfg2 = Config(
+        mydumper=MydumperConfig(source_dir=d2),
+        backend="parquet", target_dir=tgt2,
+        on_duplicate="physical", checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode="STRICT_TRANS_TABLES"),
+    )
+    run2 = RestoreController(spark, cfg2).run()
+    assert not run2.ok
+    assert "strict sql_mode" in (run2.tables["pqs.t"].error or "")
+
+
+def test_parquet_source_mixed_with_csv(spark):
+    """A table with both parquet and CSV parts unions cleanly with
+    disjoint row-ids."""
+    import pandas as pd
+
+    d = _dump("pqmix", {
+        "pqm-schema-create.sql": b"CREATE DATABASE pqm;",
+        "pqm.t-schema.sql": b"create table t (v varchar(8));",
+        "pqm.t.0002.csv": b"c1\nc2\n",
+    })
+    pd.DataFrame({"v": ["p1", "p2"]}).to_parquet(
+        os.path.join(d, "pqm.t.0001.parquet")
+    )
+    tgt = os.path.join(TMP, "pqmix_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet", target_dir=tgt,
+        on_duplicate="physical", checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pqm.t")
+    )
+    rows = t.collect()
+    assert sorted(r["v"] for r in rows) == ["c1", "c2", "p1", "p2"]
+    assert len({r["_tidb_rowid"] for r in rows}) == 4  # disjoint ids
+
+
+def test_parquet_source_explicit_tidb_rowid_wins(spark):
+    import pandas as pd
+
+    d = _dump("pqrid", {
+        "pqr-schema-create.sql": b"CREATE DATABASE pqr;",
+        "pqr.t-schema.sql": b"create table t (v varchar(8));",
+    })
+    pd.DataFrame({"v": ["a", "b"], "_tidb_rowid": [100, 200]}).to_parquet(
+        os.path.join(d, "pqr.t.0001.parquet")
+    )
+    tgt = os.path.join(TMP, "pqrid_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet", target_dir=tgt,
+        on_duplicate="physical", checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pqr.t")
+    )
+    got = {r["v"]: r["_tidb_rowid"] for r in t.collect()}
+    assert got == {"a": 100, "b": 200}
+    assert run.tables["pqr.t"].alloc_base == 201

@@ -26,7 +26,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import Config, strict_sql_mode
@@ -292,24 +292,54 @@ class RestoreController:
             # Spark-native source extension: columnar dumps are
             # already typed, so the ladder is align-to-DDL (reorder,
             # default-fill missing columns, cast to the DDL types) —
-            # no MySQL string-cast pass. Splittable scan, all-JVM.
-            # Row-ids use the partition-capacity scheme (assign_rowid:
-            # unique, deterministic, gaps allowed — the byte-estimate
-            # base reservation is UNSAFE for compressed columnar
-            # files, where a row can occupy less than a byte).
-            from ..operators.permutation import default_column
-            from ..operators.rowid import assign_rowid
+            # NOT apply_permutation, whose mysql_cast layer is
+            # string-token-oriented; typed input casts directly (under
+            # strict sql_mode a null-after-cast on a non-null source
+            # raises, so narrowing corruption still errors; numeric
+            # values parquet already holds are otherwise trusted —
+            # documented deviation for this beyond-reference format).
+            # Row-ids use the partition-capacity scheme offset past
+            # the byte-estimate id range (the byte estimate itself is
+            # UNSAFE for compressed columnar files, where a row can
+            # occupy less than a byte): ids are unique, deterministic,
+            # gaps allowed, and DISJOINT from any CSV/SQL frame ids of
+            # the same table (mixed-source dumps union cleanly).
+            from ..operators.permutation import ROWID_COL, default_column
+            from ..operators.rowid import _PARTITION_CAPACITY, assign_rowid
 
             pdf = self.spark.read.parquet(*[f.path for f in pq_files])
+            by_lower = {c.lower(): c for c in pdf.columns}
+            explicit_rowid = by_lower.get(ROWID_COL)
             needs_rowid = (
-                not schema.has_int_pk or schema.auto_increment_column
+                not schema.has_int_pk
+                or bool(schema.auto_increment_column)
+                or bool(csv_files or sql_files)  # union needs _row_id
             )
             if needs_rowid:
-                pdf = assign_rowid(pdf)
+                pdf = assign_rowid(pdf, start=_PARTITION_CAPACITY + 1)
+
+            def _typed(src: Column, spec) -> Column:
+                # try_cast: lenient mode null-fills like MySQL coerces
+                # (ANSI plain cast would throw even when lenient);
+                # strict mode rejects the null-fill explicitly
+                casted = src.try_cast(spec.spark_type)
+                if strict:
+                    return F.when(
+                        src.isNotNull() & casted.isNull(),
+                        F.raise_error(
+                            F.lit(
+                                f"strict sql_mode: value not valid for "
+                                f"column {spec.name!r}"
+                            )
+                        ).cast(spec.spark_type),
+                    ).otherwise(casted)
+                return casted
+
             cols = []
             for spec in schema.columns:
-                if spec.name in pdf.columns:
-                    src = F.col(spec.name).cast(spec.spark_type)
+                src_name = by_lower.get(spec.name.lower())
+                if src_name is not None:
+                    src = _typed(F.col(src_name), spec)
                     if spec.auto_increment and needs_rowid:
                         src = F.coalesce(
                             src, F.col("_row_id").cast(spec.spark_type)
@@ -326,8 +356,17 @@ class RestoreController:
                         )
                     )
             extra = []
-            if not schema.has_int_pk and needs_rowid:
-                extra.append(F.col("_row_id").cast("long").alias("_tidb_rowid"))
+            if not schema.has_int_pk:
+                # an explicit _tidb_rowid in the file wins
+                # (restore.go:1381-1388 parity, as apply_permutation)
+                if explicit_rowid is not None:
+                    extra.append(
+                        F.col(explicit_rowid).cast("long").alias(ROWID_COL)
+                    )
+                elif needs_rowid:
+                    extra.append(
+                        F.col("_row_id").cast("long").alias(ROWID_COL)
+                    )
             if needs_rowid:
                 extra.append(F.col("_row_id"))
             frames.append(pdf.select(*cols, *extra))
@@ -700,6 +739,14 @@ class RestoreController:
                 and not dedup_may_drop
                 and not self.cfg.mydumper.csv.strict_parser
                 and type(self.sink).write_engine is not Sink.write_engine
+                # parquet sources have no plan-time per-file id bases
+                # (byte estimates are unsafe for columnar files), so
+                # their capacity-scheme ids are only unique within ONE
+                # read — engine-split reads would collide: single-shot
+                and not any(
+                    f.path.lower().endswith(".parquet")
+                    for f in meta.data_files
+                )
             )
             if engine_grain:
                 local, rows, obs_max_id = self._restore_engines(
