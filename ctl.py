@@ -9,6 +9,11 @@ cmd/tidb-lightning-ctl/main.go:42-307:
     ctl.py checkpoint-error-ignore  --checkpoint PATH [--table ...]
     ctl.py checkpoint-error-destroy --checkpoint PATH --table db.tbl \
            [--target-dir DIR]     # also drops the sink table
+
+``--checkpoint`` accepts either a JSON file path (the file driver) or
+``sqlite:PATH`` for the SQL checkpoint store (the MySQL-driver analog,
+checkpoints.go:369-760) — ctl maintenance works against both, like the
+reference's ctl does for file and mysql checkpoint drivers.
 """
 
 from __future__ import annotations
@@ -23,7 +28,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tidb_lightning_release_4_0_spark.plans.checkpoints import (  # noqa: E402
     CheckpointStore,
+    SQLCheckpointStore,
 )
+
+
+def open_store(spec: str) -> CheckpointStore:
+    """'sqlite:PATH' -> SQL store; anything else -> JSON file store."""
+    if spec.startswith("sqlite:"):
+        import sqlite3
+
+        path = spec[len("sqlite:"):]
+        return SQLCheckpointStore(
+            lambda: sqlite3.connect(path, check_same_thread=False)
+        )
+    return CheckpointStore(spec)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -41,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--target-dir", default="")
 
     args = ap.parse_args(argv)
-    cp = CheckpointStore(args.checkpoint)
+    cp = open_store(args.checkpoint)
 
     if args.cmd == "checkpoint-dump":
         print(json.dumps(cp.dump(), indent=2, sort_keys=True))

@@ -278,3 +278,46 @@ def test_streaming_dedup_within_watermark(spark, tables):
         got.groupBy("user_id", "event_id").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_ctl_sqlite_store(tmp_path):
+    """ctl maintenance works against the SQL checkpoint store via the
+    sqlite:PATH spec (reference ctl supports the mysql driver too)."""
+    import json as _json
+    import sqlite3
+    import subprocess
+    import sys as _sys
+
+    from tidb_lightning_release_4_0_spark.plans.checkpoints import (
+        SQLCheckpointStore,
+        Status,
+    )
+
+    db = str(tmp_path / "cp.sqlite")
+    store = SQLCheckpointStore(
+        lambda: sqlite3.connect(db, check_same_thread=False)
+    )
+    store.set_table_status("d.t", Status.CHECKSUMMED)
+    store.set_task_meta("job_timestamp", "2026-01-01T00:00:00")
+
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/ctl.py", "checkpoint-dump",
+         "--checkpoint", f"sqlite:{db}"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr
+    dump = _json.loads(r.stdout)
+    assert dump["tables"]["d.t"]["status"] == int(Status.CHECKSUMMED)
+    assert dump["task"]["job_timestamp"] == "2026-01-01T00:00:00"
+
+    r2 = subprocess.run(
+        [_sys.executable, "/root/repo/ctl.py", "checkpoint-remove",
+         "--checkpoint", f"sqlite:{db}", "--table", "all"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode == 0, r2.stderr
+    # a FRESH store hydrates empty after the remove
+    store2 = SQLCheckpointStore(
+        lambda: sqlite3.connect(db, check_same_thread=False)
+    )
+    assert store2.table_status("d.t") == 0
