@@ -304,6 +304,10 @@ class RestoreController:
             # occupy less than a byte): ids are unique, deterministic,
             # gaps allowed, and DISJOINT from any CSV/SQL frame ids of
             # the same table (mixed-source dumps union cleanly).
+            # Documented deviation: replace/ignore dup "arrival order"
+            # for parquet rows follows the scan's partition order, not
+            # the dump's file sequence the CSV/SQL paths guarantee —
+            # columnar dumps carry no inherent row sequence.
             from ..operators.permutation import ROWID_COL, default_column
             from ..operators.rowid import _PARTITION_CAPACITY, assign_rowid
 
