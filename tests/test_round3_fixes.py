@@ -993,3 +993,41 @@ def test_parquet_source_explicit_tidb_rowid_wins(spark):
     got = {r["v"]: r["_tidb_rowid"] for r in t.collect()}
     assert got == {"a": 100, "b": 200}
     assert run.tables["pqr.t"].alloc_base == 201
+
+
+def test_parquet_multi_file_engine_forced_single_shot(spark):
+    """Multiple parquet parts with engine batching configured: the
+    pipeline must restore single-shot (engine-split reads would reuse
+    the same capacity-scheme id range per batch) and still produce
+    unique row-ids and exact totals."""
+    import pandas as pd
+
+    d = _dump("pqeng", {
+        "pqe-schema-create.sql": b"CREATE DATABASE pqe;",
+        "pqe.t-schema.sql": b"create table t (v varchar(8));",
+    })
+    for p in range(4):
+        pd.DataFrame({"v": [f"r{p}_{k}" for k in range(5)]}).to_parquet(
+            os.path.join(d, f"pqe.t.{p:04d}.parquet")
+        )
+    tgt = os.path.join(TMP, "pqeng_sink")
+    cp_path = os.path.join(TMP, "pqeng_cp.json")
+    shutil.rmtree(tgt, ignore_errors=True)
+    if os.path.exists(cp_path):
+        os.remove(cp_path)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d, batch_size=1),  # 1 file/engine
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_path=cp_path,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "pqe.t")
+    )
+    rows = t.collect()
+    assert len(rows) == 20
+    assert len({r["_tidb_rowid"] for r in rows}) == 20  # no collisions
