@@ -1031,3 +1031,57 @@ def test_parquet_multi_file_engine_forced_single_shot(spark):
     rows = t.collect()
     assert len(rows) == 20
     assert len({r["_tidb_rowid"] for r in rows}) == 20  # no collisions
+
+
+def test_gzip_csv_ingest(spark):
+    """Gzip CSV parts (beyond-reference): Spark decompresses in the
+    reader; row-ids use the capacity scheme (compressed sizes cannot
+    bound row counts) and stay unique across mixed gz+plain parts."""
+    import gzip
+
+    d = _dump("gzsrc", {
+        "gz-schema-create.sql": b"CREATE DATABASE gz;",
+        "gz.t-schema.sql": b"create table t (v varchar(8));",
+        "gz.t.0002.csv": b"p1\np2\n",
+    })
+    with gzip.open(os.path.join(d, "gz.t.0001.csv.gz"), "wb") as f:
+        f.write(b"g1\ng2\ng3\n")
+    tgt = os.path.join(TMP, "gzsrc_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "gz.t")
+    )
+    rows = t.collect()
+    assert sorted(r["v"] for r in rows) == ["g1", "g2", "g3", "p1", "p2"]
+    assert len({r["_tidb_rowid"] for r in rows}) == 5
+
+
+def test_gzip_csv_strict_parser_rejected(spark):
+    import gzip
+
+    d = _dump("gzstrict", {
+        "gs-schema-create.sql": b"CREATE DATABASE gs;",
+        "gs.t-schema.sql": b"create table t (v varchar(8));",
+    })
+    with gzip.open(os.path.join(d, "gs.t.0001.csv.gz"), "wb") as f:
+        f.write(b"x\n")
+    cfg = Config(
+        mydumper=MydumperConfig(
+            source_dir=d, csv=CSVConfig(strict_parser=True)
+        ),
+        backend="memory",
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert not run.ok
+    assert "gunzip" in (run.tables["gs.t"].error or "")

@@ -277,7 +277,11 @@ class RestoreController:
         over the FULL file list — a file's ids must not depend on
         which other files ride along, or checkpoint resume would
         renumber rows (restore.go:861-870 parity)."""
-        all_csv = [f for f in meta.data_files if f.path.lower().endswith(".csv")]
+        all_csv = [
+            f
+            for f in meta.data_files
+            if f.path.lower().endswith((".csv", ".csv.gz"))
+        ]
         all_sql = [f for f in meta.data_files if f.path.lower().endswith(".sql")]
         all_pq = [
             f for f in meta.data_files if f.path.lower().endswith(".parquet")
@@ -375,6 +379,12 @@ class RestoreController:
                 extra.append(F.col("_row_id"))
             frames.append(pdf.select(*cols, *extra))
 
+        has_gz = any(f.path.lower().endswith(".csv.gz") for f in csv_files)
+        if has_gz and self.cfg.mydumper.csv.strict_parser:
+            raise ValueError(
+                "strict_parser reads raw bytes and does not decompress; "
+                "gunzip .csv.gz parts first or disable csv.strict-parser"
+            )
         if csv_files and self.cfg.mydumper.csv.strict_parser:
             from ..sources.csv_strict import read_csv_strict
 
@@ -410,11 +420,31 @@ class RestoreController:
         elif csv_files:
             csv_cfg = self.cfg.mydumper.csv
             ncols = len(schema.columns)
-            from ..operators.rowid import assign_rowid_by_file, file_row_bases
+            from ..operators.rowid import (
+                _PARTITION_CAPACITY,
+                assign_rowid_by_file,
+                file_row_bases,
+            )
 
             bases = file_row_bases(
                 [(f.path, f.size) for f in all_csv], ncols, is_sql=False
             )
+
+            def _rowids(df: DataFrame) -> DataFrame:
+                if has_gz:
+                    # compressed sizes cannot bound row counts, so the
+                    # byte-estimate bases are unsafe; gz reads are one
+                    # file per task, so mono-id (= pid*2^33 + in-file
+                    # index) offset past the estimate range is unique,
+                    # deterministic, gaps allowed, zero extra jobs
+                    return df.withColumn(
+                        "_row_id",
+                        F.monotonically_increasing_id()
+                        + F.lit(_PARTITION_CAPACITY + 1),
+                    )
+                return assign_rowid_by_file(
+                    df, bases, one_file_per_partition=True
+                )
             # strict sql_mode keeps the fast path for ints/dates
             # (every natively-rejected token re-parses through
             # mysql_cast(strict=True), which raises exactly like the
@@ -443,9 +473,7 @@ class RestoreController:
                 # multiLine CSV reads are whole-file, and the
                 # session's openCostInBytes disables file packing ->
                 # one file per task, so row-ids need no extra job
-                df = assign_rowid_by_file(
-                    nf.df, bases, one_file_per_partition=True
-                )
+                df = _rowids(nf.df)
                 frames.append(
                     apply_permutation(
                         df,
@@ -473,9 +501,7 @@ class RestoreController:
                     column_names=file_cols,
                     num_columns=None if file_cols else ncols,
                 )
-                df = assign_rowid_by_file(
-                    df, bases, one_file_per_partition=True
-                )
+                df = _rowids(df)
                 file_columns = (
                     [c for c in df.columns if c != "_row_id"]
                     if csv_cfg.header
@@ -743,12 +769,13 @@ class RestoreController:
                 and not dedup_may_drop
                 and not self.cfg.mydumper.csv.strict_parser
                 and type(self.sink).write_engine is not Sink.write_engine
-                # parquet sources have no plan-time per-file id bases
-                # (byte estimates are unsafe for columnar files), so
-                # their capacity-scheme ids are only unique within ONE
-                # read — engine-split reads would collide: single-shot
+                # parquet/gzip sources have no plan-time per-file id
+                # bases (byte estimates are unsafe for compressed or
+                # columnar files), so their capacity-scheme ids are
+                # only unique within ONE read — engine-split reads
+                # would collide: single-shot
                 and not any(
-                    f.path.lower().endswith(".parquet")
+                    f.path.lower().endswith((".parquet", ".csv.gz"))
                     for f in meta.data_files
                 )
             )

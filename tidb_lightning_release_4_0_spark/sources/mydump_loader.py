@@ -135,6 +135,10 @@ def _classify(fname: str) -> tuple[str, str] | None:
         return "table-schema", name[: -len("-schema.sql")]
     if lower.endswith(".sql") or lower.endswith(".csv"):
         return "data", name[:-4]
+    if lower.endswith(".csv.gz"):
+        # beyond-reference: gzip CSV parts (Spark decompresses in the
+        # reader; unsplittable -> one task per file, like multiLine)
+        return "data", name[: -len(".csv.gz")]
     if lower.endswith(".parquet"):
         # Spark-native extension beyond the reference's suffix switch:
         # columnar dumps load through the same permutation/cast ladder
