@@ -1085,3 +1085,40 @@ def test_gzip_csv_strict_parser_rejected(spark):
     run = RestoreController(spark, cfg).run()
     assert not run.ok
     assert "gunzip" in (run.tables["gs.t"].error or "")
+
+
+def test_mixed_parquet_gzip_csv_ids_disjoint(spark):
+    """All three capacity/base id lanes stay disjoint when one table
+    mixes parquet, gzip CSV, and plain CSV parts."""
+    import gzip
+
+    import pandas as pd
+
+    d = _dump("allmix", {
+        "am-schema-create.sql": b"CREATE DATABASE am;",
+        "am.t-schema.sql": b"create table t (v varchar(8));",
+        "am.t.0003.csv": b"c1\nc2\n",
+    })
+    pd.DataFrame({"v": ["p1", "p2"]}).to_parquet(
+        os.path.join(d, "am.t.0001.parquet")
+    )
+    with gzip.open(os.path.join(d, "am.t.0002.csv.gz"), "wb") as f:
+        f.write(b"g1\ng2\n")
+    tgt = os.path.join(TMP, "allmix_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "am.t")
+    )
+    rows = t.collect()
+    assert sorted(r["v"] for r in rows) == ["c1", "c2", "g1", "g2", "p1", "p2"]
+    assert len({r["_tidb_rowid"] for r in rows}) == 6

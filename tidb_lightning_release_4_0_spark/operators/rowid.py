@@ -88,6 +88,31 @@ def assign_rowid(df: DataFrame, start: int = 1) -> DataFrame:
     ).drop("_pid", "_local_idx")
 
 
+def assign_rowid_mono(df: DataFrame, start: int = 1) -> DataFrame:
+    """Capacity-scheme row-ids with ZERO extra passes (all-JVM):
+    ``monotonically_increasing_id`` IS ``pid * 2^33 +
+    row_index_in_partition``, which is exactly the capacity scheme —
+    used here ONLY for uniqueness (compressed/columnar sources where
+    byte-estimate bases are unsafe), never for density or dump-order
+    claims (the module-docstring caveat about mono-id is about those
+    claims). Callers separate concurrent sources into disjoint id
+    lanes via ``start``."""
+    return df.withColumn(
+        ROWID, F.monotonically_increasing_id() + F.lit(int(start))
+    )
+
+
+def estimate_id_ceiling(
+    files: list[tuple[str, int]], num_columns: int
+) -> int:
+    """Upper bound of every byte-estimate row-id this table's CSV/SQL
+    frames can produce (the chained file_row_bases total) — capacity-
+    scheme lanes start PAST this so mixed-source unions cannot
+    collide (a fixed offset would not clear large tables)."""
+    divisor = max(num_columns, 1)
+    return sum(max(sz // divisor, 1) + 2 for _, sz in files) + 1
+
+
 def file_row_bases(
     files: list[tuple[str, int]], num_columns: int, is_sql: bool = False
 ) -> dict[str, int]:

@@ -292,6 +292,19 @@ class RestoreController:
         strict = strict_sql_mode(self.cfg.tidb.sql_mode)
         frames: list[DataFrame] = []
 
+        # capacity-scheme id lanes for sources without safe byte-
+        # estimate bases (parquet, gzip): each lane starts past the
+        # table's whole byte-estimate id range AND in its own band,
+        # so mixed-source unions can never collide
+        from ..operators.rowid import estimate_id_ceiling
+
+        _ncols_all = len(schema.columns)
+        _ceiling = estimate_id_ceiling(
+            [(f.path, f.size) for f in all_csv + all_sql], _ncols_all
+        )
+        GZ_LANE = _ceiling + 1
+        PQ_LANE = _ceiling + (1 << 61) + 1
+
         if pq_files:
             # Spark-native source extension: columnar dumps are
             # already typed, so the ladder is align-to-DDL (reorder,
@@ -302,18 +315,20 @@ class RestoreController:
             # raises, so narrowing corruption still errors; numeric
             # values parquet already holds are otherwise trusted —
             # documented deviation for this beyond-reference format).
-            # Row-ids use the partition-capacity scheme offset past
-            # the byte-estimate id range (the byte estimate itself is
-            # UNSAFE for compressed columnar files, where a row can
-            # occupy less than a byte): ids are unique, deterministic,
-            # gaps allowed, and DISJOINT from any CSV/SQL frame ids of
-            # the same table (mixed-source dumps union cleanly).
+            # Row-ids use the capacity scheme in the parquet LANE —
+            # past the table's whole byte-estimate id range and in a
+            # different band than the gz lane (the byte estimate
+            # itself is UNSAFE for compressed columnar files, where a
+            # row can occupy less than a byte): ids are unique,
+            # deterministic, gaps allowed, and DISJOINT from every
+            # other frame of the same table (mixed-source dumps
+            # union cleanly).
             # Documented deviation: replace/ignore dup "arrival order"
             # for parquet rows follows the scan's partition order, not
             # the dump's file sequence the CSV/SQL paths guarantee —
             # columnar dumps carry no inherent row sequence.
             from ..operators.permutation import ROWID_COL, default_column
-            from ..operators.rowid import _PARTITION_CAPACITY, assign_rowid
+            from ..operators.rowid import assign_rowid_mono
 
             pdf = self.spark.read.parquet(*[f.path for f in pq_files])
             by_lower = {c.lower(): c for c in pdf.columns}
@@ -324,7 +339,7 @@ class RestoreController:
                 or bool(csv_files or sql_files)  # union needs _row_id
             )
             if needs_rowid:
-                pdf = assign_rowid(pdf, start=_PARTITION_CAPACITY + 1)
+                pdf = assign_rowid_mono(pdf, start=PQ_LANE)
 
             def _typed(src: Column, spec) -> Column:
                 # try_cast: lenient mode null-fills like MySQL coerces
@@ -421,27 +436,29 @@ class RestoreController:
             csv_cfg = self.cfg.mydumper.csv
             ncols = len(schema.columns)
             from ..operators.rowid import (
-                _PARTITION_CAPACITY,
                 assign_rowid_by_file,
+                assign_rowid_mono,
                 file_row_bases,
             )
 
-            bases = file_row_bases(
-                [(f.path, f.size) for f in all_csv], ncols, is_sql=False
+            bases = (
+                None
+                if has_gz
+                else file_row_bases(
+                    [(f.path, f.size) for f in all_csv], ncols, is_sql=False
+                )
             )
 
             def _rowids(df: DataFrame) -> DataFrame:
                 if has_gz:
                     # compressed sizes cannot bound row counts, so the
-                    # byte-estimate bases are unsafe; gz reads are one
-                    # file per task, so mono-id (= pid*2^33 + in-file
-                    # index) offset past the estimate range is unique,
-                    # deterministic, gaps allowed, zero extra jobs
-                    return df.withColumn(
-                        "_row_id",
-                        F.monotonically_increasing_id()
-                        + F.lit(_PARTITION_CAPACITY + 1),
-                    )
+                    # byte-estimate bases are unsafe: capacity-scheme
+                    # ids in the gz lane (unique, zero extra jobs).
+                    # Documented deviation: replace/ignore "arrival
+                    # order" then follows scan partition order, not
+                    # the dump part sequence — gunzip the parts when
+                    # logical dup order matters
+                    return assign_rowid_mono(df, start=GZ_LANE)
                 return assign_rowid_by_file(
                     df, bases, one_file_per_partition=True
                 )
