@@ -73,15 +73,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"cleared error checkpoints for {args.table}")
         return 0
     if args.cmd == "checkpoint-error-destroy":
-        # main.go:166-215: drop target table + remove checkpoints so
-        # the next run reimports from scratch
-        if args.target_dir and args.table != "all":
-            path = os.path.join(args.target_dir, args.table)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-                print(f"dropped sink table {path}")
-        cp.remove(None if args.table == "all" else args.table)
-        print(f"destroyed checkpoints for {args.table}")
+        # main.go:166-215: only ERRORED tables (status <= invalid
+        # max) are destroyed — their checkpoints removed AND their
+        # target tables dropped so the next run reimports from
+        # scratch (checkpoints.go:1053-1135)
+        destroyed = cp.destroy_error(args.table)
+        for name in destroyed:
+            if args.target_dir:
+                path = os.path.join(args.target_dir, name)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                    print(f"dropped sink table {path}")
+        print(
+            f"destroyed checkpoints for {destroyed or 'no errored tables'}"
+        )
         return 0
     return 1
 

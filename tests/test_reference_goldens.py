@@ -564,6 +564,17 @@ def test_checkpoint_resume(spark):
     # exact row accounting like checkpoint_chunks' sum(i) golden
     cp = CheckpointStore(cp_path)
     assert cp.table_status("cpt.ok") >= Status.CHECKSUMMED
+    # the failed table left an errored checkpoint -> a blind rerun is
+    # refused until ctl resolves it (tests/error_summary/run.sh part 2)
+    import pytest as _pytest
+
+    from tidb_lightning_release_4_0_spark.plans.pipeline import (
+        CheckpointInvalidError,
+    )
+
+    with _pytest.raises(CheckpointInvalidError):
+        RestoreController(spark, cfg, sink=sink, checkpoints=cp).run()
+    cp.ignore_error("cpt.tbl")  # ctl checkpoint-error-ignore
     run2 = RestoreController(spark, cfg, sink=sink, checkpoints=cp).run()
     assert run2.ok, run2.report()
     assert run2.tables["cpt.ok"].status == "skipped"

@@ -216,8 +216,10 @@ def test_checkpoint_timestamp_frozen_across_resume(spark):
     run1 = RestoreController(spark, cfg(), sink=sink1).run()
     assert not run1.ok  # crashed mid-table
     sink2 = ParquetSink(tgt, on_duplicate="error")
+    cp2 = CheckpointStore(cp_path)
+    cp2.ignore_error("cpts.cpts")  # clear the errored status (ctl)
     run2 = RestoreController(
-        spark, cfg(), sink=sink2, checkpoints=CheckpointStore(cp_path)
+        spark, cfg(), sink=sink2, checkpoints=cp2
     ).run()
     assert run2.ok, run2.report()
     t = spark.read.option("recursiveFileLookup", "true").parquet(

@@ -126,8 +126,10 @@ def test_engine_grain_resume(spark):
 
     # resume: only engines 3..5 are delivered; 0..2 never re-read
     sink2 = _EngineFailSink(tgt)
+    cp_r = CheckpointStore(cp_path)
+    cp_r.ignore_error("eng.t")  # ctl step: clear the errored status
     run2 = RestoreController(
-        spark, cfg(), sink=sink2, checkpoints=CheckpointStore(cp_path)
+        spark, cfg(), sink=sink2, checkpoints=cp_r
     ).run()
     assert run2.ok, run2.report()
     assert sink2.calls == [3, 4, 5]
@@ -208,6 +210,7 @@ def test_checkpoint_resume_sql_store(spark):
     # driver-loss survival property the JSON file store lacks
     cp2 = _sqlite_store(db_path)
     assert cp2.table_status("cps.ok") >= Status.CHECKSUMMED
+    cp2.ignore_error("cps.tbl")  # ctl step: clear the errored status
     run2 = RestoreController(spark, cfg, sink=sink, checkpoints=cp2).run()
     assert run2.ok, run2.report()
     assert run2.tables["cps.ok"].status == "skipped"

@@ -51,6 +51,25 @@ def invalid(status: int) -> int:
     return status // 10
 
 
+def metric_name(status: int) -> str:
+    """CheckpointStatus.MetricName (checkpoints.go:67-90) — the
+    failedStep label in error summaries."""
+    names = {
+        Status.MISSING: "missing",
+        Status.LOADED: "pending",
+        Status.ALL_WRITTEN: "written",
+        Status.CLOSED: "closed",
+        Status.IMPORTED: "imported",
+        Status.INDEX_IMPORTED: "index_imported",
+        Status.ALTERED_AUTO_INC: "altered_auto_inc",
+        Status.CHECKSUM_SKIPPED: "checksum",
+        Status.CHECKSUMMED: "checksum",
+        Status.ANALYZE_SKIPPED: "analyzed",
+        Status.ANALYZED: "analyzed",
+    }
+    return names.get(status, "invalid")
+
+
 class CheckpointStore:
     def __init__(self, path: str | None = None, enabled: bool = True):
         self.enabled = enabled
@@ -189,6 +208,23 @@ class CheckpointStore:
                     if not k.startswith(table + "|")
                 }
             self._save()
+
+    def destroy_error(self, table: str | None = None) -> list[str]:
+        """checkpoint-error-destroy: remove checkpoints of tables
+        whose status is invalid (<= MAX_INVALID) and return their
+        names so the caller can drop the target tables
+        (checkpoints.go:1053-1135; ctl main.go:166-215). A named
+        table is only destroyed if it is actually errored."""
+        with self._lock:
+            targets = [
+                t
+                for t, rec in self.state["tables"].items()
+                if 0 < rec.get("status", 0) <= Status.MAX_INVALID
+                and (table in (None, "all") or t == table)
+            ]
+            for t in targets:
+                self.remove(t)
+            return targets
 
     def ignore_error(self, table: str | None = None) -> None:
         """checkpoint-error-ignore: clear invalid markers

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import Config, strict_sql_mode
 from ..functions.checksum import Checksum
@@ -43,9 +44,49 @@ from ..sources.sql_dump_source import (
     project_fields,
     read_sql_dump,
 )
-from .checkpoints import CheckpointStore, Status
+from .checkpoints import CheckpointStore, Status, invalid, metric_name
 
 log = logging.getLogger("tidb_lightning_spark")
+
+
+class CheckpointInvalidError(RuntimeError):
+    """Raised at run start when a previous run left errored (invalid)
+    checkpoints — the reference stops the whole task to prevent data
+    loss (restore.go:597-653) and prints the ctl action that resolves
+    each table."""
+
+    def __init__(self, tables: dict[str, int]):
+        self.tables = tables
+        lines = [
+            '["TiDB Lightning has failed last time. To prevent data '
+            'loss, this run will stop now. Please resolve errors '
+            f'first"] [count={len(tables)}]'
+        ]
+        for name, status in sorted(tables.items()):
+            failed_step = status * 10
+            # ignore suffices for post-import steps; earlier failures
+            # may have left partial data -> destroy (restore.go:629-637)
+            action = (
+                "ignore"
+                if failed_step
+                in (Status.ALTERED_AUTO_INC, Status.ANALYZED)
+                else "destroy"
+            )
+            lines.append(
+                f"[-] [table={name}] [status={status}] "
+                f"[failedStep={metric_name(failed_step)}] "
+                f'[recommendedAction="./ctl.py checkpoint-error-'
+                f"{action} --table='{name}' ...\"]"
+            )
+        lines.append(
+            "You may also run `./ctl.py checkpoint-error-destroy "
+            "--table=all ...` to start from scratch"
+        )
+        lines.append(
+            "For details of this failure, read the log file from the "
+            "PREVIOUS run"
+        )
+        super().__init__("\n".join(lines))
 
 
 @dataclass
@@ -56,6 +97,7 @@ class TableResult:
     checksum: Checksum | None = None
     alloc_base: int = 0
     error: str | None = None
+    failed_step: int | None = None  # Status the failed step targeted
     seconds: float = 0.0
     source_bytes: int = 0
 
@@ -72,9 +114,19 @@ class RunSummary:
 
     def report(self) -> str:
         lines = []
+        failed = [r for r in self.tables.values() if r.status == "failed"]
+        if failed:
+            # restore.go:104-118 error summary header + per-table line
+            lines.append(
+                f'["tables failed to be imported"] [count={len(failed)}]'
+            )
         for name, r in sorted(self.tables.items()):
             if r.status == "failed":
-                lines.append(f"[-] [table: {name}] error: {r.error}")
+                step = metric_name(r.failed_step or 0)
+                lines.append(
+                    f'[-] [table={name}] [status={step}] '
+                    f'[error="{r.error}"]'
+                )
             else:
                 mibs = (
                     r.source_bytes / r.seconds / (1 << 20) if r.seconds else 0
@@ -568,7 +620,11 @@ class RestoreController:
                 )
             )
         if not frames:
-            raise ValueError(f"no data files for {meta.db}.{meta.name}")
+            # schema-only (empty) table, or a data file with zero
+            # rows: the table must still be created in the target
+            # (reference tests/tool_241 — dumps full of empty tables)
+            struct = schema.struct_type.add("_row_id", T.LongType())
+            return self.spark.createDataFrame([], schema=struct)
         df = frames[0]
         for f in frames[1:]:
             df = df.unionByName(f)
@@ -752,6 +808,12 @@ class RestoreController:
         carries rows + max-id, so the restore is one data pass.
         """
         t0 = time.monotonic()
+        # The step being attempted, as its success status: a failure
+        # records invalid(attempt) = attempt/10 in the checkpoint
+        # (saveStatusCheckpoint + StatusCheckpointMerger.SetInvalid,
+        # restore.go:345-358) so the next run can refuse to proceed
+        # and recommend the matching ctl action.
+        attempt = Status.IMPORTED
         try:
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
                 return TableResult(table=name, status="skipped")
@@ -805,6 +867,7 @@ class RestoreController:
                     name, meta, schema, cols
                 )
             self.cp.set_table_status(name, Status.IMPORTED)
+            attempt = Status.CHECKSUMMED
 
             # pass 2 (only when something must be read back)
             need_remote = self.cfg.checksum and local is not None
@@ -880,6 +943,7 @@ class RestoreController:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)
             else:
                 self.cp.set_table_status(name, Status.CHECKSUM_SKIPPED)
+            attempt = Status.ANALYZED
             if self.cfg.index_engine:
                 self._write_index_engines(name, schema)
             if self.cfg.compact:
@@ -904,10 +968,15 @@ class RestoreController:
             )
         except Exception as e:  # O12: collect, don't abort the run
             log.exception("restore failed for %s", name)
+            # record the aborted step (status/10) so the next run
+            # refuses to continue until ctl resolves it
+            # (restore.go:352-358, checkpoints.go:55-57)
+            self.cp.set_table_status(name, invalid(attempt))
             return TableResult(
                 table=name,
                 status="failed",
                 error=str(e),
+                failed_step=int(attempt),
                 seconds=time.monotonic() - t0,
             )
 
@@ -1003,6 +1072,18 @@ class RestoreController:
 
         summary = RunSummary()
         schemas = self.load_schemas()
+        # refuse to continue over errored checkpoints from a previous
+        # run (restore.go:597-653): partial data may exist and blind
+        # re-import could lose or duplicate rows
+        bad = {
+            name: st
+            for name in schemas
+            if 0 < (st := self.cp.table_status(name)) <= Status.MAX_INVALID
+        }
+        if bad:
+            err = CheckpointInvalidError(bad)
+            log.error("%s", err)
+            raise err
         # [2] schema restore (K5, restore.go:329-373): apply each
         # dump DDL to the target catalog before any data lands
         if not self.cfg.mydumper.no_schema:
