@@ -154,3 +154,36 @@ def test_stratified_sample_partial_topn(spark, sf_dir):
 
     plan = _plan(q_sample_stratified(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is explode over a per-row sequence — a narrow
+    projection with zero exchanges and no Python evaluation."""
+    from tidb_lightning_release_4_0_spark.registry import q_chunk_documents
+
+    plan = _plan(q_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_pii_scrub_stays_jvm(spark, sf_dir):
+    """Regex redaction runs JVM-side (codegen), one scan, no shuffle."""
+    from tidb_lightning_release_4_0_spark.registry import q_pii_scrub
+
+    plan = _plan(q_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
+    assert "codegen id" in plan, plan  # whole-stage codegen spans
+
+
+def test_provenance_filter_narrow(spark, sf_dir):
+    """Blocklist/allowlist are literal predicates on a narrow scan —
+    reads only the three referenced columns, no shuffle."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_provenance_filter,
+    )
+
+    plan = _plan(q_provenance_filter(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "text" not in read[0], read

@@ -462,3 +462,185 @@ SELECT vec_id, round(__s, 6) AS scale,
          ',') AS qvec
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with
+    ``overlap`` characters shared between consecutive chunks — the
+    standard context-window preprocessing step before embedding or
+    training. Chunk i covers [i*step, i*step + size) with
+    step = size - overlap; a document of n chars yields
+    1 + ceil((n - size) / step) chunks (1 if n <= size).
+
+    Output: (doc_id, chunk_id, chunk_text, n_chunks).
+
+    Scale: explode of a per-row integer sequence — a narrow
+    projection, no shuffle; chunk counts are bounded by doc length so
+    there is no skew beyond the corpus's own length distribution.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+    n = F.length(F.col(text_col))
+    extra = F.greatest(n - size, F.lit(0))
+    n_chunks = (
+        F.lit(1) + F.floor((extra + step - 1) / F.lit(step))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_t"),
+        n_chunks.alias("n_chunks"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+        ).alias("chunk_id"),
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.col("_t")
+        .substr((F.col("chunk_id") * step + 1).cast("int"), F.lit(size))
+        .alias("chunk_text"),
+        "n_chunks",
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str = "documents",
+    size: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    step = size - overlap
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {text_col} AS _t,
+         (1 + (greatest(length({text_col}) - {size}, 0) + {step} - 1)
+              // {step})::BIGINT AS n_chunks
+  FROM {table}
+)
+SELECT doc_id, u.chunk_id, substr(_t, u.chunk_id * {step} + 1, {size})
+         AS chunk_text, n_chunks
+FROM t, unnest(generate_series(0, n_chunks - 1)) AS u(chunk_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repeats, \b.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / phone numbers / SSN-shaped ids, reporting
+    per-document match counts: (doc_id, clean_text, n_email,
+    n_phone, n_ssn). Redaction order matters (SSN-shaped substrings
+    inside an already-redacted phone must not double-count), so
+    counts are taken on the original text per pattern and
+    replacements apply sequentially. Narrow codegen projection —
+    regexes run JVM-side, no Python, no shuffle."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    clean = c
+    for name, p in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, p, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col).alias("doc_id"), clean.alias("clean_text"), *counts
+    )
+
+
+def pii_scrub_oracle_sql(
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    counts = ", ".join(
+        f"length(regexp_extract_all({text_col}, '{p}')) AS n_{name}"
+        for name, p in PII_PATTERNS.items()
+    )
+    clean = text_col
+    for name, p in PII_PATTERNS.items():
+        clean = f"regexp_replace({clean}, '{p}', '<{name.upper()}>', 'g')"
+    return (
+        f"SELECT {id_col} AS doc_id, {clean} AS clean_text, {counts} "
+        f"FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# provenance (source/domain) filtering
+# ---------------------------------------------------------------------------
+
+
+def provenance_filter(
+    df: DataFrame,
+    blocked_sources: list[str],
+    allowed_langs: list[str] | None = None,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents from blocked provenances (the domain-blocklist
+    step of web-corpus pipelines) and optionally restrict languages.
+    Output: (doc_id, source, lang, keep, reason) with reason the
+    first failing rule ('blocked_source' | 'lang' | 'ok').
+
+    Scale: both lists are literal IN-filters — pushed into the scan
+    (no broadcast join needed below thousands of entries; swap to a
+    broadcast semi-join for a multi-million-domain blocklist)."""
+    src = F.col(source_col)
+    reason = F.when(src.isin(blocked_sources), F.lit("blocked_source"))
+    if allowed_langs is not None:
+        reason = reason.when(
+            ~F.col(lang_col).isin(allowed_langs), F.lit("lang")
+        )
+    reason = reason.otherwise(F.lit("ok"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        src.alias("source"),
+        F.col(lang_col).alias("lang"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def provenance_filter_oracle_sql(
+    blocked_sources: list[str],
+    allowed_langs: list[str] | None = None,
+    table: str = "documents",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> str:
+    bl = ", ".join(f"'{s}'" for s in blocked_sources)
+    cases = [f"WHEN {source_col} IN ({bl}) THEN 'blocked_source'"]
+    if allowed_langs is not None:
+        al = ", ".join(f"'{s}'" for s in allowed_langs)
+        cases.append(f"WHEN {lang_col} NOT IN ({al}) THEN 'lang'")
+    reason = f"CASE {' '.join(cases)} ELSE 'ok' END"
+    return (
+        f"SELECT {id_col} AS doc_id, {source_col} AS source, "
+        f"{lang_col} AS lang, ({reason}) = 'ok' AS keep, "
+        f"{reason} AS reason FROM {table}"
+    )

@@ -990,6 +990,67 @@ def q_token_histogram(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 200-char chunks with 50-char overlap
+    per document (explode of a per-row sequence — narrow, no
+    shuffle). The embedding/training preprocessing step."""
+    return CU.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=200, overlap=50
+    )
+
+
+# deterministic synthetic PII appended per doc (the corpus itself is
+# clean word-salad): every doc gains an email; every 3rd a phone;
+# every 5th an SSN-shaped id. Injection is mirrored verbatim in the
+# oracle so the scrubber is exercised on real matches.
+def _pii_inject_spark(df):
+    did = F.col("doc_id")
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            did.cast("string"),
+            F.lit("@example.com ok."),
+            F.when(did % 3 == 0, F.lit(" Call 555-123-4567.")).otherwise(
+                F.lit("")
+            ),
+            F.when(did % 5 == 0, F.lit(" ID 123-45-6789.")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+_PII_INJECT_SQL = """(
+  SELECT doc_id,
+         text || ' Contact user' || doc_id::VARCHAR || '@example.com ok.'
+           || CASE WHEN doc_id % 3 = 0 THEN ' Call 555-123-4567.'
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' ID 123-45-6789.'
+                   ELSE '' END AS text
+  FROM documents
+) AS pii_docs"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: emails/phones/SSN-shaped ids replaced with
+    typed tokens, per-doc match counts reported. All-JVM regex
+    projection (no Python, no shuffle)."""
+    return CU.pii_scrub(_pii_inject_spark(_t(spark, sf_dir, "documents")))
+
+
+def q_provenance_filter(spark, sf_dir):
+    """Domain/source blocklist + language allowlist filtering with a
+    first-failing-rule reason — the web-corpus provenance step.
+    Literal IN-filters push into the scan."""
+    return CU.provenance_filter(
+        _t(spark, sf_dir, "documents"),
+        blocked_sources=["src3", "src7", "src13"],
+        allowed_langs=["en", "es", "de"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1061,6 +1122,9 @@ def build_queries():
         "repetition_stats": q_repetition_stats,
         "media_metadata": q_media_metadata,
         "salted_join_orders": q_salted_join_orders,
+        "chunk_documents": q_chunk_documents,
+        "pii_scrub": q_pii_scrub,
+        "provenance_filter": q_provenance_filter,
     }
 
 
@@ -1482,6 +1546,14 @@ def build_oracle_sql():
             FROM documents GROUP BY 1
         """,
         "curation_funnel": _curation_funnel_oracle_sql(),
+        "chunk_documents": CU.chunk_documents_oracle_sql(
+            "documents", size=200, overlap=50
+        ),
+        "pii_scrub": CU.pii_scrub_oracle_sql(_PII_INJECT_SQL),
+        "provenance_filter": CU.provenance_filter_oracle_sql(
+            blocked_sources=["src3", "src7", "src13"],
+            allowed_langs=["en", "es", "de"],
+        ),
         "salted_join_orders": """
             SELECT c.c_mktsegment,
                    count(*) AS n,
