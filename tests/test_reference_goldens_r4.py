@@ -391,3 +391,53 @@ def test_check_requirements_gate_aborts_run(spark):
     with pytest.raises(ConnectionError):
         RestoreController(spark, cfg, sink=sink).run()
     assert _UnreachableSink.writes == 0  # failed BEFORE any table
+
+
+# ---------------------------------------------------------------------------
+# row-format-v2 (run.sh:13-20): wide sparse rows
+# ---------------------------------------------------------------------------
+
+
+def test_row_format_v2_wide_sparse_table(spark):
+    """Reference tests/row-format-v2 loads a 256-column table of 50
+    mostly-NULL rows (the suite checks TiKV's v2 row encoding handles
+    sparse wide rows; the engine-semantics golden is count=50 and
+    DISTINCT col14 = {NULL, 39}). Exercises wide-row DDL parsing and
+    the per-column cast ladder at width."""
+    ncols = 256
+    ddl = (
+        "create table t1 (\n"
+        + ",\n".join(f"    col{i} int" for i in range(ncols))
+        + "\n);"
+    ).encode()
+    null_row = "(" + ", ".join(["NULL"] * ncols) + ")"
+    v39 = ["NULL"] * ncols
+    v39[14] = "39"
+    row39 = "(" + ", ".join(v39) + ")"
+    stmts = "INSERT INTO t1 VALUES\n" + ",\n".join(
+        [row39 if i % 25 == 0 else null_row for i in range(50)]
+    ) + ";"
+    d = _dump(
+        "rowformatv2",
+        {
+            "rowformatv2-schema-create.sql": b"create database rowformatv2;",
+            "rowformatv2.t1-schema.sql": ddl,
+            "rowformatv2.t1.1.sql": stmts.encode(),
+        },
+    )
+    sink = MemorySink(on_duplicate="error")
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="memory",
+        checkpoint_enable=False,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg, sink=sink).run()
+    assert run.ok, run.report()
+    t = sink.tables["rowformatv2.t1"]
+    assert t.count() == 50
+    distinct = sorted(
+        (r["col14"] for r in t.select("col14").distinct().collect()),
+        key=lambda v: (v is not None, v),
+    )
+    assert distinct == [None, 39]

@@ -1051,6 +1051,112 @@ def q_provenance_filter(spark, sf_dir):
     )
 
 
+def q_order_priority_count(spark, sf_dir):
+    """TPC-H Q4 pattern: per-priority count of orders in a window
+    that have at least one late-shipped lineitem (EXISTS -> semi
+    join; the orders side stays narrow, lineitem is the probe)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o2 = o.join(
+        late.filter(F.col("l_shipdate") > "1995-02-01"),
+        o["o_orderkey"] == late["l_orderkey"],
+        "left_semi",
+    )
+    return (
+        o2.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 pattern: orders whose total lineitem quantity
+    exceeds a threshold (HAVING over a pre-aggregation), joined back
+    to customer — the agg runs BEFORE the join so only qualifying
+    orderkeys reach the join."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice"),
+            F.col("_q").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 pattern: above-average-balance customers with no
+    RECENT orders (churn candidates) — scalar-subquery threshold
+    (broadcast single row) + anti join on a date-filtered orders
+    scan (the filter pushes down), grouped by segment."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg(F.col("c_acctbal").cast("decimal(18,2)")).alias("a"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal").cast("decimal(18,2)") > F.col("a")
+    )
+    idle = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_part_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 pattern: distinct suppliers per (brand, size) for
+    parts outside an excluded brand / type-prefix, supplier linkage
+    via lineitem (no partsupp table in this dataset). LIKE exclusion
+    + partial-agg distinct count."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("SMALL"))
+        & (F.col("p_size").isin(1, 4, 7))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_size"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1125,6 +1231,10 @@ def build_queries():
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "provenance_filter": q_provenance_filter,
+        "order_priority_count": q_order_priority_count,
+        "large_orders": q_large_orders,
+        "idle_customers": q_idle_customers,
+        "part_supplier_variety": q_part_supplier_variety,
     }
 
 
@@ -1554,6 +1664,54 @@ def build_oracle_sql():
             blocked_sources=["src3", "src7", "src13"],
             allowed_langs=["en", "es", "de"],
         ),
+        "order_priority_count": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1995-01-01'
+              AND o_orderdate < DATE '1995-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > DATE '1995-02-01')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "large_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(cast(l_quantity AS DECIMAL(18,2))) AS _q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 150
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, cast(_q AS DOUBLE) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "idle_customers": """
+            SELECT c_mktsegment, count(*) AS numcust,
+                   cast(sum(cast(c_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE cast(c_acctbal AS DECIMAL(18,2)) > (
+                    SELECT avg(cast(c_acctbal AS DECIMAL(18,2)))
+                    FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2000-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "part_supplier_variety": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'SMALL%'
+              AND p_size IN (1, 4, 7)
+            GROUP BY p_brand, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
         "salted_join_orders": """
             SELECT c.c_mktsegment,
                    count(*) AS n,
