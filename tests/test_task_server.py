@@ -1,0 +1,166 @@
+"""O11 server mode: HTTP task queue + worker loop (SURVEY §3.2;
+lightning.go:149-167,262-441; configlist.go:38-153)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.server import (
+    ConfigList,
+    TaskRunner,
+    TaskServer,
+)
+from tidb_lightning_release_4_0_spark.sinks.memory_sink import MemorySink
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp",
+    "taskserver",
+)
+
+
+def _dump(subdir: str, db: str, value: int) -> str:
+    d = os.path.join(TMP, subdir)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    files = {
+        f"{db}-schema-create.sql": f"CREATE DATABASE {db};",
+        f"{db}.t-schema.sql": "CREATE TABLE t (i INT);",
+        f"{db}.t.sql": f"INSERT INTO t VALUES ({value});",
+    }
+    for name, content in files.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+    return d
+
+
+def _task_toml(source_dir: str) -> bytes:
+    return f"""
+[tikv-importer]
+backend = "importer"
+
+[mydumper]
+data-source-dir = "{source_dir}"
+
+[tidb]
+sql-mode = ""
+
+[checkpoint]
+enable = false
+""".encode()
+
+
+def _req(port: int, method: str, path: str, body: bytes | None = None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, method=method
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+def test_task_queue_http_lifecycle(spark):
+    configs = ConfigList()
+    # the operator's warehouse root layers onto every posted task,
+    # like cfg.LoadFromGlobal in handlePostTask
+    server = TaskServer(
+        configs, overrides={"target_dir": os.path.join(TMP, "warehouse")}
+    ).start()
+    port = server.port
+    try:
+        # empty queue
+        st, body = _req(port, "GET", "/tasks")
+        assert st == 200 and body == {"current": None, "queue": []}
+
+        # invalid TOML -> 400, nothing queued (lightning.go:362-369)
+        st, body = _req(port, "POST", "/tasks", b"not = [valid")
+        assert st == 400 and "parse" in body["error"]
+        # unknown keys are rejected by the strict loader
+        st, body = _req(port, "POST", "/tasks", b"[mydumper]\nbogus = 1\n")
+        assert st == 400
+
+        d1 = _dump("t1", "srv1", 11)
+        d2 = _dump("t2", "srv2", 22)
+        d3 = _dump("t3", "srv3", 33)
+        ids = []
+        for d in (d1, d2, d3):
+            st, body = _req(port, "POST", "/tasks", _task_toml(d))
+            assert st == 200
+            ids.append(body["id"])
+        assert ids == sorted(ids)  # strictly monotonic task IDs
+
+        st, body = _req(port, "GET", "/tasks")
+        assert body["queue"] == ids
+
+        # GET one task
+        st, body = _req(port, "GET", f"/tasks/{ids[1]}")
+        assert st == 200 and body["source_dir"] == d2
+        st, _ = _req(port, "GET", "/tasks/99999")
+        assert st == 404
+
+        # reorder: last to front, first to back (lightning.go:412-441)
+        st, _ = _req(port, "PATCH", f"/tasks/{ids[2]}/front")
+        assert st == 200
+        st, _ = _req(port, "PATCH", f"/tasks/{ids[0]}/back")
+        assert st == 200
+        st, body = _req(port, "GET", "/tasks")
+        assert body["queue"] == [ids[2], ids[1], ids[0]]
+
+        # delete a queued task
+        st, _ = _req(port, "DELETE", f"/tasks/{ids[1]}")
+        assert st == 200
+        st, _ = _req(port, "DELETE", f"/tasks/{ids[1]}")
+        assert st == 404
+        st, body = _req(port, "GET", "/tasks")
+        assert body["queue"] == [ids[2], ids[0]]
+
+        # worker drains the remaining two tasks in queue order
+        sinks: dict[str, MemorySink] = {}
+
+        def sink_factory(cfg):
+            s = MemorySink(on_duplicate="error")
+            sinks[cfg.mydumper.source_dir] = s
+            return s
+
+        runner = TaskRunner(
+            spark, configs, server=server, sink_factory=sink_factory
+        )
+        n = runner.drain()
+        assert n == 2
+        assert set(runner.results) == {ids[2], ids[0]}
+        assert all(s.ok for s in runner.results.values())
+        # srv3 ran (was moved to front), srv2 was deleted, srv1 ran
+        assert sinks[d3].tables["srv3.t"].agg(F.sum("i")).collect()[0][0] == 33
+        assert sinks[d1].tables["srv1.t"].agg(F.sum("i")).collect()[0][0] == 11
+        assert d2 not in sinks
+
+        # queue drained, no current task
+        st, body = _req(port, "GET", "/tasks")
+        assert body == {"current": None, "queue": []}
+    finally:
+        server.shutdown()
+
+
+def test_failed_task_does_not_stop_the_queue(spark):
+    configs = ConfigList()
+    runner = TaskRunner(spark, configs, sink_factory=lambda cfg: MemorySink())
+    from tidb_lightning_release_4_0_spark.server import parse_task_toml
+
+    over = {"target_dir": os.path.join(TMP, "warehouse")}
+    bad = parse_task_toml(_task_toml(os.path.join(TMP, "missing_dir")), over)
+    good_dir = _dump("t4", "srv4", 44)
+    good = parse_task_toml(_task_toml(good_dir), over)
+    configs.push(bad)
+    configs.push(good)
+    assert runner.drain() == 2
+    res = [runner.results[t] for t in sorted(runner.results)]
+    # the bad task recorded its failure; the good one completed
+    assert isinstance(res[0], Exception) or not res[0].ok
+    assert res[1].ok

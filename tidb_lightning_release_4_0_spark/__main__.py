@@ -48,7 +48,39 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--filter-db", action="append", default=[])
     ap.add_argument("--route", nargs=4, action="append", default=[],
                     metavar=("SRC_DB", "SRC_TBL", "DST_DB", "DST_TBL"))
+    ap.add_argument("--server-mode", action="store_true",
+                    help="run as an HTTP task-queue server (RunServer, "
+                         "lightning.go:149-167): tasks POSTed to /tasks "
+                         "run sequentially; --target-dir becomes the "
+                         "global warehouse root layered onto every task")
+    ap.add_argument("--status-addr", default="127.0.0.1:8289",
+                    help="listen address in server mode")
     args = ap.parse_args(argv)
+
+    if args.server_mode:
+        from .server import ConfigList, TaskRunner, TaskServer
+        from .session import get_spark
+
+        host, _, port = args.status_addr.partition(":")
+        overrides = (
+            {"target_dir": args.target_dir} if args.target_dir else {}
+        )
+        configs = ConfigList()
+        server = TaskServer(
+            configs, host=host or "127.0.0.1", port=int(port or 0),
+            overrides=overrides,
+        ).start()
+        print(f"task server listening on {host}:{server.port}")
+        spark = get_spark(app_name="tidb-lightning-spark-server")
+        spark.sparkContext.setLogLevel("WARN")
+        runner = TaskRunner(spark, configs, server=server)
+        try:
+            while True:  # RunServer loop: pop -> restore -> repeat
+                runner.run_one(timeout=1.0)
+        except KeyboardInterrupt:
+            return 0
+        finally:
+            server.shutdown()
 
     from .config import (
         Config, CSVConfig, FilterRule, MydumperConfig, RouteRule, TiDBConfig,

@@ -1,0 +1,299 @@
+"""O11: server mode — the HTTP task-queue front (SURVEY.md §3.2).
+
+The reference's ``RunServer`` pops TOML task configs from a
+``ConfigList`` queue fed over HTTP and runs each through the §3.1
+restore pipeline (lightning/lightning.go:149-167; queue ops
+lightning/config/configlist.go:38-153; endpoints
+lightning.go:262-441). Reproduced surface:
+
+    GET    /tasks                -> {"current": id|null, "queue": [ids]}
+    GET    /tasks/<id>           -> task config summary (404 unknown)
+    POST   /tasks  (TOML body)   -> {"id": N}; 400 on parse/validate
+    DELETE /tasks/<id>           -> {} (404 unknown)
+    PATCH  /tasks/<id>/front     -> {} reorder to head
+    PATCH  /tasks/<id>/back      -> {} reorder to tail
+
+The worker loop (``TaskRunner``) is the Spark analog of the restore
+goroutine: pop -> RestoreController(spark, cfg).run() -> record the
+RunSummary. Deviation (documented): DELETE of the *currently running*
+task cannot preempt a Spark job mid-flight (the reference cancels via
+context); it only removes queued tasks. Task IDs are nanosecond
+timestamps made strictly monotonic, like configlist.go:48-59.
+
+Everything is stdlib (http.server + threading) — the queue is
+driver-side metadata; the data plane stays in Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import tempfile
+import threading
+import time
+from collections import OrderedDict
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .config import Config
+
+log = logging.getLogger("tidb_lightning_spark")
+
+
+class ConfigList:
+    """Thread-safe FIFO of task configs with stable unique IDs
+    (configlist.go:38-153): push assigns a strictly increasing
+    nanosecond ID; pop blocks until an item or timeout; remove and
+    move-to-front/back address items by ID."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._items: OrderedDict[int, Config] = OrderedDict()
+        self._last_id = 0
+
+    def push(self, cfg: Config) -> int:
+        with self._cond:
+            tid = max(time.time_ns(), self._last_id + 1)
+            self._last_id = tid
+            cfg.task_id = tid  # like cfg.TaskID (configlist.go:49-56)
+            self._items[tid] = cfg
+            self._cond.notify_all()
+            return tid
+
+    def pop(self, timeout: float | None = None) -> Config | None:
+        """Blocking pop of the front task; None on timeout."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cond:
+            while not self._items:
+                rem = None if deadline is None else deadline - time.monotonic()
+                if rem is not None and rem <= 0:
+                    return None
+                if not self._cond.wait(timeout=rem):
+                    return None
+            tid = next(iter(self._items))
+            return self._items.pop(tid)
+
+    def remove(self, tid: int) -> bool:
+        with self._cond:
+            return self._items.pop(tid, None) is not None
+
+    def move_to_front(self, tid: int) -> bool:
+        with self._cond:
+            if tid not in self._items:
+                return False
+            self._items.move_to_end(tid, last=False)
+            return True
+
+    def move_to_back(self, tid: int) -> bool:
+        with self._cond:
+            if tid not in self._items:
+                return False
+            self._items.move_to_end(tid, last=True)
+            return True
+
+    def all_ids(self) -> list[int]:
+        with self._cond:
+            return list(self._items)
+
+    def get(self, tid: int) -> Config | None:
+        with self._cond:
+            return self._items.get(tid)
+
+
+def _cfg_summary(cfg: Config) -> dict:
+    return {
+        "id": getattr(cfg, "task_id", None),
+        "source_dir": cfg.mydumper.source_dir,
+        "backend": cfg.backend,
+        "target_dir": cfg.target_dir,
+        "checkpoint_enable": cfg.checkpoint_enable,
+    }
+
+
+class TaskServer:
+    """HTTP front over a ConfigList (lightning.go:262-441)."""
+
+    def __init__(self, configs: ConfigList, host: str = "127.0.0.1",
+                 port: int = 0, overrides: dict | None = None):
+        #: global-config layer applied to every posted task before
+        #: validation — the analog of cfg.LoadFromGlobal(globalCfg)
+        #: in handlePostTask (lightning.go:356-359), e.g. the server
+        #: operator's target warehouse root
+        self.overrides = overrides or {}
+        self.configs = configs
+        self.current: int | None = None  # running task id
+        self._cur_lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                log.debug("taskserver: " + a[0] % a[1:])
+
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Cache-Control", "no-store")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _task_id(self):
+                parts = self.path.strip("/").split("/")
+                # /tasks/<id>[/verb]
+                if len(parts) < 2 or parts[0] != "tasks":
+                    return None, None
+                try:
+                    tid = int(parts[1])
+                except ValueError:
+                    return None, None
+                return tid, parts[2] if len(parts) > 2 else None
+
+            def do_GET(self):
+                if self.path.rstrip("/") == "/tasks":
+                    with server._cur_lock:
+                        cur = server.current
+                    self._json(
+                        200,
+                        {"current": cur, "queue": server.configs.all_ids()},
+                    )
+                    return
+                tid, _ = self._task_id()
+                if tid is None:
+                    self._json(400, {"error": "invalid task ID"})
+                    return
+                cfg = server.configs.get(tid)
+                if cfg is None:
+                    self._json(404, {"error": "task ID not found"})
+                    return
+                self._json(200, _cfg_summary(cfg))
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/tasks":
+                    self._json(404, {"error": "not found"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                try:
+                    cfg = parse_task_toml(data, server.overrides)
+                except Exception as e:
+                    self._json(
+                        400,
+                        {"error": f"cannot parse task (must be TOML): {e}"},
+                    )
+                    return
+                tid = server.configs.push(cfg)
+                self._json(200, {"id": tid})
+
+            def do_DELETE(self):
+                tid, _ = self._task_id()
+                if tid is None:
+                    self._json(400, {"error": "invalid task ID"})
+                    return
+                if server.configs.remove(tid):
+                    self._json(200, {})
+                else:
+                    self._json(404, {"error": "task ID not found"})
+
+            def do_PATCH(self):
+                tid, verb = self._task_id()
+                if tid is None:
+                    self._json(400, {"error": "invalid task ID"})
+                    return
+                if verb == "front":
+                    ok = server.configs.move_to_front(tid)
+                elif verb == "back":
+                    ok = server.configs.move_to_back(tid)
+                else:
+                    self._json(400, {"error": "unknown patch action"})
+                    return
+                self._json(200, {}) if ok else self._json(
+                    404, {"error": "task ID not found"}
+                )
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "TaskServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def parse_task_toml(data: bytes, overrides: dict | None = None) -> Config:
+    """POST /tasks body -> Config via the strict task.toml loader,
+    with the server's global-config fields layered on top before
+    validation (handlePostTask parses + validates before queueing,
+    lightning.go:336-374)."""
+    from .config_toml import load_toml
+
+    fd, path = tempfile.mkstemp(suffix=".toml")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        cfg = load_toml(path)
+    finally:
+        os.unlink(path)
+    for k, v in (overrides or {}).items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown global override {k!r}")
+        setattr(cfg, k, v)
+    cfg.adjust()
+    return cfg
+
+
+class TaskRunner:
+    """The restore worker loop (RunServer, lightning.go:149-167):
+    pop -> run the §3.1 pipeline -> record the summary; a failed task
+    is recorded and the loop continues to the next (the per-table
+    error summary already captured the failure)."""
+
+    def __init__(self, spark, configs: ConfigList,
+                 server: TaskServer | None = None, sink_factory=None):
+        self.spark = spark
+        self.configs = configs
+        self.server = server
+        self.sink_factory = sink_factory  # tests inject sinks per task
+        self.results: dict[int, object] = {}
+
+    def run_one(self, timeout: float | None = None) -> bool:
+        """Pop and run a single task; False on queue-empty timeout."""
+        from .plans.pipeline import RestoreController
+
+        cfg = self.configs.pop(timeout=timeout)
+        if cfg is None:
+            return False
+        tid = getattr(cfg, "task_id", 0)
+        if self.server:
+            with self.server._cur_lock:
+                self.server.current = tid
+        try:
+            sink = self.sink_factory(cfg) if self.sink_factory else None
+            summary = RestoreController(self.spark, cfg, sink=sink).run()
+            self.results[tid] = summary
+            log.info("task %d finished ok=%s", tid, summary.ok)
+        except Exception as e:  # queue survives a failed task
+            self.results[tid] = e
+            log.exception("task %d failed", tid)
+        finally:
+            if self.server:
+                with self.server._cur_lock:
+                    self.server.current = None
+        return True
+
+    def drain(self) -> int:
+        """Run queued tasks until the queue is empty (test/batch
+        mode); returns the number of tasks run."""
+        n = 0
+        while self.run_one(timeout=0.01):
+            n += 1
+        return n
