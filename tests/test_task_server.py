@@ -164,3 +164,49 @@ def test_failed_task_does_not_stop_the_queue(spark):
     # the bad task recorded its failure; the good one completed
     assert isinstance(res[0], Exception) or not res[0].ok
     assert res[1].ok
+
+
+def test_pause_resume_endpoints_and_gating(spark):
+    """O4: PUT /pause parks the restore at the next table boundary;
+    PUT /resume releases it (lightning.go:483-516; pause gate
+    restore.go:1692)."""
+    import threading
+    import time
+
+    from tidb_lightning_release_4_0_spark.server import parse_task_toml
+
+    configs = ConfigList()
+    server = TaskServer(
+        configs, overrides={"target_dir": os.path.join(TMP, "warehouse")}
+    ).start()
+    port = server.port
+    try:
+        st, body = _req(port, "GET", "/pause")
+        assert st == 200 and body == {"paused": False}
+        st, _ = _req(port, "PUT", "/pause")
+        assert st == 200
+        st, body = _req(port, "GET", "/pause")
+        assert body == {"paused": True}
+
+        d = _dump("t5", "srv5", 55)
+        configs.push(parse_task_toml(_task_toml(d), server.overrides))
+        sink = MemorySink(on_duplicate="error")
+        runner = TaskRunner(
+            spark, configs, server=server, sink_factory=lambda cfg: sink
+        )
+        t = threading.Thread(target=runner.drain, daemon=True)
+        t.start()
+        time.sleep(1.5)
+        # paused: the task was popped (it is "current") but no table
+        # has been delivered
+        assert "srv5.t" not in sink.tables
+        st, _ = _req(port, "PUT", "/resume")
+        assert st == 200
+        t.join(timeout=120)
+        assert not t.is_alive()
+        assert sink.tables["srv5.t"].count() == 1
+        res = list(runner.results.values())
+        assert len(res) == 1 and res[0].ok
+    finally:
+        server.pauser.resume()
+        server.shutdown()

@@ -73,7 +73,9 @@ def main(argv: list[str] | None = None) -> int:
         print(f"task server listening on {host}:{server.port}")
         spark = get_spark(app_name="tidb-lightning-spark-server")
         spark.sparkContext.setLogLevel("WARN")
-        runner = TaskRunner(spark, configs, server=server)
+        runner = TaskRunner(
+            spark, configs, server=server, pause_on_error=True
+        )
         try:
             while True:  # RunServer loop: pop -> restore -> repeat
                 runner.run_one(timeout=1.0)

@@ -212,9 +212,14 @@ class RestoreController:
         cfg: Config,
         sink: Sink | None = None,
         checkpoints: CheckpointStore | None = None,
+        pauser=None,
     ):
         self.spark = spark
         self.cfg = cfg.adjust()
+        # O4: cooperative pause gate, honored before each table and
+        # each engine batch (NewRestoreControllerWithPauser,
+        # restore.go:158-161; deliver-loop wait restore.go:1692)
+        self.pauser = pauser
         self.sink = sink or self._default_sink()
         self.cp = checkpoints or CheckpointStore(
             cfg.checkpoint_path or None, enabled=cfg.checkpoint_enable
@@ -728,6 +733,8 @@ class RestoreController:
         max_id: int | None = None
         loaded = False
         for eid, files in enumerate(engines):
+            if self.pauser is not None:
+                self.pauser.wait()  # park between deliver batches
             paths = [f.path for f in files]
             saved = self.cp.engine_state(name, eid)
             delivered = saved is not None and all(
@@ -815,6 +822,8 @@ class RestoreController:
         # and recommend the matching ctl action.
         attempt = Status.IMPORTED
         try:
+            if self.pauser is not None:
+                self.pauser.wait()
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
                 return TableResult(table=name, status="skipped")
             cols = [c.name for c in schema.columns]

@@ -36,6 +36,7 @@ from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .config import Config
+from .pause import Pauser
 
 log = logging.getLogger("tidb_lightning_spark")
 
@@ -123,6 +124,10 @@ class TaskServer:
         self.configs = configs
         self.current: int | None = None  # running task id
         self._cur_lock = threading.Lock()
+        #: O4: the shared deliver pauser (restore.DeliverPauser) —
+        #: PUT /pause parks restores at the next table/engine
+        #: boundary, PUT /resume releases (lightning.go:483-516)
+        self.pauser = Pauser()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -149,7 +154,25 @@ class TaskServer:
                     return None, None
                 return tid, parts[2] if len(parts) > 2 else None
 
+            def do_PUT(self):
+                # lightning.go:483-516: PUT /pause parks progress at
+                # the next boundary; PUT /resume releases it
+                p = self.path.rstrip("/")
+                if p == "/pause":
+                    server.pauser.pause()
+                    log.info("progress paused")
+                    self._json(200, {})
+                elif p == "/resume":
+                    server.pauser.resume()
+                    log.info("progress resumed")
+                    self._json(200, {})
+                else:
+                    self._json(404, {"error": "not found"})
+
             def do_GET(self):
+                if self.path.rstrip("/") == "/pause":
+                    self._json(200, {"paused": server.pauser.is_paused})
+                    return
                 if self.path.rstrip("/") == "/tasks":
                     with server._cur_lock:
                         cur = server.current
@@ -258,11 +281,16 @@ class TaskRunner:
     error summary already captured the failure)."""
 
     def __init__(self, spark, configs: ConfigList,
-                 server: TaskServer | None = None, sink_factory=None):
+                 server: TaskServer | None = None, sink_factory=None,
+                 pause_on_error: bool = False):
         self.spark = spark
         self.configs = configs
         self.server = server
         self.sink_factory = sink_factory  # tests inject sinks per task
+        #: server mode force-pauses progress when a task errors, so
+        #: the operator inspects before the queue continues
+        #: (lightning.go:162-165)
+        self.pause_on_error = pause_on_error
         self.results: dict[int, object] = {}
 
     def run_one(self, timeout: float | None = None) -> bool:
@@ -276,18 +304,26 @@ class TaskRunner:
         if self.server:
             with self.server._cur_lock:
                 self.server.current = tid
+        failed = False
         try:
             sink = self.sink_factory(cfg) if self.sink_factory else None
-            summary = RestoreController(self.spark, cfg, sink=sink).run()
+            summary = RestoreController(
+                self.spark, cfg, sink=sink,
+                pauser=self.server.pauser if self.server else None,
+            ).run()
             self.results[tid] = summary
+            failed = not summary.ok
             log.info("task %d finished ok=%s", tid, summary.ok)
         except Exception as e:  # queue survives a failed task
             self.results[tid] = e
+            failed = True
             log.exception("task %d failed", tid)
         finally:
             if self.server:
                 with self.server._cur_lock:
                     self.server.current = None
+        if failed and self.pause_on_error and self.server:
+            self.server.pauser.pause()  # lightning.go:163
         return True
 
     def drain(self) -> int:
