@@ -200,6 +200,13 @@ def test_pause_resume_endpoints_and_gating(spark):
         # paused: the task was popped (it is "current") but no table
         # has been delivered
         assert "srv5.t" not in sink.tables
+        # GET /progress/task reflects the parked state: task running,
+        # table not completed, zero bytes written (progress.go:95-118)
+        st, prog = _req(port, "GET", "/progress/task")
+        assert st == 200 and prog["s"] == 1
+        assert prog["t"]["srv5.t"]["s"] < 2
+        assert prog["t"]["srv5.t"]["w"] == 0
+        assert prog["t"]["srv5.t"]["z"] > 0
         st, _ = _req(port, "PUT", "/resume")
         assert st == 200
         t.join(timeout=120)
@@ -207,6 +214,11 @@ def test_pause_resume_endpoints_and_gating(spark):
         assert sink.tables["srv5.t"].count() == 1
         res = list(runner.results.values())
         assert len(res) == 1 and res[0].ok
+        # completed: task + table status 2, all bytes accounted
+        st, prog = _req(port, "GET", "/progress/task")
+        assert prog["s"] == 2 and "m" not in prog
+        rec = prog["t"]["srv5.t"]
+        assert rec["s"] == 2 and rec["w"] == rec["z"]
     finally:
         server.pauser.resume()
         server.shutdown()

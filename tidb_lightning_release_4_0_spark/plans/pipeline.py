@@ -213,6 +213,7 @@ class RestoreController:
         sink: Sink | None = None,
         checkpoints: CheckpointStore | None = None,
         pauser=None,
+        progress=None,
     ):
         self.spark = spark
         self.cfg = cfg.adjust()
@@ -220,6 +221,9 @@ class RestoreController:
         # each engine batch (NewRestoreControllerWithPauser,
         # restore.go:158-161; deliver-loop wait restore.go:1692)
         self.pauser = pauser
+        # web-progress broadcaster (server.TaskProgress; the analog
+        # of web.Broadcast* calls in restore.go) — optional
+        self.progress = progress
         self.sink = sink or self._default_sink()
         self.cp = checkpoints or CheckpointStore(
             cfg.checkpoint_path or None, enabled=cfg.checkpoint_enable
@@ -710,6 +714,8 @@ class RestoreController:
         )
         if self._ticker:
             self._ticker.add(meta.total_size)
+        if self.progress:
+            self.progress.table_written(name, meta.total_size)
         return local, rows, m.get("max_id")
 
     def _restore_engines(
@@ -794,6 +800,10 @@ class RestoreController:
             self.cp.mark_chunks(name, paths, Status.ALL_WRITTEN)
             if self._ticker:
                 self._ticker.add(sum(f.size for f in files))
+            if self.progress:
+                self.progress.table_written(
+                    name, sum(f.size for f in files)
+                )
         return total, rows, max_id
 
     def restore_table(
@@ -824,7 +834,11 @@ class RestoreController:
         try:
             if self.pauser is not None:
                 self.pauser.wait()
+            if self.progress:
+                self.progress.table_start(name)
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
+                if self.progress:
+                    self.progress.table_end(name)
                 return TableResult(table=name, status="skipped")
             cols = [c.name for c in schema.columns]
             keys = schema.primary_key
@@ -966,6 +980,8 @@ class RestoreController:
                 self.cp.set_table_status(name, Status.ANALYZED)
             else:
                 self.cp.set_table_status(name, Status.ANALYZE_SKIPPED)
+            if self.progress:
+                self.progress.table_end(name)
             return TableResult(
                 table=name,
                 status="restored",
@@ -981,6 +997,8 @@ class RestoreController:
             # refuses to continue until ctl resolves it
             # (restore.go:352-358, checkpoints.go:55-57)
             self.cp.set_table_status(name, invalid(attempt))
+            if self.progress:
+                self.progress.table_end(name, str(e))
             return TableResult(
                 table=name,
                 status="failed",
@@ -1108,6 +1126,12 @@ class RestoreController:
         ordered = sorted(
             schemas.items(), key=lambda kv: kv[1][0].total_size
         )
+        if self.progress:
+            # BroadcastStartTask + BroadcastInitProgress
+            # (web/progress.go:116-146)
+            self.progress.start_task(
+                {name: meta.total_size for name, (meta, _s) in ordered}
+            )
         interval = float(getattr(self.cfg, "progress_interval", 0) or 0)
         if interval > 0 and ordered:
             self._ticker = _ProgressTicker(
@@ -1135,6 +1159,17 @@ class RestoreController:
                 self._ticker.emit()  # final progress line
                 self._ticker.stop()
                 self._ticker = None
+            if self.progress:
+                failed = [
+                    n
+                    for n, r in summary.tables.items()
+                    if r.status == "failed"
+                ]
+                self.progress.end_task(
+                    f"tables failed: {', '.join(sorted(failed))}"
+                    if failed
+                    else ""
+                )
         if summary.ok:
             self.cp.clean()  # [6]
         return summary

@@ -101,6 +101,64 @@ class ConfigList:
             return self._items.get(tid)
 
 
+class TaskProgress:
+    """web/progress.go:87-200 — the state behind GET /progress/task:
+    per-table written/total bytes and status (0 not-started,
+    1 running, 2 completed), plus the task-level status/message.
+    Marshals to the reference's compact JSON shape
+    {"t": {name: {"w","z","s","m"}}, "s", "m"}."""
+
+    NOT_STARTED, RUNNING, COMPLETED = 0, 1, 2
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._tables: dict[str, dict] = {}
+        self._status = self.NOT_STARTED
+        self._message = ""
+
+    # -- broadcast hooks (BroadcastStartTask & friends) -----------------
+    def start_task(self, table_sizes: dict[str, int]) -> None:
+        with self._lock:
+            self._status = self.RUNNING
+            self._message = ""
+            self._tables = {
+                name: {"w": 0, "z": size, "s": self.NOT_STARTED, "m": ""}
+                for name, size in table_sizes.items()
+            }
+
+    def end_task(self, error: str = "") -> None:
+        with self._lock:
+            self._status = self.COMPLETED
+            self._message = error
+
+    def table_start(self, name: str) -> None:
+        with self._lock:
+            if name in self._tables:
+                self._tables[name]["s"] = self.RUNNING
+
+    def table_written(self, name: str, nbytes: int) -> None:
+        with self._lock:
+            if name in self._tables:
+                self._tables[name]["w"] += int(nbytes)
+
+    def table_end(self, name: str, error: str = "") -> None:
+        with self._lock:
+            if name in self._tables:
+                self._tables[name]["s"] = self.COMPLETED
+                self._tables[name]["m"] = error
+
+    def marshal(self) -> dict:
+        with self._lock:
+            return {
+                "t": {
+                    n: {k: v for k, v in rec.items() if k != "m" or v}
+                    for n, rec in self._tables.items()
+                },
+                "s": self._status,
+                **({"m": self._message} if self._message else {}),
+            }
+
+
 def _cfg_summary(cfg: Config) -> dict:
     return {
         "id": getattr(cfg, "task_id", None),
@@ -128,6 +186,8 @@ class TaskServer:
         #: PUT /pause parks restores at the next table/engine
         #: boundary, PUT /resume releases (lightning.go:483-516)
         self.pauser = Pauser()
+        #: GET /progress/task state (web/progress.go currentProgress)
+        self.progress = TaskProgress()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -172,6 +232,9 @@ class TaskServer:
             def do_GET(self):
                 if self.path.rstrip("/") == "/pause":
                     self._json(200, {"paused": server.pauser.is_paused})
+                    return
+                if self.path.rstrip("/") == "/progress/task":
+                    self._json(200, server.progress.marshal())
                     return
                 if self.path.rstrip("/") == "/tasks":
                     with server._cur_lock:
@@ -310,6 +373,7 @@ class TaskRunner:
             summary = RestoreController(
                 self.spark, cfg, sink=sink,
                 pauser=self.server.pauser if self.server else None,
+                progress=self.server.progress if self.server else None,
             ).run()
             self.results[tid] = summary
             failed = not summary.ok
