@@ -427,3 +427,52 @@ FROM d l JOIN d r ON {block_join} AND l._id < r._id
 WHERE len(list_intersect(l._sh, r._sh))::DOUBLE
       / len(list_distinct(list_concat(l._sh, r._sh))) >= {threshold}
 """
+
+
+def incremental_dedup(
+    df: DataFrame,
+    split_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch (id >= ``split_id``) against the existing
+    corpus (id < ``split_id``) AND within itself — the steady-state
+    shape of a continuously-ingesting training pipeline, where each
+    arriving crawl snapshot must not re-admit content the corpus
+    already holds.
+
+    Output (batch rows only): (doc_id, keep, dup_of) with dup_of =
+    the smallest doc_id sharing the content hash (NULL when the doc
+    is first-of-its-content).
+
+    Scale: one hash-agg over (hash, id) + one join on uniform 60-bit
+    keys — the corpus text itself is never reshuffled. At 100 TB the
+    base corpus's (hash -> min id) index is computed once and
+    persisted (it is exactly the ``canon`` aggregate below); each
+    batch then joins against the stored index instead of rescanning
+    the corpus."""
+    h = hash60(F.col(text_col))
+    hashed = df.select(h.alias("_h"), F.col(id_col).alias("doc_id"))
+    canon = hashed.groupBy("_h").agg(F.min("doc_id").alias("_first"))
+    batch = hashed.filter(F.col("doc_id") >= split_id)
+    return batch.join(canon, "_h").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("_first")).alias("keep"),
+        F.when(F.col("doc_id") != F.col("_first"), F.col("_first")).alias(
+            "dup_of"
+        ),
+    )
+
+
+def incremental_dedup_oracle_sql(
+    split_id: int, table: str = "documents"
+) -> str:
+    h = hash60_duckdb("text")
+    return f"""
+WITH hashed AS (SELECT {h} AS _h, doc_id FROM {table}),
+canon AS (SELECT _h, min(doc_id) AS _first FROM hashed GROUP BY _h)
+SELECT doc_id, doc_id = _first AS keep,
+       CASE WHEN doc_id <> _first THEN _first END AS dup_of
+FROM hashed JOIN canon USING (_h)
+WHERE doc_id >= {split_id}
+"""

@@ -1051,6 +1051,38 @@ def q_provenance_filter(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup: a simulated re-crawl batch (every 10th doc
+    re-arrives verbatim under a new id; every doc ending in 5
+    re-arrives with updated text) deduped against the existing
+    corpus — verbatim re-crawls are dropped with dup_of pointing at
+    the original, updated content survives. One hash-agg + one join
+    on uniform 60-bit keys; at scale the corpus's hash index is
+    persisted instead of rescanned (operators/dedup.py)."""
+    did = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl_same = docs.filter(did % 10 == 0).select(
+        (did + 100000).alias("doc_id"), "text"
+    )
+    recrawl_new = docs.filter(did % 10 == 5).select(
+        (did + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+    )
+    corpus = docs.unionByName(recrawl_same).unionByName(recrawl_new)
+    return D.incremental_dedup(corpus, split_id=100000)
+
+
+_INCR_CORPUS_SQL = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' updated' AS text
+  FROM documents WHERE doc_id % 10 = 5
+) AS incr_corpus"""
+
+
 def q_order_priority_count(spark, sf_dir):
     """TPC-H Q4 pattern: per-priority count of orders in a window
     that have at least one late-shipped lineitem (EXISTS -> semi
@@ -1231,6 +1263,7 @@ def build_queries():
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "provenance_filter": q_provenance_filter,
+        "dedup_incremental": q_dedup_incremental,
         "order_priority_count": q_order_priority_count,
         "large_orders": q_large_orders,
         "idle_customers": q_idle_customers,
@@ -1663,6 +1696,9 @@ def build_oracle_sql():
         "provenance_filter": CU.provenance_filter_oracle_sql(
             blocked_sources=["src3", "src7", "src13"],
             allowed_langs=["en", "es", "de"],
+        ),
+        "dedup_incremental": D.incremental_dedup_oracle_sql(
+            100000, _INCR_CORPUS_SQL
         ),
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
