@@ -288,10 +288,17 @@ def test_tool_241_empty_tables(spark):
             + ";"
         ).encode(),
     }
-    for t in empty_tables:
+    for i, t in enumerate(empty_tables):
+        # alternate int-PK and no-PK shapes: the no-PK empty frame
+        # must still carry the hidden _tidb_rowid column so the
+        # delivered schema matches the catalog registration
         files[f"qyjc.{t}-schema.sql"] = (
-            f"CREATE TABLE {t} (id BIGINT NOT NULL PRIMARY KEY, "
-            f"v VARCHAR(16));"
+            (
+                f"CREATE TABLE {t} (id BIGINT NOT NULL PRIMARY KEY, "
+                f"v VARCHAR(16));"
+            )
+            if i % 2 == 0
+            else f"CREATE TABLE {t} (v VARCHAR(16));"
         ).encode()
         # half the empty tables have a data file with no rows, half
         # have no data file at all (TOOL-200 vs TOOL-241)
@@ -309,12 +316,16 @@ def test_tool_241_empty_tables(spark):
     run = RestoreController(spark, cfg, sink=sink).run()
     assert run.ok, run.report()
 
-    # every empty table exists in the target with count 0
-    for t in empty_tables:
+    # every empty table exists in the target with count 0; the no-PK
+    # ones carry the hidden _tidb_rowid column (schema parity with
+    # the catalog registration)
+    for i, t in enumerate(empty_tables):
         name = f"qyjc.{t}"
         assert run.tables[name].status == "restored"
         assert run.tables[name].rows == 0
         assert sink.tables[name].count() == 0
+        if i % 2 == 1:
+            assert "_tidb_rowid" in sink.tables[name].columns
 
     # the non-empty table is not affected
     fe = sink.tables["qyjc.q_fish_event"]

@@ -196,17 +196,30 @@ def test_pause_resume_endpoints_and_gating(spark):
         )
         t = threading.Thread(target=runner.drain, daemon=True)
         t.start()
-        time.sleep(1.5)
-        # paused: the task was popped (it is "current") but no table
-        # has been delivered
-        assert "srv5.t" not in sink.tables
-        # GET /progress/task reflects the parked state: task running,
-        # table not completed, zero bytes written (progress.go:95-118)
-        st, prog = _req(port, "GET", "/progress/task")
-        assert st == 200 and prog["s"] == 1
+        # poll until the worker has popped the task and published
+        # progress (fixed sleeps are flaky on loaded machines)
+        deadline = time.monotonic() + 60
+        prog = {}
+        while time.monotonic() < deadline:
+            st, prog = _req(port, "GET", "/progress/task")
+            if st == 200 and prog.get("s") == 1 and "srv5.t" in prog.get(
+                "t", {}
+            ):
+                break
+            time.sleep(0.1)
+        # paused: the task was popped and the run started, but no
+        # table has been delivered (progress.go:95-118)
+        assert prog["s"] == 1, prog
         assert prog["t"]["srv5.t"]["s"] < 2
         assert prog["t"]["srv5.t"]["w"] == 0
         assert prog["t"]["srv5.t"]["z"] > 0
+        assert "srv5.t" not in sink.tables
+        # the RUNNING task is no longer queued but must still be
+        # inspectable (handleGetOneTask checks curTask first)
+        st, cur = _req(port, "GET", "/tasks")
+        assert cur["current"] is not None and cur["queue"] == []
+        st, body = _req(port, "GET", f"/tasks/{cur['current']}")
+        assert st == 200 and body["source_dir"] == d
         st, _ = _req(port, "PUT", "/resume")
         assert st == 200
         t.join(timeout=120)

@@ -87,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     from .config import (
         Config, CSVConfig, FilterRule, MydumperConfig, RouteRule, TiDBConfig,
     )
-    from .plans.pipeline import RestoreController
+    from .plans.pipeline import CheckpointInvalidError, RestoreController
     from .session import get_spark
 
     if args.config:
@@ -173,6 +173,10 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="tidb-lightning-spark")
         spark.sparkContext.setLogLevel("WARN")
         summary = RestoreController(spark, cfg).run()
+    except CheckpointInvalidError as e:
+        # formatted refusal (failed last time; per-table ctl actions)
+        print(f"error: {e}", file=sys.stderr)
+        return 3
     except (ValueError, FileNotFoundError, NotImplementedError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2

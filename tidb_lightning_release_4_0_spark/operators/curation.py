@@ -633,11 +633,18 @@ def provenance_filter_oracle_sql(
     lang_col: str = "lang",
     id_col: str = "doc_id",
 ) -> str:
-    bl = ", ".join(f"'{s}'" for s in blocked_sources)
-    cases = [f"WHEN {source_col} IN ({bl}) THEN 'blocked_source'"]
+    def _lit(s: str) -> str:  # SQL string literal, quotes doubled
+        return "'" + s.replace("'", "''") + "'"
+
+    cases = []
+    if blocked_sources:  # IN () is a parse error; [] blocks nothing
+        bl = ", ".join(_lit(s) for s in blocked_sources)
+        cases.append(f"WHEN {source_col} IN ({bl}) THEN 'blocked_source'")
     if allowed_langs is not None:
-        al = ", ".join(f"'{s}'" for s in allowed_langs)
+        al = ", ".join(_lit(s) for s in allowed_langs) or "''"
         cases.append(f"WHEN {lang_col} NOT IN ({al}) THEN 'lang'")
+    if not cases:
+        cases.append("WHEN FALSE THEN 'blocked_source'")
     reason = f"CASE {' '.join(cases)} ELSE 'ok' END"
     return (
         f"SELECT {id_col} AS doc_id, {source_col} AS source, "

@@ -631,8 +631,17 @@ class RestoreController:
         if not frames:
             # schema-only (empty) table, or a data file with zero
             # rows: the table must still be created in the target
-            # (reference tests/tool_241 — dumps full of empty tables)
-            struct = schema.struct_type.add("_row_id", T.LongType())
+            # (reference tests/tool_241 — dumps full of empty tables).
+            # Shape must match what apply_permutation would emit —
+            # including the hidden _tidb_rowid for tables without an
+            # integer PK — so the delivered schema equals the
+            # catalog registration.
+            from ..operators.permutation import ROWID_COL
+
+            struct = schema.struct_type
+            if not schema.has_int_pk:
+                struct = struct.add(ROWID_COL, T.LongType(), False)
+            struct = struct.add("_row_id", T.LongType())
             return self.spark.createDataFrame([], schema=struct)
         df = frames[0]
         for f in frames[1:]:

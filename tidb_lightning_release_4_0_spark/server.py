@@ -181,6 +181,7 @@ class TaskServer:
         self.overrides = overrides or {}
         self.configs = configs
         self.current: int | None = None  # running task id
+        self.current_cfg: Config | None = None  # its config (for GET)
         self._cur_lock = threading.Lock()
         #: O4: the shared deliver pauser (restore.DeliverPauser) —
         #: PUT /pause parks restores at the next table/engine
@@ -248,7 +249,17 @@ class TaskServer:
                 if tid is None:
                     self._json(400, {"error": "invalid task ID"})
                     return
-                cfg = server.configs.get(tid)
+                # the currently-running task is no longer queued but
+                # must still be inspectable (handleGetOneTask checks
+                # curTask first, lightning.go:309-320)
+                with server._cur_lock:
+                    cfg = (
+                        server.current_cfg
+                        if server.current == tid
+                        else None
+                    )
+                if cfg is None:
+                    cfg = server.configs.get(tid)
                 if cfg is None:
                     self._json(404, {"error": "task ID not found"})
                     return
@@ -354,7 +365,10 @@ class TaskRunner:
         #: the operator inspects before the queue continues
         #: (lightning.go:162-165)
         self.pause_on_error = pause_on_error
-        self.results: dict[int, object] = {}
+        #: last N task outcomes (RunSummary or exception) — bounded
+        #: so the perpetual server loop cannot grow without limit
+        self.results: OrderedDict[int, object] = OrderedDict()
+        self.max_results = 128
 
     def run_one(self, timeout: float | None = None) -> bool:
         """Pop and run a single task; False on queue-empty timeout."""
@@ -367,6 +381,7 @@ class TaskRunner:
         if self.server:
             with self.server._cur_lock:
                 self.server.current = tid
+                self.server.current_cfg = cfg
         failed = False
         try:
             sink = self.sink_factory(cfg) if self.sink_factory else None
@@ -386,6 +401,9 @@ class TaskRunner:
             if self.server:
                 with self.server._cur_lock:
                     self.server.current = None
+                    self.server.current_cfg = None
+        while len(self.results) > self.max_results:
+            self.results.popitem(last=False)
         if failed and self.pause_on_error and self.server:
             self.server.pauser.pause()  # lightning.go:163
         return True
