@@ -119,7 +119,9 @@ def test_connected_components_raises_when_unconverged(spark):
         [(i, i + 1) for i in range(1, 8)], ["left_id", "right_id"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        C.connected_components(pairs, max_iter=1)
+        # force the distributed loop (the small-graph fast path
+        # needs no rounds at all)
+        C.connected_components(pairs, max_iter=1, small_graph_threshold=0)
     out = {
         r["doc_id"]: r["cluster_id"]
         for r in C.connected_components(pairs).collect()
@@ -170,3 +172,27 @@ def test_pack_offsets_within_budget(spark):
     for r in C.pack_sequences(df, budget=256).collect():
         assert 0 <= r["offset"] < 256
         assert r["seq_id"] * 256 + r["offset"] >= 0
+
+
+def test_connected_components_fast_path_matches_loop(spark):
+    """The driver union-find fast path and the distributed
+    label-propagation loop agree on a graph with chains, merged
+    clusters, and singleton-free edges."""
+    edges = (
+        [(i, i + 1) for i in range(1, 6)]        # chain 1..6
+        + [(10, 12), (12, 14), (14, 10)]         # cycle
+        + [(30, 20)]                             # reversed order pair
+    )
+    pairs = spark.createDataFrame(edges, ["left_id", "right_id"])
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in C.connected_components(pairs).collect()
+    }
+    loop = {
+        (r["doc_id"], r["cluster_id"])
+        for r in C.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == loop
+    assert {c for _, c in fast} == {1, 10, 20}

@@ -70,9 +70,19 @@ def connected_components(
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 25,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id in the connected component.
+
+    Small-graph fast path: the candidate-pair graph is usually tiny
+    relative to the corpus (near-dup candidates only). When at most
+    ``small_graph_threshold`` pairs exist, they are pulled to the
+    driver (``take(threshold+1)`` — one partial pass) and resolved
+    with union-find: zero label-propagation rounds, zero extra Spark
+    jobs. Larger graphs run the distributed loop below; the cap is
+    driver-memory-bounded metadata (~16 B/pair), the same budget the
+    IVF-centroid and row-id-base collects use.
 
     Min-label propagation: label(v) starts at min(v, neighbors(v))
     and each round takes the min over neighbors' labels. Labels are
@@ -89,6 +99,34 @@ def connected_components(
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
+    if small_graph_threshold > 0:
+        head = e.take(small_graph_threshold + 1)
+        if len(head) <= small_graph_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in head:
+                a, b = find(r["src"]), find(r["dst"])
+                if a != b:  # union by min so the root IS the min id
+                    if b < a:
+                        a, b = b, a
+                    parent[b] = a
+            nodes = {x for r in head for x in (r["src"], r["dst"])}
+            rows = [(n, find(n)) for n in sorted(nodes)]
+            spark = pairs.sparkSession
+            return spark.createDataFrame(
+                rows, schema=e.select(
+                    F.col("src").alias("doc_id"),
+                    F.col("dst").alias("cluster_id"),
+                ).schema,
+            )
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
