@@ -188,3 +188,64 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def unigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram language-model quality score — the CCNet-style
+    perplexity filter reduced to a self-trained unigram LM: each
+    document's mean negative log-likelihood under add-one-smoothed
+    corpus unigram frequencies. Low scores = high-probability
+    (common, fluent) text; high scores = rare/garbled token soup —
+    the standard signal for perplexity-bucketing a crawl.
+
+    Output: (doc_id, n_tokens, lm_score rounded to 4).
+
+    Scale: the term-count table is vocab-sized (millions of rows at
+    100 TB, still broadcastable or at worst a shuffle keyed by term
+    with map-side combine); the corpus explode joins it
+    broadcast-side so document text shuffles only as (doc_id, term)
+    pairs. Train-on-sample + broadcast is the documented variant
+    when even the vocab is too hot.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    counts = exploded.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    return (
+        exploded.join(F.broadcast(counts), "term")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    -F.log((F.col("cnt") + 1.0) / (F.col("n") + F.col("v")))
+                ),
+                4,
+            ).alias("lm_score"),
+        )
+    )
+
+
+def unigram_lm_score_sql_duckdb(table: str = "documents") -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM {table}
+),
+tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+counts AS (SELECT term, count(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT sum(cnt) AS n, count(*) AS v FROM counts)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln((cnt + 1.0) / (n + v))), 4) AS lm_score
+FROM tok2 JOIN counts USING (term), tot
+GROUP BY doc_id
+"""

@@ -1051,6 +1051,14 @@ def q_provenance_filter(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM quality score (the perplexity-filter shape): mean
+    negative log-likelihood per doc under add-one-smoothed corpus
+    unigram frequencies; vocab-sized count table broadcast to the
+    exploded corpus."""
+    return X.unigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup: a simulated re-crawl batch (every 10th doc
     re-arrives verbatim under a new id; every doc ending in 5
@@ -1263,6 +1271,7 @@ def build_queries():
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
         "provenance_filter": q_provenance_filter,
+        "lm_score": q_lm_score,
         "dedup_incremental": q_dedup_incremental,
         "order_priority_count": q_order_priority_count,
         "large_orders": q_large_orders,
@@ -1700,6 +1709,7 @@ def build_oracle_sql():
         "dedup_incremental": D.incremental_dedup_oracle_sql(
             100000, _INCR_CORPUS_SQL
         ),
+        "lm_score": X.unigram_lm_score_sql_duckdb("documents"),
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
