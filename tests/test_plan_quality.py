@@ -187,3 +187,29 @@ def test_provenance_filter_narrow(spark, sf_dir):
     assert "Exchange" not in plan, plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "text" not in read[0], read
+
+
+def test_lm_score_broadcasts_counts(spark, sf_dir):
+    """The vocab-sized unigram table must broadcast; corpus text
+    shuffles only as exploded (doc_id, term) pairs."""
+    from tidb_lightning_release_4_0_spark.registry import q_lm_score
+
+    plan = _plan(q_lm_score(spark, sf_dir))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_large_orders_aggregates_before_join(spark, sf_dir):
+    """Q18 shape: the HAVING pre-aggregation must run BEFORE the
+    orders/customer joins so only qualifying orderkeys reach them —
+    the aggregate appears below the join in the plan."""
+    from tidb_lightning_release_4_0_spark.registry import q_large_orders
+
+    plan = _plan(q_large_orders(spark, sf_dir))
+    lines = plan.splitlines()
+    first_join = next(
+        i for i, l in enumerate(lines) if "Join" in l
+    )
+    agg_below = any(
+        "HashAggregate" in l for l in lines[first_join:]
+    )
+    assert agg_below, plan

@@ -85,3 +85,49 @@ def test_strict_csv_roundtrip(rows):
     cfg = CSVConfig()
     parsed = list(parse_csv_text(text, cfg))
     assert parsed == rows
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_union_find_matches_bfs_components(edges):
+    """The driver union-find fast path in connected_components must
+    agree with a plain BFS reference on arbitrary small graphs
+    (chains, cycles, self-loops, duplicate edges)."""
+    from tidb_lightning_release_4_0_spark.operators.curation import (
+        union_find_min,
+    )
+
+    got = dict(union_find_min(edges))
+    nodes = {x for e in edges for x in e}
+
+    # BFS reference: component label = min node id
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set = set()
+    for start in nodes:
+        if start in seen:
+            continue
+        comp, todo = [], [start]
+        while todo:
+            v = todo.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            comp.append(v)
+            todo.extend(adj.get(v, ()))
+        label = min(comp)
+        for v in comp:
+            want[v] = label
+    assert got == want

@@ -65,6 +65,31 @@ from .text import (
 # ---------------------------------------------------------------------------
 
 
+def union_find_min(edges: list[tuple]) -> list[tuple]:
+    """Union-find with union-by-min + path compression: the invariant
+    that each set's root is its minimum element makes the root the
+    cluster label directly. Returns sorted (node, min_of_component)
+    pairs for every node appearing in ``edges``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:  # union by min so the root IS the min id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = {x for e in edges for x in e}
+    return [(n, find(n)) for n in sorted(nodes)]
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "left_id",
@@ -102,24 +127,7 @@ def connected_components(
     if small_graph_threshold > 0:
         head = e.take(small_graph_threshold + 1)
         if len(head) <= small_graph_threshold:
-            parent: dict = {}
-
-            def find(x):
-                root = x
-                while parent.get(root, root) != root:
-                    root = parent[root]
-                while parent.get(x, x) != x:  # path compression
-                    parent[x], x = root, parent[x]
-                return root
-
-            for r in head:
-                a, b = find(r["src"]), find(r["dst"])
-                if a != b:  # union by min so the root IS the min id
-                    if b < a:
-                        a, b = b, a
-                    parent[b] = a
-            nodes = {x for r in head for x in (r["src"], r["dst"])}
-            rows = [(n, find(n)) for n in sorted(nodes)]
+            rows = union_find_min([(r["src"], r["dst"]) for r in head])
             spark = pairs.sparkSession
             return spark.createDataFrame(
                 rows, schema=e.select(
