@@ -452,3 +452,43 @@ def test_row_format_v2_wide_sparse_table(spark):
         key=lambda v: (v is not None, v),
     )
     assert distinct == [None, 39]
+
+
+# ---------------------------------------------------------------------------
+# restore: 35-table stress (run.sh:18-42)
+# ---------------------------------------------------------------------------
+
+
+def test_restore_35_table_stress(spark):
+    """Reference tests/restore: 35 one-row tables restored under
+    concurrency with checkpoints on; every table lands sum(i)=1 and
+    the checkpoint store is cleaned on success."""
+    files: dict[str, bytes] = {
+        "restore_tsr-schema-create.sql": b"CREATE DATABASE restore_tsr;",
+    }
+    for i in range(1, 36):
+        files[f"restore_tsr.tbl{i}-schema.sql"] = (
+            f"CREATE TABLE tbl{i}(i TINYINT);".encode()
+        )
+        files[f"restore_tsr.tbl{i}.sql"] = (
+            f"INSERT INTO tbl{i} VALUES (1);".encode()
+        )
+    d = _dump("restore_tsr", files)
+    cp_path = os.path.join(TMP, "tsr_cp.json")
+    if os.path.exists(cp_path):
+        os.remove(cp_path)
+    sink = MemorySink(on_duplicate="error")
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="memory",
+        checkpoint_path=cp_path,
+        table_concurrency=8,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg, sink=sink).run()
+    assert run.ok, run.report()
+    assert len(run.tables) == 35
+    for i in range(1, 36):
+        t = sink.tables[f"restore_tsr.tbl{i}"]
+        assert t.agg(F.sum("i")).collect()[0][0] == 1
+    assert not os.path.exists(cp_path)  # cleaned on success
