@@ -72,6 +72,10 @@ def main() -> None:
         "embedding_dups",
         "quality_filter",
         "dedup_cluster",
+        "lm_score",
+        "chunk_documents",
+        "pii_scrub",
+        "dedup_incremental",
     ]
 
     timings: dict[str, float] = {}

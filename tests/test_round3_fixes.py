@@ -1125,3 +1125,49 @@ def test_mixed_parquet_gzip_csv_ids_disjoint(spark):
     rows = t.collect()
     assert sorted(r["v"] for r in rows) == ["c1", "c2", "g1", "g2", "p1", "p2"]
     assert len({r["_tidb_rowid"] for r in rows}) == 6
+
+
+# ---------------------------------------------------------------------------
+# sorted delivery (sorted-SST ingest analog)
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_output_orders_rows_within_files(spark):
+    """sorted_output=True: every delivered parquet file is internally
+    ordered by the PK (a local sort — no shuffle), so file min/max
+    stats are tight for downstream pruning. Default stays unsorted."""
+    import glob
+
+    rows = ", ".join(
+        f"({k}, 'v{k}')" for k in [9, 3, 7, 1, 8, 2, 6, 4, 5, 0]
+    )
+    files = {
+        "srt-schema-create.sql": b"CREATE DATABASE srt;",
+        "srt.t-schema.sql": (
+            b"create table t (k bigint primary key, v varchar(8));"
+        ),
+        "srt.t.sql": f"INSERT INTO t VALUES {rows};".encode(),
+    }
+    d = _dump("sorted_out", files)
+    tgt = os.path.join(TMP, "sorted_sink")
+    shutil.rmtree(tgt, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d),
+        backend="parquet",
+        target_dir=tgt,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        sorted_output=True,
+        tidb=TiDBConfig(sql_mode=""),
+    )
+    run = RestoreController(spark, cfg).run()
+    assert run.ok, run.report()
+    parts = glob.glob(os.path.join(tgt, "srt.t", "**", "*.parquet"),
+                      recursive=True)
+    assert parts
+    total = 0
+    for p in parts:
+        ks = [r["k"] for r in spark.read.parquet(p).collect()]
+        assert ks == sorted(ks), p
+        total += len(ks)
+    assert total == 10

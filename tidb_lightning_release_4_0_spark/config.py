@@ -168,6 +168,13 @@ class Config:
     # engine split, sql2kv.go:218-239). Opt-in: doubles write volume
     # for indexed tables, exactly like index KVs do in the reference.
     index_engine: bool = False
+    # Sort delivered rows by primary key WITHIN each output file
+    # (sortWithinPartitions — a local per-task sort, no shuffle).
+    # The importer backend always ingests key-sorted SSTs
+    # (backend/sql2kv.go KV ordering; importer ingest); for a parquet
+    # target the payoff is min/max zone-map pruning for downstream
+    # readers. Opt-in: costs a per-partition sort on the write path.
+    sorted_output: bool = False
     # post-import full compaction (O9 analog: parquet small-file
     # rewrite). Defaults FALSE like the reference's post-restore
     # compact/level-1-compact (config.go:122-123, toml:181-184)

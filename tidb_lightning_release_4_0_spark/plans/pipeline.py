@@ -247,7 +247,11 @@ class RestoreController:
 
     def _default_sink(self) -> Sink:
         if self.cfg.backend == "parquet":
-            return ParquetSink(self.cfg.target_dir, self.cfg.on_duplicate)
+            return ParquetSink(
+                self.cfg.target_dir,
+                self.cfg.on_duplicate,
+                sorted_output=self.cfg.sorted_output,
+            )
         if self.cfg.backend == "jdbc":
             from ..sinks.jdbc_sink import JDBCSink
 

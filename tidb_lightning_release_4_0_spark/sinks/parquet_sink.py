@@ -26,9 +26,14 @@ class ParquetSink(Sink):
         on_duplicate: str = "replace",
         key_columns: dict[str, list[str]] | None = None,
         partition_spec: dict[str, tuple[str, int]] | None = None,
+        sorted_output: bool = False,
     ):
         self.root = root
         self.on_duplicate = on_duplicate
+        #: sort rows by PK within each output file (local sort, no
+        #: shuffle) — the sorted-SST ingest analog; enables min/max
+        #: pruning for readers of the delivered table
+        self.sorted_output = sorted_output
         self.key_columns = key_columns or {}
         # table -> (column, n): PARTITION BY HASH/KEY targets map to a
         # partitioned parquet layout, `_p = value mod n` directory
@@ -97,6 +102,17 @@ class ParquetSink(Sink):
                 f"parquet sink target {self.root!r} is not writable: {e}"
             ) from e
 
+    def _sorted(self, df: DataFrame, table: str) -> DataFrame:
+        """Key-sorted delivery (opt-in): local per-task sort on the
+        PK — no exchange — so each output file is internally ordered
+        and carries tight min/max statistics (the sorted-SST ingest
+        property, mapped to parquet zone maps)."""
+        keys = self.key_columns.get(table)
+        if not (self.sorted_output and keys):
+            return df
+        sort_cols = [k for k in keys if k in df.columns]
+        return df.sortWithinPartitions(*sort_cols) if sort_cols else df
+
     def _partitioned(self, df: DataFrame, table: str):
         spec = self.partition_spec.get(table)
         if not spec or spec[0] not in df.columns or spec[1] <= 0:
@@ -124,6 +140,7 @@ class ParquetSink(Sink):
             )
         if "_row_id" in df.columns:
             df = df.drop("_row_id")  # arrival order served its purpose
+        df = self._sorted(df, table)
         if keys and self.on_duplicate == "error":
             # dup detection runs against a STAGING copy, key-pruned, so
             # the whole source parse/cast pipeline isn't re-run (for
@@ -175,6 +192,7 @@ class ParquetSink(Sink):
         path = os.path.join(self._path(table), f"engine_{int(engine_id)}")
         if "_row_id" in df.columns:
             df = df.drop("_row_id")
+        df = self._sorted(df, table)
         df, pcols = self._partitioned(df, table)
         df.write.mode("overwrite").partitionBy(*pcols).parquet(path)
         size = sum(
