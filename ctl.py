@@ -9,6 +9,9 @@ cmd/tidb-lightning-ctl/main.go:42-307:
     ctl.py checkpoint-error-ignore  --checkpoint PATH [--table ...]
     ctl.py checkpoint-error-destroy --checkpoint PATH --table db.tbl \
            [--target-dir DIR]     # also drops the sink table
+    ctl.py compact --target-dir DIR --table db.tbl
+           # manual post-import compaction (main.go:114-123's
+           # FullLevelCompact, mapped to the sink's small-file rewrite)
 
 ``--checkpoint`` accepts either a JSON file path (the file driver) or
 ``sqlite:PATH`` for the SQL checkpoint store (the MySQL-driver analog,
@@ -57,8 +60,26 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--checkpoint", required=True)
         p.add_argument("--table", default="all")
         p.add_argument("--target-dir", default="")
+    p = sub.add_parser("compact")
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--table", required=True)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "compact":
+        # manual full compaction (main.go:114-123): rewrite the
+        # table's fragmented parquet files via the sink's finalize
+        from tidb_lightning_release_4_0_spark.session import get_spark
+        from tidb_lightning_release_4_0_spark.sinks.parquet_sink import (
+            ParquetSink,
+        )
+
+        spark = get_spark(app_name="ctl-compact")
+        spark.sparkContext.setLogLevel("WARN")
+        ParquetSink(args.target_dir).finalize(spark, args.table)
+        print(f"compacted {args.table}")
+        return 0
+
     cp = open_store(args.checkpoint)
 
     if args.cmd == "checkpoint-dump":

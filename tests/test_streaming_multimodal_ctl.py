@@ -321,3 +321,30 @@ def test_ctl_sqlite_store(tmp_path):
         lambda: sqlite3.connect(db, check_same_thread=False)
     )
     assert store2.table_status("d.t") == 0
+
+
+def test_ctl_compact(spark):
+    """ctl compact: manual full compaction rewrites a fragmented
+    table (main.go:114-123 FullLevelCompact analog)."""
+    tgt = os.path.join(TMP, "ctl_compact_sink")
+    tbl = os.path.join(tgt, "db.frag")
+    shutil.rmtree(tgt, ignore_errors=True)
+    os.makedirs(tbl)
+    df = spark.range(1000).toDF("i")
+    df.repartition(20).write.mode("overwrite").parquet(tbl)
+    n_before = sum(
+        1 for _, _, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+    )
+    assert n_before >= 20
+
+    out = subprocess.run(
+        [sys.executable, "ctl.py", "compact",
+         "--target-dir", tgt, "--table", "db.frag"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr
+    n_after = sum(
+        1 for _, _, fs in os.walk(tbl) for f in fs if f.endswith(".parquet")
+    )
+    assert n_after < n_before
+    assert spark.read.parquet(tbl).count() == 1000

@@ -235,3 +235,44 @@ def test_pause_resume_endpoints_and_gating(spark):
     finally:
         server.pauser.resume()
         server.shutdown()
+
+
+def test_metrics_endpoint(spark):
+    """GET /metrics: Prometheus text exposition of the engine's own
+    counters (the reference serves Prometheus on the same mux)."""
+    configs = ConfigList()
+    server = TaskServer(
+        configs, overrides={"target_dir": os.path.join(TMP, "warehouse")}
+    ).start()
+    port = server.port
+    try:
+        from tidb_lightning_release_4_0_spark.server import parse_task_toml
+
+        d = _dump("t6", "srv6", 66)
+        configs.push(parse_task_toml(_task_toml(d), server.overrides))
+        runner = TaskRunner(
+            spark, configs, server=server,
+            sink_factory=lambda cfg: MemorySink(on_duplicate="error"),
+        )
+        assert runner.drain() == 1
+
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics"
+        ) as r:
+            assert r.status == 200
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        metrics = {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines()
+            if line and not line.startswith("#")
+        }
+        assert metrics["lightning_tasks_total"] == 1
+        assert metrics["lightning_tasks_failed_total"] == 0
+        assert metrics["lightning_tables_restored_total"] == 1
+        assert metrics["lightning_bytes_restored_total"] > 0
+        assert metrics["lightning_paused"] == 0
+    finally:
+        server.shutdown()

@@ -189,6 +189,15 @@ class TaskServer:
         self.pauser = Pauser()
         #: GET /progress/task state (web/progress.go currentProgress)
         self.progress = TaskProgress()
+        #: GET /metrics counters (the reference serves Prometheus on
+        #: the same mux, lightning.go:91; this is the text exposition
+        #: of the engine's own counters, no client library)
+        self.counters = {
+            "tasks_total": 0,
+            "tasks_failed_total": 0,
+            "tables_restored_total": 0,
+            "bytes_restored_total": 0,
+        }
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -236,6 +245,27 @@ class TaskServer:
                     return
                 if self.path.rstrip("/") == "/progress/task":
                     self._json(200, server.progress.marshal())
+                    return
+                if self.path.rstrip("/") == "/metrics":
+                    with server._cur_lock:
+                        counters = dict(server.counters)
+                    lines = []
+                    for k, v in counters.items():
+                        lines.append(f"# TYPE lightning_{k} counter")
+                        lines.append(f"lightning_{k} {v}")
+                    lines.append("# TYPE lightning_paused gauge")
+                    lines.append(
+                        f"lightning_paused "
+                        f"{1 if server.pauser.is_paused else 0}"
+                    )
+                    body = ("\n".join(lines) + "\n").encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/plain; version=0.0.4"
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if self.path.rstrip("/") == "/tasks":
                     with server._cur_lock:
@@ -392,6 +422,13 @@ class TaskRunner:
             ).run()
             self.results[tid] = summary
             failed = not summary.ok
+            if self.server:
+                with self.server._cur_lock:
+                    c = self.server.counters
+                    for r in summary.tables.values():
+                        if r.status == "restored":
+                            c["tables_restored_total"] += 1
+                            c["bytes_restored_total"] += r.source_bytes
             log.info("task %d finished ok=%s", tid, summary.ok)
         except Exception as e:  # queue survives a failed task
             self.results[tid] = e
@@ -402,6 +439,9 @@ class TaskRunner:
                 with self.server._cur_lock:
                     self.server.current = None
                     self.server.current_cfg = None
+                    self.server.counters["tasks_total"] += 1
+                    if failed:
+                        self.server.counters["tasks_failed_total"] += 1
         while len(self.results) > self.max_results:
             self.results.popitem(last=False)
         if failed and self.pause_on_error and self.server:
