@@ -114,14 +114,37 @@ def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
 
     Each shingle is md5-hashed ONCE (hash60 mod P), then the
     ``num_hashes`` functions are cheap integer permutations — 16x
-    less hashing than naive per-seed md5."""
+    less hashing than naive per-seed md5.
+
+    Single-fold: ONE pass over the shingle-hash array accumulates all
+    ``num_hashes`` minima (the permutation constants are affine in
+    the accumulator index, so an index-aware transform computes
+    them in-expression). The naive form — num_hashes separate
+    array_min(transform(...)) folds — re-traverses the array
+    num_hashes times; the same rewrite took simhash from 32 folds to
+    one. The sentinel P is unreachable (mod P < P), so the finish
+    step maps it to NULL — preserving the empty-input semantics of
+    array_min."""
     sh = word_shingles(c)
     base = F.transform(sh, lambda s: hash60(s) % F.lit(_MH_PRIME))
-    mins = [
-        F.array_min(F.transform(base, _permuted(i)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+    p = F.lit(_MH_PRIME)
+    init = F.array_repeat(p, num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (
+                    h * (F.lit(2) + i % F.lit(13))
+                    + (i.cast("long") * F.lit(1000003) + F.lit(17))
+                )
+                % p,
+            ),
+        ),
+        lambda acc: F.transform(acc, lambda m: F.when(m < p, m)),
+    )
 
 
 def minhash_signature_sql_duckdb(expr: str, num_hashes: int = 16) -> str:
