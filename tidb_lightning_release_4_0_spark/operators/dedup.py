@@ -102,13 +102,6 @@ def _mh_b(i: int) -> int:
     return i * 1000003 + 17
 
 
-def _permuted(i: int):
-    # NOTE: plain 1-arg lambda — PySpark HOFs treat a 2-arg lambda as
-    # (element, index), so constants are captured via this factory.
-    a, b = _mh_a(i), _mh_b(i)
-    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-
 def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
     """MinHash signature: min over permuted shingle hashes.
 
@@ -189,25 +182,15 @@ def minhash_lsh_pairs(
     from pyspark.sql.window import Window
 
     rows_per_band = num_hashes // bands
-    # two-phase projection: shingles materialize once per row, then
-    # the num_hashes mins read that array column (instead of
-    # re-deriving shingles per hash function). Single-lineage plan —
-    # no persist to leak: the expensive signature computation is
-    # evaluated exactly once because the bucket-local pair generation
-    # below never self-joins the signature frame.
+    # single-lineage plan — no persist to leak: the signature (one
+    # fold over the shingle hashes) is evaluated exactly once because
+    # the bucket-local pair generation below never self-joins the
+    # signature frame.
     df = _spread(df)
-    hashed = df.select(
+    d = df.select(
         F.col(id_col).alias("_id"),
-        F.transform(
-            word_shingles(F.col(text_col)),
-            lambda s: hash60(s) % F.lit(_MH_PRIME),
-        ).alias("_h"),
+        minhash_signature(F.col(text_col), num_hashes).alias("_sig"),
     )
-    mins = [
-        F.array_min(F.transform(F.col("_h"), _permuted(i)))
-        for i in range(num_hashes)
-    ]
-    d = hashed.select(F.col("_id"), F.array(*mins).alias("_sig"))
 
     band_keys = F.array(
         *[
