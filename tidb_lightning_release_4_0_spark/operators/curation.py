@@ -697,3 +697,85 @@ def provenance_filter_oracle_sql(
         f"{lang_col} AS lang, ({reason}) = 'ok' AS keep, "
         f"{reason} AS reason FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compose a training mixture: sample each source at the rate
+    that makes its share of ``target_total`` documents match
+    ``weights`` (normalized). Sources absent from ``weights`` are
+    dropped. Selection is deterministic hash-order (hash60 of the
+    id), so the same mixture reproduces across runs and engines —
+    the property `rand()` sampling lacks.
+
+    Output: (doc_id, source, keep) for docs of weighted sources;
+    keep marks mixture membership. Rates are capped at 1.0 (a source
+    smaller than its target share contributes everything it has;
+    documented under-delivery rather than duplication — upsampling
+    is a separate epoch-repeat concern).
+
+    Scale: one count-by-source aggregate (tiny), broadcast back; the
+    corpus scan stays narrow and the filter is a per-row hash
+    compare. No corpus shuffle.
+    """
+    total_w = sum(weights.values())
+    targets = [
+        (s, w / total_w * target_total) for s, w in weights.items()
+    ]
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(targets, f"{source_col} string, _target double")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    rates = counts.join(tgt, source_col).select(
+        source_col,
+        F.least(F.col("_target") / F.col("_n"), F.lit(1.0)).alias("_rate"),
+    )
+    # deterministic per-doc draw in [0, 1): hash60 spans 60 bits
+    draw = hash60(F.col(id_col).cast("string")) / F.lit(
+        float(1 << 60)
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            (draw < F.col("_rate")).alias("keep"),
+        )
+    )
+
+
+def mixture_sample_oracle_sql(
+    weights: dict[str, float],
+    target_total: int,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    total_w = sum(weights.values())
+    rows = ", ".join(
+        f"('{s}', {w / total_w * target_total!r})"
+        for s, w in weights.items()
+    )
+    h = hash60_duckdb(f"cast({id_col} AS VARCHAR)")
+    return f"""
+WITH tgt({source_col}, _target) AS (VALUES {rows}),
+counts AS (
+  SELECT {source_col}, count(*) AS _n FROM {table} GROUP BY 1
+),
+rates AS (
+  SELECT {source_col}, least(_target / _n, 1.0) AS _rate
+  FROM counts JOIN tgt USING ({source_col})
+)
+SELECT {id_col} AS doc_id, {source_col} AS source,
+       ({h}) / {float(1 << 60)!r} < _rate AS keep
+FROM {table} JOIN rates USING ({source_col})
+"""

@@ -1051,6 +1051,20 @@ def q_provenance_filter(spark, sf_dir):
     )
 
 
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src5": 2.0}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Training-data mixing: deterministic hash-rate sampling of each
+    source toward target mixture weights (3:1:2 over three sources,
+    60-doc target) — rates derive from one tiny count-by-source
+    aggregate broadcast back to a narrow corpus scan. A source
+    smaller than its share contributes everything (rate capped 1.0)."""
+    return CU.mixture_sample(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, target_total=60
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """Unigram-LM quality score (the perplexity-filter shape): mean
     negative log-likelihood per doc under add-one-smoothed corpus
@@ -1272,6 +1286,7 @@ def build_queries():
         "pii_scrub": q_pii_scrub,
         "provenance_filter": q_provenance_filter,
         "lm_score": q_lm_score,
+        "mixture_sample": q_mixture_sample,
         "dedup_incremental": q_dedup_incremental,
         "order_priority_count": q_order_priority_count,
         "large_orders": q_large_orders,
@@ -1710,6 +1725,9 @@ def build_oracle_sql():
             100000, _INCR_CORPUS_SQL
         ),
         "lm_score": X.unigram_lm_score_sql_duckdb("documents"),
+        "mixture_sample": CU.mixture_sample_oracle_sql(
+            _MIX_WEIGHTS, target_total=60
+        ),
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
