@@ -840,6 +840,21 @@ def q_dedup_cluster(spark, sf_dir):
     return CU.connected_components(pairs)
 
 
+def q_dedup_apply_cluster(spark, sf_dir):
+    """Cluster-correct near-dedup application: elect ONE survivor per
+    connected component (the min doc_id) and drop every other member
+    — the policy that stays correct on transitive chains, where the
+    greedy pairwise drop (dedup_apply_minhash) over-keeps. Returns
+    surviving doc ids."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, threshold=0.2)
+    clusters = CU.connected_components(pairs)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_decontaminate(spark, sf_dir):
     """Test-set decontamination: corpus docs sharing any 5-word-gram
     with the held-out benchmark slice (doc_id % 97 = 0). Benchmark
@@ -1287,6 +1302,7 @@ def build_queries():
         "provenance_filter": q_provenance_filter,
         "lm_score": q_lm_score,
         "mixture_sample": q_mixture_sample,
+        "dedup_apply_cluster": q_dedup_apply_cluster,
         "dedup_incremental": q_dedup_incremental,
         "order_priority_count": q_order_priority_count,
         "large_orders": q_large_orders,
@@ -1728,6 +1744,18 @@ def build_oracle_sql():
         "mixture_sample": CU.mixture_sample_oracle_sql(
             _MIX_WEIGHTS, target_total=60
         ),
+        "dedup_apply_cluster": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM (
+                {CU.connected_components_oracle_sql(
+                    D.minhash_lsh_pairs_oracle_sql(
+                        "documents", threshold=0.2
+                    )
+                )}
+              ) WHERE doc_id <> cluster_id
+            )
+        """,
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
