@@ -276,3 +276,29 @@ def test_metrics_endpoint(spark):
         assert metrics["lightning_paused"] == 0
     finally:
         server.shutdown()
+
+
+def test_pause_on_error_parks_the_queue(spark):
+    """Server mode force-pauses progress when a task errors
+    (lightning.go:162-165) so the operator inspects before the next
+    task runs."""
+    from tidb_lightning_release_4_0_spark.server import parse_task_toml
+
+    configs = ConfigList()
+    server = TaskServer(
+        configs, overrides={"target_dir": os.path.join(TMP, "warehouse")}
+    ).start()
+    try:
+        bad = parse_task_toml(
+            _task_toml(os.path.join(TMP, "missing_dir")), server.overrides
+        )
+        configs.push(bad)
+        runner = TaskRunner(
+            spark, configs, server=server,
+            sink_factory=lambda cfg: MemorySink(), pause_on_error=True,
+        )
+        assert runner.run_one(timeout=1)
+        assert server.pauser.is_paused  # parked for inspection
+        server.pauser.resume()
+    finally:
+        server.shutdown()
