@@ -1226,6 +1226,66 @@ def q_part_supplier_variety(spark, sf_dir):
     )
 
 
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 pattern: per-supplier revenue in a quarter, keep the
+    supplier(s) matching the maximum (scalar-subquery max against the
+    derived view — one small self-comparison, no window over the full
+    fact table)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("decimal(18,4)")
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(s, rev["l_suppkey"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_cheapest_shipper(spark, sf_dir):
+    """TPC-H Q2 pattern: for each part (of a filtered family), the
+    supplier(s) with the minimum account balance among those who
+    shipped it — per-group min computed once, joined back (the
+    correlated-subquery shape, decorrelated)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    shipped = (
+        p.join(li, p["p_partkey"] == li["l_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    mins = shipped.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min(F.col("s_acctbal").cast("decimal(18,2)")).alias("_min_bal")
+    )
+    return (
+        shipped.join(mins, shipped["p_partkey"] == mins["_pk"])
+        .filter(F.col("s_acctbal").cast("decimal(18,2)") == F.col("_min_bal"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("s_acctbal"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1305,6 +1365,8 @@ def build_queries():
         "dedup_apply_cluster": q_dedup_apply_cluster,
         "dedup_incremental": q_dedup_incremental,
         "order_priority_count": q_order_priority_count,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "cheapest_shipper": q_cheapest_shipper,
         "large_orders": q_large_orders,
         "idle_customers": q_idle_customers,
         "part_supplier_variety": q_part_supplier_variety,
@@ -1755,6 +1817,39 @@ def build_oracle_sql():
                 )}
               ) WHERE doc_id <> cluster_id
             )
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                         * (cast(1 AS DECIMAL(18,2))
+                            - cast(l_discount AS DECIMAL(18,2)))
+                         AS DECIMAL(18,4))) AS _rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, cast(_rev AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE _rev = (SELECT max(_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "cheapest_shipper": """
+            WITH shipped AS (
+              SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name,
+                              s_acctbal
+              FROM part
+              JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_size = 5
+            )
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+            FROM shipped
+            WHERE cast(s_acctbal AS DECIMAL(18,2)) = (
+              SELECT min(cast(s2.s_acctbal AS DECIMAL(18,2)))
+              FROM shipped s2 WHERE s2.p_partkey = shipped.p_partkey)
+            ORDER BY p_partkey, s_suppkey
         """,
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
