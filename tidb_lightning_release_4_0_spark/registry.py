@@ -1286,6 +1286,362 @@ def q_cheapest_shipper(spark, sf_dir):
     )
 
 
+def _revenue():
+    """Decimal-exact l_extendedprice*(1-l_discount) term (engine-portable)."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(18,2)")
+            - F.col("l_discount").cast("decimal(18,2)")
+        )
+    ).cast("decimal(18,4)")
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 pattern: revenue by nation where the customer and the
+    supplier share a nation, restricted to one region and a one-year
+    order window. region/nation broadcast; the c_nationkey ==
+    s_nationkey equality rides the same hash join as the supplier
+    key, so no extra shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 pattern: shipping volume between two nations by year
+    (either direction), supplier nation x customer nation. Both
+    nation dims broadcast; year extracted after the joins."""
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    j = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 pattern: per-year market share of one supplier nation
+    within one customer region for one part type — conditional
+    aggregation (share = sum(case)/sum(all)); the division runs in
+    IEEE double on exact decimal sums so both engines agree."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n_cust = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    vol = _revenue()
+    agg = j.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("_nat"),
+        F.sum(vol).alias("_all"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(
+            F.col("_nat").cast("double") / F.col("_all").cast("double"), 6
+        ).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+def q_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 pattern: profit by supplier nation and year for a
+    part-name family. Adapted (no partsupp in this dataset): cost =
+    p_retailprice * l_quantity. All arithmetic decimal-exact."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(_revenue() - cost).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 pattern: top-20 customers by revenue lost to
+    returned items in a quarter, with their nation. Agg before the
+    final ordering; nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 pattern: parts whose traded value exceeds a fraction
+    of the global total — group-by with a scalar-subquery threshold
+    (single-row broadcast), adapted to lineitem value (no partsupp).
+    The global total reuses the same partial-agg pass shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    val = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * F.col("l_quantity").cast("decimal(18,2)")
+    ).cast("decimal(18,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("_value"))
+    total = per_part.agg(F.sum("_value").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("_value").cast("double")
+            > F.col("_total").cast("double") * 0.001
+        )
+        .select(
+            "l_partkey", F.col("_value").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q_priority_lines(spark, sf_dir):
+    """TPC-H Q12 pattern: per line-status counts of high- vs
+    low-priority orders shipped in a window (CASE-sum conditional
+    aggregation; adapted: l_linestatus stands in for l_shipmode)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 pattern: yearly revenue from orders below 20% of the
+    part's average quantity (correlated avg decorrelated into a
+    per-part agg + join). The threshold divides an exact decimal sum
+    by an exact count in IEEE double, so both engines agree."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_p = li.join(F.broadcast(p.select("p_partkey")),
+                   li["l_partkey"] == F.col("p_partkey"))
+    stats = li_p.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    j = li_p.join(stats, li_p["l_partkey"] == stats["_pk"]).filter(
+        F.col("l_quantity")
+        < 0.2 * F.col("_sq").cast("double") / F.col("_cnt")
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            / 7.0,
+            2,
+        ).alias("avg_yearly")
+    )
+
+
+def q_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 pattern: revenue under an OR-of-ANDs
+    brand/size/quantity bracket predicate — a single scan with the
+    disjunction evaluated post-join (part side broadcast)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(bracket).agg(
+        F.sum(_revenue()).cast("double").alias("revenue")
+    )
+
+
+def q_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 pattern: suppliers who were the ONLY late supplier
+    on a multi-supplier finalized order (EXISTS + NOT EXISTS,
+    decorrelated into one per-order aggregate + join — one shuffle
+    on orderkey instead of two correlated probes). Late = shipped
+    more than 90 days after the order date. Counted per distinct
+    (supplier, order) pair."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "_late",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int"),
+        )
+        .select("l_orderkey", "l_suppkey", "_late")
+    )
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    per_order = pairs.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.count(F.lit(1)).alias("_nsupp"),
+        F.sum("_supp_late").alias("_nlate"),
+    )
+    culprits = (
+        pairs.join(per_order, pairs["l_orderkey"] == per_order["_ok"])
+        .filter(
+            (F.col("_supp_late") == 1)
+            & (F.col("_nsupp") >= 2)
+            & (F.col("_nlate") == 1)
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprits.join(s, culprits["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -1367,6 +1723,16 @@ def build_queries():
         "order_priority_count": q_order_priority_count,
         "top_supplier_revenue": q_top_supplier_revenue,
         "cheapest_shipper": q_cheapest_shipper,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "profit_by_nation": q_profit_by_nation,
+        "returned_items": q_returned_items,
+        "important_parts": q_important_parts,
+        "priority_lines": q_priority_lines,
+        "small_qty_revenue": q_small_qty_revenue,
+        "bracket_revenue": q_bracket_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
         "large_orders": q_large_orders,
         "idle_customers": q_idle_customers,
         "part_supplier_variety": q_part_supplier_variety,
@@ -1850,6 +2216,184 @@ def build_oracle_sql():
               SELECT min(cast(s2.s_acctbal AS DECIMAL(18,2)))
               FROM shipped s2 WHERE s2.p_partkey = shipped.p_partkey)
             ORDER BY p_partkey, s_suppkey
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   cast(year(l_shipdate) AS INTEGER) AS l_year,
+                   cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "market_share": """
+            WITH j AS (
+              SELECT cast(year(o_orderdate) AS INTEGER) AS o_year,
+                     cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4)) AS vol,
+                     ns.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation nc ON c_nationkey = nc.n_nationkey
+              JOIN region ON nc.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ns ON s_nationkey = ns.n_nationkey
+              WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+                AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1998-01-01'
+            )
+            SELECT o_year,
+                   round(cast(sum(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN vol
+                                       ELSE cast(0 AS DECIMAL(18,4)) END)
+                              AS DOUBLE)
+                         / cast(sum(vol) AS DOUBLE), 6) AS mkt_share
+            FROM j GROUP BY o_year ORDER BY o_year
+        """,
+        "profit_by_nation": """
+            SELECT n_name AS nation,
+                   cast(year(o_orderdate) AS INTEGER) AS o_year,
+                   cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))
+                     - cast(cast(p_retailprice AS DECIMAL(18,2))
+                       * cast(l_quantity AS DECIMAL(18,2))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                         * cast(l_quantity AS DECIMAL(18,2))
+                         AS DECIMAL(18,4))) AS _value
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l_partkey, cast(_value AS DOUBLE) AS part_value
+            FROM per_part
+            WHERE cast(_value AS DOUBLE) >
+                  (SELECT cast(sum(_value) AS DOUBLE) FROM per_part) * 0.001
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "priority_lines": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "small_qty_revenue": """
+            WITH li_p AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#5'
+            ), stats AS (
+              SELECT l_partkey AS _pk,
+                     sum(cast(l_quantity AS DECIMAL(18,2))) AS _sq,
+                     count(*) AS _cnt
+              FROM li_p GROUP BY l_partkey
+            )
+            SELECT round(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 2) AS avg_yearly
+            FROM li_p JOIN stats ON l_partkey = _pk
+            WHERE l_quantity < 0.2 * cast(_sq AS DOUBLE) / _cnt
+        """,
+        "bracket_revenue": """
+            SELECT cast(sum(cast(cast(l_extendedprice AS DECIMAL(18,2))
+                       * (cast(1 AS DECIMAL(18,2))
+                          - cast(l_discount AS DECIMAL(18,2)))
+                       AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "waiting_suppliers": """
+            WITH pairs AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(CASE WHEN l_shipdate >
+                              o_orderdate + INTERVAL 90 DAY
+                              THEN 1 ELSE 0 END) AS _supp_late
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY l_orderkey, l_suppkey
+            ), per_order AS (
+              SELECT l_orderkey AS _ok, count(*) AS _nsupp,
+                     sum(_supp_late) AS _nlate
+              FROM pairs GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM pairs
+            JOIN per_order ON l_orderkey = _ok
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE _supp_late = 1 AND _nsupp >= 2 AND _nlate = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
         """,
         "order_priority_count": """
             SELECT o_orderpriority, count(*) AS order_count
