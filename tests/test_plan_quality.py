@@ -213,3 +213,41 @@ def test_large_orders_aggregates_before_join(spark, sf_dir):
         "HashAggregate" in l for l in lines[first_join:]
     )
     assert agg_below, plan
+
+
+def test_new_tpch_patterns_no_cartesian(spark, sf_dir):
+    """The round-3 TPC-H patterns (Q5/Q7/Q8/Q9/Q10/Q11/Q12/Q17/Q19/
+    Q21) must never plan a CartesianProduct, and a nested-loop join
+    may appear only where the build side is a single-row scalar
+    subquery (important_parts' global total)."""
+    from tidb_lightning_release_4_0_spark import registry as R
+
+    scalar_ok = {"q_important_parts"}
+    for q in [
+        R.q_local_supplier_volume,
+        R.q_volume_shipping,
+        R.q_market_share,
+        R.q_profit_by_nation,
+        R.q_returned_items,
+        R.q_important_parts,
+        R.q_priority_lines,
+        R.q_small_qty_revenue,
+        R.q_bracket_revenue,
+        R.q_waiting_suppliers,
+    ]:
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, (q.__name__, plan)
+        if q.__name__ not in scalar_ok:
+            assert "BroadcastNestedLoop" not in plan, (q.__name__, plan)
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    """Q5 shape: region/nation dims broadcast; the same-nation
+    residual rides the supplier hash join (no extra join for it)."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_local_supplier_volume,
+    )
+
+    plan = _plan(q_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
