@@ -175,6 +175,13 @@ class Config:
     # target the payoff is min/max zone-map pruning for downstream
     # readers. Opt-in: costs a per-partition sort on the write path.
     sorted_output: bool = False
+    # >0: deliver keyed tables hash-bucketed on the PK with this many
+    # buckets (parquet backend only). Downstream joins/aggregations
+    # between tables bucketed on the same key and count run without a
+    # shuffle — the co-located-join analog of the reference's
+    # range-sharded regions. Whole-table delivery (no engine split);
+    # finalize-compaction is skipped for bucketed tables.
+    bucket_buckets: int = 0
     # post-import full compaction (O9 analog: parquet small-file
     # rewrite). Defaults FALSE like the reference's post-restore
     # compact/level-1-compact (config.go:122-123, toml:181-184)
@@ -198,6 +205,12 @@ class Config:
         cs = self.mydumper.character_set.lower()
         if cs not in ("auto", "utf8mb4", "utf8", "gb18030", "binary"):
             raise ValueError(f"invalid character-set {cs!r}")
+        if self.bucket_buckets < 0:
+            raise ValueError("bucket-buckets must be >= 0")
+        if self.bucket_buckets and self.backend != "parquet":
+            raise ValueError(
+                "bucket-buckets requires the parquet backend"
+            )
         return self
 
 

@@ -251,6 +251,7 @@ class RestoreController:
                 self.cfg.target_dir,
                 self.cfg.on_duplicate,
                 sorted_output=self.cfg.sorted_output,
+                bucket_buckets=self.cfg.bucket_buckets,
             )
         if self.cfg.backend == "jdbc":
             from ..sinks.jdbc_sink import JDBCSink
@@ -882,6 +883,10 @@ class RestoreController:
                 len(engines) > 1
                 and self.cp.enabled
                 and not dedup_may_drop
+                # bucket layout is a whole-table invariant: the
+                # bucketed write repartitions everything anyway, so an
+                # engine split would just be overwritten
+                and not self.cfg.bucket_buckets
                 and not self.cfg.mydumper.csv.strict_parser
                 and type(self.sink).write_engine is not Sink.write_engine
                 # parquet/gzip sources have no plan-time per-file id

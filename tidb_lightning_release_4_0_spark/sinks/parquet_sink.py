@@ -27,6 +27,7 @@ class ParquetSink(Sink):
         key_columns: dict[str, list[str]] | None = None,
         partition_spec: dict[str, tuple[str, int]] | None = None,
         sorted_output: bool = False,
+        bucket_buckets: int = 0,
     ):
         self.root = root
         self.on_duplicate = on_duplicate
@@ -34,6 +35,15 @@ class ParquetSink(Sink):
         #: shuffle) — the sorted-SST ingest analog; enables min/max
         #: pruning for readers of the delivered table
         self.sorted_output = sorted_output
+        #: >0: deliver keyed tables hash-bucketed on the PK
+        #: (df.write.bucketBy(n).sortBy) and register them in the
+        #: session catalog — downstream joins/aggs between tables
+        #: bucketed on the same key with the same n run WITHOUT a
+        #: shuffle (the co-located-join property the reference gets
+        #: from range-sharded SST regions). Whole-table delivery only
+        #: (bucket layout is a per-table invariant, so no engine
+        #: split and no post-hoc compaction).
+        self.bucket_buckets = bucket_buckets
         self.key_columns = key_columns or {}
         # table -> (column, n): PARTITION BY HASH/KEY targets map to a
         # partitioned parquet layout, `_p = value mod n` directory
@@ -140,6 +150,8 @@ class ParquetSink(Sink):
             )
         if "_row_id" in df.columns:
             df = df.drop("_row_id")  # arrival order served its purpose
+        if self.bucket_buckets > 0 and keys:
+            return self._write_bucketed(df, table, path, keys)
         df = self._sorted(df, table)
         if keys and self.on_duplicate == "error":
             # dup detection runs against a STAGING copy, key-pruned, so
@@ -171,6 +183,61 @@ class ParquetSink(Sink):
             pdf, pcols = self._partitioned(df, table)
             pdf.write.mode("overwrite").partitionBy(*pcols).parquet(path)
         # rows are reported by the caller's Observation (no extra scan)
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(path)
+            for f in fs
+        )
+        return SinkResult(table=table, rows=-1, bytes_written=size)
+
+    def _write_bucketed(
+        self, df: DataFrame, table: str, path: str, keys: list[str]
+    ) -> SinkResult:
+        """Bucketed delivery: hash-bucket + sort the table on its PK
+        and register the bucket layout in the session catalog, so a
+        downstream join or aggregation between two tables delivered
+        with the same key/bucket-count needs NO exchange — the Spark
+        analog of the reference's range-sharded, key-sorted regions
+        (every SST batch lands pre-sorted inside one region,
+        backend/sql2kv.go KV ordering). Costs one shuffle at write
+        time (paid once), saves one per downstream join (paid per
+        query).
+
+        `error` dup mode validates against an unbucketed STAGING copy
+        first (one extra scan of staged bytes, not a source re-parse);
+        only validated data reaches the target."""
+        spark = df.sparkSession
+        db, tbl = self._catalog_ident(table)
+        tmp = None
+        if self.on_duplicate == "error":
+            tmp = path + ".staging"
+            shutil.rmtree(tmp, ignore_errors=True)
+            df.write.mode("overwrite").parquet(tmp)
+            dup = (
+                spark.read.parquet(tmp)
+                .groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+            ).collect()
+            if dup:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(f"Duplicate entry for key {dup[0]}")
+            df = spark.read.parquet(tmp)
+        pdf, pcols = self._partitioned(df, table)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
+        shutil.rmtree(path, ignore_errors=True)
+        w = pdf.write.mode("overwrite").option("path", path)
+        if pcols:
+            w = w.partitionBy(*pcols)
+        (
+            w.bucketBy(self.bucket_buckets, keys[0], *keys[1:])
+            .sortBy(*keys)
+            .saveAsTable(f"{db}.{tbl}")
+        )
+        if tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
@@ -247,6 +314,10 @@ class ParquetSink(Sink):
         heuristic (they are not data files) and carried over to the
         compacted layout — a compaction must never drop delivered
         indexes."""
+        if self.bucket_buckets > 0 and self.key_columns.get(table):
+            # bucketed layouts encode the bucket id in file names and
+            # the catalog — a coalesce rewrite would destroy both
+            return
         path = self._path(table)
         idx_dir = os.path.join(path, "_indexes")
         files = [
@@ -280,6 +351,15 @@ class ParquetSink(Sink):
         if not os.path.isdir(path):
             return False
         db, tbl = self._catalog_ident(table)
+        if self.bucket_buckets > 0 and self.key_columns.get(table):
+            # _write_bucketed already registered the table WITH its
+            # bucket spec — re-creating it here would drop that
+            # metadata and downstream joins would shuffle again
+            if spark.catalog.tableExists(f"{db}.{tbl}"):
+                spark.sql(
+                    f"ANALYZE TABLE `{db}`.`{tbl}` COMPUTE STATISTICS"
+                )
+                return True
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
         # re-register with the DELIVERED schema (authoritative over
