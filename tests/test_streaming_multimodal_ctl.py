@@ -348,3 +348,46 @@ def test_ctl_compact(spark):
     )
     assert n_after < n_before
     assert spark.read.parquet(tbl).count() == 1000
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tables):
+    """Stream-stream watermarked interval join over a static source
+    equals the batch twin — and the streaming plan really is a
+    stream-stream join (both sides streaming, bounded state)."""
+    from tidb_lightning_release_4_0_spark.streaming.events import (
+        click_purchase_join,
+    )
+
+    src = _events_json_dir(spark, tables)
+    s = stream_events(spark, src)
+    j = click_purchase_join(
+        s.filter(F.col("event_type") == "click"),
+        s.filter(F.col("event_type") == "purchase"),
+    )
+    assert j.isStreaming
+    out_dir = os.path.join(TMP, "sink_ssj")
+    cp_dir = os.path.join(TMP, "cp_ssj")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    q = (
+        j.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    batch = click_purchase_join(
+        tables["events"].filter(F.col("event_type") == "click"),
+        tables["events"].filter(F.col("event_type") == "purchase"),
+    )
+    assert got.count() > 0
+    # inner join + availableNow over a static source: the stream must
+    # emit exactly the batch pairs
+    assert got.count() == batch.count()
+    key = ["click_id", "purchase_id"]
+    assert got.select(*key).exceptAll(batch.select(*key)).count() == 0
+    assert batch.select(*key).exceptAll(got.select(*key)).count() == 0

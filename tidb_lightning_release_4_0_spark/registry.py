@@ -427,6 +427,30 @@ def q_range_join_events(spark, sf_dir):
     )
 
 
+def q_click_purchase_attribution(spark, sf_dir):
+    """Batch twin of the stream-stream interval join
+    (streaming/events.py::click_purchase_join): purchases attributed
+    to the same user's clicks in the preceding hour. In streaming
+    both sides are watermarked and the two-sided time bound keeps
+    join state finite; the batch plan is the identical equi-key hash
+    join + interval residual."""
+    from .streaming.events import click_purchase_join
+
+    e = _t(spark, sf_dir, "events")
+    j = click_purchase_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.count_distinct("purchase_id").alias("n_purchases"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus top-k terms: tokenize -> explode -> count (the
     wordcount shape every text pipeline needs; shuffle only carries
@@ -1692,6 +1716,7 @@ def build_queries():
         "chunk_plan": q_chunk_plan,
         "asof_join_orders": q_asof_join_orders,
         "range_join_events": q_range_join_events,
+        "click_purchase_attribution": q_click_purchase_attribution,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2020,6 +2045,15 @@ def build_oracle_sql():
             SELECT e.event_id, e.user_id, o.matched_order
             FROM events e ASOF JOIN od o
               ON e.user_id = o.user_id AND e.ts >= o.order_ts
+        """,
+        "click_purchase_attribution": """
+            SELECT c.user_id, count(*) AS n_attributed,
+                   count(DISTINCT p.event_id) AS n_purchases
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            GROUP BY c.user_id ORDER BY c.user_id
         """,
         "range_join_events": """
             SELECT o.o_orderkey,

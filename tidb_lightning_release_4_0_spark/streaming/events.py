@@ -113,6 +113,40 @@ def dedup_within_watermark(
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched
+    to the same user's clicks in the preceding ``horizon``. Both
+    sides carry a watermark and the join condition bounds event time
+    in BOTH directions, so Spark can evict join state older than
+    watermark+horizon — the property that keeps a stream-stream join
+    viable at an unbounded 100 TB/day rate (an unbounded-state join
+    would OOM). Works identically on batch frames (the batch twin is
+    ``click_purchase_attribution`` in registry.py)."""
+    c = clicks.alias("c")
+    p = purchases.alias("p")
+    if clicks.isStreaming:
+        c = clicks.withWatermark("ts", watermark).alias("c")
+        p = purchases.withWatermark("ts", watermark).alias("p")
+    return c.join(
+        p,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            f"p.ts >= c.ts AND p.ts < c.ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("c.user_id").alias("user_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+    )
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
