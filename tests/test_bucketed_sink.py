@@ -12,6 +12,7 @@ import shutil
 from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
 from tidb_lightning_release_4_0_spark.config import Config, MydumperConfig
 from tidb_lightning_release_4_0_spark.plans.pipeline import RestoreController
@@ -150,3 +151,53 @@ def test_bucket_buckets_config_validation():
             backend="memory",
             bucket_buckets=4,
         ).adjust()
+
+
+def test_global_sorted_delivery_disjoint_file_ranges(spark, tables):
+    """sorted_output='global': delivered files cover disjoint,
+    ascending PK ranges (the range-sharded sorted-SST analog) — a
+    key-range scan touches only the files whose zone maps intersect."""
+    dump = os.path.join(TMP, "dump_gs")
+    tgt = os.path.join(TMP, "sink_gs")
+    shutil.rmtree(dump, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    od = tables["orders"].toPandas()[
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ]
+    write_dump_table(dump, "g", "orders", od, ORDERS_DDL, fmt="csv", parts=4)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        sorted_output="global",
+    )
+    # tiny corpus: stop AQE from coalescing the range exchange to one
+    # partition so the disjointness property is actually exercised
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        s = RestoreController(spark, cfg).run()
+    finally:
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert s.ok, s.report()
+    tdir = os.path.join(tgt, "g.orders")
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tdir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert len(files) > 1, files  # range exchange produced >1 file
+    ranges = []
+    total = 0
+    for f in files:
+        d = spark.read.parquet(f)
+        r = d.agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).first()
+        ranges.append((r["lo"], r["hi"]))
+        total += d.count()
+    assert total == len(od)
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint ascending ranges

@@ -168,13 +168,17 @@ class Config:
     # engine split, sql2kv.go:218-239). Opt-in: doubles write volume
     # for indexed tables, exactly like index KVs do in the reference.
     index_engine: bool = False
-    # Sort delivered rows by primary key WITHIN each output file
-    # (sortWithinPartitions — a local per-task sort, no shuffle).
-    # The importer backend always ingests key-sorted SSTs
-    # (backend/sql2kv.go KV ordering; importer ingest); for a parquet
-    # target the payoff is min/max zone-map pruning for downstream
-    # readers. Opt-in: costs a per-partition sort on the write path.
-    sorted_output: bool = False
+    # Sort delivered rows by primary key. True: WITHIN each output
+    # file (sortWithinPartitions — a local per-task sort, no
+    # shuffle). "global": range-partition first so files cover
+    # disjoint ascending key ranges table-wide (one sampled range
+    # exchange). The importer backend always ingests key-sorted SSTs
+    # into range-sharded regions (backend/sql2kv.go KV ordering;
+    # importer ingest); for a parquet target the payoff is min/max
+    # zone-map pruning — "global" extends it to file-level pruning
+    # for key-range scans. Opt-in: costs a sort (and for "global" a
+    # shuffle) on the write path.
+    sorted_output: bool | str = False
     # >0: deliver keyed tables hash-bucketed on the PK with this many
     # buckets (parquet backend only). Downstream joins/aggregations
     # between tables bucketed on the same key and count run without a
@@ -207,6 +211,13 @@ class Config:
             raise ValueError(f"invalid character-set {cs!r}")
         if self.bucket_buckets < 0:
             raise ValueError("bucket-buckets must be >= 0")
+        if isinstance(self.sorted_output, str) and self.sorted_output not in (
+            "",
+            "global",
+        ):
+            raise ValueError(
+                "sorted-output must be a bool or 'global'"
+            )
         if self.bucket_buckets and self.backend != "parquet":
             raise ValueError(
                 "bucket-buckets requires the parquet backend"

@@ -113,15 +113,32 @@ class ParquetSink(Sink):
             ) from e
 
     def _sorted(self, df: DataFrame, table: str) -> DataFrame:
-        """Key-sorted delivery (opt-in): local per-task sort on the
-        PK — no exchange — so each output file is internally ordered
-        and carries tight min/max statistics (the sorted-SST ingest
-        property, mapped to parquet zone maps)."""
+        """Key-sorted delivery (opt-in).
+
+        ``sorted_output=True`` (file grain): local per-task sort on
+        the PK — no exchange — so each output file is internally
+        ordered and carries tight min/max statistics (the sorted-SST
+        ingest property, mapped to parquet zone maps).
+
+        ``sorted_output="global"``: range-partition + sort — files
+        cover DISJOINT ascending key ranges across the whole table,
+        the full analog of the reference streaming sorted SSTs into
+        range-sharded regions (backend/sql2kv.go KV ordering →
+        importer ingest). Costs one sampled range exchange; buys
+        file-level pruning for any downstream key-range scan (a
+        range predicate touches O(files_in_range), not O(all
+        files))."""
         keys = self.key_columns.get(table)
         if not (self.sorted_output and keys):
             return df
         sort_cols = [k for k in keys if k in df.columns]
-        return df.sortWithinPartitions(*sort_cols) if sort_cols else df
+        if not sort_cols:
+            return df
+        if self.sorted_output == "global":
+            return df.repartitionByRange(*sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        return df.sortWithinPartitions(*sort_cols)
 
     def _partitioned(self, df: DataFrame, table: str):
         spec = self.partition_spec.get(table)
