@@ -76,6 +76,9 @@ def main() -> None:
         "chunk_documents",
         "pii_scrub",
         "dedup_incremental",
+        "local_supplier_volume",
+        "waiting_suppliers",
+        "click_purchase_attribution",
     ]
 
     timings: dict[str, float] = {}
