@@ -1365,13 +1365,29 @@ def q_local_supplier_volume(spark, sf_dir):
 
 def q_volume_shipping(spark, sf_dir):
     """TPC-H Q7 pattern: shipping volume between two nations by year
-    (either direction), supplier nation x customer nation. Both
-    nation dims broadcast; year extracted after the joins."""
-    n1 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    (either direction), supplier nation x customer nation. The
+    nation dims are pre-filtered to the two nations of interest and
+    the supplier-side one joins BEFORE the big orders/customer joins
+    — the broadcast hash join doubles as a selective filter, so
+    ~(2/N)·|lineitem| rows reach the orderkey shuffle instead of all
+    of them. The direction disjunction (which can't push below
+    either single side) runs last on the tiny survivor set."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("_sn_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
     )
-    n2 = _t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("_cn_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1382,9 +1398,9 @@ def q_volume_shipping(spark, sf_dir):
     )
     j = (
         li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
         .filter(
             (

@@ -242,6 +242,12 @@ class ParquetSink(Sink):
                 raise ValueError(f"Duplicate entry for key {dup[0]}")
             df = spark.read.parquet(tmp)
         pdf, pcols = self._partitioned(df, table)
+        # align task partitioning with the bucket hash (same Murmur3
+        # expression): each task then holds exactly one bucket, so
+        # the write emits n_buckets files instead of tasks x buckets
+        pdf = pdf.repartition(
+            self.bucket_buckets, *[F.col(k) for k in keys]
+        )
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
         spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{tbl}`")
         shutil.rmtree(path, ignore_errors=True)
