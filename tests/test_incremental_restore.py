@@ -1,0 +1,168 @@
+"""Incremental (cross-run) restore: the tidb-backend live-table dup
+semantics mapped to bulk files — golden flow from the reference's
+tests/tidb_duplicate_data/run.sh: after a partial first delivery of
+'old' rows, a second load of 'new' rows yields
+
+- replace: every key reads 'new'
+- ignore: previously delivered keys keep 'old', fresh keys get 'new'
+- error: 'Duplicate entry' and the delivered table is untouched
+
+plus _tidb_rowid/AllocBase continuation for PK-less tables
+(restore.go AllocBase handling, C4)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.config import Config, MydumperConfig
+from tidb_lightning_release_4_0_spark.plans.pipeline import RestoreController
+from tidb_lightning_release_4_0_spark.sources.dump_writer import (
+    write_dump_table,
+)
+
+TMP = "/root/repo/.tmp/incremental"
+
+DUP_DDL = """
+CREATE TABLE `dup` (
+  `pk` INT NOT NULL PRIMARY KEY,
+  `d` VARCHAR(3) NOT NULL
+)
+"""
+
+NOPK_DDL = """
+CREATE TABLE `log` (
+  `msg` VARCHAR(16) NOT NULL
+)
+"""
+
+
+def _cfg(dump: str, tgt: str, mode: str) -> Config:
+    return Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        on_duplicate=mode,
+        incremental=True,
+    )
+
+
+def _dump_rows(dump: str, rows: list[tuple[int, str]]) -> None:
+    import pandas as pd
+
+    shutil.rmtree(dump, ignore_errors=True)
+    pdf = pd.DataFrame(rows, columns=["pk", "d"])
+    write_dump_table(dump, "dup", "dup", pdf, DUP_DDL, fmt="sql")
+
+
+@pytest.mark.parametrize(
+    "mode,expect",
+    [
+        ("replace", {1: "new", 2: "new"}),
+        ("ignore", {1: "old", 2: "new"}),
+    ],
+)
+def test_duplicate_data_golden(spark, mode, expect):
+    """tests/tidb_duplicate_data/run.sh count/value invariants."""
+    dump = os.path.join(TMP, f"dump_{mode}")
+    tgt = os.path.join(TMP, f"sink_{mode}")
+    shutil.rmtree(tgt, ignore_errors=True)
+    # first (partial) delivery: only pk=1, value 'old'
+    _dump_rows(dump, [(1, "old")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, mode)).run()
+    assert s1.ok, s1.report()
+    # second delivery: full data, values 'new'
+    _dump_rows(dump, [(1, "new"), (2, "new")])
+    s2 = RestoreController(spark, _cfg(dump, tgt, mode)).run()
+    assert s2.ok, s2.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "dup.dup")
+    )
+    got = {r["pk"]: r["d"] for r in t.collect()}
+    assert got == expect  # count(*): 2 + per-key d values
+    assert s2.tables["dup.dup"].rows == 2
+
+
+def test_duplicate_data_error_keeps_target(spark):
+    dump = os.path.join(TMP, "dump_err")
+    tgt = os.path.join(TMP, "sink_err")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "old")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s1.ok, s1.report()
+    _dump_rows(dump, [(1, "new"), (2, "new")])
+    s2 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert not s2.ok
+    assert "Duplicate entry" in (s2.tables["dup.dup"].error or "")
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "dup.dup")
+    )
+    assert [(r["pk"], r["d"]) for r in t.collect()] == [(1, "old")]
+
+
+def test_error_mode_accepts_disjoint_increment(spark):
+    """No key overlap -> the error-mode increment appends cleanly."""
+    dump = os.path.join(TMP, "dump_ok")
+    tgt = os.path.join(TMP, "sink_ok")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "old")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s1.ok, s1.report()
+    _dump_rows(dump, [(2, "new"), (3, "new")])
+    s2 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s2.ok, s2.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "dup.dup")
+    )
+    assert {r["pk"]: r["d"] for r in t.collect()} == {
+        1: "old",
+        2: "new",
+        3: "new",
+    }
+
+
+def test_nopk_increment_continues_rowid(spark):
+    """PK-less append: _tidb_rowid continues from the delivered max
+    and the reported alloc_base covers the merged table (C4)."""
+    import pandas as pd
+
+    from tidb_lightning_release_4_0_spark.operators.permutation import (
+        ROWID_COL,
+    )
+
+    dump = os.path.join(TMP, "dump_nopk")
+    tgt = os.path.join(TMP, "sink_nopk")
+    shutil.rmtree(tgt, ignore_errors=True)
+
+    def load(msgs):
+        shutil.rmtree(dump, ignore_errors=True)
+        write_dump_table(
+            dump, "inc", "log",
+            pd.DataFrame({"msg": msgs}), NOPK_DDL, fmt="sql",
+        )
+        return RestoreController(spark, _cfg(dump, tgt, "replace")).run()
+
+    s1 = load(["a", "b", "c"])
+    assert s1.ok, s1.report()
+    s2 = load(["d", "e"])
+    assert s2.ok, s2.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "inc.log")
+    )
+    assert t.count() == 5
+    ids = sorted(r[ROWID_COL] for r in t.select(ROWID_COL).collect())
+    assert ids == [1, 2, 3, 4, 5]  # dense continuation, no collision
+    assert s2.tables["inc.log"].alloc_base == 6
+
+
+def test_incremental_requires_parquet():
+    with pytest.raises(ValueError):
+        Config(
+            mydumper=MydumperConfig(source_dir="/x"),
+            backend="memory",
+            incremental=True,
+        ).adjust()

@@ -186,6 +186,14 @@ class Config:
     # range-sharded regions. Whole-table delivery (no engine split);
     # finalize-compaction is skipped for bucketed tables.
     bucket_buckets: int = 0
+    # Cross-run merge semantics (parquet backend): a new load merges
+    # into the already-delivered table instead of overwriting it.
+    # replace: arriving rows win; ignore: delivered rows win; error:
+    # any key overlap raises Duplicate entry before the target is
+    # touched; PK-less tables append with _tidb_rowid continuing
+    # from the delivered max. The tidb-backend live-table behavior
+    # (tidb.go:54-62, tests/tidb_duplicate_data) for bulk files.
+    incremental: bool = False
     # post-import full compaction (O9 analog: parquet small-file
     # rewrite). Defaults FALSE like the reference's post-restore
     # compact/level-1-compact (config.go:122-123, toml:181-184)
@@ -222,6 +230,8 @@ class Config:
             raise ValueError(
                 "bucket-buckets requires the parquet backend"
             )
+        if self.incremental and self.backend != "parquet":
+            raise ValueError("incremental requires the parquet backend")
         return self
 
 

@@ -252,6 +252,7 @@ class RestoreController:
                 self.cfg.on_duplicate,
                 sorted_output=self.cfg.sorted_output,
                 bucket_buckets=self.cfg.bucket_buckets,
+                incremental=self.cfg.incremental,
             )
         if self.cfg.backend == "jdbc":
             from ..sinks.jdbc_sink import JDBCSink
@@ -866,10 +867,13 @@ class RestoreController:
                         schema.partition_col,
                         schema.partition_count,
                     )
-            dedup_may_drop = bool(keys) and self.cfg.on_duplicate in (
-                "replace",
-                "ignore",
-            )
+            dedup_may_drop = (
+                bool(keys)
+                and self.cfg.on_duplicate in ("replace", "ignore")
+            ) or self.cfg.incremental
+            # incremental merges change the delivered row set, so rows
+            # and alloc_base must come from the read-back aggregate
+            # (same path replace/ignore dedup already uses)
 
             engines = plan_engines(
                 meta.data_files, self.cfg.mydumper.batch_size
@@ -885,8 +889,10 @@ class RestoreController:
                 and not dedup_may_drop
                 # bucket layout is a whole-table invariant: the
                 # bucketed write repartitions everything anyway, so an
-                # engine split would just be overwritten
+                # engine split would just be overwritten; incremental
+                # merges are likewise single-shot per run
                 and not self.cfg.bucket_buckets
+                and not self.cfg.incremental
                 and not self.cfg.mydumper.csv.strict_parser
                 and type(self.sink).write_engine is not Sink.write_engine
                 # parquet/gzip sources have no plan-time per-file id
