@@ -166,3 +166,59 @@ def test_incremental_requires_parquet():
             backend="memory",
             incremental=True,
         ).adjust()
+
+
+def test_incremental_checksum_monoid_verification(spark):
+    """C2/C3 across increments: the delivered checksum is persisted
+    in a sidecar and each error-mode increment verifies
+    prior XOR batch == read-back. Corrupting the delivered table
+    between increments must fail the next verification."""
+    dump = os.path.join(TMP, "dump_ck")
+    tgt = os.path.join(TMP, "sink_ck")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "aaa"), (2, "bbb")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s1.ok, s1.report()
+    sidecar = os.path.join(tgt, "dup.dup", "_checksum.json")
+    assert os.path.exists(sidecar)
+
+    _dump_rows(dump, [(3, "ccc")])
+    s2 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s2.ok, s2.report()  # merge verified against prior+batch
+    assert s2.tables["dup.dup"].rows == 3
+
+    # tamper with the delivered data: drop one parquet file
+    victim = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(tgt, "dup.dup"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.remove(victim)
+    _dump_rows(dump, [(4, "ddd")])
+    s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert not s3.ok
+    assert "checksum mismatched" in (s3.tables["dup.dup"].error or "")
+
+
+def test_replace_increment_drops_stale_sidecar(spark):
+    """replace merges can drop rows -> the delivered checksum is
+    unknown and the sidecar must not survive to poison a later
+    error-mode increment."""
+    dump = os.path.join(TMP, "dump_ck2")
+    tgt = os.path.join(TMP, "sink_ck2")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "aaa")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, "replace")).run()
+    assert s1.ok, s1.report()
+    _dump_rows(dump, [(1, "new")])
+    s2 = RestoreController(spark, _cfg(dump, tgt, "replace")).run()
+    assert s2.ok, s2.report()
+    assert not os.path.exists(
+        os.path.join(tgt, "dup.dup", "_checksum.json")
+    )
+    # and a later error-mode disjoint increment still works (prior
+    # unknown -> merge comparison skipped, run succeeds)
+    _dump_rows(dump, [(5, "eee")])
+    s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s3.ok, s3.report()

@@ -21,7 +21,9 @@ per-table error summary (O12, restore.go:89-129).
 from __future__ import annotations
 
 import datetime as _dt
+import json
 import logging
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -709,6 +711,63 @@ class RestoreController:
             a.crc_xor ^ b.crc_xor, nbytes, a.total_kvs + b.total_kvs
         )
 
+    # -- delivered-table checksum sidecar (incremental C2/C3) ---------
+    # The reference compares the run's local checksum with ADMIN
+    # CHECKSUM over the live table (restore.go:971-1010); for
+    # incremental bulk-file merges the expected value is prior XOR
+    # batch, so the delivered checksum is persisted next to the data
+    # (underscore-prefixed: parquet readers ignore it).
+
+    def _checksum_sidecar(self, name: str) -> str | None:
+        if not isinstance(self.sink, ParquetSink):
+            return None
+        return os.path.join(self.sink._path(name), "_checksum.json")
+
+    def _load_prior_checksum(self, name: str) -> Checksum | None:
+        """The delivered table's checksum before this run: the monoid
+        identity for a fresh table; None when data exists but its
+        checksum is unknown (delivered without a sidecar, or the
+        algo changed) — the merge comparison is then skipped."""
+        sc = self._checksum_sidecar(name)
+        if sc is None:
+            return None
+        if not ParquetSink._has_data(os.path.dirname(sc)):
+            return Checksum(0, 0, 0)
+        try:
+            with open(sc) as f:
+                d = json.load(f)
+            if d.get("algo") != self.cfg.checksum_algo:
+                return None
+            return Checksum(
+                int(d["crc_xor"]),
+                int(d["total_bytes"]),
+                int(d["total_kvs"]),
+            )
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _store_checksum_sidecar(self, name: str, ck: Checksum) -> None:
+        sc = self._checksum_sidecar(name)
+        if sc is None or not os.path.isdir(os.path.dirname(sc)):
+            return
+        tmp = sc + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "algo": self.cfg.checksum_algo,
+                    "crc_xor": ck.crc_xor,
+                    "total_bytes": ck.total_bytes,
+                    "total_kvs": ck.total_kvs,
+                },
+                f,
+            )
+        os.replace(tmp, sc)
+
+    def _drop_checksum_sidecar(self, name: str) -> None:
+        sc = self._checksum_sidecar(name)
+        if sc and os.path.exists(sc):
+            os.remove(sc)
+
     def _restore_single(
         self, name: str, meta: MDTableMeta, schema: TableSchema, cols: list[str]
     ):
@@ -874,6 +933,12 @@ class RestoreController:
             # incremental merges change the delivered row set, so rows
             # and alloc_base must come from the read-back aggregate
             # (same path replace/ignore dedup already uses)
+            prior_ck = None
+            if self.cfg.incremental and self.cfg.checksum:
+                # the sidecar must be read BEFORE the sink rewrites
+                # the table dir (the merge replaces it, sidecar and
+                # all)
+                prior_ck = self._load_prior_checksum(name)
 
             engines = plan_engines(
                 meta.data_files, self.cfg.mydumper.batch_size
@@ -922,6 +987,8 @@ class RestoreController:
                 self.cfg.on_duplicate == "error"
             )
             base = 1
+            inc_verifiable = False
+            expected_ck = local
             if need_remote or dedup_may_drop or post_dup_check:
                 back = self.sink.read_back(self.spark, name)
                 if post_dup_check:
@@ -937,9 +1004,24 @@ class RestoreController:
                             f"Duplicate entry for key {dup[0]}"
                         )
                 id_col = self._alloc_id_column(back, schema)
+                # incremental C2/C3: when the merge cannot drop rows
+                # (error mode rejects overlap; PK-less appends), the
+                # delivered table's checksum must equal prior XOR
+                # batch — the same monoid the reference's local/remote
+                # comparison rests on (checksum.go:77-86)
+                inc_verifiable = (
+                    prior_ck is not None
+                    and local is not None
+                    and (self.cfg.on_duplicate == "error" or not keys)
+                )
+                expected_ck = (
+                    self._merge_ck(prior_ck, local)
+                    if inc_verifiable
+                    else local
+                )
                 aggs = []
                 proj = back
-                if need_remote and not dedup_may_drop:
+                if need_remote and (not dedup_may_drop or inc_verifiable):
                     proj = self._with_row_hash(back, cols)
                     aggs += [
                         F.bit_xor(F.col("_h")).alias("crc_xor"),
@@ -968,13 +1050,15 @@ class RestoreController:
                             row["total_bytes"],
                             row["total_kvs"],
                         )
-                        if remote != local:
+                        if remote != expected_ck:
                             raise ValueError(
                                 f"checksum mismatched remote vs local => "
-                                f"(checksum: {remote.crc_xor} vs {local.crc_xor}) "
-                                f"(total_kvs: {remote.total_kvs} vs {local.total_kvs}) "
+                                f"(checksum: {remote.crc_xor} vs "
+                                f"{expected_ck.crc_xor}) "
+                                f"(total_kvs: {remote.total_kvs} vs "
+                                f"{expected_ck.total_kvs}) "
                                 f"(total_bytes: {remote.total_bytes} vs "
-                                f"{local.total_bytes})"
+                                f"{expected_ck.total_bytes})"
                             )
                     if id_col:
                         base = (row["max_id"] or 0) + 1
@@ -985,6 +1069,20 @@ class RestoreController:
                 # write job's observed max id IS the alloc base (C4
                 # with zero extra jobs)
                 base = int(obs_max_id) + 1
+            # persist the delivered-table checksum so the NEXT
+            # incremental run can verify prior XOR batch == read-back
+            if (
+                self.cfg.checksum
+                and local is not None
+                and isinstance(self.sink, ParquetSink)
+            ):
+                if dedup_may_drop and not inc_verifiable:
+                    # replace/ignore merges drop rows: the delivered
+                    # checksum is unknown — a stale sidecar would make
+                    # a later error-mode increment fail C3
+                    self._drop_checksum_sidecar(name)
+                else:
+                    self._store_checksum_sidecar(name, expected_ck)
             self.cp.set_alloc_base(name, base)
             if self.cfg.checksum:
                 self.cp.set_table_status(name, Status.CHECKSUMMED)

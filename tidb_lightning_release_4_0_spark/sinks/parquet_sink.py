@@ -491,6 +491,11 @@ class ParquetSink(Sink):
             df.coalesce(want).write.mode("overwrite").parquet(tmp)
             if os.path.isdir(idx_dir):
                 shutil.move(idx_dir, os.path.join(tmp, "_indexes"))
+            sidecar = os.path.join(path, "_checksum.json")
+            if os.path.exists(sidecar):
+                # compaction does not change content: the delivered
+                # checksum stays valid
+                shutil.move(sidecar, os.path.join(tmp, "_checksum.json"))
             shutil.rmtree(path)
             os.replace(tmp, path)
 
