@@ -196,3 +196,26 @@ def test_connected_components_fast_path_matches_loop(spark):
     }
     assert fast == loop
     assert {c for _, c in fast} == {1, 10, 20}
+
+
+def test_export_jsonl_roundtrip(spark, tables, tmp_path):
+    """Sharded JSONL export: exact shard count, gzip codec, and a
+    lossless round-trip through spark.read.json."""
+    from tidb_lightning_release_4_0_spark.operators.curation import (
+        export_jsonl,
+    )
+
+    docs = tables["documents"].select("doc_id", "lang", "text")
+    out = str(tmp_path / "jsonl")
+    n = export_jsonl(docs, out, shards=3, compression="gzip")
+    assert n == 3
+    import os
+
+    assert all(
+        f.endswith(".gz") for f in os.listdir(out) if f.startswith("part-")
+    )
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b

@@ -779,3 +779,42 @@ SELECT {id_col} AS doc_id, {source_col} AS source,
        ({h}) / {float(1 << 60)!r} < _rate AS keep
 FROM {table} JOIN rates USING ({source_col})
 """
+
+
+def export_jsonl(
+    df,
+    path: str,
+    shards: int | None = None,
+    compression: str | None = "gzip",
+) -> int:
+    """Deliver a curated corpus as sharded JSON-Lines — the handoff
+    format most training loaders consume. Beyond-reference (the
+    reference only writes to TiDB); the Spark-native export is a
+    single distributed write:
+
+    - ``shards``: exact output shard count (repartition; one shuffle)
+      — use when the loader wants fixed-size worker shards. None
+      keeps the input partitioning (no shuffle, one file per task —
+      the right default when the upstream already sized partitions).
+    - ``compression``: any Spark codec ('gzip', 'bzip2', None...).
+      gzip JSONL is splittable per-FILE, not per-byte, so shard
+      count = read parallelism downstream; target ~100-500 MB/shard
+      at 100 TB.
+
+    Binary columns are not JSON-encodable portably; callers export
+    multimodal payloads as parquet and JSONL the metadata. Returns
+    the number of shard files written."""
+    import os
+
+    w = df
+    if shards is not None and shards > 0:
+        w = df.repartition(shards)
+    writer = w.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.startswith("part-")
+    )
