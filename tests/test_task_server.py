@@ -302,3 +302,80 @@ def test_pause_on_error_parks_the_queue(spark):
         server.pauser.resume()
     finally:
         server.shutdown()
+
+
+def test_delete_preempts_running_task(spark):
+    """DELETE of the RUNNING task preempts it (lightning.go:427-441):
+    the worker aborts at the next table boundary, the task records a
+    failed summary, and the queue keeps serving."""
+    import threading
+    import time
+
+    from tidb_lightning_release_4_0_spark.config import (
+        Config,
+        MydumperConfig,
+        TiDBConfig,
+    )
+
+    d = os.path.join(TMP, "preempt_dump")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    files = {
+        "pre-schema-create.sql": "CREATE DATABASE pre;",
+        "pre.a-schema.sql": "CREATE TABLE a (i INT);",
+        "pre.a.sql": "INSERT INTO a VALUES (1);",
+        "pre.b-schema.sql": "CREATE TABLE b (i INT);",
+        "pre.b.sql": "INSERT INTO b VALUES (2);",
+    }
+    for name, content in files.items():
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
+
+    gate = threading.Event()
+    started = threading.Event()
+
+    class BlockingSink(MemorySink):
+        def write(self, df, table):
+            started.set()
+            assert gate.wait(120)
+            return super().write(df, table)
+
+    configs = ConfigList()
+    server = TaskServer(configs).start()
+    try:
+        cfg = Config(
+            mydumper=MydumperConfig(source_dir=d),
+            backend="memory",
+            checkpoint_enable=False,
+            table_concurrency=1,  # deterministic table order
+            tidb=TiDBConfig(sql_mode=""),
+        )
+        tid = configs.push(cfg)
+        sink = BlockingSink(on_duplicate="error")
+        runner = TaskRunner(
+            spark, configs, server=server, sink_factory=lambda c: sink
+        )
+        t = threading.Thread(target=runner.drain, daemon=True)
+        t.start()
+        assert started.wait(120)  # first table is mid-delivery
+        st, body = _req(server.port, "DELETE", f"/tasks/{tid}")
+        assert st == 200 and body == {"stopped": True}
+        gate.set()  # let the blocked delivery finish
+        t.join(timeout=120)
+        assert not t.is_alive()
+        summary = runner.results[tid]
+        assert not summary.ok
+        statuses = {
+            n: (r.status, r.error or "")
+            for n, r in summary.tables.items()
+        }
+        # the in-flight table completed; the next one was preempted
+        assert statuses["pre.a"][0] == "restored", statuses
+        assert statuses["pre.b"][0] == "failed", statuses
+        assert "cancelled" in statuses["pre.b"][1]
+        # DELETE of an unknown id still 404s
+        st, _ = _req(server.port, "DELETE", "/tasks/999")
+        assert st == 404
+    finally:
+        gate.set()
+        server.shutdown()

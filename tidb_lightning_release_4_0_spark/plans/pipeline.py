@@ -216,6 +216,8 @@ class RestoreController:
         checkpoints: CheckpointStore | None = None,
         pauser=None,
         progress=None,
+        cancel_event: threading.Event | None = None,
+        job_group: str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg.adjust()
@@ -223,6 +225,12 @@ class RestoreController:
         # each engine batch (NewRestoreControllerWithPauser,
         # restore.go:158-161; deliver-loop wait restore.go:1692)
         self.pauser = pauser
+        # task preemption (server DELETE of the running task,
+        # lightning.go:427-441): the event aborts at table/engine
+        # boundaries; the Spark job group lets cancelJobGroup kill
+        # the in-flight job itself
+        self.cancel_event = cancel_event
+        self.job_group = job_group
         # web-progress broadcaster (server.TaskProgress; the analog
         # of web.Broadcast* calls in restore.go) — optional
         self.progress = progress
@@ -711,6 +719,10 @@ class RestoreController:
             a.crc_xor ^ b.crc_xor, nbytes, a.total_kvs + b.total_kvs
         )
 
+    def _check_cancelled(self) -> None:
+        if self.cancel_event is not None and self.cancel_event.is_set():
+            raise RuntimeError("task cancelled")
+
     # -- delivered-table checksum sidecar (incremental C2/C3) ---------
     # The reference compares the run's local checksum with ADMIN
     # CHECKSUM over the live table (restore.go:971-1010); for
@@ -813,6 +825,7 @@ class RestoreController:
         max_id: int | None = None
         loaded = False
         for eid, files in enumerate(engines):
+            self._check_cancelled()
             if self.pauser is not None:
                 self.pauser.wait()  # park between deliver batches
             paths = [f.path for f in files]
@@ -906,6 +919,13 @@ class RestoreController:
         # and recommend the matching ctl action.
         attempt = Status.IMPORTED
         try:
+            if self.job_group:
+                # per-thread: table_concurrency workers each set the
+                # group so cancelJobGroup reaches their jobs too
+                self.spark.sparkContext.setJobGroup(
+                    self.job_group, f"restore {name}", True
+                )
+            self._check_cancelled()
             if self.pauser is not None:
                 self.pauser.wait()
             if self.progress:

@@ -15,9 +15,10 @@ lightning.go:262-441). Reproduced surface:
 
 The worker loop (``TaskRunner``) is the Spark analog of the restore
 goroutine: pop -> RestoreController(spark, cfg).run() -> record the
-RunSummary. Deviation (documented): DELETE of the *currently running*
-task cannot preempt a Spark job mid-flight (the reference cancels via
-context); it only removes queued tasks. Task IDs are nanosecond
+RunSummary. DELETE of the *currently running* task preempts it (the
+reference cancels via context, lightning.go:427-441): a cooperative
+abort event stops the worker at the next table/engine boundary and
+cancelJobGroup kills the in-flight Spark job. Task IDs are nanosecond
 timestamps made strictly monotonic, like configlist.go:48-59.
 
 Everything is stdlib (http.server + threading) — the queue is
@@ -319,6 +320,13 @@ class TaskServer:
                     return
                 if server.configs.remove(tid):
                     self._json(200, {})
+                elif (
+                    getattr(server, "runner", None) is not None
+                    and server.runner.cancel(tid)
+                ):
+                    # the RUNNING task: preempted at the next table/
+                    # engine boundary + in-flight Spark job cancelled
+                    self._json(200, {"stopped": True})
                 else:
                     self._json(404, {"error": "task ID not found"})
 
@@ -399,6 +407,30 @@ class TaskRunner:
         #: so the perpetual server loop cannot grow without limit
         self.results: OrderedDict[int, object] = OrderedDict()
         self.max_results = 128
+        #: set while a task runs; DELETE of the running task flips it
+        self.cancel_event: threading.Event | None = None
+        if server is not None:
+            server.runner = self  # lets DELETE preempt the worker
+
+    def cancel(self, tid: int) -> bool:
+        """Preempt the RUNNING task (the reference kills the import
+        on DELETE of the current task, lightning.go:427-441): flip
+        the cooperative abort event (honored at table and engine
+        boundaries) and cancel the task's Spark job group so the
+        in-flight job dies too."""
+        if self.server is None:
+            return False
+        with self.server._cur_lock:
+            if self.server.current != tid:
+                return False
+            ev = self.cancel_event
+        if ev is not None:
+            ev.set()
+        try:
+            self.spark.sparkContext.cancelJobGroup(f"tlr4s-task-{tid}")
+        except Exception:  # the job may have just finished
+            log.debug("cancelJobGroup failed", exc_info=True)
+        return True
 
     def run_one(self, timeout: float | None = None) -> bool:
         """Pop and run a single task; False on queue-empty timeout."""
@@ -413,12 +445,15 @@ class TaskRunner:
                 self.server.current = tid
                 self.server.current_cfg = cfg
         failed = False
+        self.cancel_event = threading.Event()
         try:
             sink = self.sink_factory(cfg) if self.sink_factory else None
             summary = RestoreController(
                 self.spark, cfg, sink=sink,
                 pauser=self.server.pauser if self.server else None,
                 progress=self.server.progress if self.server else None,
+                cancel_event=self.cancel_event,
+                job_group=f"tlr4s-task-{tid}",
             ).run()
             self.results[tid] = summary
             failed = not summary.ok
