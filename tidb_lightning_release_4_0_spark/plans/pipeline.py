@@ -723,6 +723,17 @@ class RestoreController:
         if self.cancel_event is not None and self.cancel_event.is_set():
             raise RuntimeError("task cancelled")
 
+    def _gate(self) -> None:
+        """Pause gate that stays cancellable: a DELETE of a PAUSED
+        task must not leave the worker parked forever (the
+        reference's context cancellation interrupts Pauser.Wait,
+        pause.go:108-115)."""
+        self._check_cancelled()
+        if self.pauser is None:
+            return
+        while not self.pauser.wait(timeout=0.2):
+            self._check_cancelled()
+
     # -- delivered-table checksum sidecar (incremental C2/C3) ---------
     # The reference compares the run's local checksum with ADMIN
     # CHECKSUM over the live table (restore.go:971-1010); for
@@ -825,9 +836,7 @@ class RestoreController:
         max_id: int | None = None
         loaded = False
         for eid, files in enumerate(engines):
-            self._check_cancelled()
-            if self.pauser is not None:
-                self.pauser.wait()  # park between deliver batches
+            self._gate()  # park between deliver batches (cancellable)
             paths = [f.path for f in files]
             saved = self.cp.engine_state(name, eid)
             delivered = saved is not None and all(
@@ -925,9 +934,7 @@ class RestoreController:
                 self.spark.sparkContext.setJobGroup(
                     self.job_group, f"restore {name}", True
                 )
-            self._check_cancelled()
-            if self.pauser is not None:
-                self.pauser.wait()
+            self._gate()
             if self.progress:
                 self.progress.table_start(name)
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
