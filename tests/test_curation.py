@@ -219,3 +219,16 @@ def test_export_jsonl_roundtrip(spark, tables, tmp_path):
     a = {r["doc_id"]: r["text"] for r in docs.collect()}
     b = {r["doc_id"]: r["text"] for r in back.collect()}
     assert a == b
+
+
+def test_hll_estimate_accuracy(spark, sf_dir, tables):
+    """The deterministic HLL estimate lands within the expected
+    ~1.04/sqrt(256) ≈ 6.5% relative error band (3-sigma ≈ 20%)."""
+    from tidb_lightning_release_4_0_spark.operators.sketches import (
+        approx_distinct_hll,
+    )
+
+    li = tables["lineitem"]
+    true = li.select("l_partkey").distinct().count()
+    est = approx_distinct_hll(li, "l_partkey").first()["est_distinct"]
+    assert abs(est - true) / true < 0.20, (est, true)

@@ -1,0 +1,99 @@
+"""Sketch operators with ENGINE-EXACT oracles.
+
+Approximate aggregates usually can't be oracle-checked because each
+engine ships its own sketch implementation (Spark's HLL++ vs DuckDB's
+approx_count_distinct share no bit-level contract). These operators
+instead build the sketch from explicit relational algebra over the
+portable md5-prefix hash (`functions/hashing.hash60`), so Spark and
+the DuckDB oracle compute IDENTICAL registers and estimates — the
+approximation is deterministic and therefore verifiable.
+
+Beyond-reference (M7): a 100 TB corpus needs cardinality estimates
+(distinct URLs / tokens / shingles) where exact count-distinct would
+shuffle the full key set; an HLL register table is m integers per
+group regardless of cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_duckdb
+
+# HyperLogLog with p=8 -> m=256 registers over the 60-bit hash:
+# bucket = h mod m, remaining 52 bits feed the leading-zero rank
+# rho in 1..53 (rho = 53 - bit_length(rest); rest==0 -> 53).
+_M = 256
+_ALPHA_NUM = 4.2399330249068963e20  # alpha_256 * m^2 * 2^53 (one literal,
+# parsed identically by both engines — no divergent constant folding)
+
+
+def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
+    """1-row frame (nonzero_buckets, zero_buckets, est_distinct).
+
+    All arithmetic stays exact until the single final division: the
+    2^-register terms are summed as integers scaled by 2^53, so the
+    register sum is engine-independent; the estimate is one IEEE
+    division + round(2). Scale shape: one narrow projection, one
+    256-group partial-agg (map-side combined), one 256-row final agg
+    — no full-key shuffle, unlike exact count-distinct."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = hash60(c)
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(F.pmod(h, F.lit(_M)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    term = F.expr("shiftleft(cast(1 as bigint), cast(53 - M as int))")
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("nz"), F.sum(term).alias("S")
+    )
+    zero_term = F.expr("shiftleft(cast(1 as bigint), 53)")
+    zeros = F.lit(_M) - F.col("nz")
+    raw = F.lit(_ALPHA_NUM) / (F.col("S") + zeros * zero_term)
+    # standard small-range correction: LinearCounting when the raw
+    # estimate is under 2.5m and empty registers remain (Flajolet et
+    # al. 2007, §4). ln() is IEEE-double on both engines.
+    est = F.when(
+        (raw <= F.lit(2.5 * _M)) & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("nz").cast("int").alias("nonzero_buckets"),
+        zeros.cast("int").alias("zero_buckets"),
+        F.round(est, 2).alias("est_distinct"),
+    )
+
+
+def approx_distinct_hll_oracle_sql(table: str, expr: str) -> str:
+    """DuckDB SQL computing the bit-identical HLL result."""
+    return f"""
+        WITH h AS (
+          SELECT {hash60_duckdb(expr)} AS hv FROM {table}
+        ), r AS (
+          SELECT hv % {_M} AS bucket,
+                 max(CASE WHEN (hv >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(hv >> 8)) END) AS M
+          FROM h GROUP BY bucket
+        ), a AS (
+          SELECT count(*) AS nz,
+                 sum(1::BIGINT << (53 - M)) AS S
+          FROM r
+        )
+        SELECT cast(nz AS INTEGER) AS nonzero_buckets,
+               cast({_M} - nz AS INTEGER) AS zero_buckets,
+               round(CASE WHEN ({_ALPHA_NUM!r} /
+                       (S + ({_M} - nz) * (1::BIGINT << 53)))
+                         <= {2.5 * _M}
+                       AND ({_M} - nz) > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - nz))
+                     ELSE {_ALPHA_NUM!r} /
+                       (S + ({_M} - nz) * (1::BIGINT << 53))
+                     END, 2) AS est_distinct
+        FROM a
+    """

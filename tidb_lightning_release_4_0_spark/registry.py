@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from .functions.checksum import checksum_df, checksum_oracle_sql
 from .operators import curation as CU
 from .operators import dedup as D
+from .operators import sketches as SK
 from .operators import similarity as S
 from .operators import text as X
 from .operators.cast import mysql_cast
@@ -448,6 +449,19 @@ def q_click_purchase_attribution(spark, sf_dir):
             F.count_distinct("purchase_id").alias("n_purchases"),
         )
         .orderBy("user_id")
+    )
+
+
+def q_hll_distinct_parts(spark, sf_dir):
+    """Deterministic HyperLogLog (M7 sketch): approximate distinct
+    l_partkey via 256 explicit registers over the portable md5-prefix
+    hash — the SAME registers in DuckDB, so the approximation itself
+    is oracle-verified (engine-native sketches never are). One
+    256-group agg instead of a full-key distinct shuffle."""
+    from .operators.sketches import approx_distinct_hll
+
+    return approx_distinct_hll(
+        _t(spark, sf_dir, "lineitem"), "l_partkey"
     )
 
 
@@ -1733,6 +1747,7 @@ def build_queries():
         "asof_join_orders": q_asof_join_orders,
         "range_join_events": q_range_join_events,
         "click_purchase_attribution": q_click_purchase_attribution,
+        "hll_distinct_parts": q_hll_distinct_parts,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2062,6 +2077,9 @@ def build_oracle_sql():
             FROM events e ASOF JOIN od o
               ON e.user_id = o.user_id AND e.ts >= o.order_ts
         """,
+        "hll_distinct_parts": SK.approx_distinct_hll_oracle_sql(
+            "lineitem", "l_partkey"
+        ),
         "click_purchase_attribution": """
             SELECT c.user_id, count(*) AS n_attributed,
                    count(DISTINCT p.event_id) AS n_purchases
