@@ -70,6 +70,81 @@ def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
     )
 
 
+def approx_distinct_hll_grouped(
+    df: DataFrame, group_col: str, col: str | Column
+) -> DataFrame:
+    """Per-group deterministic HLL: (group, nonzero_buckets,
+    zero_buckets, est_distinct). The register table is (groups x m)
+    rows — a fixed-width partial-aggregable state per group, which is
+    the whole point at 100 TB: per-group exact distinct shuffles the
+    full (group, key) set, this shuffles at most m integers per
+    group."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = hash60(c)
+    rest = F.shiftright(h, 8)
+    rho = F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest))
+    )
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.pmod(h, F.lit(_M)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    term = F.expr("shiftleft(cast(1 as bigint), cast(53 - M as int))")
+    agg = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("nz"), F.sum(term).alias("S")
+    )
+    zero_term = F.expr("shiftleft(cast(1 as bigint), 53)")
+    zeros = F.lit(_M) - F.col("nz")
+    raw = F.lit(_ALPHA_NUM) / (F.col("S") + zeros * zero_term)
+    est = F.when(
+        (raw <= F.lit(2.5 * _M)) & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("nz").cast("int").alias("nonzero_buckets"),
+        zeros.cast("int").alias("zero_buckets"),
+        F.round(est, 2).alias("est_distinct"),
+    ).orderBy(group_col)
+
+
+def approx_distinct_hll_grouped_oracle_sql(
+    table: str, group_col: str, expr: str
+) -> str:
+    return f"""
+        WITH h AS (
+          SELECT {group_col} AS g,
+                 {hash60_duckdb(expr)} AS hv FROM {table}
+        ), r AS (
+          SELECT g, hv % {_M} AS bucket,
+                 max(CASE WHEN (hv >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(hv >> 8)) END) AS M
+          FROM h GROUP BY g, bucket
+        ), a AS (
+          SELECT g, count(*) AS nz,
+                 sum(1::BIGINT << (53 - M)) AS S
+          FROM r GROUP BY g
+        )
+        SELECT g AS {group_col},
+               cast(nz AS INTEGER) AS nonzero_buckets,
+               cast({_M} - nz AS INTEGER) AS zero_buckets,
+               round(CASE WHEN ({_ALPHA_NUM!r} /
+                       (S + ({_M} - nz) * (1::BIGINT << 53)))
+                         <= {2.5 * _M}
+                       AND ({_M} - nz) > 0
+                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - nz))
+                     ELSE {_ALPHA_NUM!r} /
+                       (S + ({_M} - nz) * (1::BIGINT << 53))
+                     END, 2) AS est_distinct
+        FROM a ORDER BY {group_col}
+    """
+
+
 def approx_distinct_hll_oracle_sql(table: str, expr: str) -> str:
     """DuckDB SQL computing the bit-identical HLL result."""
     return f"""

@@ -465,6 +465,18 @@ def q_hll_distinct_parts(spark, sf_dir):
     )
 
 
+def q_hll_users_by_event(spark, sf_dir):
+    """Grouped deterministic HLL: approximate distinct users per
+    event type — (groups x 256) register rows instead of the full
+    (type, user) distinct shuffle. Oracle-verified registers AND
+    estimates (operators/sketches.py)."""
+    from .operators.sketches import approx_distinct_hll_grouped
+
+    return approx_distinct_hll_grouped(
+        _t(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus top-k terms: tokenize -> explode -> count (the
     wordcount shape every text pipeline needs; shuffle only carries
@@ -1748,6 +1760,7 @@ def build_queries():
         "range_join_events": q_range_join_events,
         "click_purchase_attribution": q_click_purchase_attribution,
         "hll_distinct_parts": q_hll_distinct_parts,
+        "hll_users_by_event": q_hll_users_by_event,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2079,6 +2092,9 @@ def build_oracle_sql():
         """,
         "hll_distinct_parts": SK.approx_distinct_hll_oracle_sql(
             "lineitem", "l_partkey"
+        ),
+        "hll_users_by_event": SK.approx_distinct_hll_grouped_oracle_sql(
+            "events", "event_type", "user_id"
         ),
         "click_purchase_attribution": """
             SELECT c.user_id, count(*) AS n_attributed,
