@@ -222,3 +222,33 @@ def test_replace_increment_drops_stale_sidecar(spark):
     _dump_rows(dump, [(5, "eee")])
     s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
     assert s3.ok, s3.report()
+
+
+def test_stale_sidecar_invalidated_by_redelivery(spark):
+    """A full (non-incremental) redelivery with checksum disabled
+    must not leave the previous run's checksum sidecar behind — it
+    would poison a later incremental error-mode verification."""
+    dump = os.path.join(TMP, "dump_stale")
+    tgt = os.path.join(TMP, "sink_stale")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "aaa")])
+    cfg = _cfg(dump, tgt, "error")
+    s1 = RestoreController(spark, cfg).run()
+    assert s1.ok, s1.report()
+    sidecar = os.path.join(tgt, "dup.dup", "_checksum.json")
+    assert os.path.exists(sidecar)
+
+    # full overwrite with DIFFERENT data and checksum off
+    _dump_rows(dump, [(7, "xxx"), (8, "yyy")])
+    cfg2 = _cfg(dump, tgt, "error")
+    cfg2.incremental = False
+    cfg2.checksum = False
+    s2 = RestoreController(spark, cfg2).run()
+    assert s2.ok, s2.report()
+    assert not os.path.exists(sidecar)
+
+    # incremental error-mode increment on top still verifies cleanly
+    # (prior unknown -> merge comparison skipped, not failed)
+    _dump_rows(dump, [(9, "zzz")])
+    s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s3.ok, s3.report()

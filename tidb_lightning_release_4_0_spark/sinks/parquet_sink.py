@@ -159,8 +159,19 @@ class ParquetSink(Sink):
             ["_p"],
         )
 
+    @staticmethod
+    def _invalidate_sidecar(path: str) -> None:
+        """Any fresh delivery invalidates the delivered-checksum
+        sidecar (the pipeline re-stores it after verification; a
+        stale one would poison a later incremental C3). The caller
+        reads the prior value BEFORE write() runs."""
+        sc = os.path.join(path, "_checksum.json")
+        if os.path.exists(sc):
+            os.remove(sc)
+
     def write(self, df: DataFrame, table: str) -> SinkResult:
         path = self._path(table)
+        self._invalidate_sidecar(path)
         keys = self.key_columns.get(table)
         if keys and self.on_duplicate in ("replace", "ignore"):
             # keyed upsert semantics (K3 dup modes, tidb.go:54-62):
@@ -411,6 +422,7 @@ class ParquetSink(Sink):
         onto directory-grain replace. Keyed dedup modes are handled by
         the caller across engines."""
         path = os.path.join(self._path(table), f"engine_{int(engine_id)}")
+        self._invalidate_sidecar(self._path(table))
         if "_row_id" in df.columns:
             df = df.drop("_row_id")
         df = self._sorted(df, table)
