@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, hash60_duckdb
+from ..functions.hashing import (
+    hash60,
+    hash60_duckdb,
+    hash60_seeded,
+    hash60_seeded_duckdb,
+)
 
 # HyperLogLog with p=8 -> m=256 registers over the 60-bit hash:
 # bucket = h mod m, remaining 52 bits feed the leading-zero rank
@@ -171,4 +176,100 @@ def approx_distinct_hll_oracle_sql(table: str, expr: str) -> str:
                        (S + ({_M} - nz) * (1::BIGINT << 53))
                      END, 2) AS est_distinct
         FROM a
+    """
+
+
+# Count-Min sketch: d seeded hash rows x w buckets. Counters are
+# exact integers -> the whole sketch (and every estimate read off it)
+# is engine-exact, unlike library CMS implementations.
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def cms_estimate_terms(
+    df: DataFrame, value_col: str | Column, probes: list[str]
+) -> DataFrame:
+    """Count-Min frequency estimates for a probe list: one row per
+    probe (term, est_count), est = min over the d rows of the
+    counter at h_seed(term) mod w.
+
+    Scale shape: the sketch is d x w = 4096 counters regardless of
+    cardinality — building it is d small groupBys with map-side
+    combine (no full-key shuffle), reading it is a d*|probes|-row
+    broadcast join. CMS guarantees est >= true with bounded
+    overestimate (Cormode & Muthukrishnan 2005)."""
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    sketches = []
+    for seed in range(_CMS_D):
+        bucket = F.pmod(hash60_seeded(c, seed), F.lit(_CMS_W))
+        sketches.append(
+            df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.lit(seed).alias("row"), "bucket", "cnt"
+            )
+        )
+    sk = sketches[0]
+    for s in sketches[1:]:
+        sk = sk.unionByName(s)
+    spark = df.sparkSession
+    import hashlib
+
+    probe_rows = []
+    for term in probes:
+        for seed in range(_CMS_D):
+            h = int(
+                hashlib.md5(f"s{seed}:{term}".encode()).hexdigest()[:15], 16
+            )
+            probe_rows.append((term, seed, h % _CMS_W))
+    probe_df = spark.createDataFrame(
+        probe_rows, "term string, row int, bucket bigint"
+    )
+    # the SKETCH side broadcasts (<= d*w = 4096 counter rows); the
+    # probe list is the left side of the left join so absent terms
+    # still report 0
+    return (
+        probe_df.join(F.broadcast(sk), on=["row", "bucket"], how="left")
+        .groupBy("term")
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("est_count")
+        )
+        .orderBy("term")
+    )
+
+
+def cms_estimate_terms_oracle_sql(
+    table: str, expr: str, probes: list[str]
+) -> str:
+    """DuckDB SQL computing identical CMS estimates (the probe
+    hashes are md5-derived in SQL, matching the driver-side python
+    md5 in cms_estimate_terms)."""
+    rows = []
+    for seed in range(_CMS_D):
+        rows.append(
+            f"SELECT {seed} AS row, "
+            f"({hash60_seeded_duckdb(expr, seed)}) % {_CMS_W} AS bucket "
+            f"FROM {table}"
+        )
+    probe_selects = " UNION ALL ".join(
+        f"SELECT '{t}' AS term, {seed} AS row, "
+        f"({hash60_seeded_duckdb(repr(t), seed)}) % {_CMS_W} AS bucket"
+        for t in probes
+        for seed in range(_CMS_D)
+    )
+    union = " UNION ALL ".join(rows)
+    return f"""
+        WITH pairs AS ({union}),
+        sk AS (
+          SELECT row, bucket, count(*) AS cnt
+          FROM pairs GROUP BY row, bucket
+        ),
+        probe AS ({probe_selects})
+        SELECT term,
+               cast(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
+        FROM probe LEFT JOIN sk USING (row, bucket)
+        GROUP BY term ORDER BY term
     """

@@ -477,6 +477,25 @@ def q_hll_users_by_event(spark, sf_dir):
     )
 
 
+_CMS_PROBES = ["join", "hash", "batch", "scan", "zzznotaterm"]
+
+
+def q_cms_term_counts(spark, sf_dir):
+    """Deterministic Count-Min sketch (M7 sketch family): frequency
+    estimates for a probe list read off a 4x1024 counter matrix —
+    built with map-side-combined 1024-group aggs, no full-term
+    shuffle; est >= true with bounded overestimate, and because the
+    counters come from the portable seeded md5 hash the DuckDB
+    oracle verifies every estimate exactly."""
+    from .operators.sketches import cms_estimate_terms
+
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term")
+    ).filter(F.length("term") > 3)
+    return cms_estimate_terms(terms, "term", _CMS_PROBES)
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus top-k terms: tokenize -> explode -> count (the
     wordcount shape every text pipeline needs; shuffle only carries
@@ -1761,6 +1780,7 @@ def build_queries():
         "click_purchase_attribution": q_click_purchase_attribution,
         "hll_distinct_parts": q_hll_distinct_parts,
         "hll_users_by_event": q_hll_users_by_event,
+        "cms_term_counts": q_cms_term_counts,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2095,6 +2115,12 @@ def build_oracle_sql():
         ),
         "hll_users_by_event": SK.approx_distinct_hll_grouped_oracle_sql(
             "events", "event_type", "user_id"
+        ),
+        "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
+            "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))"
+            " AS term FROM documents) tt WHERE length(term) > 3",
+            "term",
+            _CMS_PROBES,
         ),
         "click_purchase_attribution": """
             SELECT c.user_id, count(*) AS n_attributed,
