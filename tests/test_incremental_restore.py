@@ -252,3 +252,53 @@ def test_stale_sidecar_invalidated_by_redelivery(spark):
     _dump_rows(dump, [(9, "zzz")])
     s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
     assert s3.ok, s3.report()
+
+
+def test_partition_pruned_increment(spark):
+    """Hash-partitioned target + incremental: only the partitions
+    receiving arriving keys are rewritten; every other partition dir
+    stays byte-identical (O(k/n) of the table per increment)."""
+    import pandas as pd
+
+    dump = os.path.join(TMP, "dump_pp")
+    tgt = os.path.join(TMP, "sink_pp")
+    shutil.rmtree(tgt, ignore_errors=True)
+
+    ddl = (
+        "CREATE TABLE `dup` (`pk` INT NOT NULL PRIMARY KEY, "
+        "`d` VARCHAR(3) NOT NULL) PARTITION BY HASH(pk) PARTITIONS 4"
+    )
+
+    def load(rows):
+        shutil.rmtree(dump, ignore_errors=True)
+        write_dump_table(
+            dump, "dup", "dup",
+            pd.DataFrame(rows, columns=["pk", "d"]), ddl, fmt="sql",
+        )
+        return RestoreController(spark, _cfg(dump, tgt, "replace")).run()
+
+    s1 = load([(k, "old") for k in range(12)])
+    assert s1.ok, s1.report()
+    tdir = os.path.join(tgt, "dup.dup")
+
+    def snapshot(pv):
+        d = os.path.join(tdir, f"_p={pv}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), 
+             os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        )
+
+    before = {pv: snapshot(pv) for pv in range(4)}
+    # keys 1 and 5 both hash to partition 1
+    s2 = load([(1, "new"), (5, "new")])
+    assert s2.ok, s2.report()
+    assert s2.tables["dup.dup"].rows == 12
+    after = {pv: snapshot(pv) for pv in range(4)}
+    assert after[1] != before[1]  # touched partition rewritten
+    for pv in (0, 2, 3):  # untouched partitions byte-identical
+        assert after[pv] == before[pv], pv
+    t = spark.read.parquet(tdir)
+    got = {r["pk"]: r["d"] for r in t.collect()}
+    assert got == {k: ("new" if k in (1, 5) else "old") for k in range(12)}

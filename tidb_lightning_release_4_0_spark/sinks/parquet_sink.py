@@ -325,16 +325,50 @@ class ParquetSink(Sink):
 
         The merge rewrites the table through a staging dir and
         publishes with an atomic rename — a crash mid-merge leaves
-        the previous table intact. O(table) per increment, the
-        bulk-file compaction trade-off; with `partition_spec` set
-        only affected hash partitions could be rewritten (future
-        refinement, documented in SCALE.md)."""
+        the previous table intact.
+
+        Partition pruning: when the table is hash-partitioned
+        (`partition_spec`) on a PK column, ONLY the partitions that
+        receive arriving keys are read, merged, and swapped — an
+        increment touching k of n partitions costs O(k/n) of the
+        table instead of O(table). Safe because MySQL requires every
+        unique key to include the partition column, so a key's rows
+        can only ever live in its own hash partition. The
+        per-partition swap is not one atomic rename; a crash
+        mid-publish leaves the table mixed and the invalid
+        checkpoint routes the rerun through ctl, like any failed
+        import."""
         spark = df.sparkSession
-        existing = spark.read.option("recursiveFileLookup", "true").parquet(
-            path
-        )
-        if "_p" in existing.columns:
-            existing = existing.drop("_p")  # re-derived at write time
+        spec = self.partition_spec.get(table)
+        pvals: list[int] | None = None
+        if (
+            spec is not None
+            and keys
+            and spec[0] in keys
+            and self.bucket_buckets <= 0
+            and os.path.isdir(path)
+            and any(e.startswith("_p=") for e in os.listdir(path))
+        ):
+            col, n = spec
+            pvals = sorted(
+                int(r["_pv"])
+                for r in df.select(
+                    F.pmod(F.col(col).cast("long"), F.lit(n)).alias("_pv")
+                )
+                .distinct()
+                .collect()
+            )  # driver-sized: at most n partition ids
+            existing = (
+                spark.read.parquet(path)  # partition-aware read
+                .filter(F.col("_p").isin(pvals))
+                .drop("_p")
+            )
+        else:
+            existing = spark.read.option(
+                "recursiveFileLookup", "true"
+            ).parquet(path)
+            if "_p" in existing.columns:
+                existing = existing.drop("_p")  # re-derived at write
         stage = path + ".staging"
         shutil.rmtree(stage, ignore_errors=True)
         if keys:
@@ -401,8 +435,20 @@ class ParquetSink(Sink):
             )
             shutil.rmtree(out, ignore_errors=True)
             return res
-        shutil.rmtree(path, ignore_errors=True)
-        os.replace(out, path)
+        if pvals is not None:
+            # swap only the hash partitions the increment touched;
+            # every other partition dir is left byte-identical
+            for v in pvals:
+                sub = f"_p={v}"
+                src = os.path.join(out, sub)
+                dst = os.path.join(path, sub)
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.replace(src, dst)
+            shutil.rmtree(out, ignore_errors=True)
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(out, path)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
