@@ -201,3 +201,57 @@ def test_global_sorted_delivery_disjoint_file_ranges(spark, tables):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges  # disjoint ascending ranges
+
+
+def test_zorder_delivery_prunes_both_columns(spark, tables):
+    """Z-order clustering: per-file min/max ranges are narrow on
+    BOTH z-columns (a plain PK sort only narrows its leading
+    column), so a predicate on either column prunes files."""
+    dump = os.path.join(TMP, "dump_z")
+    tgt = os.path.join(TMP, "sink_z")
+    shutil.rmtree(dump, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    od = tables["orders"].toPandas()[
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ]
+    write_dump_table(dump, "z", "orders", od, ORDERS_DDL, fmt="csv", parts=4)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        zorder_columns=["o_orderkey", "o_custkey"],
+    )
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        s = RestoreController(spark, cfg).run()
+    finally:
+        spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    assert s.ok, s.report()
+    tdir = os.path.join(tgt, "z.orders")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tdir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 4, files
+    total = 0
+    spans = {"o_orderkey": [], "o_custkey": []}
+    for fp in files:
+        d = spark.read.parquet(fp)
+        total += d.count()
+        r = d.agg(
+            F.min("o_orderkey").alias("k0"), F.max("o_orderkey").alias("k1"),
+            F.min("o_custkey").alias("c0"), F.max("o_custkey").alias("c1"),
+        ).first()
+        spans["o_orderkey"].append(r["k1"] - r["k0"])
+        spans["o_custkey"].append(r["c1"] - r["c0"])
+    assert total == len(od)
+    for col in ("o_orderkey", "o_custkey"):
+        glob_span = float(od[col].max() - od[col].min())
+        avg_span = sum(spans[col]) / len(spans[col])
+        # each file covers a hyper-rectangle: both dims well under
+        # the global span (an unsorted/PK-sorted layout leaves the
+        # second column's per-file span ~= the global span)
+        assert avg_span < 0.75 * glob_span, (col, avg_span, glob_span)

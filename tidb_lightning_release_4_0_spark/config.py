@@ -194,6 +194,13 @@ class Config:
     # from the delivered max. The tidb-backend live-table behavior
     # (tidb.go:54-62, tests/tidb_duplicate_data) for bulk files.
     incremental: bool = False
+    # Z-order clustered delivery (parquet backend): tables containing
+    # ALL of these columns are clustered along the Z-curve of their
+    # quantile-bin ranks, giving narrow per-file min/max ranges on
+    # EVERY listed column — multi-column file pruning (the lakehouse
+    # OPTIMIZE ZORDER analog). Overrides sorted_output; costs one
+    # sampling pass + one range exchange at write time.
+    zorder_columns: list[str] = field(default_factory=list)
     # post-import full compaction (O9 analog: parquet small-file
     # rewrite). Defaults FALSE like the reference's post-restore
     # compact/level-1-compact (config.go:122-123, toml:181-184)
@@ -232,6 +239,15 @@ class Config:
             )
         if self.incremental and self.backend != "parquet":
             raise ValueError("incremental requires the parquet backend")
+        if self.zorder_columns and self.backend != "parquet":
+            raise ValueError(
+                "zorder-columns requires the parquet backend"
+            )
+        if self.zorder_columns and len(self.zorder_columns) < 2:
+            raise ValueError(
+                "zorder-columns needs >= 2 columns (use sorted_output"
+                " for a single sort key)"
+            )
         return self
 
 

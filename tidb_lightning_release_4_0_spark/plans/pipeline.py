@@ -263,6 +263,7 @@ class RestoreController:
                 sorted_output=self.cfg.sorted_output,
                 bucket_buckets=self.cfg.bucket_buckets,
                 incremental=self.cfg.incremental,
+                zorder_columns=self.cfg.zorder_columns,
             )
         if self.cfg.backend == "jdbc":
             from ..sinks.jdbc_sink import JDBCSink

@@ -29,6 +29,7 @@ class ParquetSink(Sink):
         sorted_output: bool = False,
         bucket_buckets: int = 0,
         incremental: bool = False,
+        zorder_columns: list[str] | None = None,
     ):
         self.root = root
         self.on_duplicate = on_duplicate
@@ -53,6 +54,14 @@ class ParquetSink(Sink):
         #: live table, tidb.go:54-62; golden flow
         #: tests/tidb_duplicate_data/run.sh) mapped to bulk files.
         self.incremental = incremental
+        #: Z-order clustered delivery: tables containing ALL these
+        #: columns are range-partitioned + sorted on the interleaved
+        #: bit code of the columns' quantile-bin ranks, so EVERY
+        #: listed column gets narrow per-file min/max ranges — the
+        #: multi-column file-pruning property (Delta/Iceberg
+        #: OPTIMIZE ZORDER analog; single-column sorts prune one
+        #: dimension only). Takes precedence over sorted_output.
+        self.zorder_columns = zorder_columns or []
         self.key_columns = key_columns or {}
         # table -> (column, n): PARTITION BY HASH/KEY targets map to a
         # partitioned parquet layout, `_p = value mod n` directory
@@ -121,6 +130,50 @@ class ParquetSink(Sink):
                 f"parquet sink target {self.root!r} is not writable: {e}"
             ) from e
 
+    _Z_BITS = 8  # quantile bins per column (2^8 = 256 ranks)
+
+    def _zorder(self, df: DataFrame) -> DataFrame | None:
+        """Cluster rows along the Z-curve of the configured columns.
+
+        Each column is ranked into 256 approximate-quantile bins
+        (one sampling pass at write time — the opt-in cost), the bin
+        ranks are bit-interleaved into a single code, and the data is
+        range-partitioned + sorted on that code. Every file then
+        covers a small hyper-rectangle: a predicate on ANY of the
+        z-columns prunes to ~files^(1/k) of the files, where a plain
+        sort prunes only its leading column."""
+        cols = [c for c in self.zorder_columns if c in df.columns]
+        if len(cols) < 2:
+            return None
+        # quantile edges from a sample (driver-sized: bins x cols)
+        qs = [i / (1 << self._Z_BITS) for i in range(1, 1 << self._Z_BITS)]
+        num = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        )
+        edges = num.approxQuantile(cols, qs, 0.01)
+        def bin_expr(c: str, es: list[float]):
+            # rank = number of edges <= value (codegen'd lambda over
+            # a literal array; 255 comparisons per row per column)
+            arr = ", ".join(repr(float(e)) for e in es)
+            return F.expr(
+                f"cardinality(filter(array({arr}), "
+                f"e -> e <= cast({c} as double)))"
+            )
+        z = F.lit(0).cast("long")
+        for bit in range(self._Z_BITS):
+            for ci, c in enumerate(cols):
+                b = bin_expr(c, edges[ci])
+                z = z + F.shiftleft(
+                    F.shiftright(b.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + ci,
+                )
+        return (
+            df.withColumn("_zcode", z)
+            .repartitionByRange("_zcode")
+            .sortWithinPartitions("_zcode")
+            .drop("_zcode")
+        )
+
     def _sorted(self, df: DataFrame, table: str) -> DataFrame:
         """Key-sorted delivery (opt-in).
 
@@ -136,7 +189,13 @@ class ParquetSink(Sink):
         importer ingest). Costs one sampled range exchange; buys
         file-level pruning for any downstream key-range scan (a
         range predicate touches O(files_in_range), not O(all
-        files))."""
+        files)).
+
+        ``zorder_columns`` (takes precedence): multi-column Z-curve
+        clustering — see _zorder."""
+        zdf = self._zorder(df)
+        if zdf is not None:
+            return zdf
         keys = self.key_columns.get(table)
         if not (self.sorted_output and keys):
             return df
