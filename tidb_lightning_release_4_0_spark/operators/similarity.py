@@ -441,3 +441,162 @@ FROM {table} l JOIN {table} r
   ON l.{block_col} = r.{block_col} AND l.vec_id < r.vec_id
 WHERE {cos} >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4       # subspaces
+_PQ_K = 8       # centroids per subspace
+_PQ_SUB = 16    # dims per subspace (M * SUB = embedding dim)
+
+
+def _pq_centroid(m: int, j: int, subdim: int = _PQ_SUB) -> list[float]:
+    """Deterministic codebook entry (hash-derived like _hyperplane;
+    at 100 TB codebooks come from sampled k-means per subspace and are
+    broadcast — literal vectors keep the operator oracle-checkable)."""
+    import hashlib
+
+    out = []
+    for i in range(subdim):
+        h = hashlib.md5(f"pq{m}:{j}:{i}".encode()).hexdigest()
+        v = int(h[:15], 16) / float(1 << 60)  # [0, 1)
+        out.append((v - 0.5) * 0.5)
+    return out
+
+
+def _sq_l2_lit(sub: Column, lit_vals: list[float]) -> Column:
+    """Sequential-fold squared L2 between an array slice and a
+    literal centroid (deterministic, order-preserving)."""
+    arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(vec: Column) -> list[Column]:
+    """PQ codes: per subspace, the 1-based index of the nearest
+    codebook centroid (first-minimum tie-break, same both engines)."""
+    codes = []
+    for m in range(_PQ_M):
+        sub = F.slice(vec, m * _PQ_SUB + 1, _PQ_SUB)
+        dists = F.array(
+            *[_sq_l2_lit(sub, _pq_centroid(m, j)) for j in range(_PQ_K)]
+        )
+        codes.append(
+            F.array_position(dists, F.array_min(dists)).cast("int")
+        )
+    return codes
+
+
+def ann_topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ codes + ADC scoring.
+
+    The corpus is stored as M small codes per vector (here 4 bytes
+    instead of 256 — the memory-compression scale path: a 100 TB
+    corpus of raw floats becomes ~1.5 TB of codes that fit the
+    cluster's RAM). Queries stay exact; each candidate's distance is
+    approximated by summing the query-to-centroid distances selected
+    by the candidate's codes (ADC, Jegou et al. 2011). Scoring reads
+    M lookup-table entries per pair — no full-vector math against
+    the corpus."""
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        *[
+            code.alias(f"_code{m}")
+            for m, code in enumerate(pq_encode(F.col(vec_col)))
+        ],
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    approx = F.lit(0.0)
+    for m in range(_PQ_M):
+        qsub = F.slice(F.col("q_vec"), m * _PQ_SUB + 1, _PQ_SUB)
+        qdists = F.array(
+            *[_sq_l2_lit(qsub, _pq_centroid(m, j)) for j in range(_PQ_K)]
+        )
+        approx = approx + F.element_at(qdists, F.col(f"_code{m}"))
+    scored = c.join(
+        F.broadcast(q), F.col("q_id") != F.col("c_id")
+    ).select("q_id", "c_id", approx.alias("_ad"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_ad").asc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_ad"), 4).alias("approx_dist"),
+        )
+    )
+
+
+def ann_topk_pq_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+) -> str:
+    """ANSI twin: identical literal codebooks, folds, and ADC sums."""
+
+    def sq_l2(vec_expr: str, m: int, j: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in _pq_centroid(m, j))
+        base = m * _PQ_SUB
+        t = (
+            f"(cast({vec_expr}[{base} + i] as double) - ([{lits}])[i])"
+        )
+        return (
+            f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> {t} * {t}))"
+        )
+
+    code_cols = []
+    for m in range(_PQ_M):
+        dlist = ", ".join(
+            sq_l2("embedding", m, j) for j in range(_PQ_K)
+        )
+        code_cols.append(
+            f"list_position(list_value({dlist}), "
+            f"list_min(list_value({dlist}))) AS code{m}"
+        )
+    adc_terms = []
+    for m in range(_PQ_M):
+        qd = ", ".join(sq_l2("q.embedding", m, j) for j in range(_PQ_K))
+        adc_terms.append(f"(list_value({qd}))[c.code{m}]")
+    adc = " + ".join(adc_terms)
+    return f"""
+        WITH codes AS (
+          SELECT vec_id AS c_id, {", ".join(code_cols)}
+          FROM {table}
+        ), q AS (
+          SELECT vec_id AS q_id, embedding FROM {table}
+          WHERE {query_pred}
+        ), scored AS (
+          SELECT q.q_id, c.c_id, ({adc}) AS _ad
+          FROM q JOIN codes c ON q.q_id != c.c_id
+        )
+        SELECT q_id, c_id, cast(rank AS INTEGER) AS rank,
+               round(_ad, 4) AS approx_dist
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY _ad ASC, c_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {k}
+        ORDER BY q_id, rank
+    """

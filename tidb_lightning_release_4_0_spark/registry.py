@@ -569,6 +569,16 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Approximate top-k via product quantization + ADC (the
+    memory-compression scale path: the corpus becomes 4 codes per
+    vector; scoring reads 4 lookup-table entries per pair instead of
+    full-vector math). Literal codebooks keep the whole pipeline —
+    encoding, ADC sums, ranking — oracle-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_pq(emb.filter(F.col("vec_id") < 3), emb, k=5)
+
+
 def q_ann_recall_lsh(spark, sf_dir):
     """ANN quality metric: per-query recall of the LSH bucketed
     top-k against the exact brute-force top-k — the measurement a
@@ -1766,6 +1776,7 @@ def build_queries():
         "embedding_dups": q_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_pq": q_ann_topk_pq,
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
@@ -2003,6 +2014,9 @@ def build_oracle_sql():
         "ann_topk": S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5),
         "ann_topk_lsh": S.ann_topk_lsh_oracle_sql(
             "embeddings", "vec_id < 3", 5, 64, 4
+        ),
+        "ann_topk_pq": S.ann_topk_pq_oracle_sql(
+            "embeddings", "vec_id < 3", 5
         ),
         "ann_recall_lsh": f"""
             WITH exact AS (
