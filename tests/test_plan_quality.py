@@ -251,3 +251,27 @@ def test_q5_dims_broadcast(spark, sf_dir):
     plan = _plan(q_local_supplier_volume(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sketches_stay_jvm_and_small(spark, sf_dir):
+    """HLL/CMS sketches: no Python evaluation anywhere; CMS probes
+    ride a broadcast of the (<=4096-row) sketch."""
+    from tidb_lightning_release_4_0_spark import registry as R
+
+    hll = _plan(R.q_hll_distinct_parts(spark, sf_dir))
+    assert "EvalPython" not in hll and "InPandas" not in hll, hll
+    cms = _plan(R.q_cms_term_counts(spark, sf_dir))
+    assert "EvalPython" not in cms and "InPandas" not in cms, cms
+    assert "BroadcastExchange" in cms or "BroadcastHashJoin" in cms, cms
+
+
+def test_pq_ann_no_cartesian_and_broadcast(spark, sf_dir):
+    """PQ-ADC: the query side broadcasts (non-equi self-pairing is a
+    broadcast nested loop over 3 query rows, never a cartesian
+    shuffle product); scoring stays JVM-side."""
+    from tidb_lightning_release_4_0_spark import registry as R
+
+    plan = _plan(R.q_ann_topk_pq(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
+    assert "EvalPython" not in plan and "InPandas" not in plan, plan
