@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.hashing import (
     hash60,
@@ -272,4 +273,110 @@ def cms_estimate_terms_oracle_sql(
                cast(min(coalesce(cnt, 0)) AS BIGINT) AS est_count
         FROM probe LEFT JOIN sk USING (row, bucket)
         GROUP BY term ORDER BY term
+    """
+
+
+# Histogram quantile sketch: fixed equi-width bins over [min, max].
+_HQ_BINS = 256
+
+
+def histogram_quantiles(
+    df: DataFrame, col: str | Column, probs: list[float]
+) -> DataFrame:
+    """Approximate quantiles from a 256-bin equi-width histogram —
+    (prob, est) rows, linear interpolation inside the hit bin.
+
+    The scalable shape for percentiles: bin counts partial-aggregate
+    map-side and the shuffle carries at most 256 rows, where exact
+    percentiles sort or multi-pass the full column. Every step
+    (integer counts, one cumulative window over 256 rows, one
+    interpolation per probe) is deterministic IEEE arithmetic, so
+    the DuckDB oracle verifies the estimates exactly — unlike
+    engine-native GK/t-digest approx_percentile, which is neither
+    portable nor reproducible."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    spark = df.sparkSession
+    stats = df.agg(
+        F.min(c).alias("mn"), F.max(c).alias("mx"),
+        F.count(c).alias("n"),
+    ).first()
+    mn, mx, n = float(stats["mn"]), float(stats["mx"]), int(stats["n"])
+    width = (mx - mn) / _HQ_BINS
+    bin_col = F.least(
+        F.floor((c - F.lit(mn)) / F.lit(width)).cast("int"),
+        F.lit(_HQ_BINS - 1),
+    )
+    counts = (
+        df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = counts.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    probe = spark.createDataFrame(
+        [(float(p),) for p in probs], "prob double"
+    )
+    # first bin whose cumulative count reaches ceil(prob * n)
+    hit = (
+        F.broadcast(probe)
+        .join(cum, F.col("cum") >= F.ceil(F.col("prob") * F.lit(n)))
+        .groupBy("prob")
+        .agg(
+            F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("h")
+        )
+    )
+    frac = (
+        F.col("prob") * F.lit(float(n))
+        - (F.col("h.cum") - F.col("h.cnt")).cast("double")
+    ) / F.col("h.cnt").cast("double")
+    est = F.lit(mn) + (F.col("h.bin").cast("double") + frac) * F.lit(width)
+    return hit.select(
+        "prob", F.round(est, 4).alias("est")
+    ).orderBy("prob")
+
+
+def histogram_quantiles_oracle_sql(
+    table: str, expr: str, probs: list[float]
+) -> str:
+    probe = " UNION ALL ".join(f"SELECT {float(p)!r} AS prob" for p in probs)
+    return f"""
+        WITH params AS (
+          SELECT cast(min({expr}) AS DOUBLE) AS mn,
+                 cast(max({expr}) AS DOUBLE) AS mx,
+                 count({expr}) AS n
+          FROM {table}
+        ), b AS (
+          SELECT least(cast(floor((cast({expr} AS DOUBLE) - mn) /
+                   ((mx - mn) / {_HQ_BINS})) AS INTEGER),
+                 {_HQ_BINS - 1}) AS bin
+          FROM {table}, params
+        ), c AS (
+          SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+        ), cum AS (
+          SELECT bin, cnt,
+                 sum(cnt) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM c
+        ), probe AS ({probe}), hit AS (
+          SELECT prob, min(bin) AS bin FROM probe
+          JOIN cum ON cum >= ceil(prob * (SELECT n FROM params))
+          GROUP BY prob
+        )
+        SELECT prob,
+               round((SELECT mn FROM params)
+                 + (cast(hit.bin AS DOUBLE)
+                    + (prob * cast((SELECT n FROM params) AS DOUBLE)
+                       - cast(cum.cum - cum.cnt AS DOUBLE))
+                      / cast(cum.cnt AS DOUBLE))
+                   * (((SELECT mx FROM params) - (SELECT mn FROM params))
+                      / {_HQ_BINS}), 4) AS est
+        FROM hit JOIN cum ON hit.bin = cum.bin
+        ORDER BY prob
     """

@@ -496,6 +496,21 @@ def q_cms_term_counts(spark, sf_dir):
     return cms_estimate_terms(terms, "term", _CMS_PROBES)
 
 
+def q_hist_quantiles_price(spark, sf_dir):
+    """Histogram quantile sketch (M7 sketch family): p50/p95/p99 of
+    l_extendedprice off a 256-bin equi-width histogram — the shuffle
+    carries at most 256 counter rows where exact percentiles move
+    the full column; deterministic interpolation makes the estimates
+    oracle-verified (engine-native approx_percentile is neither
+    portable nor reproducible)."""
+    from .operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        [0.5, 0.95, 0.99],
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Corpus top-k terms: tokenize -> explode -> count (the
     wordcount shape every text pipeline needs; shuffle only carries
@@ -1792,6 +1807,7 @@ def build_queries():
         "hll_distinct_parts": q_hll_distinct_parts,
         "hll_users_by_event": q_hll_users_by_event,
         "cms_term_counts": q_cms_term_counts,
+        "hist_quantiles_price": q_hist_quantiles_price,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2129,6 +2145,9 @@ def build_oracle_sql():
         ),
         "hll_users_by_event": SK.approx_distinct_hll_grouped_oracle_sql(
             "events", "event_type", "user_id"
+        ),
+        "hist_quantiles_price": SK.histogram_quantiles_oracle_sql(
+            "lineitem", "l_extendedprice", [0.5, 0.95, 0.99]
         ),
         "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
             "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))"
