@@ -79,6 +79,8 @@ def main() -> None:
         "local_supplier_volume",
         "waiting_suppliers",
         "click_purchase_attribution",
+        "hll_distinct_parts",
+        "ann_topk_pq",
     ]
 
     timings: dict[str, float] = {}
