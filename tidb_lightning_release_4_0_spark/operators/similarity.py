@@ -520,16 +520,43 @@ def ann_topk_pq(
             for m, code in enumerate(pq_encode(F.col(vec_col)))
         ],
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    # ADC proper: the per-query lookup tables (M x K distances) are
+    # precomputed once on the driver — queries are a handful by
+    # definition — with the SAME sequential fold order as the engine
+    # expressions, so the estimates stay oracle-exact. Scoring then
+    # reads 4 literal-array entries per pair; no per-pair vector math.
+    def py_sq_l2(sub: list[float], cent: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(sub, cent):
+            d = x - y
+            acc += d * d
+        return acc
+
+    rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        vec = [float(x) for x in r[vec_col]]
+        tabs = [
+            [
+                py_sq_l2(
+                    vec[m * _PQ_SUB : (m + 1) * _PQ_SUB],
+                    _pq_centroid(m, j),
+                )
+                for j in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+        rows.append((int(r[id_col]), *tabs))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        rows,
+        "q_id bigint, "
+        + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
     )
     approx = F.lit(0.0)
     for m in range(_PQ_M):
-        qsub = F.slice(F.col("q_vec"), m * _PQ_SUB + 1, _PQ_SUB)
-        qdists = F.array(
-            *[_sq_l2_lit(qsub, _pq_centroid(m, j)) for j in range(_PQ_K)]
+        approx = approx + F.element_at(
+            F.col(f"_qt{m}"), F.col(f"_code{m}")
         )
-        approx = approx + F.element_at(qdists, F.col(f"_code{m}"))
     scored = c.join(
         F.broadcast(q), F.col("q_id") != F.col("c_id")
     ).select("q_id", "c_id", approx.alias("_ad"))
