@@ -627,3 +627,63 @@ def ann_topk_pq_oracle_sql(
         ) WHERE rank <= {k}
         ORDER BY q_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+
+def _jl_row(seed: int, dim: int) -> list[float]:
+    """Deterministic projection row, scaled 1/sqrt(out_dim) at the
+    call site; hash-derived like _hyperplane (no RNG state)."""
+    return _hyperplane(1000 + seed, dim)
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random projection: embed dim-d vectors into out_dim
+    dimensions with a literal hash-derived matrix — pairwise
+    distances are preserved within (1 +/- eps) w.h.p., so downstream
+    dedup/ANN run on 8 doubles instead of 64 floats (the storage- and
+    shuffle-compression step a 100 TB embedding corpus applies before
+    clustering). Pure narrow projection: no shuffle, no Python, and
+    the literal matrix makes every output value oracle-checkable."""
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = [F.col(id_col)]
+    for j in range(out_dim):
+        row = F.array(*[F.lit(x) for x in _jl_row(j, dim)])
+        cols.append(
+            F.round(
+                dot(F.col(vec_col), row) * F.lit(scale), 4
+            ).alias(f"p{j}")
+        )
+    return df.select(*cols).orderBy(id_col)
+
+
+def random_project_oracle_sql(
+    table: str = "embeddings",
+    out_dim: int = 8,
+    dim: int = 64,
+) -> str:
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = ["vec_id"]
+    for j in range(out_dim):
+        lits = ", ".join(repr(x) for x in _jl_row(j, dim))
+        d = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> cast(embedding[i] as double) * ([{lits}])[i]))"
+        )
+        cols.append(f"round(({d}) * {scale}, 4) AS p{j}")
+    return (
+        f"SELECT {', '.join(cols)} FROM {table} ORDER BY vec_id"
+    )

@@ -594,6 +594,16 @@ def q_ann_topk_pq(spark, sf_dir):
     return S.ann_topk_pq(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_random_project(spark, sf_dir):
+    """JL random projection (M7): 64-dim embeddings compressed to 8
+    doubles with a literal hash-derived matrix — the shuffle/storage
+    compression step before clustering at corpus scale. Narrow
+    no-shuffle projection, every value oracle-checked."""
+    return S.random_project(
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    )
+
+
 def q_ann_recall_lsh(spark, sf_dir):
     """ANN quality metric: per-query recall of the LSH bucketed
     top-k against the exact brute-force top-k — the measurement a
@@ -1792,6 +1802,7 @@ def build_queries():
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_pq": q_ann_topk_pq,
+        "random_project": q_random_project,
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
@@ -2033,6 +2044,9 @@ def build_oracle_sql():
         ),
         "ann_topk_pq": S.ann_topk_pq_oracle_sql(
             "embeddings", "vec_id < 3", 5
+        ),
+        "random_project": S.random_project_oracle_sql(
+            "(SELECT * FROM embeddings WHERE vec_id < 50) e"
         ),
         "ann_recall_lsh": f"""
             WITH exact AS (
