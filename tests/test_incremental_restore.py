@@ -302,3 +302,29 @@ def test_partition_pruned_increment(spark):
     t = spark.read.parquet(tdir)
     got = {r["pk"]: r["d"] for r in t.collect()}
     assert got == {k: ("new" if k in (1, 5) else "old") for k in range(12)}
+
+
+def test_rejected_increment_preserves_sidecar(spark):
+    """A REJECTED error-mode batch leaves the target untouched — and
+    must leave the delivered-checksum sidecar intact too, so later
+    increments keep their cross-run verification."""
+    dump = os.path.join(TMP, "dump_keep")
+    tgt = os.path.join(TMP, "sink_keep")
+    shutil.rmtree(tgt, ignore_errors=True)
+    _dump_rows(dump, [(1, "aaa")])
+    s1 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s1.ok, s1.report()
+    sidecar = os.path.join(tgt, "dup.dup", "_checksum.json")
+    assert os.path.exists(sidecar)
+    before = open(sidecar).read()
+
+    _dump_rows(dump, [(1, "dup")])  # overlapping key -> rejected
+    s2 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert not s2.ok
+    assert open(sidecar).read() == before  # verification still armed
+
+    # and the next good increment still verifies prior XOR batch
+    _dump_rows(dump, [(2, "bbb")])
+    s3 = RestoreController(spark, _cfg(dump, tgt, "error")).run()
+    assert s3.ok, s3.report()
+    assert s3.tables["dup.dup"].rows == 2

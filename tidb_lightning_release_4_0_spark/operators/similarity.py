@@ -656,7 +656,11 @@ def random_project(
     the literal matrix makes every output value oracle-checkable."""
     import math
 
-    scale = 1.0 / math.sqrt(out_dim)
+    # entries are uniform[-1,1) (variance 1/3), so the JL-preserving
+    # scale is sqrt(3/out_dim) — 1/sqrt(out_dim) would shrink every
+    # projected distance by sqrt(3) and break absolute thresholds
+    # calibrated in the original space
+    scale = math.sqrt(3.0 / out_dim)
     cols = [F.col(id_col)]
     for j in range(out_dim):
         row = F.array(*[F.lit(x) for x in _jl_row(j, dim)])
@@ -675,7 +679,7 @@ def random_project_oracle_sql(
 ) -> str:
     import math
 
-    scale = repr(1.0 / math.sqrt(out_dim))
+    scale = repr(math.sqrt(3.0 / out_dim))
     cols = ["vec_id"]
     for j in range(out_dim):
         lits = ", ".join(repr(x) for x in _jl_row(j, dim))

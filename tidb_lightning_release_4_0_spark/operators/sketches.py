@@ -35,6 +35,51 @@ _ALPHA_NUM = 4.2399330249068963e20  # alpha_256 * m^2 * 2^53 (one literal,
 # parsed identically by both engines — no divergent constant folding)
 
 
+def _hll_rho(h: Column) -> Column:
+    """Leading-zero rank over the 52 post-bucket bits (rho in 1..53)."""
+    rest = F.shiftright(h, 8)
+    return F.when(rest == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(rest))
+    )
+
+
+def _hll_term() -> Column:
+    # built lazily: a Column cannot be constructed before the
+    # SparkContext exists (the registry imports this module to build
+    # oracle SQL with no session around)
+    return F.expr("shiftleft(cast(1 as bigint), cast(53 - M as int))")
+
+
+def _hll_estimate() -> Column:
+    """Estimate from the (nz, S) aggregate columns: raw harmonic
+    estimator with the standard LinearCounting small-range correction
+    (Flajolet et al. 2007, §4) when raw <= 2.5m and empty registers
+    remain. ln() is IEEE-double on both engines."""
+    zeros = F.lit(_M) - F.col("nz")
+    zero_term = F.expr("shiftleft(cast(1 as bigint), 53)")
+    raw = F.lit(_ALPHA_NUM) / (F.col("S") + zeros * zero_term)
+    return F.when(
+        (raw <= F.lit(2.5 * _M)) & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
+
+
+def _hll_est_sql() -> str:
+    """The identical estimate as a DuckDB fragment over (nz, S)."""
+    raw = f"({_ALPHA_NUM!r} / (S + ({_M} - nz) * (1::BIGINT << 53)))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * _M} AND ({_M} - nz) > 0 "
+        f"THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - nz)) "
+        f"ELSE {raw} END"
+    )
+
+
+_HLL_RHO_SQL = (
+    "max(CASE WHEN (hv >> 8) = 0 THEN 53 "
+    "ELSE 53 - length(bin(hv >> 8)) END) AS M"
+)
+
+
 def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
     """1-row frame (nonzero_buckets, zero_buckets, est_distinct).
 
@@ -46,33 +91,20 @@ def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
     — no full-key shuffle, unlike exact count-distinct."""
     c = F.col(col) if isinstance(col, str) else col
     h = hash60(c)
-    rest = F.shiftright(h, 8)
-    rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(rest))
-    )
     regs = (
-        df.select(F.pmod(h, F.lit(_M)).alias("bucket"), rho.alias("rho"))
+        df.select(
+            F.pmod(h, F.lit(_M)).alias("bucket"), _hll_rho(h).alias("rho")
+        )
         .groupBy("bucket")
         .agg(F.max("rho").alias("M"))
     )
-    term = F.expr("shiftleft(cast(1 as bigint), cast(53 - M as int))")
     agg = regs.agg(
-        F.count(F.lit(1)).alias("nz"), F.sum(term).alias("S")
+        F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
     )
-    zero_term = F.expr("shiftleft(cast(1 as bigint), 53)")
-    zeros = F.lit(_M) - F.col("nz")
-    raw = F.lit(_ALPHA_NUM) / (F.col("S") + zeros * zero_term)
-    # standard small-range correction: LinearCounting when the raw
-    # estimate is under 2.5m and empty registers remain (Flajolet et
-    # al. 2007, §4). ln() is IEEE-double on both engines.
-    est = F.when(
-        (raw <= F.lit(2.5 * _M)) & (zeros > 0),
-        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
-    ).otherwise(raw)
     return agg.select(
         F.col("nz").cast("int").alias("nonzero_buckets"),
-        zeros.cast("int").alias("zero_buckets"),
-        F.round(est, 2).alias("est_distinct"),
+        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
+        F.round(_hll_estimate(), 2).alias("est_distinct"),
     )
 
 
@@ -87,35 +119,23 @@ def approx_distinct_hll_grouped(
     group."""
     c = F.col(col) if isinstance(col, str) else col
     h = hash60(c)
-    rest = F.shiftright(h, 8)
-    rho = F.when(rest == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(rest))
-    )
     regs = (
         df.select(
             F.col(group_col).alias("g"),
             F.pmod(h, F.lit(_M)).alias("bucket"),
-            rho.alias("rho"),
+            _hll_rho(h).alias("rho"),
         )
         .groupBy("g", "bucket")
         .agg(F.max("rho").alias("M"))
     )
-    term = F.expr("shiftleft(cast(1 as bigint), cast(53 - M as int))")
     agg = regs.groupBy("g").agg(
-        F.count(F.lit(1)).alias("nz"), F.sum(term).alias("S")
+        F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
     )
-    zero_term = F.expr("shiftleft(cast(1 as bigint), 53)")
-    zeros = F.lit(_M) - F.col("nz")
-    raw = F.lit(_ALPHA_NUM) / (F.col("S") + zeros * zero_term)
-    est = F.when(
-        (raw <= F.lit(2.5 * _M)) & (zeros > 0),
-        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
-    ).otherwise(raw)
     return agg.select(
         F.col("g").alias(group_col),
         F.col("nz").cast("int").alias("nonzero_buckets"),
-        zeros.cast("int").alias("zero_buckets"),
-        F.round(est, 2).alias("est_distinct"),
+        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
+        F.round(_hll_estimate(), 2).alias("est_distinct"),
     ).orderBy(group_col)
 
 
@@ -127,9 +147,7 @@ def approx_distinct_hll_grouped_oracle_sql(
           SELECT {group_col} AS g,
                  {hash60_duckdb(expr)} AS hv FROM {table}
         ), r AS (
-          SELECT g, hv % {_M} AS bucket,
-                 max(CASE WHEN (hv >> 8) = 0 THEN 53
-                          ELSE 53 - length(bin(hv >> 8)) END) AS M
+          SELECT g, hv % {_M} AS bucket, {_HLL_RHO_SQL}
           FROM h GROUP BY g, bucket
         ), a AS (
           SELECT g, count(*) AS nz,
@@ -139,14 +157,7 @@ def approx_distinct_hll_grouped_oracle_sql(
         SELECT g AS {group_col},
                cast(nz AS INTEGER) AS nonzero_buckets,
                cast({_M} - nz AS INTEGER) AS zero_buckets,
-               round(CASE WHEN ({_ALPHA_NUM!r} /
-                       (S + ({_M} - nz) * (1::BIGINT << 53)))
-                         <= {2.5 * _M}
-                       AND ({_M} - nz) > 0
-                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - nz))
-                     ELSE {_ALPHA_NUM!r} /
-                       (S + ({_M} - nz) * (1::BIGINT << 53))
-                     END, 2) AS est_distinct
+               round({_hll_est_sql()}, 2) AS est_distinct
         FROM a ORDER BY {group_col}
     """
 
@@ -157,9 +168,7 @@ def approx_distinct_hll_oracle_sql(table: str, expr: str) -> str:
         WITH h AS (
           SELECT {hash60_duckdb(expr)} AS hv FROM {table}
         ), r AS (
-          SELECT hv % {_M} AS bucket,
-                 max(CASE WHEN (hv >> 8) = 0 THEN 53
-                          ELSE 53 - length(bin(hv >> 8)) END) AS M
+          SELECT hv % {_M} AS bucket, {_HLL_RHO_SQL}
           FROM h GROUP BY bucket
         ), a AS (
           SELECT count(*) AS nz,
@@ -168,14 +177,7 @@ def approx_distinct_hll_oracle_sql(table: str, expr: str) -> str:
         )
         SELECT cast(nz AS INTEGER) AS nonzero_buckets,
                cast({_M} - nz AS INTEGER) AS zero_buckets,
-               round(CASE WHEN ({_ALPHA_NUM!r} /
-                       (S + ({_M} - nz) * (1::BIGINT << 53)))
-                         <= {2.5 * _M}
-                       AND ({_M} - nz) > 0
-                     THEN {float(_M)!r} * ln({float(_M)!r} / ({_M} - nz))
-                     ELSE {_ALPHA_NUM!r} /
-                       (S + ({_M} - nz) * (1::BIGINT << 53))
-                     END, 2) AS est_distinct
+               round({_hll_est_sql()}, 2) AS est_distinct
         FROM a
     """
 
@@ -195,25 +197,32 @@ def cms_estimate_terms(
     counter at h_seed(term) mod w.
 
     Scale shape: the sketch is d x w = 4096 counters regardless of
-    cardinality — building it is d small groupBys with map-side
-    combine (no full-key shuffle), reading it is a d*|probes|-row
-    broadcast join. CMS guarantees est >= true with bounded
-    overestimate (Cormode & Muthukrishnan 2005)."""
+    cardinality — built in ONE input scan (the d (row, bucket) pairs
+    explode from each value into a single map-side-combined groupBy),
+    read via a d*|probes|-row broadcast join. CMS guarantees
+    est >= true with bounded overestimate (Cormode & Muthukrishnan
+    2005)."""
     c = F.col(value_col) if isinstance(value_col, str) else value_col
-    sketches = []
-    for seed in range(_CMS_D):
-        bucket = F.pmod(hash60_seeded(c, seed), F.lit(_CMS_W))
-        sketches.append(
-            df.select(bucket.alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(
-                F.lit(seed).alias("row"), "bucket", "cnt"
+    # single-pass build: one scan emits the d (row, bucket) pairs per
+    # value and one groupBy counts them all — a per-seed groupBy loop
+    # would re-scan (and re-tokenize) the input d times
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(seed).alias("row"),
+                F.pmod(hash60_seeded(c, seed), F.lit(_CMS_W)).alias(
+                    "bucket"
+                ),
             )
-        )
-    sk = sketches[0]
-    for s in sketches[1:]:
-        sk = sk.unionByName(s)
+            for seed in range(_CMS_D)
+        ]
+    )
+    sk = (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.row", "p.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     spark = df.sparkSession
     import hashlib
 
@@ -300,7 +309,18 @@ def histogram_quantiles(
         F.min(c).alias("mn"), F.max(c).alias("mx"),
         F.count(c).alias("n"),
     ).first()
-    mn, mx, n = float(stats["mn"]), float(stats["mx"]), int(stats["n"])
+    n = int(stats["n"])
+    if n == 0:
+        return spark.createDataFrame([], "prob double, est double")
+    mn, mx = float(stats["mn"]), float(stats["mx"])
+    if mx == mn:
+        # constant column: every quantile IS the value (the equi-width
+        # histogram would need width 0 — division-by-zero semantics
+        # diverge between engines, so short-circuit deterministically)
+        return spark.createDataFrame(
+            [(float(p), round(mn, 4)) for p in sorted(probs)],
+            "prob double, est double",
+        )
     width = (mx - mn) / _HQ_BINS
     bin_col = F.least(
         F.floor((c - F.lit(mn)) / F.lit(width)).cast("int"),

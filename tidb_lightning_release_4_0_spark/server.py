@@ -440,12 +440,18 @@ class TaskRunner:
         if cfg is None:
             return False
         tid = getattr(cfg, "task_id", 0)
+        # the fresh cancel event must be visible BEFORE current is —
+        # a DELETE racing this window must never grab the previous
+        # task's (or no) event and report a preemption that was lost
+        ev = threading.Event()
         if self.server:
             with self.server._cur_lock:
+                self.cancel_event = ev
                 self.server.current = tid
                 self.server.current_cfg = cfg
+        else:
+            self.cancel_event = ev
         failed = False
-        self.cancel_event = threading.Event()
         try:
             sink = self.sink_factory(cfg) if self.sink_factory else None
             summary = RestoreController(

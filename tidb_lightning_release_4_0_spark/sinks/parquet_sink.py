@@ -142,8 +142,11 @@ class ParquetSink(Sink):
         covers a small hyper-rectangle: a predicate on ANY of the
         z-columns prunes to ~files^(1/k) of the files, where a plain
         sort prunes only its leading column."""
-        cols = [c for c in self.zorder_columns if c in df.columns]
-        if len(cols) < 2:
+        cols = self.zorder_columns
+        # the documented contract: only tables containing ALL listed
+        # columns are z-ordered — a partial match must not impose the
+        # layout (and its sampling pass) on an unrelated table
+        if len(cols) < 2 or not all(c in df.columns for c in cols):
             return None
         # quantile edges from a sample (driver-sized: bins x cols)
         qs = [i / (1 << self._Z_BITS) for i in range(1, 1 << self._Z_BITS)]
@@ -230,8 +233,13 @@ class ParquetSink(Sink):
 
     def write(self, df: DataFrame, table: str) -> SinkResult:
         path = self._path(table)
-        self._invalidate_sidecar(path)
         keys = self.key_columns.get(table)
+        # non-incremental deliveries replace the whole dir, which
+        # removes any stale sidecar implicitly; the incremental path
+        # must NOT invalidate up front — a rejected batch leaves the
+        # target (and its still-valid checksum) untouched
+        if not (self.incremental and self._has_data(path)):
+            self._invalidate_sidecar(path)
         if keys and self.on_duplicate in ("replace", "ignore"):
             # keyed upsert semantics (K3 dup modes, tidb.go:54-62):
             # replace -> last row per key wins; ignore -> first kept.
@@ -496,7 +504,10 @@ class ParquetSink(Sink):
             return res
         if pvals is not None:
             # swap only the hash partitions the increment touched;
-            # every other partition dir is left byte-identical
+            # every other partition dir is left byte-identical. The
+            # sidecar no longer describes the merged table — drop it
+            # now (the pipeline re-stores it after verification)
+            self._invalidate_sidecar(path)
             for v in pvals:
                 sub = f"_p={v}"
                 src = os.path.join(out, sub)
