@@ -669,7 +669,9 @@ def random_project(
                 dot(F.col(vec_col), row) * F.lit(scale), 4
             ).alias(f"p{j}")
         )
-    return df.select(*cols).orderBy(id_col)
+    # no orderBy: the projection stays a map-only narrow plan (the
+    # driver's oracle compare is order-insensitive)
+    return df.select(*cols)
 
 
 def random_project_oracle_sql(

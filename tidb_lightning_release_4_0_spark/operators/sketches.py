@@ -316,9 +316,19 @@ def histogram_quantiles(
     if mx == mn:
         # constant column: every quantile IS the value (the equi-width
         # histogram would need width 0 — division-by-zero semantics
-        # diverge between engines, so short-circuit deterministically)
+        # diverge between engines, so short-circuit engine-side; the
+        # oracle builder documents non-degenerate input as its
+        # precondition). HALF_UP like F.round, not Python's
+        # ties-to-even.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        est4 = float(
+            Decimal(repr(mn)).quantize(
+                Decimal("0.0001"), rounding=ROUND_HALF_UP
+            )
+        )
         return spark.createDataFrame(
-            [(float(p), round(mn, 4)) for p in sorted(probs)],
+            [(float(p), est4) for p in sorted(probs)],
             "prob double, est double",
         )
     width = (mx - mn) / _HQ_BINS
@@ -364,6 +374,9 @@ def histogram_quantiles(
 def histogram_quantiles_oracle_sql(
     table: str, expr: str, probs: list[float]
 ) -> str:
+    """Precondition: non-empty, non-constant input — the operator
+    short-circuits the degenerate cases engine-side (width-0 division
+    semantics differ between engines and cannot be oracle-matched)."""
     probe = " UNION ALL ".join(f"SELECT {float(p)!r} AS prob" for p in probs)
     return f"""
         WITH params AS (

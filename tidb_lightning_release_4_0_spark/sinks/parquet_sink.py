@@ -232,14 +232,14 @@ class ParquetSink(Sink):
             os.remove(sc)
 
     def write(self, df: DataFrame, table: str) -> SinkResult:
+        # No up-front sidecar invalidation here: a REJECTED batch (any
+        # dup mode) must leave the delivered checksum armed, and every
+        # successful non-incremental publish replaces the whole dir —
+        # which removes a stale sidecar implicitly. Only write_engine
+        # needs an explicit invalidate (engine subdirs never clear the
+        # table root).
         path = self._path(table)
         keys = self.key_columns.get(table)
-        # non-incremental deliveries replace the whole dir, which
-        # removes any stale sidecar implicitly; the incremental path
-        # must NOT invalidate up front — a rejected batch leaves the
-        # target (and its still-valid checksum) untouched
-        if not (self.incremental and self._has_data(path)):
-            self._invalidate_sidecar(path)
         if keys and self.on_duplicate in ("replace", "ignore"):
             # keyed upsert semantics (K3 dup modes, tidb.go:54-62):
             # replace -> last row per key wins; ignore -> first kept.
