@@ -1714,6 +1714,39 @@ def q_bracket_revenue(spark, sf_dir):
     )
 
 
+def q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 pattern: suppliers who shipped more than a threshold
+    quantity of any part in a filtered family during one year —
+    the chained-semi-join shape (supplier IN (... WHERE part IN (...)
+    AND qty > correlated sum)), decorrelated into one per-(supplier,
+    part) aggregate + two semi joins. Adapted: no partsupp, the
+    availqty comparison becomes a shipped-quantity threshold."""
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q")
+        )
+        .filter(F.col("_q") > 50)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 def q_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 pattern: suppliers who were the ONLY late supplier
     on a multi-supplier finalized order (EXISTS + NOT EXISTS,
@@ -1860,6 +1893,7 @@ def build_queries():
         "small_qty_revenue": q_small_qty_revenue,
         "bracket_revenue": q_bracket_revenue,
         "waiting_suppliers": q_waiting_suppliers,
+        "excess_shippers": q_excess_shippers,
         "large_orders": q_large_orders,
         "idle_customers": q_idle_customers,
         "part_supplier_variety": q_part_supplier_variety,
@@ -2528,6 +2562,20 @@ def build_oracle_sql():
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "excess_shippers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              WHERE l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+                AND l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY l_suppkey, l_partkey
+              HAVING sum(cast(l_quantity AS DECIMAL(18,2))) > 50)
+            ORDER BY s_name
         """,
         "waiting_suppliers": """
             WITH pairs AS (
