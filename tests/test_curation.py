@@ -232,3 +232,32 @@ def test_hll_estimate_accuracy(spark, sf_dir, tables):
     true = li.select("l_partkey").distinct().count()
     est = approx_distinct_hll(li, "l_partkey").first()["est_distinct"]
     assert abs(est - true) / true < 0.20, (est, true)
+
+
+def test_sketch_golden_values(spark):
+    """Pinned sketch outputs at sf0.001 — any semantic drift in the
+    hash, register accounting, estimate arithmetic, or interpolation
+    changes these exact values."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    r = qs["hll_distinct_parts"](spark, sf).first()
+    assert (
+        r["nonzero_buckets"], r["zero_buckets"], r["est_distinct"]
+    ) == (139, 117, 200.45)  # true distinct = 200 (LinearCounting)
+    cms = sorted(
+        (x["term"], x["est_count"])
+        for x in qs["cms_term_counts"](spark, sf).collect()
+    )
+    assert cms == [
+        ("batch", 910), ("hash", 923), ("join", 936),
+        ("scan", 984), ("zzznotaterm", 0),
+    ]
+    hist = [
+        (x["prob"], x["est"])
+        for x in qs["hist_quantiles_price"](spark, sf).collect()
+    ]
+    assert hist == [
+        (0.5, 52743.341), (0.95, 99634.4897), (0.99, 103884.5123),
+    ]
