@@ -255,3 +255,31 @@ def test_zorder_delivery_prunes_both_columns(spark, tables):
         # the global span (an unsorted/PK-sorted layout leaves the
         # second column's per-file span ~= the global span)
         assert avg_span < 0.75 * glob_span, (col, avg_span, glob_span)
+
+
+def test_zorder_skips_tables_missing_a_column(spark, tables):
+    """The z-order contract: a table missing ANY configured column
+    keeps its normal (PK-sorted) delivery — the layout and its
+    sampling pass are never imposed on a partial match."""
+    dump = os.path.join(TMP, "dump_zskip")
+    tgt = os.path.join(TMP, "sink_zskip")
+    shutil.rmtree(dump, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    od = tables["orders"].toPandas()[
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ].head(200)
+    write_dump_table(dump, "zs", "orders", od, ORDERS_DDL, fmt="csv")
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        # o_shippriority does not exist in this table
+        zorder_columns=["o_orderkey", "o_shippriority"],
+    )
+    s = RestoreController(spark, cfg).run()
+    assert s.ok, s.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "zs.orders")
+    )
+    assert t.count() == 200  # delivered normally, no z-order crash

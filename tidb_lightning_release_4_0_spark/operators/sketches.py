@@ -413,3 +413,62 @@ def histogram_quantiles_oracle_sql(
         FROM hit JOIN cum ON hit.bin = cum.bin
         ORDER BY prob
     """
+
+
+def approx_distinct_hll_union(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str
+) -> DataFrame:
+    """Cardinality of the UNION of two sources by merging their HLL
+    register tables (per-bucket max) — the mergeability property that
+    makes sketches distributable: each 100 TB source keeps its own
+    256 registers and the union costs a 256-row combine, never a
+    re-read or a joint distinct over both corpora."""
+
+    def regs(df: DataFrame, col: str) -> DataFrame:
+        h = hash60(F.col(col))
+        return (
+            df.select(
+                F.pmod(h, F.lit(_M)).alias("bucket"),
+                _hll_rho(h).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("M"))
+        )
+
+    merged = (
+        regs(df_a, col_a)
+        .unionByName(regs(df_b, col_b))
+        .groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+    )
+    agg = merged.agg(
+        F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
+    )
+    return agg.select(
+        F.col("nz").cast("int").alias("nonzero_buckets"),
+        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
+        F.round(_hll_estimate(), 2).alias("est_distinct"),
+    )
+
+
+def approx_distinct_hll_union_oracle_sql(
+    table_a: str, expr_a: str, table_b: str, expr_b: str
+) -> str:
+    return f"""
+        WITH h AS (
+          SELECT {hash60_duckdb(expr_a)} AS hv FROM {table_a}
+          UNION ALL
+          SELECT {hash60_duckdb(expr_b)} AS hv FROM {table_b}
+        ), r AS (
+          SELECT hv % {_M} AS bucket, {_HLL_RHO_SQL}
+          FROM h GROUP BY bucket
+        ), a AS (
+          SELECT count(*) AS nz,
+                 sum(1::BIGINT << (53 - M)) AS S
+          FROM r
+        )
+        SELECT cast(nz AS INTEGER) AS nonzero_buckets,
+               cast({_M} - nz AS INTEGER) AS zero_buckets,
+               round({_hll_est_sql()}, 2) AS est_distinct
+        FROM a
+    """

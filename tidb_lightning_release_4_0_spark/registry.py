@@ -496,6 +496,19 @@ def q_cms_term_counts(spark, sf_dir):
     return cms_estimate_terms(terms, "term", _CMS_PROBES)
 
 
+def q_hll_union_keys(spark, sf_dir):
+    """Sketch MERGEABILITY (the distributable property): cardinality
+    of the union of lineitem partkeys and order keys from their two
+    independent 256-register tables, combined by per-bucket max —
+    neither corpus is re-read or jointly distinct-ed."""
+    from .operators.sketches import approx_distinct_hll_union
+
+    return approx_distinct_hll_union(
+        _t(spark, sf_dir, "lineitem"), "l_partkey",
+        _t(spark, sf_dir, "orders"), "o_orderkey",
+    )
+
+
 def q_hist_quantiles_price(spark, sf_dir):
     """Histogram quantile sketch (M7 sketch family): p50/p95/p99 of
     l_extendedprice off a 256-bin equi-width histogram — the shuffle
@@ -1852,6 +1865,7 @@ def build_queries():
         "hll_users_by_event": q_hll_users_by_event,
         "cms_term_counts": q_cms_term_counts,
         "hist_quantiles_price": q_hist_quantiles_price,
+        "hll_union_keys": q_hll_union_keys,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2196,6 +2210,9 @@ def build_oracle_sql():
         ),
         "hist_quantiles_price": SK.histogram_quantiles_oracle_sql(
             "lineitem", "l_extendedprice", [0.5, 0.95, 0.99]
+        ),
+        "hll_union_keys": SK.approx_distinct_hll_union_oracle_sql(
+            "lineitem", "l_partkey", "orders", "o_orderkey"
         ),
         "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
             "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))"
