@@ -472,3 +472,83 @@ def approx_distinct_hll_union_oracle_sql(
                round({_hll_est_sql()}, 2) AS est_distinct
         FROM a
     """
+
+
+def approx_overlap_hll(
+    df_a: DataFrame, col_a: str, df_b: DataFrame, col_b: str
+) -> DataFrame:
+    """Approximate overlap of two key sets from three HLL estimates
+    (A, B, A∪B by register merge): intersection via
+    inclusion-exclusion and Jaccard = inter/union — the crawl-
+    snapshot overlap metric, computed from 3x256 registers without
+    ever joining the corpora. Estimates compose deterministically,
+    so the oracle verifies all four outputs."""
+
+    def regs(df: DataFrame, col: str, tag: str) -> DataFrame:
+        h = hash60(F.col(col))
+        return (
+            df.select(
+                F.pmod(h, F.lit(_M)).alias("bucket"),
+                _hll_rho(h).alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("M"))
+            .select(F.lit(tag).alias("t"), "bucket", "M")
+        )
+
+    ra = regs(df_a, col_a, "a")
+    rb = regs(df_b, col_b, "b")
+    ru = (
+        ra.unionByName(rb)
+        .groupBy("bucket")
+        .agg(F.max("M").alias("M"))
+        .select(F.lit("u").alias("t"), "bucket", "M")
+    )
+    all_regs = ra.unionByName(rb).unionByName(ru)
+    agg = all_regs.groupBy("t").agg(
+        F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
+    )
+    est = agg.select("t", _hll_estimate().alias("e"))
+    p = est.groupBy().pivot("t", ["a", "b", "u"]).agg(F.first("e"))
+    inter = F.col("a") + F.col("b") - F.col("u")
+    return p.select(
+        F.round(F.col("a"), 2).alias("est_a"),
+        F.round(F.col("b"), 2).alias("est_b"),
+        F.round(F.col("u"), 2).alias("est_union"),
+        F.round(inter / F.col("u"), 6).alias("est_jaccard"),
+    )
+
+
+def approx_overlap_hll_oracle_sql(
+    table_a: str, expr_a: str, table_b: str, expr_b: str
+) -> str:
+    def regs(table: str, expr: str, tag: str) -> str:
+        return f"""
+          SELECT '{tag}' AS t, hv % {_M} AS bucket, {_HLL_RHO_SQL}
+          FROM (SELECT {hash60_duckdb(expr)} AS hv FROM {table})
+          GROUP BY t, bucket"""
+
+    return f"""
+        WITH ra AS ({regs(table_a, expr_a, 'a')}),
+        rb AS ({regs(table_b, expr_b, 'b')}),
+        ru AS (
+          SELECT 'u' AS t, bucket, max(M) AS M
+          FROM (SELECT bucket, M FROM ra
+                UNION ALL SELECT bucket, M FROM rb)
+          GROUP BY t, bucket
+        ), a AS (
+          SELECT t, count(*) AS nz,
+                 sum(1::BIGINT << (53 - M)) AS S
+          FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb
+                UNION ALL SELECT * FROM ru)
+          GROUP BY t
+        ), e AS (
+          SELECT t, {_hll_est_sql()} AS e FROM a
+        )
+        SELECT round(ea.e, 2) AS est_a, round(eb.e, 2) AS est_b,
+               round(eu.e, 2) AS est_union,
+               round((ea.e + eb.e - eu.e) / eu.e, 6) AS est_jaccard
+        FROM (SELECT e FROM e WHERE t = 'a') ea,
+             (SELECT e FROM e WHERE t = 'b') eb,
+             (SELECT e FROM e WHERE t = 'u') eu
+    """

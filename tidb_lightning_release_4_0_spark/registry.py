@@ -509,6 +509,19 @@ def q_hll_union_keys(spark, sf_dir):
     )
 
 
+def q_hll_overlap_partkeys(spark, sf_dir):
+    """Corpus-overlap estimate from three HLL register tables (A, B,
+    register-merged union): intersection by inclusion-exclusion and
+    Jaccard = inter/union — how much two crawl snapshots share,
+    without joining them. All four estimates oracle-verified."""
+    from .operators.sketches import approx_overlap_hll
+
+    return approx_overlap_hll(
+        _t(spark, sf_dir, "lineitem"), "l_partkey",
+        _t(spark, sf_dir, "part"), "p_partkey",
+    )
+
+
 def q_hist_quantiles_price(spark, sf_dir):
     """Histogram quantile sketch (M7 sketch family): p50/p95/p99 of
     l_extendedprice off a 256-bin equi-width histogram — the shuffle
@@ -1866,6 +1879,7 @@ def build_queries():
         "cms_term_counts": q_cms_term_counts,
         "hist_quantiles_price": q_hist_quantiles_price,
         "hll_union_keys": q_hll_union_keys,
+        "hll_overlap_partkeys": q_hll_overlap_partkeys,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2213,6 +2227,9 @@ def build_oracle_sql():
         ),
         "hll_union_keys": SK.approx_distinct_hll_union_oracle_sql(
             "lineitem", "l_partkey", "orders", "o_orderkey"
+        ),
+        "hll_overlap_partkeys": SK.approx_overlap_hll_oracle_sql(
+            "lineitem", "l_partkey", "part", "p_partkey"
         ),
         "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
             "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))"
