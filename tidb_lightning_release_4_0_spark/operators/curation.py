@@ -818,3 +818,54 @@ def export_jsonl(
         for f in os.listdir(path)
         if f.startswith("part-")
     )
+
+
+def canonicalize_url(c: Column) -> Column:
+    """Canonical URL form for crawl-scale dedup: lowercase scheme and
+    host, strip default ports (:80/:443) and fragments, drop utm_*
+    tracking params, sort the surviving query params. All JVM string
+    and higher-order functions — a narrow codegen projection (URL
+    dedup at 100 TB is exact dedup on THIS column; without
+    canonicalization near-identical URLs defeat it)."""
+    no_frag = F.regexp_replace(c, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([^:/?#]+)://", 1))
+    auth = F.lower(
+        F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1)
+    )
+    auth = F.regexp_replace(auth, r":(80|443)$", "")
+    rest = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    params = F.array_sort(params)
+    qs = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), auth, path, qs)
+
+
+def canonicalize_url_sql_duckdb(expr: str) -> str:
+    """DuckDB twin of canonicalize_url (same regexes and ordering)."""
+    no_frag = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({no_frag}, '^([^:/?#]+)://', 1))"
+    auth = (
+        f"regexp_replace(lower(regexp_extract({no_frag}, "
+        f"'^[^:/?#]+://([^/?#]*)', 1)), ':(80|443)$', '')"
+    )
+    rest = f"regexp_extract({no_frag}, '^[^:/?#]+://[^/?#]*(.*)$', 1)"
+    path = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> NOT starts_with(p, 'utm_') AND p <> ''))"
+    )
+    qs = (
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || list_aggregate({params}, 'string_agg', '&') "
+        f"ELSE '' END"
+    )
+    return f"({scheme} || '://' || {auth} || {path} || {qs})"

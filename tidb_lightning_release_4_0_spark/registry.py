@@ -522,6 +522,36 @@ def q_hll_overlap_partkeys(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (M7 curation): deterministic messy URLs
+    derived in-query (uppercase schemes/hosts, default ports,
+    tracking params, fragments — the pii_scrub injection pattern)
+    collapse to one canonical form per document, the prerequisite
+    for exact URL dedup on a crawl."""
+    from .operators.curation import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com"),
+        F.when(did % 4 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        did.cast("string"),
+        F.when(did % 2 == 0, F.lit("?utm_source=feed&b=2&a=1")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+
+
 def q_hist_quantiles_price(spark, sf_dir):
     """Histogram quantile sketch (M7 sketch family): p50/p95/p99 of
     l_extendedprice off a 256-bin equi-width histogram — the shuffle
@@ -1880,6 +1910,7 @@ def build_queries():
         "hist_quantiles_price": q_hist_quantiles_price,
         "hll_union_keys": q_hll_union_keys,
         "hll_overlap_partkeys": q_hll_overlap_partkeys,
+        "url_canonicalize": q_url_canonicalize,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2231,6 +2262,23 @@ def build_oracle_sql():
         "hll_overlap_partkeys": SK.approx_overlap_hll_oracle_sql(
             "lineitem", "l_partkey", "part", "p_partkey"
         ),
+        "url_canonicalize": f"""
+            SELECT doc_id,
+                   {CU.canonicalize_url_sql_duckdb('''(
+                     CASE WHEN doc_id % 2 = 0 THEN 'HTTP'
+                          ELSE 'http' END || '://' ||
+                     CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                          ELSE source END || '.example.com' ||
+                     CASE WHEN doc_id % 4 = 0 THEN ':80'
+                          ELSE '' END ||
+                     '/docs/' || cast(doc_id AS VARCHAR) ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN '?utm_source=feed&b=2&a=1'
+                          ELSE '?a=1&b=2' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN '#frag'
+                          ELSE '' END)''')} AS canonical_url
+            FROM documents
+        """,
         "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
             "(SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))"
             " AS term FROM documents) tt WHERE length(term) > 3",
