@@ -869,3 +869,42 @@ def canonicalize_url_sql_duckdb(expr: str) -> str:
         f"ELSE '' END"
     )
     return f"({scheme} || '://' || {auth} || {path} || {qs})"
+
+
+_HTML_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]  # &amp; LAST so freshly decoded ampersands aren't double-decoded
+
+
+def strip_html(c: Column) -> Column:
+    """Markup removal for crawled text: drop script/style blocks with
+    their content, strip remaining tags, decode the common entities,
+    collapse whitespace. All JVM regex codegen — one narrow
+    projection over the corpus (the first cleaning step of every
+    crawl pipeline; entity order matters: &amp; decodes last so
+    '&amp;lt;' yields '&lt;', not '<')."""
+    # two separate patterns: DuckDB's RE2 oracle has no backrefs
+    out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, ch)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def strip_html_sql_duckdb(expr: str) -> str:
+    """DuckDB twin (same regexes, same entity order)."""
+    out = (
+        f"regexp_replace({expr}, "
+        f"'(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    )
+    out = (
+        f"regexp_replace({out}, "
+        f"'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    )
+    out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"

@@ -552,6 +552,25 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_strip_html(spark, sf_dir):
+    """HTML boilerplate stripping (M7 curation): deterministic markup
+    wrapped around each document in-query (tags, a script block,
+    entities) is removed and the entities decode — the first
+    cleaning step of a crawl pipeline, one narrow regex projection."""
+    from .operators.curation import strip_html
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = F.concat(
+        F.lit("<html><body><p class=\"x\">"),
+        F.substring(F.col("text"), 1, 60),
+        F.lit("</p><script>var a=1;</script>&amp;lt; &nbsp;tail"),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        "doc_id", strip_html(wrapped).alias("clean_text")
+    )
+
+
 def q_hist_quantiles_price(spark, sf_dir):
     """Histogram quantile sketch (M7 sketch family): p50/p95/p99 of
     l_extendedprice off a 256-bin equi-width histogram — the shuffle
@@ -1911,6 +1930,7 @@ def build_queries():
         "hll_union_keys": q_hll_union_keys,
         "hll_overlap_partkeys": q_hll_overlap_partkeys,
         "url_canonicalize": q_url_canonicalize,
+        "strip_html": q_strip_html,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "pivot_events": q_pivot_events,
@@ -2277,6 +2297,16 @@ def build_oracle_sql():
                           ELSE '?a=1&b=2' END ||
                      CASE WHEN doc_id % 5 = 0 THEN '#frag'
                           ELSE '' END)''')} AS canonical_url
+            FROM documents
+        """,
+        "strip_html": f"""
+            SELECT doc_id,
+                   {CU.strip_html_sql_duckdb(
+                     "('<html><body><p class=" + '"' + "x" + '"' + ">' "
+                     "|| substr(text, 1, 60) "
+                     "|| '</p><script>var a=1;</script>&amp;lt; "
+                     "&nbsp;tail</body></html>')"
+                   )} AS clean_text
             FROM documents
         """,
         "cms_term_counts": SK.cms_estimate_terms_oracle_sql(
