@@ -240,8 +240,13 @@ def test_sketch_golden_values(spark):
     changes these exact values."""
     import __spark_entry__ as e
 
+    import os
+    import pytest as _pytest
+
     qs = e.queries()
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.001"  # the pinned values ARE sf0.001's
+    if not os.path.isdir(sf):
+        _pytest.skip("sf0.001 testdata not present on this machine")
     r = qs["hll_distinct_parts"](spark, sf).first()
     assert (
         r["nonzero_buckets"], r["zero_buckets"], r["est_distinct"]

@@ -832,7 +832,13 @@ def canonicalize_url(c: Column) -> Column:
     auth = F.lower(
         F.regexp_extract(no_frag, r"^[^:/?#]+://([^/?#]*)", 1)
     )
-    auth = F.regexp_replace(auth, r":(80|443)$", "")
+    # default-port stripping is scheme-AWARE: http on :443 (or https
+    # on :80) is a different resource and must not merge
+    auth = F.when(
+        scheme == "http", F.regexp_replace(auth, r":80$", "")
+    ).when(
+        scheme == "https", F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
     rest = F.regexp_extract(no_frag, r"^[^:/?#]+://[^/?#]*(.*)$", 1)
     path = F.regexp_extract(rest, r"^([^?]*)", 1)
     query = F.regexp_extract(rest, r"\?(.*)$", 1)
@@ -845,16 +851,27 @@ def canonicalize_url(c: Column) -> Column:
         F.size(params) > 0,
         F.concat(F.lit("?"), F.array_join(params, "&")),
     ).otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), auth, path, qs)
+    canonical = F.concat(scheme, F.lit("://"), auth, path, qs)
+    # only absolute URLs canonicalize; schemeless/relative inputs
+    # pass through unchanged (collapsing them all to '://' would make
+    # every such URL a mutual duplicate under exact dedup)
+    return F.when(c.rlike("^[^:/?#]+://"), canonical).otherwise(c)
 
 
 def canonicalize_url_sql_duckdb(expr: str) -> str:
     """DuckDB twin of canonicalize_url (same regexes and ordering)."""
     no_frag = f"regexp_replace({expr}, '#.*$', '')"
     scheme = f"lower(regexp_extract({no_frag}, '^([^:/?#]+)://', 1))"
+    raw_auth = (
+        f"lower(regexp_extract({no_frag}, "
+        f"'^[^:/?#]+://([^/?#]*)', 1))"
+    )
     auth = (
-        f"regexp_replace(lower(regexp_extract({no_frag}, "
-        f"'^[^:/?#]+://([^/?#]*)', 1)), ':(80|443)$', '')"
+        f"CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({raw_auth}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({raw_auth}, ':443$', '') "
+        f"ELSE {raw_auth} END"
     )
     rest = f"regexp_extract({no_frag}, '^[^:/?#]+://[^/?#]*(.*)$', 1)"
     path = f"regexp_extract({rest}, '^([^?]*)', 1)"
@@ -868,7 +885,11 @@ def canonicalize_url_sql_duckdb(expr: str) -> str:
         f"THEN '?' || list_aggregate({params}, 'string_agg', '&') "
         f"ELSE '' END"
     )
-    return f"({scheme} || '://' || {auth} || {path} || {qs})"
+    canonical = f"({scheme} || '://' || {auth} || {path} || {qs})"
+    return (
+        f"CASE WHEN regexp_matches({expr}, '^[^:/?#]+://') "
+        f"THEN {canonical} ELSE {expr} END"
+    )
 
 
 _HTML_ENTITIES = [
@@ -887,6 +908,11 @@ def strip_html(c: Column) -> Column:
     # two separate patterns: DuckDB's RE2 oracle has no backrefs
     out = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
     out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    # truncated pages: an UNCLOSED script/style block (all matched
+    # ones are already gone) must not leak its source into the
+    # training text — drop from the opening tag to end-of-string
+    out = F.regexp_replace(out, r"(?is)<script[^>]*>.*$", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*$", " ")
     out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
     for ent, ch in _HTML_ENTITIES:
         out = F.regexp_replace(out, ent, ch)
@@ -903,6 +929,8 @@ def strip_html_sql_duckdb(expr: str) -> str:
         f"regexp_replace({out}, "
         f"'(?is)<style[^>]*>.*?</style>', ' ', 'g')"
     )
+    out = f"regexp_replace({out}, '(?is)<script[^>]*>.*$', ' ', 'g')"
+    out = f"regexp_replace({out}, '(?is)<style[^>]*>.*$', ' ', 'g')"
     out = f"regexp_replace({out}, '(?s)<[^>]+>', ' ', 'g')"
     for ent, ch in _HTML_ENTITIES:
         ch_sql = ch.replace("'", "''")

@@ -80,6 +80,29 @@ _HLL_RHO_SQL = (
 )
 
 
+def _hll_regs(df: DataFrame, col: str | Column) -> DataFrame:
+    """The 256-register table (bucket, M) for one key column — the
+    single source of truth for register construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = hash60(c)
+    return (
+        df.select(
+            F.pmod(h, F.lit(_M)).alias("bucket"), _hll_rho(h).alias("rho")
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def _hll_summary(agg: DataFrame) -> DataFrame:
+    """(nz, S) aggregate -> the standard 1-row summary projection."""
+    return agg.select(
+        F.col("nz").cast("int").alias("nonzero_buckets"),
+        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
+        F.round(_hll_estimate(), 2).alias("est_distinct"),
+    )
+
+
 def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
     """1-row frame (nonzero_buckets, zero_buckets, est_distinct).
 
@@ -89,23 +112,10 @@ def approx_distinct_hll(df: DataFrame, col: str | Column) -> DataFrame:
     division + round(2). Scale shape: one narrow projection, one
     256-group partial-agg (map-side combined), one 256-row final agg
     — no full-key shuffle, unlike exact count-distinct."""
-    c = F.col(col) if isinstance(col, str) else col
-    h = hash60(c)
-    regs = (
-        df.select(
-            F.pmod(h, F.lit(_M)).alias("bucket"), _hll_rho(h).alias("rho")
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("M"))
-    )
-    agg = regs.agg(
+    agg = _hll_regs(df, col).agg(
         F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
     )
-    return agg.select(
-        F.col("nz").cast("int").alias("nonzero_buckets"),
-        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
-        F.round(_hll_estimate(), 2).alias("est_distinct"),
-    )
+    return _hll_summary(agg)
 
 
 def approx_distinct_hll_grouped(
@@ -424,31 +434,16 @@ def approx_distinct_hll_union(
     256 registers and the union costs a 256-row combine, never a
     re-read or a joint distinct over both corpora."""
 
-    def regs(df: DataFrame, col: str) -> DataFrame:
-        h = hash60(F.col(col))
-        return (
-            df.select(
-                F.pmod(h, F.lit(_M)).alias("bucket"),
-                _hll_rho(h).alias("rho"),
-            )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("M"))
-        )
-
     merged = (
-        regs(df_a, col_a)
-        .unionByName(regs(df_b, col_b))
+        _hll_regs(df_a, col_a)
+        .unionByName(_hll_regs(df_b, col_b))
         .groupBy("bucket")
         .agg(F.max("M").alias("M"))
     )
     agg = merged.agg(
         F.count(F.lit(1)).alias("nz"), F.sum(_hll_term()).alias("S")
     )
-    return agg.select(
-        F.col("nz").cast("int").alias("nonzero_buckets"),
-        (F.lit(_M) - F.col("nz")).cast("int").alias("zero_buckets"),
-        F.round(_hll_estimate(), 2).alias("est_distinct"),
-    )
+    return _hll_summary(agg)
 
 
 def approx_distinct_hll_union_oracle_sql(
@@ -485,15 +480,8 @@ def approx_overlap_hll(
     so the oracle verifies all four outputs."""
 
     def regs(df: DataFrame, col: str, tag: str) -> DataFrame:
-        h = hash60(F.col(col))
-        return (
-            df.select(
-                F.pmod(h, F.lit(_M)).alias("bucket"),
-                _hll_rho(h).alias("rho"),
-            )
-            .groupBy("bucket")
-            .agg(F.max("rho").alias("M"))
-            .select(F.lit(tag).alias("t"), "bucket", "M")
+        return _hll_regs(df, col).select(
+            F.lit(tag).alias("t"), "bucket", "M"
         )
 
     ra = regs(df_a, col_a, "a")
@@ -510,7 +498,16 @@ def approx_overlap_hll(
     )
     est = agg.select("t", _hll_estimate().alias("e"))
     p = est.groupBy().pivot("t", ["a", "b", "u"]).agg(F.first("e"))
-    inter = F.col("a") + F.col("b") - F.col("u")
+    # clamp inclusion-exclusion to [0, min(a, b)]: HLL noise on
+    # (near-)disjoint sets can push a + b - u below zero or above the
+    # smaller set, and Jaccard is defined on [0, 1]
+    inter = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.col("a") + F.col("b") - F.col("u"),
+            F.least(F.col("a"), F.col("b")),
+        ),
+    )
     return p.select(
         F.round(F.col("a"), 2).alias("est_a"),
         F.round(F.col("b"), 2).alias("est_b"),
@@ -547,7 +544,8 @@ def approx_overlap_hll_oracle_sql(
         )
         SELECT round(ea.e, 2) AS est_a, round(eb.e, 2) AS est_b,
                round(eu.e, 2) AS est_union,
-               round((ea.e + eb.e - eu.e) / eu.e, 6) AS est_jaccard
+               round(greatest(0.0, least(ea.e + eb.e - eu.e,
+                     least(ea.e, eb.e))) / eu.e, 6) AS est_jaccard
         FROM (SELECT e FROM e WHERE t = 'a') ea,
              (SELECT e FROM e WHERE t = 'b') eb,
              (SELECT e FROM e WHERE t = 'u') eu

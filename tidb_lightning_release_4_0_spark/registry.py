@@ -511,14 +511,18 @@ def q_hll_union_keys(spark, sf_dir):
 
 def q_hll_overlap_partkeys(spark, sf_dir):
     """Corpus-overlap estimate from three HLL register tables (A, B,
-    register-merged union): intersection by inclusion-exclusion and
-    Jaccard = inter/union — how much two crawl snapshots share,
-    without joining them. All four estimates oracle-verified."""
+    register-merged union): intersection by inclusion-exclusion
+    (clamped to [0, min(a,b)]) and Jaccard = inter/union — how much
+    two crawl snapshots share, without joining them. The two sides
+    are PARTIALLY overlapping key sets (customer keys vs the much
+    smaller supplier-key range), so the inclusion-exclusion
+    subtraction is actually exercised — Jaccard lands well inside
+    (0, 1). All four estimates oracle-verified."""
     from .operators.sketches import approx_overlap_hll
 
     return approx_overlap_hll(
-        _t(spark, sf_dir, "lineitem"), "l_partkey",
-        _t(spark, sf_dir, "part"), "p_partkey",
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "lineitem"), "l_suppkey",
     )
 
 
@@ -2280,7 +2284,7 @@ def build_oracle_sql():
             "lineitem", "l_partkey", "orders", "o_orderkey"
         ),
         "hll_overlap_partkeys": SK.approx_overlap_hll_oracle_sql(
-            "lineitem", "l_partkey", "part", "p_partkey"
+            "orders", "o_custkey", "lineitem", "l_suppkey"
         ),
         "url_canonicalize": f"""
             SELECT doc_id,
