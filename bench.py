@@ -81,6 +81,8 @@ def main() -> None:
         "click_purchase_attribution",
         "hll_distinct_parts",
         "ann_topk_pq",
+        "strip_html",
+        "url_canonicalize",
     ]
 
     timings: dict[str, float] = {}
