@@ -274,9 +274,16 @@ def cms_estimate_terms_oracle_sql(
             f"({hash60_seeded_duckdb(expr, seed)}) % {_CMS_W} AS bucket "
             f"FROM {table}"
         )
+    # probes become SQL string literals: double embedded quotes (the
+    # standard-SQL escape DuckDB uses) rather than Python repr(),
+    # which breaks on quotes/backslashes and would hash a literal
+    # that no longer equals the raw term
+    def _lit(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
     probe_selects = " UNION ALL ".join(
-        f"SELECT '{t}' AS term, {seed} AS row, "
-        f"({hash60_seeded_duckdb(repr(t), seed)}) % {_CMS_W} AS bucket"
+        f"SELECT {_lit(t)} AS term, {seed} AS row, "
+        f"({hash60_seeded_duckdb(_lit(t), seed)}) % {_CMS_W} AS bucket"
         for t in probes
         for seed in range(_CMS_D)
     )
@@ -346,8 +353,13 @@ def histogram_quantiles(
         F.floor((c - F.lit(mn)) / F.lit(width)).cast("int"),
         F.lit(_HQ_BINS - 1),
     )
+    # nulls are excluded from n (count(c) skips them) so they must be
+    # excluded from the bins too — an unfiltered select would put them
+    # in a NULL bin that Spark orders FIRST in the cumulative window
+    # (inflating every cum) while DuckDB orders it LAST
     counts = (
-        df.select(bin_col.alias("bin"))
+        df.filter(c.isNotNull())
+        .select(bin_col.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -399,6 +411,7 @@ def histogram_quantiles_oracle_sql(
                    ((mx - mn) / {_HQ_BINS})) AS INTEGER),
                  {_HQ_BINS - 1}) AS bin
           FROM {table}, params
+          WHERE {expr} IS NOT NULL
         ), c AS (
           SELECT bin, count(*) AS cnt FROM b GROUP BY bin
         ), cum AS (

@@ -239,6 +239,7 @@ class ParquetSink(Sink):
         # needs an explicit invalidate (engine subdirs never clear the
         # table root).
         path = self._path(table)
+        self._recover_merge(path)
         keys = self.key_columns.get(table)
         if keys and self.on_duplicate in ("replace", "ignore"):
             # keyed upsert semantics (K3 dup modes, tidb.go:54-62):
@@ -367,6 +368,24 @@ class ParquetSink(Sink):
             for f in fs
         )
         return SinkResult(table=table, rows=-1, bytes_written=size)
+
+    @staticmethod
+    def _recover_merge(path: str) -> None:
+        """Finish a merge publish interrupted mid-swap. The publish
+        sequence is path->path.old, path.merged->path, rm path.old;
+        a crash in either window leaves a state this repairs:
+
+        - `path` missing + `.merged` present: the fully-merged output
+          survived but was never promoted — promote it now, so the
+          previously delivered rows it carries are not lost.
+        - `path` present + `.old` present: promotion succeeded, only
+          the cleanup was lost — drop the stale `.old` copy.
+        """
+        out, old = path + ".merged", path + ".old"
+        if not os.path.isdir(path) and os.path.isdir(out):
+            os.replace(out, path)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
 
     @staticmethod
     def _has_data(path: str) -> bool:
@@ -517,8 +536,21 @@ class ParquetSink(Sink):
                     os.replace(src, dst)
             shutil.rmtree(out, ignore_errors=True)
         else:
-            shutil.rmtree(path, ignore_errors=True)
+            # Swap that never leaves `path` absent (a crash between a
+            # rmtree(path) and the rename would make the NEXT run see
+            # _has_data()==False, write the new batch alone, and —
+            # because the checksum sidecar died with the dir — pass C3
+            # verification while silently dropping every previously
+            # delivered row). Order: path -> .old, .merged -> path,
+            # rmtree(.old). Each window is recoverable: `.merged`
+            # leftover with `path` missing is re-published by
+            # _recover_merge() at the next write; a leftover `.old` is
+            # garbage-collected there too.
+            old = path + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(path, old)
             os.replace(out, path)
+            shutil.rmtree(old, ignore_errors=True)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
