@@ -83,6 +83,13 @@ def main() -> None:
         "ann_topk_pq",
         "strip_html",
         "url_canonicalize",
+        # round 4: the pruned IVF-PQ path and the four heavy TPC-H
+        # shapes (Q8/Q9/Q17/Q20 analogs) — previously correctness-only
+        "ann_topk_ivfpq",
+        "market_share",
+        "profit_by_nation",
+        "small_qty_revenue",
+        "excess_shippers",
     ]
 
     timings: dict[str, float] = {}

@@ -152,7 +152,7 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (sign pattern as an int)."""
     acc = F.lit(0)
     for p in range(num_planes):
-        plane = F.array(*[F.lit(x) for x in _hyperplane(p, dim)])
+        plane = F.lit(_hyperplane(p, dim))
         s = dot(vec, plane)
         acc = acc + F.when(s > 0, F.lit(1 << p)).otherwise(0)
     return acc.cast("int")
@@ -266,6 +266,80 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot — the same IEEE operation order as
+    dot()/list_sum, so driver-side values bit-match both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _collect_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """The deterministic IVF centroid choice: n_cells lowest-id rows
+    (O(n_cells) driver-side metadata)."""
+    return [
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    ]
+
+
+def _dlit_sql(x: float) -> str:
+    """Exact double literal for Spark SQL (repr round-trips; the
+    string->double cast is correctly rounded in both engines)."""
+    return f"cast('{repr(float(x))}' as double)"
+
+
+def _arr_sql(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit_sql(x) for x in vals) + ")"
+
+
+def _dot_sql_spark(a: str, b: str) -> str:
+    """Spark-SQL spelling of dot(): identical Catalyst expressions
+    (aggregate over zip_with, sequential left fold in double), but
+    built with ONE F.expr parse instead of hundreds of py4j calls —
+    Column-API construction of the PQ/IVF literal trees spent ~2s per
+    query call in py4j round trips before any data moved."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _cell_assigner(cents: list[tuple[int, list[float]]]):
+    """Nearest-centroid (max cosine) cell id as ONE array projection:
+    the n_cells cosines land in an array and array_position(array_max)
+    picks the FIRST maximum — identical tie-break to the oracle's
+    ORDER BY cos DESC, ci ASC.
+
+    Deliberately NOT an iterative when(d > best, ...) chain: each
+    when() step embeds the previous best-so-far expression twice, so
+    the expression tree (and codegen) grows ~2^n_cells-fold — at 8
+    cells that made cell assignment ~250x the arithmetic it needs.
+    Centroid norms are pre-folded driver-side with the engines' exact
+    fold order, so only dot(vec, cent) and norm(vec) remain per row."""
+    import math
+
+    def cell_of(vec_col: str) -> Column:
+        nv = f"sqrt({_dot_sql_spark(vec_col, vec_col)})"
+        sims = "array(" + ", ".join(
+            f"{_dot_sql_spark(vec_col, _arr_sql(cv))}"
+            f" / ({nv} * {_dlit_sql(math.sqrt(_py_dot(cv, cv)))})"
+            for _, cv in cents
+        ) + ")"
+        return F.expr(
+            f"cast(array_position({sims}, array_max({sims})) - 1 as int)"
+        )
+
+    return cell_of
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -285,35 +359,20 @@ def ivf_topk(
     a sampled k-means job instead; the plan shape is identical —
     broadcast centroids, narrow cell-assignment projection, candidate
     join shuffles only same-cell rows."""
-    cents = [
-        (r[0], list(r[1]))
-        for r in corpus.select(id_col, vec_col)
-        .orderBy(F.col(id_col).asc())
-        .limit(n_cells)
-        .collect()
-    ]
-
-    def cell_of(vec: Column) -> Column:
-        best_i, best_d = F.lit(-1), F.lit(float("-inf"))
-        for i, (_, cv) in enumerate(cents):
-            cvec = F.array(*[F.lit(float(x)) for x in cv])
-            d = dot(vec, cvec) / (norm(vec) * norm(cvec))
-            cond = d > best_d
-            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
-            best_d = F.when(cond, d).otherwise(best_d)
-        return best_i
+    cents = _collect_centroids(corpus, n_cells, id_col, vec_col)
+    cell_of = _cell_assigner(cents)
 
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-        cell_of(F.col(vec_col)).alias("_cell"),
+        cell_of(vec_col).alias("_cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_norm"),
-        cell_of(F.col(vec_col)).alias("_cell"),
+        cell_of(vec_col).alias("_cell"),
     )
     scored = c.join(
         F.broadcast(q),
@@ -466,32 +525,32 @@ def _pq_centroid(m: int, j: int, subdim: int = _PQ_SUB) -> list[float]:
     return out
 
 
-def _sq_l2_lit(sub: Column, lit_vals: list[float]) -> Column:
-    """Sequential-fold squared L2 between an array slice and a
-    literal centroid (deterministic, order-preserving)."""
-    arr = F.array(*[F.lit(float(x)) for x in lit_vals])
-    return F.aggregate(
-        F.zip_with(
-            sub,
-            arr,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _sq_l2_sql(vec_col: str, m: int, j: int) -> str:
+    """Sequential-fold squared L2 between subspace m of the vector and
+    literal codebook centroid (m, j) — Spark-SQL string for one-parse
+    plan construction (see _dot_sql_spark), same Catalyst operators
+    and fold order as the previous Column-API spelling."""
+    sub = f"slice({vec_col}, {m * _PQ_SUB + 1}, {_PQ_SUB})"
+    arr = _arr_sql(_pq_centroid(m, j))
+    return (
+        f"aggregate(zip_with({sub}, {arr}, "
+        f"(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
     )
 
 
-def pq_encode(vec: Column) -> list[Column]:
+def pq_encode(vec_col: str) -> list[Column]:
     """PQ codes: per subspace, the 1-based index of the nearest
     codebook centroid (first-minimum tie-break, same both engines)."""
     codes = []
     for m in range(_PQ_M):
-        sub = F.slice(vec, m * _PQ_SUB + 1, _PQ_SUB)
-        dists = F.array(
-            *[_sq_l2_lit(sub, _pq_centroid(m, j)) for j in range(_PQ_K)]
-        )
+        dists = "array(" + ", ".join(
+            _sq_l2_sql(vec_col, m, j) for j in range(_PQ_K)
+        ) + ")"
         codes.append(
-            F.array_position(dists, F.array_min(dists)).cast("int")
+            F.expr(
+                f"cast(array_position({dists}, array_min({dists})) as int)"
+            )
         )
     return codes
 
@@ -517,7 +576,7 @@ def ann_topk_pq(
         F.col(id_col).alias("c_id"),
         *[
             code.alias(f"_code{m}")
-            for m, code in enumerate(pq_encode(F.col(vec_col)))
+            for m, code in enumerate(pq_encode(vec_col))
         ],
     )
     # ADC proper: the per-query lookup tables (M x K distances) are
@@ -629,6 +688,189 @@ def ann_topk_pq_oracle_sql(
     """
 
 
+def ann_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantize the corpus into ``n_cells`` inverted
+    lists, store each vector as M PQ codes, score candidates by ADC
+    against only the query's ``n_probe`` nearest cells (Jegou et al.
+    2011's IVFADC).
+
+    This composes the two scale paths that were previously separate:
+    ``ann_topk_pq`` compresses memory 64x but scans EVERY code per
+    query; ``ivf_topk`` prunes to ~1/n_cells of the corpus but keeps
+    raw vectors. Here the candidate set shrinks ~n_cells/n_probe-fold
+    AND each candidate costs M lookup-table reads — at 100 TB the
+    corpus is ~1.5 TB of (cell, codes) rows, the probe join touches
+    only matching cells, and nothing re-reads raw vectors.
+
+    Determinism recipe (oracle-exact like both parents): centroids
+    are the ``n_cells`` lowest-id corpus vectors; the query-side cell
+    ranking and ADC lookup tables are computed driver-side with the
+    same sequential-fold IEEE arithmetic the engine expressions use,
+    so DuckDB reproduces every value bit-for-bit."""
+    cents = _collect_centroids(corpus, n_cells, id_col, vec_col)
+    cell_of = _cell_assigner(cents)
+
+    # corpus side: ONE narrow projection -> (id, cell, M codes); the
+    # raw vector is dropped here and never touched again
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        cell_of(vec_col).alias("_cell"),
+        *[
+            code.alias(f"_code{m}")
+            for m, code in enumerate(pq_encode(vec_col))
+        ],
+    )
+
+    # query side (a handful of rows by definition): ADC tables and the
+    # n_probe nearest cells, computed driver-side with the engines'
+    # exact fold order (sequential acc+x in double, first-maximum
+    # tie-break ascending)
+    def py_sq_l2(sub: list[float], cent: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(sub, cent):
+            d = x - y
+            acc += d * d
+        return acc
+
+    import math
+
+    rows = []
+    for r in queries.select(id_col, vec_col).collect():
+        vec = [float(x) for x in r[vec_col]]
+        tabs = [
+            [
+                py_sq_l2(
+                    vec[m * _PQ_SUB : (m + 1) * _PQ_SUB],
+                    _pq_centroid(m, j),
+                )
+                for j in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+        vnorm = math.sqrt(_py_dot(vec, vec))
+        scored_cells = [
+            (
+                i,
+                _py_dot(vec, cv)
+                / (vnorm * math.sqrt(_py_dot(cv, cv))),
+            )
+            for i, (_, cv) in enumerate(cents)
+        ]
+        probed = sorted(scored_cells, key=lambda t: (-t[1], t[0]))
+        for i, _ in probed[:n_probe]:
+            rows.append((int(r[id_col]), i, *tabs))
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        rows,
+        "q_id bigint, _cell int, "
+        + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
+    )
+    approx = F.lit(0.0)
+    for m in range(_PQ_M):
+        approx = approx + F.element_at(
+            F.col(f"_qt{m}"), F.col(f"_code{m}")
+        )
+    # each corpus row lives in exactly one cell and the probed cells
+    # per query are distinct, so no (q, c) pair is scored twice
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("q_id") != F.col("c_id"))
+        & (q["_cell"] == c["_cell"]),
+    ).select("q_id", "c_id", approx.alias("_ad"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("_ad").asc(), F.col("c_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "c_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("_ad"), 4).alias("approx_dist"),
+        )
+    )
+
+
+def ann_topk_ivfpq_oracle_sql(
+    table: str = "embeddings",
+    query_pred: str = "vec_id < 3",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+) -> str:
+    """ANSI twin of ann_topk_ivfpq: same lowest-id centroids, same
+    cosine cell ranking (rn=1 assigns the corpus, rn<=n_probe probes
+    for queries), same literal codebooks and ADC sums."""
+    cell_cos = cosine_sql_duckdb("e.embedding", "c.embedding", dim)
+
+    def sq_l2(vec_expr: str, m: int, j: int) -> str:
+        lits = ", ".join(repr(float(x)) for x in _pq_centroid(m, j))
+        base = m * _PQ_SUB
+        t = f"(cast({vec_expr}[{base} + i] as double) - ([{lits}])[i])"
+        return (
+            f"list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> {t} * {t}))"
+        )
+
+    code_cols = []
+    for m in range(_PQ_M):
+        dlist = ", ".join(
+            sq_l2("a.embedding", m, j) for j in range(_PQ_K)
+        )
+        code_cols.append(
+            f"list_position(list_value({dlist}), "
+            f"list_min(list_value({dlist}))) AS code{m}"
+        )
+    adc_terms = []
+    for m in range(_PQ_M):
+        qd = ", ".join(sq_l2("q.embedding", m, j) for j in range(_PQ_K))
+        adc_terms.append(f"(list_value({qd}))[c.code{m}]")
+    adc = " + ".join(adc_terms)
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS ci, embedding
+  FROM {table} ORDER BY vec_id ASC LIMIT {n_cells}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.ci AS cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {cell_cos} DESC, c.ci ASC) AS _rn
+  FROM {table} e CROSS JOIN cents c
+),
+codes AS (
+  SELECT a.vec_id AS c_id, a.cell, {", ".join(code_cols)}
+  FROM assigned a WHERE a._rn = 1
+),
+q AS (
+  SELECT vec_id AS q_id, embedding, cell
+  FROM assigned WHERE _rn <= {n_probe} AND {query_pred}
+),
+scored AS (
+  SELECT q.q_id, c.c_id, ({adc}) AS _ad
+  FROM q JOIN codes c ON q.q_id != c.c_id AND q.cell = c.cell
+)
+SELECT q_id, c_id, cast(rank AS INTEGER) AS rank,
+       round(_ad, 4) AS approx_dist
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY _ad ASC, c_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY q_id, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # Johnson-Lindenstrauss random projection (dimensionality reduction)
 # ---------------------------------------------------------------------------
@@ -663,7 +905,7 @@ def random_project(
     scale = math.sqrt(3.0 / out_dim)
     cols = [F.col(id_col)]
     for j in range(out_dim):
-        row = F.array(*[F.lit(x) for x in _jl_row(j, dim)])
+        row = F.lit(_jl_row(j, dim))
         cols.append(
             F.round(
                 dot(F.col(vec_col), row) * F.lit(scale), 4

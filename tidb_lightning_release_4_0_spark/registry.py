@@ -723,6 +723,18 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_ann_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ (IVFADC): the composed scale path — coarse cells prune
+    the candidate set ~n_cells/n_probe-fold AND candidates are scored
+    from 4 PQ codes via ADC lookup tables, never raw vectors. Fixes
+    ann_topk_pq's unpruned full-corpus ADC scan; fully oracle-checked
+    (deterministic lowest-id centroids + literal codebooks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivfpq(
+        emb.filter(F.col("vec_id") < 3), emb, k=5, n_cells=8, n_probe=2
+    )
+
+
 def q_checksum_crc64_lineitem(spark, sf_dir):
     """C1 with the reference's exact crc64-ecma polynomial
     (verification/checksum.go:37; Arrow kernel — rows-only since
@@ -1917,6 +1929,7 @@ def build_queries():
         "random_project": q_random_project,
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2194,6 +2207,9 @@ def build_oracle_sql():
         """,
         "ann_topk_ivf": S.ivf_topk_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 64
+        ),
+        "ann_topk_ivfpq": S.ann_topk_ivfpq_oracle_sql(
+            "embeddings", "vec_id < 3", 5, 8, 2, 64
         ),
         # multimodal_features / checksum_crc64: rows-only
         # (stub codec / no crc64 in DuckDB)
