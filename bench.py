@@ -115,6 +115,7 @@ def main() -> None:
     ingest_mibs = None
     ingest_4x_mibs = None
     writephase_mibs = None
+    split1_mibs = None
     try:
         from tidb_lightning_release_4_0_spark.config import (
             Config,
@@ -254,6 +255,50 @@ def main() -> None:
         timings["ingest_csv_4x"] = _med(ts)
         timings_min["ingest_csv_4x"] = round(min(ts), 3)
         ingest_4x_mibs = round(big_bytes / _med(ts) / (1 << 20), 2)
+
+        # strict-format single-file ingest: the WHOLE lineitem corpus
+        # as ONE CSV file, chunk-split into 4 MiB byte-range blocks
+        # (multiLine=false + offset/divisor row-id bases) — the case
+        # that previously serialized on one task per file
+        from tidb_lightning_release_4_0_spark.config import CSVConfig
+
+        one_dump = os.path.join(TMP, "dump1file")
+        one_sink = os.path.join(TMP, "sink1file")
+        if not os.path.exists(os.path.join(one_dump, ".complete")):
+            shutil.rmtree(one_dump, ignore_errors=True)
+            os.makedirs(one_dump)
+            import glob
+
+            parts = sorted(glob.glob(os.path.join(dump_dir, "*.csv")))
+            with open(
+                os.path.join(one_dump, "tpch.lineitem.csv"), "wb"
+            ) as out:
+                for f in parts:
+                    with open(f, "rb") as src:
+                        shutil.copyfileobj(src, out)
+            for f in glob.glob(os.path.join(dump_dir, "*-schema*.sql")):
+                shutil.copy(f, one_dump)
+            open(os.path.join(one_dump, ".complete"), "w").write("ok")
+        one_bytes = os.path.getsize(
+            os.path.join(one_dump, "tpch.lineitem.csv")
+        )
+        cfg1f = Config(
+            mydumper=MydumperConfig(
+                source_dir=one_dump, csv=CSVConfig(strict_format=True)
+            ),
+            backend="parquet", target_dir=one_sink,
+            on_duplicate="physical", checkpoint_enable=False, checksum=True,
+        )
+        old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        try:
+            restore(cfg1f)  # untimed warm-up (new plan shape)
+            ts = _reps(lambda: restore(cfg1f))
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        timings["ingest_csv_split1file"] = _med(ts)
+        timings_min["ingest_csv_split1file"] = round(min(ts), 3)
+        split1_mibs = round(one_bytes / _med(ts) / (1 << 20), 2)
     except Exception as e:  # bench must still emit its JSON line
         print(f"ingest bench failed: {e}", file=sys.stderr)
         timings.setdefault("ingest_csv_lineitem", -1.0)
@@ -273,6 +318,7 @@ def main() -> None:
                 "ingest_mib_per_sec": ingest_mibs,
                 "ingest_4x_mib_per_sec": ingest_4x_mibs,
                 "ingest_writephase_mib_per_sec": writephase_mibs,
+                "ingest_split1file_mib_per_sec": split1_mibs,
             }
         )
     )

@@ -38,6 +38,15 @@ class CSVConfig:
     # fidelity switch: Spark-native reader (fast, covers the common
     # dialect) vs the exact MySQL state-machine parser (csv_strict.py)
     strict_parser: bool = False
+    # mydumper.strict-format (config.go:477, mydump/region.go
+    # SplitLargeFile): the user guarantees no field contains an
+    # unquoted newline, so files may be CHUNK-SPLIT at byte ranges.
+    # Here that maps to multiLine=false — Spark's CSV reader becomes
+    # splittable and one huge file fans out across the cluster at
+    # maxPartitionBytes-sized blocks instead of one task; row-ids use
+    # the reference's per-chunk byte-offset bases
+    # (rowid.assign_rowid_by_file_split).
+    strict_format: bool = False
     # typed fast path (csv_source.read_csv_native): clean rows parse
     # natively in the vectorized JVM reader, malformed rows fall back
     # to the MySQL cast layer via the corrupt-record column. Auto-
@@ -69,7 +78,10 @@ class CSVConfig:
             "escape": "\\" if self.backslash_escape else '\u0000',
             "nullValue": "" if self.not_null else self.null,
             "emptyValue": "",  # '' stays empty string, not null
-            "multiLine": "true",  # quoted newlines (csv_parser.rl:30-36)
+            # quoted newlines (csv_parser.rl:30-36) force whole-file
+            # reads; strict-format waives them and restores intra-file
+            # splitting (the reference's SplitLargeFile trade-off)
+            "multiLine": "false" if self.strict_format else "true",
             "mode": "PERMISSIVE",
             "inferSchema": "false",
         }

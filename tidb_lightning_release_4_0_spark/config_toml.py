@@ -160,6 +160,10 @@ def load_toml(path: str) -> Config:
         "backslash-escape": ("backslash_escape", bool),
         "trim-last-separator": ("trim_last_sep", bool),
     }))
+    # strict-format lives at the mydumper level in the reference
+    # (config.go:477) but drives the CSV reader's split mode here
+    if md.get("strict-format"):
+        csv.strict_format = True
     routes = [
         RouteRule(
             r["schema-pattern"],

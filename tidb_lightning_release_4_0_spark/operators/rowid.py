@@ -103,14 +103,23 @@ def assign_rowid_mono(df: DataFrame, start: int = 1) -> DataFrame:
 
 
 def estimate_id_ceiling(
-    files: list[tuple[str, int]], num_columns: int
+    files: list[tuple[str, int]],
+    num_columns: int,
+    split_bytes: int | None = None,
 ) -> int:
     """Upper bound of every byte-estimate row-id this table's CSV/SQL
     frames can produce (the chained file_row_bases total) — capacity-
     scheme lanes start PAST this so mixed-source unions cannot
-    collide (a fixed offset would not clear large tables)."""
+    collide (a fixed offset would not clear large tables).
+    ``split_bytes``: account for chunk-split reads' one-extra-id-per-
+    block cushion (file_row_bases_split)."""
     divisor = max(num_columns, 1)
-    return sum(max(sz // divisor, 1) + 2 for _, sz in files) + 1
+    total = 0
+    for _, sz in files:
+        total += max(sz // divisor, 1) + 2
+        if split_bytes:
+            total += max(-(-sz // max(split_bytes, 1)), 1)
+    return total + 1
 
 
 def file_row_bases(
@@ -237,6 +246,125 @@ def assign_rowid_by_file(
             + F.lit(1),
         )
         .drop("_fname", "_mono", "_mn", "_fbase")
+    )
+
+
+def split_bytes_lower_bound(spark) -> int:
+    """A plan-time LOWER bound on Spark's actual file-split size:
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    bytesPerCore)) >= min(maxPartitionBytes, openCostInBytes)
+    (FilePartition.maxSplitBytes). Used for the per-block row-id
+    cushion — a lower bound on split size is an UPPER bound on block
+    count, which keeps the cushion safe under any conf."""
+    def _bytes(v: str) -> int:
+        v = str(v).strip().lower()
+        mult = 1
+        for suf, m in (
+            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+            ("t", 1 << 40), ("b", 1),
+        ):
+            if v.endswith(suf):
+                v = v[: -len(suf)]
+                mult = m if suf != "b" else mult
+                break
+        return int(float(v) * mult)
+
+    mpb = _bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    oc = _bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+    return max(min(mpb, max(oc, 1)), 1)
+
+
+def file_row_bases_split(
+    files: list[tuple[str, int]], num_columns: int, split_bytes: int
+) -> dict[str, int]:
+    """Per-file bases for chunk-split reads: capacity = size/divisor
+    PLUS one row per block — a line straddling a block boundary makes
+    that block hold up to one row more than its byte capacity implies
+    (the trailing line is read past the block end), so each file
+    reserves ceil(size / split_bytes) extra ids."""
+    divisor = max(num_columns, 1)
+    bases: dict[str, int] = {}
+    base = 0
+    for path, size in files:
+        bases[path] = base
+        blocks = max(-(-size // max(split_bytes, 1)), 1)
+        base += max(size // divisor, 1) + blocks + 1
+    return bases
+
+
+def assign_rowid_by_file_split(
+    df: DataFrame,
+    bases: dict[str, int],
+    divisor: int,
+    split_bytes: int,
+) -> DataFrame:
+    """Row-ids for CHUNK-SPLIT file reads (strict-format CSV): each
+    byte-range block gets the reserved base
+
+        rowid = file_base + floor(off / divisor) + floor(off / S) + i + 1
+
+    with ``off`` the block's byte offset, ``S`` the split size and
+    ``i`` the row index inside the block — the reference's
+    SplitLargeFile scheme (mydump/region.go:87-143:
+    chunk.PrevRowIDMax = offset/divisor, divisor = #columns). The
+    byte-offset estimate is a safe capacity bound because every
+    delimited row occupies >= divisor bytes; the floor(off/S) term
+    adds one reserved id per preceding block, covering the boundary-
+    straddling line each block may absorb from beyond its byte range
+    (the reference avoids this by re-aligning chunk offsets to line
+    boundaries at plan time; Spark re-syncs at READ time, so the
+    cushion restores the bound). Ids are unique, monotonic in file
+    order, gaps allowed — same semantics as the whole-file path, so
+    AllocBase/max-rowid behaves the same. ``bases`` must come from
+    file_row_bases_split with the same split_bytes.
+
+    Preconditions: one block per task (the session's huge
+    openCostInBytes makes every split its own FilePartition) and an
+    uncompressed, splittable read (multiLine=false). ``block_start``
+    comes from input_file_block_start(), so the data plane needs NO
+    extra job or scan — the 100 TB path for one giant CSV."""
+    local = F.monotonically_increasing_id().bitwiseAND(
+        F.lit(_PARTITION_CAPACITY - 1)
+    )
+
+    def _keyed(k: str) -> list[str]:
+        if "://" in k:
+            return [k]
+        return [f"file://{k}", k]
+
+    expanded = {
+        alias: int(v) for k, v in bases.items() for alias in _keyed(k)
+    }
+    block_off = F.expr("input_file_block_start()")
+    chunk_base = (
+        F.floor(block_off / F.lit(max(int(divisor), 1)))
+        + F.floor(block_off / F.lit(max(int(split_bytes), 1)))
+    ).cast("long")
+    if not expanded:
+        return df.withColumn(ROWID, chunk_base + local + F.lit(1))
+    spark = df.sparkSession
+    bmap_schema = T.StructType(
+        [
+            T.StructField("_fname", T.StringType()),
+            T.StructField("_fbase", T.LongType()),
+        ]
+    )
+    bmap = metadata_df(
+        spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
+    )
+    return (
+        df.withColumn("_fname", F.input_file_name())
+        .withColumn("_local", local)
+        .withColumn("_coff", chunk_base)
+        .join(F.broadcast(bmap), "_fname", "left")
+        .withColumn(
+            ROWID,
+            F.coalesce(F.col("_fbase"), F.lit(0))
+            + F.col("_coff")
+            + F.col("_local")
+            + F.lit(1),
+        )
+        .drop("_fname", "_local", "_coff", "_fbase")
     )
 
 

@@ -377,8 +377,17 @@ class RestoreController:
         from ..operators.rowid import estimate_id_ceiling
 
         _ncols_all = len(schema.columns)
+        from ..operators.rowid import split_bytes_lower_bound
+
+        _split_bytes = (
+            split_bytes_lower_bound(self.spark)
+            if self.cfg.mydumper.csv.strict_format
+            else None
+        )
         _ceiling = estimate_id_ceiling(
-            [(f.path, f.size) for f in all_csv + all_sql], _ncols_all
+            [(f.path, f.size) for f in all_csv + all_sql],
+            _ncols_all,
+            split_bytes=_split_bytes,
         )
         GZ_LANE = _ceiling + 1
         PQ_LANE = _ceiling + (1 << 61) + 1
@@ -515,17 +524,27 @@ class RestoreController:
             ncols = len(schema.columns)
             from ..operators.rowid import (
                 assign_rowid_by_file,
+                assign_rowid_by_file_split,
                 assign_rowid_mono,
                 file_row_bases,
+                file_row_bases_split,
             )
 
-            bases = (
-                None
-                if has_gz
-                else file_row_bases(
+            split_mode = (
+                self.cfg.mydumper.csv.strict_format and not has_gz
+            )
+            if has_gz:
+                bases = None
+            elif split_mode:
+                bases = file_row_bases_split(
+                    [(f.path, f.size) for f in all_csv],
+                    ncols,
+                    _split_bytes,
+                )
+            else:
+                bases = file_row_bases(
                     [(f.path, f.size) for f in all_csv], ncols, is_sql=False
                 )
-            )
 
             def _rowids(df: DataFrame) -> DataFrame:
                 if has_gz:
@@ -537,6 +556,14 @@ class RestoreController:
                     # the dump part sequence — gunzip the parts when
                     # logical dup order matters
                     return assign_rowid_mono(df, start=GZ_LANE)
+                if split_mode:
+                    # strict-format: files are chunk-split at byte
+                    # ranges (multiLine=false), one huge CSV fans out
+                    # across tasks; per-block row-id bases mirror the
+                    # reference's SplitLargeFile offset/divisor scheme
+                    return assign_rowid_by_file_split(
+                        df, bases, max(ncols, 1), _split_bytes
+                    )
                 return assign_rowid_by_file(
                     df, bases, one_file_per_partition=True
                 )

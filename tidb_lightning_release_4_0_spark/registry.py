@@ -723,6 +723,63 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_split_csv_rowids(spark, sf_dir):
+    """Strict-format chunk-split CSV ingest (S6/S7: the reference
+    splits any file into byte-range chunks when the user guarantees
+    no unquoted newlines — mydump/region.go SplitLargeFile). One
+    single-file CSV of orders is read with multiLine=false (Spark's
+    splittable path) and per-block row-id bases
+    (offset/divisor + per-block cushion); the returned rank over
+    _row_id must reproduce the file's write order exactly — proving
+    split reads lose, duplicate, and reorder nothing. The oracle is
+    the same rows ranked in their original order."""
+    import os
+
+    from .config import CSVConfig
+    from .operators.rowid import (
+        assign_rowid_by_file_split,
+        file_row_bases_split,
+        split_bytes_lower_bound,
+    )
+    from .sources.csv_source import read_csv
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/root/repo/.tmp/split_csv/{tag}/orders.csv"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pdf = (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        tmp = path + ".tmp"
+        pdf.to_csv(tmp, header=False, index=False)
+        os.replace(tmp, path)
+    cfg = CSVConfig(strict_format=True)
+    # plan with 64 KiB splits so even the sf0.01 file fans out over
+    # multiple blocks; the conf is restored immediately (the row-id
+    # scheme is split-size-agnostic: a LOWER-bound split assumption
+    # only overcounts the per-block cushion, so executing under the
+    # session's default split size stays correct)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        sb = split_bytes_lower_bound(spark)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    bases = file_row_bases_split([(path, os.path.getsize(path))], 3, sb)
+    df = read_csv(spark, path, cfg, num_columns=3)
+    df = assign_rowid_by_file_split(df, bases, 3, sb)
+    w = Window.orderBy("_row_id")
+    return df.select(
+        F.row_number().over(w).alias("rn"),
+        F.col("_c0").cast("bigint").alias("o_orderkey"),
+        F.col("_c1").cast("bigint").alias("o_custkey"),
+        F.col("_c2").alias("o_orderpriority"),
+    )
+
+
 def q_ann_topk_ivfpq(spark, sf_dir):
     """IVF-PQ (IVFADC): the composed scale path — coarse cells prune
     the candidate set ~n_cells/n_probe-fold AND candidates are scored
@@ -1930,6 +1987,7 @@ def build_queries():
         "ann_recall_lsh": q_ann_recall_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "split_csv_rowids": q_split_csv_rowids,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2211,6 +2269,12 @@ def build_oracle_sql():
         "ann_topk_ivfpq": S.ann_topk_ivfpq_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 2, 64
         ),
+        "split_csv_rowids": """
+            SELECT cast(row_number() OVER (ORDER BY o_orderkey) AS INT)
+                       AS rn,
+                   o_orderkey, o_custkey, o_orderpriority
+            FROM orders
+        """,
         # multimodal_features / checksum_crc64: rows-only
         # (stub codec / no crc64 in DuckDB)
         "minhash_signatures": (
