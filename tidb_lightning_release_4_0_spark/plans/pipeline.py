@@ -707,12 +707,31 @@ class RestoreController:
         (restore.go:1557-1638): no separate source scan, ever."""
         from pyspark.sql import Observation
 
+        df, metrics = self._write_metric_exprs(
+            df, cols, schema, want_checksum
+        )
+        obs = Observation(f"write:{name}{tag}")
+        df = df.observe(obs, *metrics).drop(
+            *[c for c in ("_h", "_len") if c in df.columns]
+        )
+        return df, obs
+
+    def _write_metric_exprs(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        schema: TableSchema,
+        want_checksum: bool,
+    ):
+        """The (df', aggregate exprs) pair behind both metric paths:
+        observed inside the write job (DataFrame-action sinks) or
+        aggregated eagerly (foreachPartition sinks, whose RDD action
+        never fires an Observation listener)."""
         metrics = []
         if want_checksum:
             # row hash projected ONCE into _h (+_len for the
-            # canonical modes); the observe aggregates only touch
-            # those columns, so hashing runs once per row inside
-            # the write job
+            # canonical modes); the aggregates only touch those
+            # columns, so hashing runs once per row
             df = self._with_row_hash(df, cols)
             metrics += [
                 F.bit_xor(F.col("_h")).alias("crc_xor"),
@@ -726,11 +745,27 @@ class RestoreController:
         id_col = self._alloc_id_column(df, schema)
         if id_col:
             metrics.append(F.max(F.col(id_col).cast("long")).alias("max_id"))
-        obs = Observation(f"write:{name}{tag}")
-        df = df.observe(obs, *metrics).drop(
-            *[c for c in ("_h", "_len") if c in df.columns]
+        return df, metrics
+
+    def _eager_write_metrics(
+        self,
+        df: DataFrame,
+        cols: list[str],
+        schema: TableSchema,
+        want_checksum: bool,
+    ) -> dict:
+        """Metrics for sinks whose write is NOT a DataFrame action
+        (JDBC foreachPartition delivery): a DataFrame Observation
+        would never fire there — obs.get blocks forever — so the
+        same aggregates run as their own job before delivery. One
+        extra source scan, paid only on the SQL-statement path (the
+        reference's tidb backend is likewise its slow path; the bulk
+        path keeps the in-write observe)."""
+        mdf, metrics = self._write_metric_exprs(
+            df, cols, schema, want_checksum
         )
-        return df, obs
+        row = mdf.agg(*metrics).first()
+        return row.asDict()
 
     @staticmethod
     def _merge_ck(a: Checksum | None, b: Checksum) -> Checksum:
@@ -825,9 +860,17 @@ class RestoreController:
         """Whole-table single write job (table-grain resume)."""
         df = self.read_table(meta, schema)
         self.cp.set_table_status(name, Status.LOADED)
-        df, obs = self._observe_write(df, name, cols, schema, self.cfg.checksum)
-        res = self.sink.write(df, name)
-        m = obs.get
+        if getattr(self.sink, "observes_write_action", True):
+            df, obs = self._observe_write(
+                df, name, cols, schema, self.cfg.checksum
+            )
+            res = self.sink.write(df, name)
+            m = obs.get
+        else:
+            m = self._eager_write_metrics(
+                df, cols, schema, self.cfg.checksum
+            )
+            res = self.sink.write(df, name)
         local = (
             Checksum(m["crc_xor"] or 0, m["total_bytes"], m["total_kvs"])
             if self.cfg.checksum

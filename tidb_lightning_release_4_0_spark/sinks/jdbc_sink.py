@@ -8,13 +8,15 @@ The reference's tidb backend renders multi-row
 
 Spark-native: ``df.write.jdbc`` handles plain INSERT with
 ``batchsize`` batching and task-level retries
-(spark.task.maxFailures). For replace/ignore we rewrite duplicates
-the same way Spark users do against MySQL-compatible targets: either
-stage + MERGE, or rely on the statement prefix via the
-``ON DUPLICATE`` session option when the driver supports it. Without
-a live TiDB in this environment, this sink is exercised by unit
-tests only for its SQL-text rendering, which reproduces the
-reference's escaping rules (tidb.go:96-132).
+(spark.task.maxFailures). replace/ignore render the reference's
+statement prefixes and execute them per partition through a DB-API
+``connection_factory`` with the reference's sub-batching and
+transient-only retry classifier (common/util.go:186-218). The full
+delivery path — rendering (tidb.go:96-132 escaping), execution,
+dup semantics, batch split, retries, read-back verification — is
+exercised end-to-end against the fake MySQL-protocol endpoint in
+``fake_mysql.py`` (tests/test_jdbc_delivery.py); a live TiDB/MySQL
+takes the same factory (e.g. a pymysql lambda).
 """
 
 from __future__ import annotations
@@ -96,6 +98,36 @@ def render_insert(
     return f"{prefix} `{table}` {collist} VALUES {tuples}"
 
 
+# MySQL/TiDB errnos the reference's classifier treats as transient
+# (common/util.go:186-218 IsRetryableError): connection loss
+# (2002/2003/2006/2013), lock waits and deadlocks (1205/1213,
+# tmysql.ErrLockDeadlock), TiDB/TiKV server-busy and timeout classes
+# (9001-9005, 8005 write-conflict), unknown-error 1105. Constraint
+# violations (1062 Duplicate entry) and syntax errors are NOT here —
+# retrying them can never succeed and hides real failures.
+_RETRYABLE_ERRNOS = {
+    1105, 1205, 1213, 2002, 2003, 2006, 2013,
+    8005, 9001, 9002, 9003, 9004, 9005,
+}
+
+
+def is_retryable_error(exc: BaseException) -> bool:
+    """The reference's retry classifier (common/util.go:186-218):
+    driver bad-conn/net errors and the transient MySQL/TiDB errno set
+    retry; everything else fails fast."""
+    if isinstance(exc, (ConnectionError, TimeoutError)):
+        return True  # driver.ErrBadConn / net.Error analogs
+    errno = getattr(exc, "errno", None)
+    if errno is None:
+        args = getattr(exc, "args", ())
+        if args and isinstance(args[0], int):
+            errno = args[0]
+    try:
+        return int(errno) in _RETRYABLE_ERRNOS
+    except (TypeError, ValueError):
+        return False
+
+
 class JDBCSink(Sink):
     """DataFrame -> SQL delivery; needs a reachable MySQL-protocol DB.
 
@@ -132,6 +164,9 @@ class JDBCSink(Sink):
         self.execute_ddl = execute_ddl
         # DDL statements applied (or queued) by init_schema, in order
         self.applied_ddl: list[str] = []
+        # table -> TableSchema recorded at init_schema; read_back uses
+        # it to restore types from rendered literals on the DBAPI path
+        self._schemas: dict[str, object] = {}
 
     def init_schema(self, spark, table, schema, ddl=None) -> None:
         """K5 passthrough: execute the dump's CREATE TABLE verbatim on
@@ -141,6 +176,8 @@ class JDBCSink(Sink):
         ``execute_ddl`` is opted in (test DBAPIs like sqlite cannot
         parse it); either way the statement is recorded on
         ``applied_ddl`` for audit."""
+        if schema is not None:
+            self._schemas[table] = schema
         if not ddl:
             return
         self.applied_ddl.append(ddl)
@@ -153,6 +190,14 @@ class JDBCSink(Sink):
             conn.commit()
         finally:
             conn.close()
+
+    @property
+    def observes_write_action(self) -> bool:
+        """False on the DBAPI path: delivery is a foreachPartition
+        (RDD) action, which never fires DataFrame Observation
+        listeners — the pipeline must aggregate write metrics eagerly
+        instead of blocking on obs.get."""
+        return self.connection_factory is None
 
     def _props(self) -> dict[str, str]:
         return {"user": self.user, "password": self.password}
@@ -210,8 +255,15 @@ class JDBCSink(Sink):
                         try:
                             cur.execute(stmt)
                             break
-                        except Exception:
-                            if attempt == retries - 1:
+                        except Exception as e:
+                            # only the transient class retries
+                            # (common/util.go:186-218); a duplicate-
+                            # key or syntax error re-raised on first
+                            # sight is the reference's behavior
+                            if (
+                                attempt == retries - 1
+                                or not is_retryable_error(e)
+                            ):
                                 raise
                             _time.sleep(0.1 * (attempt + 1))
                     buf.clear()
@@ -244,7 +296,88 @@ class JDBCSink(Sink):
             conn.close()
 
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.jdbc(self.url, table, properties=self._props())
+        """C2 read-back for verification (remote checksum, replace/
+        ignore row counts, error-mode dup check — restore.go pass 2).
+
+        Without a DBAPI factory this is Spark's partitioned JDBC read
+        (the production path against a real server). With a factory,
+        rows come back through a driver-side SELECT on the same
+        connection kind that delivered them, and the literal-rendered
+        values are coerced back to the DDL's types so checksum
+        canonicalization sees what was written. Driver-side collect is
+        fine here by construction: the factory path exists for local
+        endpoints (tests/dev), not cluster-scale targets."""
+        if self.connection_factory is None:
+            return spark.read.jdbc(
+                self.url, table, properties=self._props()
+            )
+        conn = self.connection_factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(f"SELECT * FROM `{table}`")
+            cols = [d[0] for d in cur.description or []]
+            rows = cur.fetchall()
+        finally:
+            conn.close()
+        import datetime as _dtm
+
+        from pyspark.sql import types as T
+
+        from ..operators.permutation import ROWID_COL
+
+        schema = self._schemas.get(table)
+        fields, coercers = [], []
+        for c in cols:
+            sp = None
+            if schema is not None:
+                try:
+                    sp = schema.column(c).spark_type
+                except Exception:
+                    sp = None
+            if sp is None:
+                sp = (
+                    T.LongType() if c == ROWID_COL else T.StringType()
+                )
+            fields.append(T.StructField(c, sp, True))
+
+            def _co(tp):
+                def f(v):
+                    if v is None:
+                        return None
+                    if isinstance(tp, T.TimestampType):
+                        s = str(v)
+                        fmt = (
+                            "%Y-%m-%d %H:%M:%S.%f"
+                            if "." in s
+                            else "%Y-%m-%d %H:%M:%S"
+                        )
+                        return _dtm.datetime.strptime(s, fmt)
+                    if isinstance(tp, T.DateType):
+                        return _dtm.date.fromisoformat(str(v))
+                    if isinstance(tp, T.DecimalType):
+                        from decimal import Decimal
+
+                        return Decimal(str(v))
+                    if isinstance(tp, (T.DoubleType, T.FloatType)):
+                        return float(v)
+                    if isinstance(
+                        tp, (T.LongType, T.IntegerType, T.ShortType,
+                             T.ByteType)
+                    ):
+                        return int(v)
+                    if isinstance(tp, T.BooleanType):
+                        return bool(int(v))
+                    if isinstance(tp, T.StringType):
+                        return str(v)
+                    return v
+
+                return f
+
+            coercers.append(_co(sp))
+        data = [
+            tuple(co(v) for co, v in zip(coercers, r)) for r in rows
+        ]
+        return spark.createDataFrame(data, T.StructType(fields))
 
     def finalize(self, spark: SparkSession, table: str) -> None:
         # ALTER TABLE AUTO_INCREMENT / ANALYZE would run here via a
