@@ -110,9 +110,12 @@ def test_stratified_sample_exact_n(spark):
     assert a == b
 
 
-def test_connected_components_raises_when_unconverged(spark):
-    """A chain longer than max_iter rounds must raise, not silently
-    return split clusters."""
+def test_connected_components_unconverged_contract(spark):
+    """A chain longer than max_iter label rounds must NEVER return
+    split clusters: algorithm='label' raises, the default 'auto'
+    falls back to large-star/small-star and returns the full
+    component (round-4 fallback; tests/test_round4_fixes.py covers
+    the star algorithm itself)."""
     import pytest
 
     pairs = spark.createDataFrame(
@@ -121,7 +124,17 @@ def test_connected_components_raises_when_unconverged(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         # force the distributed loop (the small-graph fast path
         # needs no rounds at all)
-        C.connected_components(pairs, max_iter=1, small_graph_threshold=0)
+        C.connected_components(
+            pairs, max_iter=1, small_graph_threshold=0,
+            algorithm="label",
+        )
+    auto = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(
+            pairs, max_iter=1, small_graph_threshold=0
+        ).collect()
+    }
+    assert set(auto.values()) == {1}, "auto fallback split the chain"
     out = {
         r["doc_id"]: r["cluster_id"]
         for r in C.connected_components(pairs).collect()

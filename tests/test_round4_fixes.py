@@ -154,3 +154,72 @@ def test_cms_probe_quote_escaping(spark):
     assert normalize(sp) == normalize(du)
     got = {r["term"]: r["est_count"] for _, r in sp.iterrows()}
     assert got["o'brien"] >= 3 and got["a\\b"] >= 2 and got["it's"] == 0
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star connected-components fallback
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges, **kw):
+    from tidb_lightning_release_4_0_spark.operators.curation import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        edges, "left_id bigint, right_id bigint"
+    )
+    out = connected_components(df, **kw)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_star_matches_union_find_ground_truth(spark):
+    import random
+
+    from tidb_lightning_release_4_0_spark.operators.curation import (
+        union_find_min,
+    )
+
+    rng = random.Random(42)
+    edges = [
+        (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    want = dict(union_find_min(edges))
+    got = _cc(spark, edges, algorithm="star")
+    assert got == want
+
+
+def test_long_chain_falls_back_to_star(spark):
+    """Path graph of diameter 60: the label loop cannot converge in 5
+    rounds; auto must switch to the star algorithm and still produce
+    one un-split component (the old code raised here)."""
+    chain = [(i, i + 1) for i in range(60)]
+    got = _cc(
+        spark, chain,
+        max_iter=5, small_graph_threshold=0, algorithm="auto",
+    )
+    assert got == {i: 0 for i in range(61)}, "component was split"
+
+
+def test_label_mode_still_raises_on_long_chain(spark):
+    chain = [(i, i + 1) for i in range(60)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(
+            spark, chain,
+            max_iter=5, small_graph_threshold=0, algorithm="label",
+        )
+
+
+def test_star_handles_multiple_components_and_chains(spark):
+    edges = (
+        [(i, i + 1) for i in range(100, 140)]      # chain A
+        + [(200, 201), (201, 202), (200, 202)]     # triangle
+        + [(7, 9)]                                 # pair
+    )
+    got = _cc(
+        spark, edges, small_graph_threshold=0, algorithm="star"
+    )
+    assert {got[i] for i in range(100, 141)} == {100}
+    assert got[200] == got[201] == got[202] == 200
+    assert got[7] == got[9] == 7

@@ -90,12 +90,114 @@ def union_find_min(edges: list[tuple]) -> list[tuple]:
     return [(n, find(n)) for n in sorted(nodes)]
 
 
+def _star_components(
+    e: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): converges in O(log^2 n) rounds REGARDLESS of component
+    diameter — the scale path for long-chain graphs (crawl mirrors,
+    boilerplate chains) where min-label propagation needs a round per
+    hop.
+
+    ``e``: directed edge frame (src, dst), self-loops removed. Edges
+    are maintained canonically as (u > v); each round:
+
+    - large-star: per node u over BOTH directions, link every
+      strictly-larger neighbor to min(N(u) + {u}) — halves long
+      chains by hanging tails off local minima;
+    - small-star: per node u over smaller neighbors, link them and u
+      to the local min — flattens partial stars.
+
+    Convergence = edge set unchanged: a cheap (count, sum(u),
+    sum(v)) fingerprint gates an EXACT exceptAll certificate, so a
+    fingerprint collision can never end the loop early. At the fixed
+    point the edges ARE (node -> component-min) stars; roots are
+    re-added as their own cluster. Per-round localCheckpoint
+    truncates lineage like the label loop."""
+    d = (
+        e.select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(df: DataFrame):
+        r = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        return (r["c"], r["su"], r["sv"])
+
+    prev_fp, prev = fingerprint(d), d
+    converged = False
+    for _ in range(max_iter):
+        # large-star over both directions
+        b = prev.union(
+            prev.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mn = b.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        large = (
+            b.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on (u > v) orientation
+        mn2 = large.groupBy("u").agg(F.min("v").alias("_m"))
+        small = (
+            large.join(mn2, "u")
+            .filter(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .union(mn2.select("u", F.col("_m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = fingerprint(small)
+        if fp == prev_fp:
+            # exact certificate: fingerprints can collide, identical
+            # sets cannot differ under exceptAll with equal counts
+            if small.exceptAll(prev).limit(1).count() == 0:
+                prev = small
+                converged = True
+                break
+        prev_fp, prev = fp, small
+    if not converged:
+        raise RuntimeError(
+            f"star components did not converge in {max_iter} rounds"
+        )
+    roots = (
+        prev.select("v")
+        .distinct()
+        .join(
+            prev.select(F.col("u").alias("v")).distinct(),
+            "v",
+            "left_anti",
+        )
+    )
+    return prev.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
+    ).union(
+        roots.select(
+            F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 25,
     small_graph_threshold: int = 200_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = min node id in the connected component.
@@ -118,12 +220,21 @@ def connected_components(
     ``localCheckpoint`` per round truncates lineage (the loop would
     otherwise build an exponentially deep plan).
 
-    Raises RuntimeError if ``max_iter`` rounds don't converge
-    (component diameter > max_iter) — a silently split cluster would
-    make survivor election keep duplicate documents."""
+    ``algorithm``: "auto" (default) runs the label loop and, if
+    ``max_iter`` rounds don't converge (component diameter >
+    max_iter — long chains), SWITCHES to the alternating large-star/
+    small-star algorithm (_star_components, O(log^2 n) rounds at any
+    diameter) instead of failing; "label" keeps the old
+    raise-on-nonconvergence contract; "star" goes straight to the
+    star algorithm. Either way a silently split cluster is
+    impossible — both paths certify their fixpoint."""
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
+    if algorithm == "star":
+        return _star_components(e)
     if small_graph_threshold > 0:
         head = e.take(small_graph_threshold + 1)
         if len(head) <= small_graph_threshold:
@@ -178,10 +289,15 @@ def connected_components(
             break
         prev = cur
     if not converged:
+        if algorithm == "auto":
+            # long-chain graph: the per-hop label loop would need a
+            # round per diameter step — hand the edge set to the
+            # O(log^2 n) star algorithm instead of failing
+            return _star_components(e)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter or "
-            "switch to large-star/small-star for long-chain graphs"
+            "(component diameter exceeds max_iter); use "
+            "algorithm='auto'/'star' for long-chain graphs"
         )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
