@@ -102,7 +102,23 @@ def _mh_b(i: int) -> int:
     return i * 1000003 + 17
 
 
-def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
+def _shingle_hash(s: Column, hash_fn: str) -> Column:
+    """Per-shingle base hash in [0, P): ``hash60`` (md5-derived —
+    portable, so the DuckDB oracle reproduces every signature
+    bit-for-bit) or ``xxhash64`` (one JVM intrinsic per shingle —
+    the production default recommended by docs/SCALE.md; md5 exists
+    only to keep oracle parity). Both feed the same affine
+    permutation family."""
+    if hash_fn == "hash60":
+        return hash60(s) % F.lit(_MH_PRIME)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def minhash_signature(
+    c: Column, num_hashes: int = 16, hash_fn: str = "hash60"
+) -> Column:
     """MinHash signature: min over permuted shingle hashes.
 
     Each shingle is md5-hashed ONCE (hash60 mod P), then the
@@ -119,7 +135,7 @@ def minhash_signature(c: Column, num_hashes: int = 16) -> Column:
     step maps it to NULL — preserving the empty-input semantics of
     array_min."""
     sh = word_shingles(c)
-    base = F.transform(sh, lambda s: hash60(s) % F.lit(_MH_PRIME))
+    base = F.transform(sh, lambda s: _shingle_hash(s, hash_fn))
     p = F.lit(_MH_PRIME)
     init = F.array_repeat(p, num_hashes)
     return F.aggregate(
@@ -162,6 +178,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    hash_fn: str = "hash60",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + exact-signature
     Jaccard estimate filter.
@@ -189,22 +206,32 @@ def minhash_lsh_pairs(
     df = _spread(df)
     d = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("_sig"),
+        minhash_signature(
+            F.col(text_col), num_hashes, hash_fn=hash_fn
+        ).alias("_sig"),
     )
+
+    def _band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    F.col("_sig"), b * rows_per_band + 1, rows_per_band
+                ),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # the band bucket key only needs to be deterministic — use
+        # the same family as the shingle hash so an xxhash64 run has
+        # zero md5 anywhere in the plan
+        return (
+            hash60(joined) if hash_fn == "hash60" else F.xxhash64(joined)
+        )
 
     band_keys = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                hash60(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).alias("bkey"),
+                F.lit(b).alias("band"), _band_key(b).alias("bkey")
             )
             for b in range(bands)
         ]

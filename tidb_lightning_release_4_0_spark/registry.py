@@ -382,6 +382,20 @@ def q_dedup_minhash(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_xx(spark, sf_dir):
+    """MinHash-LSH with the PRODUCTION hash (xxhash64: one JVM
+    intrinsic per shingle, zero md5 in the plan — docs/SCALE.md's
+    recommended default for non-oracle runs; hash60/md5 exists only
+    so the DuckDB oracle can reproduce signatures). Rows-only check:
+    DuckDB has no xxhash64, and the candidate SET depends on the
+    hash family — dedup_minhash is the oracle-verified twin of the
+    identical plan shape."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2,
+        hash_fn="xxhash64",
+    )
+
+
 def q_asof_join_orders(spark, sf_dir):
     """As-of join (M7): each event matched to the customer's latest
     order at-or-before the event time. Union + running-last window —
@@ -1976,6 +1990,7 @@ def build_queries():
         "dedup_apply_exact": q_dedup_apply_exact,
         "dedup_apply_minhash": q_dedup_apply_minhash,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_xx": q_dedup_minhash_xx,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "text_stats": q_text_stats,
