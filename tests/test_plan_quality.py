@@ -275,3 +275,27 @@ def test_pq_ann_no_cartesian_and_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan or "Broadcast" in plan, plan
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
+
+
+def test_repetition_stats_no_shuffle(spark, sf_dir):
+    """Gopher repetition filters must stay a narrow per-row
+    projection — no Exchange anywhere in the plan."""
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    plan = R.q_repetition_stats(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivfpq_broadcasts_and_prunes(spark, sf_dir):
+    """IVF-PQ: query tables broadcast; the candidate join carries the
+    cell-equality key (no cartesian full-corpus ADC scan — the
+    round-3 weakness this operator exists to fix)."""
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    plan = R.q_ann_topk_ivfpq(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_cell" in plan  # equality key reached the join

@@ -249,3 +249,134 @@ SELECT doc_id, count(*) AS n_tokens,
 FROM tok2 JOIN counts USING (term), tot
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style repetition filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals — the Gopher repetition filter
+    family (Rae et al. 2021, appendix A1.1): documents dominated by
+    repeated lines or one repeated n-gram are boilerplate/spam and
+    get dropped before training.
+
+    Returns (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_frac):
+
+    - dup_line_frac: 1 - distinct/total over non-blank lines — the
+      fraction of line OCCURRENCES that are re-occurrences;
+    - dup_line_char_frac: characters inside lines that occur more
+      than once / all line characters;
+    - top_bigram_frac: occurrences of the most frequent word bigram
+      / total bigrams.
+
+    Scale shape: ONE narrow projection, zero shuffles — every stat is
+    higher-order array math over the row's own lines/words inside
+    whole-stage codegen. The within-row counting is O(L^2) in the
+    row's OWN line/bigram count (count via filter per element), which
+    is the right trade at corpus scale: no explode, no per-doc
+    groupBy, nothing leaves the row; for pathological single-document
+    lengths, chunk first (curation.chunk_documents). The DuckDB twin
+    computes identical list expressions, so every fraction is
+    oracle-exact."""
+    c = F.col(text_col)
+    lines = F.filter(
+        F.split(c, "\n"), lambda line: F.trim(line) != ""
+    )
+    n_lines = F.size(lines)
+    dup_occurrences = n_lines - F.size(F.array_distinct(lines))
+    dup_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, line: acc
+        + F.when(
+            F.size(F.filter(lines, lambda y: y == line)) > 1,
+            F.length(line).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    total_chars = F.aggregate(
+        lines,
+        F.lit(0).cast("long"),
+        lambda acc, line: acc + F.length(line).cast("long"),
+    )
+    words = F.filter(
+        F.split(F.lower(c), "[^a-z]+"), lambda w: w != ""
+    )
+    nw = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram = F.coalesce(
+        F.array_max(
+            F.transform(
+                bigrams,
+                lambda b: F.size(F.filter(bigrams, lambda y: y == b)),
+            )
+        ),
+        F.lit(0),
+    )
+    nb = F.size(bigrams)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(0.0), 4
+        )
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        frac(dup_occurrences, n_lines).alias("dup_line_frac"),
+        frac(dup_chars, total_chars).alias("dup_line_char_frac"),
+        frac(top_bigram, nb).alias("top_bigram_frac"),
+    )
+
+
+def repetition_stats_sql_duckdb(table: str = "documents") -> str:
+    """ANSI twin: identical list expressions per row."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)),
+                     l -> trim(l) != '') AS lines,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> w != '') AS words
+  FROM {table}
+), bi AS (
+  SELECT doc_id, lines,
+         list_transform(range(1, len(words)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM base
+), stats AS (
+  SELECT doc_id,
+         len(lines) AS n_lines,
+         len(lines) - len(list_distinct(lines)) AS dup_occ,
+         coalesce(list_sum(list_transform(lines,
+           l -> CASE WHEN len(list_filter(lines, y -> y = l)) > 1
+                     THEN length(l) ELSE 0 END)), 0) AS dup_chars,
+         coalesce(list_sum(list_transform(lines,
+           l -> length(l))), 0) AS total_chars,
+         coalesce(list_max(list_transform(bigrams,
+           b -> len(list_filter(bigrams, y -> y = b)))), 0)
+             AS top_bigram,
+         len(bigrams) AS nb
+  FROM bi
+)
+SELECT doc_id,
+       cast(n_lines AS INTEGER) AS n_lines,
+       round(CASE WHEN n_lines > 0
+             THEN dup_occ::DOUBLE / n_lines ELSE 0.0 END, 4)
+           AS dup_line_frac,
+       round(CASE WHEN total_chars > 0
+             THEN dup_chars::DOUBLE / total_chars ELSE 0.0 END, 4)
+           AS dup_line_char_frac,
+       round(CASE WHEN nb > 0
+             THEN top_bigram::DOUBLE / nb ELSE 0.0 END, 4)
+           AS top_bigram_frac
+FROM stats
+"""

@@ -737,6 +737,32 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (M7 curation; Rae et al. 2021
+    A1.1): duplicate-line fraction, duplicate-line character
+    fraction, top-bigram fraction — the signals that drop
+    boilerplate/spam documents before training. Deterministic
+    repeated lines/bigrams are injected in-query (the strip_html
+    pattern) so every branch — dup lines, unique tails, repeated
+    bigram runs — is actually exercised; one narrow zero-shuffle
+    projection, fully oracle-verified."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    wrapped = F.concat(
+        F.substring(F.col("text"), 1, 120),
+        F.lit("\nrepeat line one\nrepeat line one\n"),
+        F.when(did % 3 == 0, F.lit("repeat line one\n")).otherwise(
+            F.lit("unique tail line\n")
+        ),
+        F.when(did % 2 == 0, F.lit("the cat the cat the cat")).otherwise(
+            F.lit("plain ending words here")
+        ),
+    )
+    return X.repetition_stats(
+        d.select("doc_id", wrapped.alias("text"))
+    )
+
+
 def q_split_csv_rowids(spark, sf_dir):
     """Strict-format chunk-split CSV ingest (S6/S7: the reference
     splits any file into byte-range chunks when the user guarantees
@@ -2003,6 +2029,7 @@ def build_queries():
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "split_csv_rowids": q_split_csv_rowids,
+        "repetition_stats": q_repetition_stats,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2290,6 +2317,16 @@ def build_oracle_sql():
                    o_orderkey, o_custkey, o_orderpriority
             FROM orders
         """,
+        "repetition_stats": X.repetition_stats_sql_duckdb(
+            "(SELECT doc_id, substring(text, 1, 120) || chr(10)"
+            " || 'repeat line one' || chr(10)"
+            " || 'repeat line one' || chr(10)"
+            " || CASE WHEN doc_id % 3 = 0 THEN 'repeat line one'"
+            "         ELSE 'unique tail line' END || chr(10)"
+            " || CASE WHEN doc_id % 2 = 0 THEN 'the cat the cat the cat'"
+            "         ELSE 'plain ending words here' END AS text"
+            " FROM documents) wrapped"
+        ),
         # multimodal_features / checksum_crc64: rows-only
         # (stub codec / no crc64 in DuckDB)
         "minhash_signatures": (
