@@ -257,15 +257,18 @@ def split_bytes_lower_bound(spark) -> int:
     cushion — a lower bound on split size is an UPPER bound on block
     count, which keeps the cushion safe under any conf."""
     def _bytes(v: str) -> int:
+        # JavaUtils.byteStringAsBytes subset: bare bytes or k/m/g/t
+        # with optional trailing 'b' ("128m", "128mb", "134217728")
         v = str(v).strip().lower()
         mult = 1
         for suf, m in (
-            ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-            ("t", 1 << 40), ("b", 1),
+            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+            ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+            ("g", 1 << 30), ("t", 1 << 40), ("b", 1),
         ):
             if v.endswith(suf):
                 v = v[: -len(suf)]
-                mult = m if suf != "b" else mult
+                mult = m
                 break
         return int(float(v) * mult)
 

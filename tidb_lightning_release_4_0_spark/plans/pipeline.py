@@ -817,6 +817,11 @@ class RestoreController:
         sc = self._checksum_sidecar(name)
         if sc is None:
             return None
+        # finish any crash-interrupted merge publish BEFORE deciding
+        # whether prior data exists — a stranded .merged would read
+        # as "fresh table" (identity checksum) here while the sink's
+        # own recovery later restored the rows, failing verification
+        ParquetSink._recover_merge(os.path.dirname(sc))
         if not ParquetSink._has_data(os.path.dirname(sc)):
             return Checksum(0, 0, 0)
         try:
