@@ -224,3 +224,20 @@ def test_e2e_restore_through_fake_endpoint(spark):
     got = {r["pk"]: r["d"] for r in srv.dump_table("db.dup")}
     assert got == {1: "new", 2: "new"}
     assert s2.tables["db.dup"].rows == 2
+
+
+def test_rendered_statements_never_contain_row_id(spark):
+    """The internal _row_id arrival-order column must not leak into
+    rendered column lists (a real server errors 1054 Unknown column;
+    the fake accepted it silently)."""
+    srv = _server("rowid_leak")
+    sink = _sink(srv, "replace")
+    df = spark.createDataFrame(
+        [(1, "a", 11), (2, "b", 12)], "pk int, d string, _row_id long"
+    ).coalesce(1)
+    res = sink.write(df, "db.dup")
+    assert res.rows == 2
+    stmts = [s for s, o in srv.executed_statements()]
+    assert stmts and all("_row_id" not in s for s in stmts)
+    got = srv.dump_table("db.dup")
+    assert all(set(r) == {"pk", "d"} for r in got)

@@ -223,3 +223,12 @@ def test_star_handles_multiple_components_and_chains(spark):
     assert {got[i] for i in range(100, 141)} == {100}
     assert got[200] == got[201] == got[202] == 200
     assert got[7] == got[9] == 7
+
+
+def test_star_keeps_self_pair_only_nodes(spark):
+    """A node appearing only as a self-pair must still appear in the
+    output as its own cluster (the label/union-find paths do this;
+    the star path dropped it with the self-loops)."""
+    edges = [(5, 5), (1, 2)]
+    got = _cc(spark, edges, small_graph_threshold=0, algorithm="star")
+    assert got == {5: 5, 1: 1, 2: 1}

@@ -182,12 +182,24 @@ def _star_components(
             "left_anti",
         )
     )
-    return prev.select(
+    labels = prev.select(
         F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")
     ).union(
         roots.select(
             F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
         )
+    )
+    # nodes appearing ONLY in self-pairs were dropped with the
+    # self-loops before the loop; re-add them as their own cluster so
+    # every input node appears (matching the label/union-find paths)
+    nodes = (
+        e.select(F.col("src").alias("doc_id"))
+        .union(e.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    lonely = nodes.join(labels.select("doc_id"), "doc_id", "left_anti")
+    return labels.union(
+        lonely.select("doc_id", F.col("doc_id").alias("cluster_id"))
     )
 
 
@@ -234,7 +246,7 @@ def connected_components(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
     if algorithm == "star":
-        return _star_components(e)
+        return _star_components(e, max_iter=max(50, max_iter))
     if small_graph_threshold > 0:
         head = e.take(small_graph_threshold + 1)
         if len(head) <= small_graph_threshold:
@@ -292,8 +304,10 @@ def connected_components(
         if algorithm == "auto":
             # long-chain graph: the per-hop label loop would need a
             # round per diameter step — hand the edge set to the
-            # O(log^2 n) star algorithm instead of failing
-            return _star_components(e)
+            # O(log^2 n) star algorithm instead of failing; the
+            # caller's max_iter carries over as a floor-50 bound so a
+            # raised budget reaches BOTH loops
+            return _star_components(e, max_iter=max(50, max_iter))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); use "

@@ -173,47 +173,7 @@ def assign_rowid_by_file(
         local = F.monotonically_increasing_id().bitwiseAND(
             F.lit(_PARTITION_CAPACITY - 1)
         )
-        # normalize map keys to input_file_name()'s URI form at PLAN
-        # time ("file:///x" / raw path aliases) so no per-row regexp
-        # runs — the rowid expression gets inlined into multiple
-        # downstream projections (CollapseProject duplicates it), so
-        # per-row cost matters doubly
-        def _keyed(k: str) -> list[str]:
-            if "://" in k:
-                return [k]
-            return [f"file://{k}", k]
-
-        expanded = {
-            alias: int(v) for k, v in bases.items() for alias in _keyed(k)
-        }
-        if not expanded:
-            return df.withColumn(ROWID, local + F.lit(1))
-        # broadcast-join the plan-time base table: O(1) hash probe per
-        # row (a literal create_map is rebuilt PER ROW by codegen —
-        # measurably slower even at 32 files), and still zero
-        # data-plane aggregation jobs
-        spark = df.sparkSession
-        bmap_schema = T.StructType(
-            [
-                T.StructField("_fname", T.StringType()),
-                T.StructField("_fbase", T.LongType()),
-            ]
-        )
-        bmap = metadata_df(
-            spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
-        )
-        return (
-            df.withColumn("_fname", F.input_file_name())
-            .withColumn("_local", local)
-            .join(F.broadcast(bmap), "_fname", "left")
-            .withColumn(
-                ROWID,
-                F.coalesce(F.col("_fbase"), F.lit(0))
-                + F.col("_local")
-                + F.lit(1),
-            )
-            .drop("_fname", "_local", "_fbase")
-        )
+        return _file_base_rowids(df, bases, local)
 
     d = df.withColumn(
         "_fname", F.regexp_replace(F.input_file_name(), "^file:/*", "/")
@@ -246,6 +206,59 @@ def assign_rowid_by_file(
             + F.lit(1),
         )
         .drop("_fname", "_mono", "_mn", "_fbase")
+    )
+
+
+def _file_base_rowids(
+    df: DataFrame,
+    bases: dict[str, int],
+    in_file_index: "Column",
+) -> DataFrame:
+    """rowid = plan-time per-file base + ``in_file_index`` + 1, with
+    the base broadcast-joined on ``input_file_name()``.
+
+    Shared by the whole-file scheme (index = mono low bits) and the
+    chunk-split scheme (index = chunk byte-offset base + mono low
+    bits). Map keys are normalized to input_file_name()'s URI aliases
+    at PLAN time ("file:///x" / raw path) so no per-row regexp runs —
+    the rowid expression gets inlined into multiple downstream
+    projections (CollapseProject duplicates it), so per-row cost
+    matters doubly. The base table is a broadcast join, not a literal
+    create_map: codegen rebuilds a literal map PER ROW (measurably
+    slower even at 32 files), while the hash probe is O(1) — and
+    still zero data-plane aggregation jobs."""
+
+    def _keyed(k: str) -> list[str]:
+        if "://" in k:
+            return [k]
+        return [f"file://{k}", k]
+
+    expanded = {
+        alias: int(v) for k, v in bases.items() for alias in _keyed(k)
+    }
+    if not expanded:
+        return df.withColumn(ROWID, in_file_index + F.lit(1))
+    spark = df.sparkSession
+    bmap_schema = T.StructType(
+        [
+            T.StructField("_fname", T.StringType()),
+            T.StructField("_fbase", T.LongType()),
+        ]
+    )
+    bmap = metadata_df(
+        spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
+    )
+    return (
+        df.withColumn("_fname", F.input_file_name())
+        .withColumn("_local", in_file_index)
+        .join(F.broadcast(bmap), "_fname", "left")
+        .withColumn(
+            ROWID,
+            F.coalesce(F.col("_fbase"), F.lit(0))
+            + F.col("_local")
+            + F.lit(1),
+        )
+        .drop("_fname", "_local", "_fbase")
     )
 
 
@@ -329,46 +342,12 @@ def assign_rowid_by_file_split(
     local = F.monotonically_increasing_id().bitwiseAND(
         F.lit(_PARTITION_CAPACITY - 1)
     )
-
-    def _keyed(k: str) -> list[str]:
-        if "://" in k:
-            return [k]
-        return [f"file://{k}", k]
-
-    expanded = {
-        alias: int(v) for k, v in bases.items() for alias in _keyed(k)
-    }
     block_off = F.expr("input_file_block_start()")
     chunk_base = (
         F.floor(block_off / F.lit(max(int(divisor), 1)))
         + F.floor(block_off / F.lit(max(int(split_bytes), 1)))
     ).cast("long")
-    if not expanded:
-        return df.withColumn(ROWID, chunk_base + local + F.lit(1))
-    spark = df.sparkSession
-    bmap_schema = T.StructType(
-        [
-            T.StructField("_fname", T.StringType()),
-            T.StructField("_fbase", T.LongType()),
-        ]
-    )
-    bmap = metadata_df(
-        spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
-    )
-    return (
-        df.withColumn("_fname", F.input_file_name())
-        .withColumn("_local", local)
-        .withColumn("_coff", chunk_base)
-        .join(F.broadcast(bmap), "_fname", "left")
-        .withColumn(
-            ROWID,
-            F.coalesce(F.col("_fbase"), F.lit(0))
-            + F.col("_coff")
-            + F.col("_local")
-            + F.lit(1),
-        )
-        .drop("_fname", "_local", "_coff", "_fbase")
-    )
+    return _file_base_rowids(df, bases, chunk_base + local)
 
 
 def assign_rowid_dense(

@@ -756,13 +756,19 @@ def ann_topk_ivfpq(
             for m in range(_PQ_M)
         ]
         vnorm = math.sqrt(_py_dot(vec, vec))
-        scored_cells = [
-            (
-                i,
-                _py_dot(vec, cv)
-                / (vnorm * math.sqrt(_py_dot(cv, cv))),
+
+        def _cell_cos(cv: list[float]) -> float:
+            # cosine is undefined for zero-norm vectors (padding /
+            # failed-encoder rows): rank them last instead of raising
+            # ZeroDivisionError on the driver — the engine-side
+            # expressions degrade to NaN/Inf for the same rows
+            den = vnorm * math.sqrt(_py_dot(cv, cv))
+            return (
+                _py_dot(vec, cv) / den if den > 0.0 else float("-inf")
             )
-            for i, (_, cv) in enumerate(cents)
+
+        scored_cells = [
+            (i, _cell_cos(cv)) for i, (_, cv) in enumerate(cents)
         ]
         probed = sorted(scored_cells, key=lambda t: (-t[1], t[0]))
         for i, _ in probed[:n_probe]:

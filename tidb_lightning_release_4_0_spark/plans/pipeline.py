@@ -760,7 +760,12 @@ class RestoreController:
         same aggregates run as their own job before delivery. One
         extra source scan, paid only on the SQL-statement path (the
         reference's tidb backend is likewise its slow path; the bulk
-        path keeps the in-write observe)."""
+        path keeps the in-write observe) — and only when something
+        beyond the row count is needed: with checksum off and no
+        alloc-id column, the delivery accumulator already counts
+        rows, so no job runs at all."""
+        if not want_checksum and self._alloc_id_column(df, schema) is None:
+            return {}
         mdf, metrics = self._write_metric_exprs(
             df, cols, schema, want_checksum
         )
@@ -881,7 +886,7 @@ class RestoreController:
             if self.cfg.checksum
             else None
         )
-        rows = res.rows if res.rows >= 0 else m["total_kvs"]
+        rows = res.rows if res.rows >= 0 else m.get("total_kvs", -1)
         self.cp.mark_chunks(
             name, [f.path for f in meta.data_files], Status.ALL_WRITTEN
         )

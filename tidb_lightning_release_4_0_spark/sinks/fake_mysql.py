@@ -211,9 +211,6 @@ class FakeMySQL:
     def dump_table(self, table: str) -> list[dict]:
         """Rows in arrival (seq) order as {col: value} dicts."""
         with self._db() as db:
-            meta = db.execute(
-                "SELECT cols FROM meta WHERE tbl=?", (table,)
-            ).fetchone()
             rows = db.execute(
                 "SELECT data FROM rows WHERE tbl=? ORDER BY seq",
                 (table,),
@@ -224,7 +221,6 @@ class FakeMySQL:
             out.append(
                 {c: _dec(t) for c, t in zip(d["cols"], d["vals"])}
             )
-        _ = meta
         return out
 
     def executed_statements(self) -> list[tuple[str, str]]:

@@ -212,6 +212,13 @@ class JDBCSink(Sink):
         # "physical" maps to plain INSERT too: the SQL path has no
         # physical-overwrite concept, so it behaves like error-mode
         # delivery (the DB's own PK constraint reports duplicates)
+        if "_row_id" in df.columns:
+            # internal arrival-order column — never a target column
+            # (rendering it yields 1054 Unknown column '_row_id' on a
+            # real server); partition iteration order already IS the
+            # in-file arrival order, which is all the statement-level
+            # REPLACE/IGNORE semantics need
+            df = df.drop("_row_id")
         if (
             self.on_duplicate in ("error", "physical")
             and self.connection_factory is None
