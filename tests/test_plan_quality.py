@@ -282,7 +282,7 @@ def test_repetition_stats_no_shuffle(spark, sf_dir):
     projection — no Exchange anywhere in the plan."""
     import tidb_lightning_release_4_0_spark.registry as R
 
-    plan = R.q_repetition_stats(spark, sf_dir)._jdf.queryExecution() \
+    plan = R.q_gopher_repetition(spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
 

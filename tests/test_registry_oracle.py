@@ -55,3 +55,43 @@ def test_coverage_doc_mentions_every_query():
     ).read()
     missing = [q for q in QUERIES if q not in cov]
     assert not missing, missing
+
+
+def test_no_duplicate_registry_keys_or_defs():
+    """A duplicate dict key (or function name) silently SHADOWS an
+    entry — the earlier query would never run under the driver while
+    its name still reads as covered. Parse the source and fail loud
+    (caught for real in round 4: a second q_repetition_stats hid the
+    first)."""
+    import ast
+    import os
+
+    src = open(
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tidb_lightning_release_4_0_spark",
+            "registry.py",
+        )
+    ).read()
+    tree = ast.parse(src)
+    for fn in ast.walk(tree):
+        if isinstance(fn, ast.FunctionDef) and fn.name in (
+            "build_queries",
+            "build_oracle_sql",
+        ):
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Dict):
+                    keys = [
+                        k.value
+                        for k in node.keys
+                        if isinstance(k, ast.Constant)
+                    ]
+                    dups = sorted(
+                        {k for k in keys if keys.count(k) > 1}
+                    )
+                    assert not dups, f"{fn.name} duplicate keys: {dups}"
+    names = [
+        n.name for n in tree.body if isinstance(n, ast.FunctionDef)
+    ]
+    dup_fns = sorted({n for n in names if names.count(n) > 1})
+    assert not dup_fns, f"duplicate function defs: {dup_fns}"

@@ -737,7 +737,40 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
-def q_repetition_stats(spark, sf_dir):
+def q_ann_recall_ivf(spark, sf_dir):
+    """ANN quality metric for the coarse-quantized paths: per-query
+    recall of IVF and IVF-PQ top-k against the exact brute-force
+    top-k — the measurement that tells an operator how much the cell
+    pruning (and additionally the PQ code compression) costs in
+    accuracy before trusting either at scale. Unlike the LSH recall
+    probe, every branch here is oracle-exact, so the recall numbers
+    themselves are DuckDB-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = S.topk_cosine(q, emb, k=5).select("q_id", "c_id")
+
+    def rec(approx, out_col):
+        a = approx.select(
+            F.col("q_id").alias("aq"), F.col("c_id").alias("ac")
+        )
+        j = exact.join(
+            a,
+            (exact["q_id"] == a["aq"]) & (exact["c_id"] == a["ac"]),
+            "left",
+        )
+        return j.groupBy("q_id").agg(
+            F.round(F.count("ac") / F.lit(5.0), 4).alias(out_col)
+        )
+
+    ivf = rec(S.ivf_topk(q, emb, k=5), "recall_ivf")
+    ivfpq = rec(
+        S.ann_topk_ivfpq(q, emb, k=5, n_cells=8, n_probe=2),
+        "recall_ivfpq",
+    )
+    return ivf.join(ivfpq, "q_id")
+
+
+def q_gopher_repetition(spark, sf_dir):
     """Gopher-style repetition filters (M7 curation; Rae et al. 2021
     A1.1): duplicate-line fraction, duplicate-line character
     fraction, top-bigram fraction — the signals that drop
@@ -2029,7 +2062,8 @@ def build_queries():
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "split_csv_rowids": q_split_csv_rowids,
-        "repetition_stats": q_repetition_stats,
+        "gopher_repetition": q_gopher_repetition,
+        "ann_recall_ivf": q_ann_recall_ivf,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2311,13 +2345,42 @@ def build_oracle_sql():
         "ann_topk_ivfpq": S.ann_topk_ivfpq_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 2, 64
         ),
+        "ann_recall_ivf": f"""
+            WITH exact AS (
+              {S.topk_cosine_oracle_sql("embeddings", "vec_id < 3", 5)}
+            ),
+            ap1 AS (
+              {S.ivf_topk_oracle_sql("embeddings", "vec_id < 3", 5, 8, 64)}
+            ),
+            ap2 AS (
+              {S.ann_topk_ivfpq_oracle_sql(
+                  "embeddings", "vec_id < 3", 5, 8, 2, 64
+              )}
+            ),
+            r1 AS (
+              SELECT e.q_id,
+                     round(count(a.c_id)::DOUBLE / 5, 4) AS recall_ivf
+              FROM exact e LEFT JOIN ap1 a
+                ON a.q_id = e.q_id AND a.c_id = e.c_id
+              GROUP BY e.q_id
+            ),
+            r2 AS (
+              SELECT e.q_id,
+                     round(count(a.c_id)::DOUBLE / 5, 4) AS recall_ivfpq
+              FROM exact e LEFT JOIN ap2 a
+                ON a.q_id = e.q_id AND a.c_id = e.c_id
+              GROUP BY e.q_id
+            )
+            SELECT r1.q_id, r1.recall_ivf, r2.recall_ivfpq
+            FROM r1 JOIN r2 USING (q_id)
+        """,
         "split_csv_rowids": """
             SELECT cast(row_number() OVER (ORDER BY o_orderkey) AS INT)
                        AS rn,
                    o_orderkey, o_custkey, o_orderpriority
             FROM orders
         """,
-        "repetition_stats": X.repetition_stats_sql_duckdb(
+        "gopher_repetition": X.repetition_stats_sql_duckdb(
             "(SELECT doc_id, substring(text, 1, 120) || chr(10)"
             " || 'repeat line one' || chr(10)"
             " || 'repeat line one' || chr(10)"
