@@ -258,9 +258,12 @@ def main() -> None:
         ingest_4x_mibs = round(big_bytes / _med(ts) / (1 << 20), 2)
 
         # strict-format single-file ingest: the WHOLE lineitem corpus
-        # as ONE CSV file, chunk-split into 4 MiB byte-range blocks
+        # as ONE CSV file, chunk-split into byte-range blocks
         # (multiLine=false + offset/divisor row-id bases) — the case
-        # that previously serialized on one task per file
+        # that previously serialized on one task per file. 2 MiB
+        # blocks ≈ 19 tasks at this corpus size (measured 12.7 vs
+        # 9.3 MiB/s at 4 MiB); a real 100 TB corpus uses the default
+        # 128-256 MiB blocks — block count, not size, is what matters
         from tidb_lightning_release_4_0_spark.config import CSVConfig
 
         one_dump = os.path.join(TMP, "dump1file")
@@ -291,7 +294,7 @@ def main() -> None:
             on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
         try:
             restore(cfg1f)  # untimed warm-up (new plan shape)
             ts = _reps(lambda: restore(cfg1f))
