@@ -86,6 +86,8 @@ def main() -> None:
         # round 4: the pruned IVF-PQ path and the four heavy TPC-H
         # shapes (Q8/Q9/Q17/Q20 analogs) — previously correctness-only
         "ann_topk_ivfpq",
+        "ann_topk_pq_q64",
+        "ann_topk_ivfpq_q64",
         "dedup_minhash_xx",
         "market_share",
         "profit_by_nation",

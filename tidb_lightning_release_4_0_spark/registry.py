@@ -737,6 +737,26 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ivf_topk(emb.filter(F.col("vec_id") < 3), emb, k=5)
 
 
+def q_ann_topk_pq_q64(spark, sf_dir):
+    """ann_topk_pq at a 64-query batch: with enough queries the ADC
+    candidate scoring dominates fixed costs, so this entry (paired
+    with ann_topk_ivfpq_q64) measures what the coarse-cell pruning
+    actually buys — the unpruned path scores every (query, code)
+    pair."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_pq(emb.filter(F.col("vec_id") < 64), emb, k=5)
+
+
+def q_ann_topk_ivfpq_q64(spark, sf_dir):
+    """ann_topk_ivfpq at the same 64-query batch: candidates shrink
+    ~n_cells/n_probe-fold vs ann_topk_pq_q64 under identical ADC
+    scoring — the bench pair is the pruning evidence."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_ivfpq(
+        emb.filter(F.col("vec_id") < 64), emb, k=5, n_cells=8, n_probe=2
+    )
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """ANN quality metric for the coarse-quantized paths: per-query
     recall of IVF and IVF-PQ top-k against the exact brute-force
@@ -2064,6 +2084,8 @@ def build_queries():
         "split_csv_rowids": q_split_csv_rowids,
         "gopher_repetition": q_gopher_repetition,
         "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_topk_pq_q64": q_ann_topk_pq_q64,
+        "ann_topk_ivfpq_q64": q_ann_topk_ivfpq_q64,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2344,6 +2366,12 @@ def build_oracle_sql():
         ),
         "ann_topk_ivfpq": S.ann_topk_ivfpq_oracle_sql(
             "embeddings", "vec_id < 3", 5, 8, 2, 64
+        ),
+        "ann_topk_pq_q64": S.ann_topk_pq_oracle_sql(
+            "embeddings", "vec_id < 64", 5
+        ),
+        "ann_topk_ivfpq_q64": S.ann_topk_ivfpq_oracle_sql(
+            "embeddings", "vec_id < 64", 5, 8, 2, 64
         ),
         "ann_recall_ivf": f"""
             WITH exact AS (
