@@ -838,6 +838,21 @@ def q_split_csv_rowids(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = f"/root/repo/.tmp/split_csv/{tag}/orders.csv"
+    src = os.path.join(sf_dir, "orders.parquet")
+    if os.path.exists(path) and os.path.exists(src):
+        # stale-cache guard: the driver may regenerate the testdata
+        # parquet between rounds — a CSV derived from the OLD rows
+        # would hash-mismatch the oracle reading the new parquet
+        src_m = max(
+            (
+                os.path.getmtime(os.path.join(dp, f))
+                for dp, _, fs in os.walk(src)
+                for f in fs
+            ),
+            default=os.path.getmtime(src),
+        ) if os.path.isdir(src) else os.path.getmtime(src)
+        if src_m > os.path.getmtime(path):
+            os.remove(path)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pdf = (
