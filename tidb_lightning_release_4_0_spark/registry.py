@@ -670,7 +670,8 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate variant: hyperplane-LSH bucketed (the scale path).
-    Impl-specific hyperplanes => rows-only check (no SQL oracle)."""
+    Oracle-checked: the deterministic hyperplanes are emitted as
+    literal arrays in the DuckDB twin (ann_topk_lsh_oracle_sql)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_topk_lsh(
         emb.filter(F.col("vec_id") < 3), emb, k=5, num_planes=4
