@@ -202,3 +202,68 @@ def test_e2e_restore_split_single_file(spark, small_splits):
     got = sorted((r["pk"], r["v"], r["s"]) for r in t.collect())
     assert got == rows
     assert s.tables["db.t"].rows == len(rows)
+
+
+def test_header_file_under_splits(spark, small_splits):
+    """header=true with strict-format: the header row must be skipped
+    exactly once (offset-0 split) even when the file fans out across
+    many byte-range tasks."""
+    path = os.path.join(TMP, "header", "t.csv")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        f.write("pk,val\n")
+        for i in range(1200):
+            f.write(f"{i},v{i}\n")
+    small_splits(512)
+    cfg = CSVConfig(strict_format=True, header=True)
+    df = read_csv(spark, path, cfg)
+    assert df.rdd.getNumPartitions() > 5
+    rows = df.collect()
+    assert len(rows) == 1200
+    assert df.columns == ["pk", "val"]
+    assert sorted(int(r["pk"]) for r in rows) == list(range(1200))
+
+
+def test_gz_mixed_with_strict_format_stays_mono_lane(spark):
+    """A gz part present alongside strict-format plain CSVs: the
+    pipeline must fall back to the capacity-scheme id lane for the
+    whole table (compressed sizes cannot bound row counts), not the
+    byte-offset scheme."""
+    import gzip
+
+    from tidb_lightning_release_4_0_spark.plans.pipeline import (
+        RestoreController,
+    )
+
+    dump = os.path.join(TMP, "gzmix", "dump")
+    tgt = os.path.join(TMP, "gzmix", "sink")
+    shutil.rmtree(dump, ignore_errors=True)
+    shutil.rmtree(tgt, ignore_errors=True)
+    os.makedirs(dump)
+    _write_csv(
+        os.path.join(dump, "db.t.0.csv"),
+        [(i, i * 3, f"a{i}") for i in range(500)],
+    )
+    with gzip.open(os.path.join(dump, "db.t.1.csv.gz"), "wt") as f:
+        for i in range(500, 800):
+            f.write(f"{i},{i * 3},a{i}\n")
+    with open(os.path.join(dump, "db-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE IF NOT EXISTS `db`;\n")
+    with open(os.path.join(dump, "db.t-schema.sql"), "w") as f:
+        f.write(DDL.rstrip() + ";\n")
+    cfg = Config(
+        mydumper=MydumperConfig(
+            source_dir=dump, csv=CSVConfig(strict_format=True)
+        ),
+        backend="parquet",
+        target_dir=tgt,
+        checkpoint_enable=False,
+        on_duplicate="physical",
+    )
+    s = RestoreController(spark, cfg).run()
+    assert s.ok, s.report()
+    t = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(tgt, "db.t")
+    )
+    got = sorted(r["pk"] for r in t.collect())
+    assert got == list(range(800))
