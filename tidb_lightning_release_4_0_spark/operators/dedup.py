@@ -509,3 +509,119 @@ SELECT doc_id, doc_id = _first AS keep,
 FROM hashed JOIN canon USING (_h)
 WHERE doc_id >= {split_id}
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated spans (substring-dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Per-document coverage by k-gram spans that also occur in OTHER
+    documents — the core signal of exact-substring deduplication
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", which removes 50-token spans duplicated across
+    the corpus; their suffix-array pass maps to a k-gram-hash
+    equi-join here). Returns (doc_id, n_grams, dup_grams, dup_frac):
+    positions whose k-gram hash appears in >= 2 distinct documents.
+
+    Scale shape: one narrow projection emits (doc, pos, gram-hash);
+    ONE shuffle groups by the uniform 60-bit hash (map-side combined
+    distinct-doc count), and one join keyed by hash brings the
+    cross-doc grams back — the corpus text itself is never shuffled,
+    only fixed-width (doc, pos, hash) triples. Collisions are the
+    same md5-derived hash60 on both engines, so the oracle matches
+    bit-for-bit even on the (negligible) collision path."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+        " ",
+    )
+    n = F.size(toks)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            hash60(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(n - (k - 1), F.lit(0)).alias("n_grams"),
+        grams.alias("_g"),
+    )
+    e = base.select(
+        "doc_id", F.explode("_g").alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    cross = (
+        e.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    dup = (
+        e.join(cross, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_grams"))
+    )
+    return (
+        base.select("doc_id", "n_grams")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("dup_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("dup_grams"), F.lit(0))
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicate_spans_sql_duckdb(
+    table: str = "documents", k: int = 8
+) -> str:
+    """ANSI twin: same tokenization, same hash60 gram hashes."""
+    gram = f"array_to_string(t[pos:pos+{k - 1}], ' ')"
+    h = hash60_duckdb(gram)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)),
+                      '\\s+', ' ', 'g'), ' ') AS t
+  FROM {table}
+), tot AS (
+  SELECT doc_id, greatest(len(t) - {k - 1}, 0) AS n_grams FROM toks
+), g AS (
+  SELECT doc_id, pos, {h} AS h FROM (
+    SELECT doc_id, unnest(range(1, len(t) - {k - 1} + 1)) AS pos, t
+    FROM toks
+  )
+), cross_grams AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT g.doc_id, count(*) AS dup_grams
+  FROM g JOIN cross_grams USING (h) GROUP BY g.doc_id
+)
+SELECT tot.doc_id,
+       cast(tot.n_grams AS INTEGER) AS n_grams,
+       cast(coalesce(dup.dup_grams, 0) AS BIGINT) AS dup_grams,
+       round(CASE WHEN tot.n_grams > 0
+             THEN coalesce(dup.dup_grams, 0)::DOUBLE / tot.n_grams
+             ELSE 0.0 END, 4) AS dup_frac
+FROM tot LEFT JOIN dup USING (doc_id)
+"""

@@ -758,6 +758,30 @@ def q_ann_topk_ivfpq_q64(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated k-gram spans (the exact-substring
+    dedup signal, Lee et al. 2022): per-doc fraction of 8-gram
+    positions whose gram occurs in >= 2 documents. Shared boilerplate
+    sentences are appended in-query to a deterministic doc subset so
+    cross-doc spans genuinely exist; docs keep their own text too, so
+    the zero/partial/full coverage branches all fire. Oracle-exact
+    (same tokenization + hash60 gram hashes in DuckDB)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    boiler = (
+        " subscribe to our newsletter for updates and exclusive"
+        " offers every single week of the year"
+    )
+    wrapped = F.concat(
+        F.substring(F.col("text"), 1, 100),
+        F.when(did % 4 == 0, F.lit(boiler)).otherwise(F.lit("")),
+        F.when(did % 8 == 0, F.lit(boiler)).otherwise(F.lit("")),
+    )
+    return D.duplicate_spans(
+        d.select("doc_id", wrapped.alias("text")), k=8
+    )
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """ANN quality metric for the coarse-quantized paths: per-query
     recall of IVF and IVF-PQ top-k against the exact brute-force
@@ -2102,6 +2126,7 @@ def build_queries():
         "ann_recall_ivf": q_ann_recall_ivf,
         "ann_topk_pq_q64": q_ann_topk_pq_q64,
         "ann_topk_ivfpq_q64": q_ann_topk_ivfpq_q64,
+        "duplicate_spans": q_duplicate_spans,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2385,6 +2410,17 @@ def build_oracle_sql():
         ),
         "ann_topk_pq_q64": S.ann_topk_pq_oracle_sql(
             "embeddings", "vec_id < 64", 5
+        ),
+        "duplicate_spans": D.duplicate_spans_sql_duckdb(
+            "(SELECT doc_id, substring(text, 1, 100)"
+            " || CASE WHEN doc_id % 4 = 0 THEN"
+            " ' subscribe to our newsletter for updates and exclusive"
+            " offers every single week of the year' ELSE '' END"
+            " || CASE WHEN doc_id % 8 = 0 THEN"
+            " ' subscribe to our newsletter for updates and exclusive"
+            " offers every single week of the year' ELSE '' END"
+            " AS text FROM documents) wrapped",
+            k=8,
         ),
         "ann_topk_ivfpq_q64": S.ann_topk_ivfpq_oracle_sql(
             "embeddings", "vec_id < 64", 5, 8, 2, 64
