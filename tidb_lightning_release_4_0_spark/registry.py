@@ -782,6 +782,15 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def q_dedup_apply_spans(spark, sf_dir):
+    """Apply-policy for duplicated spans: drop documents whose
+    cross-document duplicated-gram coverage is >= 0.5 (mostly
+    boilerplate), keep the rest — the document-level application of
+    the exact-substring-dedup signal. Returns surviving doc ids."""
+    stats = q_duplicate_spans(spark, sf_dir)
+    return stats.filter(F.col("dup_frac") < 0.5).select("doc_id")
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """ANN quality metric for the coarse-quantized paths: per-query
     recall of IVF and IVF-PQ top-k against the exact brute-force
@@ -2127,6 +2136,7 @@ def build_queries():
         "ann_topk_pq_q64": q_ann_topk_pq_q64,
         "ann_topk_ivfpq_q64": q_ann_topk_ivfpq_q64,
         "duplicate_spans": q_duplicate_spans,
+        "dedup_apply_spans": q_dedup_apply_spans,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2410,6 +2420,23 @@ def build_oracle_sql():
         ),
         "ann_topk_pq_q64": S.ann_topk_pq_oracle_sql(
             "embeddings", "vec_id < 64", 5
+        ),
+        "dedup_apply_spans": (
+            "SELECT doc_id FROM ("
+            + D.duplicate_spans_sql_duckdb(
+                "(SELECT doc_id, substring(text, 1, 100)"
+                " || CASE WHEN doc_id % 4 = 0 THEN"
+                " ' subscribe to our newsletter for updates and"
+                " exclusive offers every single week of the year'"
+                " ELSE '' END"
+                " || CASE WHEN doc_id % 8 = 0 THEN"
+                " ' subscribe to our newsletter for updates and"
+                " exclusive offers every single week of the year'"
+                " ELSE '' END"
+                " AS text FROM documents) wrapped",
+                k=8,
+            )
+            + ") WHERE dup_frac < 0.5"
         ),
         "duplicate_spans": D.duplicate_spans_sql_duckdb(
             "(SELECT doc_id, substring(text, 1, 100)"
