@@ -277,14 +277,16 @@ def test_pq_ann_no_cartesian_and_broadcast(spark, sf_dir):
     assert "EvalPython" not in plan and "InPandas" not in plan, plan
 
 
-def test_repetition_stats_no_shuffle(spark, sf_dir):
-    """Gopher repetition filters must stay a narrow per-row
-    projection — no Exchange anywhere in the plan."""
+def test_gopher_repetition_no_shuffle(spark, sf_dir):
+    """Both per-document repetition queries (Gopher line/bigram
+    fractions AND the sentence-ratio repetition_stats) must stay
+    narrow per-row projections — no Exchange anywhere."""
     import tidb_lightning_release_4_0_spark.registry as R
 
-    plan = R.q_gopher_repetition(spark, sf_dir)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "Exchange" not in plan
+    for q in (R.q_gopher_repetition, R.q_repetition_stats):
+        plan = q(spark, sf_dir)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, q.__name__
 
 
 def test_ivfpq_broadcasts_and_prunes(spark, sf_dir):

@@ -95,3 +95,25 @@ def test_no_duplicate_registry_keys_or_defs():
     ]
     dup_fns = sorted({n for n in names if names.count(n) > 1})
     assert not dup_fns, f"duplicate function defs: {dup_fns}"
+
+
+def test_coverage_doc_totals_match_registry():
+    """The COVERAGE.md headline totals must equal the real registry
+    sizes — stale judge-facing counts are worse than none."""
+    import os
+    import re
+
+    cov = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     "COVERAGE.md")
+    ).read()
+    m = re.search(
+        r"Totals: (\d+) queries\(\) entries, (\d+) oracle-checked,"
+        r" (\d+) rows-only",
+        cov,
+    )
+    assert m, "totals line missing from COVERAGE.md"
+    nq, no, nr = (int(x) for x in m.groups())
+    assert nq == len(QUERIES), (nq, len(QUERIES))
+    assert no == len(ORACLES), (no, len(ORACLES))
+    assert nr == len(set(QUERIES) - set(ORACLES)), nr

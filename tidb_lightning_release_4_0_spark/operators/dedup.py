@@ -545,21 +545,18 @@ def duplicate_spans(
     idx = F.when(
         n >= k, F.sequence(F.lit(1), n - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
+    # only the hash leaves the row: positions are counted by row
+    # multiplicity (explode preserves duplicates), so shipping a pos
+    # column through the dominant hash-keyed shuffle would be waste
     grams = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("pos"),
-            hash60(F.concat_ws(" ", F.slice(toks, i, k))).alias("h"),
-        ),
+        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)))
     )
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.greatest(n - (k - 1), F.lit(0)).alias("n_grams"),
         grams.alias("_g"),
     )
-    e = base.select(
-        "doc_id", F.explode("_g").alias("g")
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    e = base.select("doc_id", F.explode("_g").alias("h"))
     cross = (
         e.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("_nd"))

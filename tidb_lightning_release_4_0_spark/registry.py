@@ -758,6 +758,20 @@ def q_ann_topk_ivfpq_q64(spark, sf_dir):
     )
 
 
+# shared by q_duplicate_spans and BOTH span oracles — one definition
+# so the Spark input and the DuckDB twin cannot drift apart
+_SPAN_BOILER = (
+    " subscribe to our newsletter for updates and exclusive"
+    " offers every single week of the year"
+)
+_SPAN_DOCS_SQL = (
+    "(SELECT doc_id, substring(text, 1, 100)"
+    f" || CASE WHEN doc_id % 4 = 0 THEN '{_SPAN_BOILER}' ELSE '' END"
+    f" || CASE WHEN doc_id % 8 = 0 THEN '{_SPAN_BOILER}' ELSE '' END"
+    " AS text FROM documents) wrapped"
+)
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated k-gram spans (the exact-substring
     dedup signal, Lee et al. 2022): per-doc fraction of 8-gram
@@ -768,14 +782,10 @@ def q_duplicate_spans(spark, sf_dir):
     (same tokenization + hash60 gram hashes in DuckDB)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     did = F.col("doc_id")
-    boiler = (
-        " subscribe to our newsletter for updates and exclusive"
-        " offers every single week of the year"
-    )
     wrapped = F.concat(
         F.substring(F.col("text"), 1, 100),
-        F.when(did % 4 == 0, F.lit(boiler)).otherwise(F.lit("")),
-        F.when(did % 8 == 0, F.lit(boiler)).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(_SPAN_BOILER)).otherwise(F.lit("")),
+        F.when(did % 8 == 0, F.lit(_SPAN_BOILER)).otherwise(F.lit("")),
     )
     return D.duplicate_spans(
         d.select("doc_id", wrapped.alias("text")), k=8
@@ -2423,31 +2433,11 @@ def build_oracle_sql():
         ),
         "dedup_apply_spans": (
             "SELECT doc_id FROM ("
-            + D.duplicate_spans_sql_duckdb(
-                "(SELECT doc_id, substring(text, 1, 100)"
-                " || CASE WHEN doc_id % 4 = 0 THEN"
-                " ' subscribe to our newsletter for updates and"
-                " exclusive offers every single week of the year'"
-                " ELSE '' END"
-                " || CASE WHEN doc_id % 8 = 0 THEN"
-                " ' subscribe to our newsletter for updates and"
-                " exclusive offers every single week of the year'"
-                " ELSE '' END"
-                " AS text FROM documents) wrapped",
-                k=8,
-            )
+            + D.duplicate_spans_sql_duckdb(_SPAN_DOCS_SQL, k=8)
             + ") WHERE dup_frac < 0.5"
         ),
         "duplicate_spans": D.duplicate_spans_sql_duckdb(
-            "(SELECT doc_id, substring(text, 1, 100)"
-            " || CASE WHEN doc_id % 4 = 0 THEN"
-            " ' subscribe to our newsletter for updates and exclusive"
-            " offers every single week of the year' ELSE '' END"
-            " || CASE WHEN doc_id % 8 = 0 THEN"
-            " ' subscribe to our newsletter for updates and exclusive"
-            " offers every single week of the year' ELSE '' END"
-            " AS text FROM documents) wrapped",
-            k=8,
+            _SPAN_DOCS_SQL, k=8
         ),
         "ann_topk_ivfpq_q64": S.ann_topk_ivfpq_oracle_sql(
             "embeddings", "vec_id < 64", 5, 8, 2, 64
