@@ -792,6 +792,51 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """JSONL export -> re-ingest round-trip (the training-data
+    handoff format both ways): documents written as uncompressed
+    splittable JSONL shards (curation.export_jsonl) and read back
+    with an explicit schema (sources.jsonl_source.read_jsonl — no
+    inference pass, byte-range splits). The oracle is the ORIGINAL
+    parquet table, so the comparison proves the round-trip is
+    lossless row-for-row, value-for-value."""
+    import os
+
+    from .operators.curation import export_jsonl
+    from .sources.jsonl_source import read_jsonl
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/root/repo/.tmp/jsonl_rt/{tag}/documents"
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    stale = False
+    if os.path.exists(marker) and os.path.exists(src):
+        src_m = (
+            max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _, fs in os.walk(src)
+                    for f in fs
+                ),
+                default=os.path.getmtime(src),
+            )
+            if os.path.isdir(src)
+            else os.path.getmtime(src)
+        )
+        stale = src_m > os.path.getmtime(marker)
+    if stale or not os.path.exists(marker):
+        export_jsonl(
+            _t(spark, sf_dir, "documents"), path,
+            shards=4, compression=None,
+        )
+    return read_jsonl(
+        spark,
+        path,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+
+
 def q_dedup_apply_spans(spark, sf_dir):
     """Apply-policy for duplicated spans: drop documents whose
     cross-document duplicated-gram coverage is >= 0.5 (mostly
@@ -2147,6 +2192,7 @@ def build_queries():
         "ann_topk_ivfpq_q64": q_ann_topk_ivfpq_q64,
         "duplicate_spans": q_duplicate_spans,
         "dedup_apply_spans": q_dedup_apply_spans,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -2430,6 +2476,9 @@ def build_oracle_sql():
         ),
         "ann_topk_pq_q64": S.ann_topk_pq_oracle_sql(
             "embeddings", "vec_id < 64", 5
+        ),
+        "jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "dedup_apply_spans": (
             "SELECT doc_id FROM ("
