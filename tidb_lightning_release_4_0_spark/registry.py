@@ -739,19 +739,24 @@ def q_ann_topk_ivf(spark, sf_dir):
 
 
 def q_ann_topk_pq_q64(spark, sf_dir):
-    """ann_topk_pq at a 64-query batch: with enough queries the ADC
-    candidate scoring dominates fixed costs, so this entry (paired
-    with ann_topk_ivfpq_q64) measures what the coarse-cell pruning
-    actually buys — the unpruned path scores every (query, code)
-    pair."""
+    """ann_topk_pq at a 64-query batch — the unpruned path scores
+    every (query, code) pair. Paired with ann_topk_ivfpq_q64; the
+    pruning evidence is the CANDIDATE-COUNT reduction (mechanically
+    asserted by test_ivfpq_prunes_candidate_pairs: ~n_cells/n_probe
+    fewer scored pairs), not wall-clock at this corpus size — at
+    2000 vectors even the full 64x2000 ADC scan is trivial on 32
+    cores, so per-call fixed costs dominate both entries; the
+    wall-clock win appears when the corpus, not the overhead, is the
+    cost (the 100 TB regime the pruning exists for)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_topk_pq(emb.filter(F.col("vec_id") < 64), emb, k=5)
 
 
 def q_ann_topk_ivfpq_q64(spark, sf_dir):
-    """ann_topk_ivfpq at the same 64-query batch: candidates shrink
-    ~n_cells/n_probe-fold vs ann_topk_pq_q64 under identical ADC
-    scoring — the bench pair is the pruning evidence."""
+    """ann_topk_ivfpq at the same 64-query batch: identical ADC
+    scoring over the coarse-cell-pruned candidate set (see
+    ann_topk_pq_q64's docstring for what this pair does and does not
+    measure)."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_topk_ivfpq(
         emb.filter(F.col("vec_id") < 64), emb, k=5, n_cells=8, n_probe=2
