@@ -318,7 +318,7 @@ def test_ivfpq_prunes_candidate_pairs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
     q = emb.filter(F.col("vec_id") < 8)
-    n_q = 8
+    n_q = q.count()  # ids need not be contiguous in custom testdata
     full_pairs = n_q * (n_corpus - 1)
 
     # count scored pairs = rows entering the top-k window (k huge so

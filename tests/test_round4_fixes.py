@@ -232,3 +232,44 @@ def test_star_keeps_self_pair_only_nodes(spark):
     edges = [(5, 5), (1, 2)]
     got = _cc(spark, edges, small_graph_threshold=0, algorithm="star")
     assert got == {5: 5, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# JSONL source corrupt-line contract
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_corrupt_line_fails_fast_by_default(spark):
+    from tidb_lightning_release_4_0_spark.sources.jsonl_source import (
+        read_jsonl,
+    )
+
+    p = os.path.join(TMP, "jsonl_bad")
+    shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("not json at all\n")
+    with pytest.raises(Exception):
+        read_jsonl(spark, p, "doc_id bigint, text string").collect()
+
+
+def test_jsonl_keep_corrupt_captures_raw_line(spark):
+    from tidb_lightning_release_4_0_spark.sources.jsonl_source import (
+        CORRUPT_COL,
+        read_jsonl,
+    )
+
+    p = os.path.join(TMP, "jsonl_cap")
+    shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("not json at all\n")
+    rows = read_jsonl(
+        spark, p, "doc_id bigint, text string", keep_corrupt=True
+    ).collect()
+    good = [r for r in rows if r[CORRUPT_COL] is None]
+    bad = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(good) == 1 and good[0]["doc_id"] == 1
+    assert len(bad) == 1 and bad[0][CORRUPT_COL] == "not json at all"

@@ -797,6 +797,29 @@ def q_duplicate_spans(spark, sf_dir):
     )
 
 
+def _stale_vs_parquet(cached: str, src: str) -> bool:
+    """True when a derived artifact predates the (driver-regenerated)
+    source parquet — stale caches must rebuild or the oracle reading
+    fresh parquet hash-mismatches them. Shared by every registry
+    query that materializes testdata-derived files."""
+    import os
+
+    if not (os.path.exists(cached) and os.path.exists(src)):
+        return False
+    if os.path.isdir(src):
+        src_m = max(
+            (
+                os.path.getmtime(os.path.join(dp, f))
+                for dp, _, fs in os.walk(src)
+                for f in fs
+            ),
+            default=os.path.getmtime(src),
+        )
+    else:
+        src_m = os.path.getmtime(src)
+    return src_m > os.path.getmtime(cached)
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """JSONL export -> re-ingest round-trip (the training-data
     handoff format both ways): documents written as uncompressed
@@ -814,22 +837,7 @@ def q_jsonl_roundtrip(spark, sf_dir):
     path = f"/root/repo/.tmp/jsonl_rt/{tag}/documents"
     src = os.path.join(sf_dir, "documents.parquet")
     marker = os.path.join(path, "_SUCCESS")
-    stale = False
-    if os.path.exists(marker) and os.path.exists(src):
-        src_m = (
-            max(
-                (
-                    os.path.getmtime(os.path.join(dp, f))
-                    for dp, _, fs in os.walk(src)
-                    for f in fs
-                ),
-                default=os.path.getmtime(src),
-            )
-            if os.path.isdir(src)
-            else os.path.getmtime(src)
-        )
-        stale = src_m > os.path.getmtime(marker)
-    if stale or not os.path.exists(marker):
+    if _stale_vs_parquet(marker, src) or not os.path.exists(marker):
         export_jsonl(
             _t(spark, sf_dir, "documents"), path,
             shards=4, compression=None,
@@ -933,20 +941,8 @@ def q_split_csv_rowids(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = f"/root/repo/.tmp/split_csv/{tag}/orders.csv"
     src = os.path.join(sf_dir, "orders.parquet")
-    if os.path.exists(path) and os.path.exists(src):
-        # stale-cache guard: the driver may regenerate the testdata
-        # parquet between rounds — a CSV derived from the OLD rows
-        # would hash-mismatch the oracle reading the new parquet
-        src_m = max(
-            (
-                os.path.getmtime(os.path.join(dp, f))
-                for dp, _, fs in os.walk(src)
-                for f in fs
-            ),
-            default=os.path.getmtime(src),
-        ) if os.path.isdir(src) else os.path.getmtime(src)
-        if src_m > os.path.getmtime(path):
-            os.remove(path)
+    if _stale_vs_parquet(path, src):
+        os.remove(path)
     if not os.path.exists(path):
         os.makedirs(os.path.dirname(path), exist_ok=True)
         pdf = (

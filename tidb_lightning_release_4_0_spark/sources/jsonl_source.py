@@ -10,9 +10,14 @@ Scale shape: Spark's native JSON reader with an EXPLICIT schema —
 no sampling/inference pass over 100 TB — and multiLine=false, so
 uncompressed shards split at maxPartitionBytes byte ranges (JSONL's
 one-object-per-line framing makes line-boundary resync exact);
-gzip shards parallelize per-file. PERMISSIVE mode captures rows that
-fail the schema into a corrupt-record column instead of failing the
-job, mirroring the CSV fast path's fallback contract.
+gzip shards parallelize per-file.
+
+Malformed lines are never silently nulled: the default is FAILFAST
+(a bad line errors the job loudly); ``keep_corrupt=True`` switches
+to PERMISSIVE and captures the raw line in a corrupt-record column
+for the caller to route — the CSV fast path's fallback contract.
+(PERMISSIVE with the capture column then dropped would be the worst
+of both: garbage all-null rows indistinguishable from real nulls.)
 """
 
 from __future__ import annotations
@@ -35,21 +40,24 @@ def read_jsonl(
     string, ..."). ``keep_corrupt=True`` appends ``_corrupt_record``
     (the raw line for rows that failed the schema; NULL otherwise) —
     the caller decides whether to route them to a fallback parse or
-    count them as data-quality signal.
+    count them as data-quality signal. With the default
+    ``keep_corrupt=False`` a malformed line FAILS the read instead
+    of materializing as an all-null row.
     """
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    fields = list(schema.fields)
-    if keep_corrupt:
-        fields = fields + [
-            T.StructField(CORRUPT_COL, T.StringType(), True)
-        ]
-    df = (
+    if not keep_corrupt:
+        return (
+            spark.read.option("mode", "FAILFAST")
+            .schema(schema)
+            .json(paths)
+        )
+    fields = list(schema.fields) + [
+        T.StructField(CORRUPT_COL, T.StringType(), True)
+    ]
+    return (
         spark.read.option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .schema(T.StructType(fields))
         .json(paths)
     )
-    if not keep_corrupt and CORRUPT_COL in df.columns:
-        df = df.drop(CORRUPT_COL)
-    return df
