@@ -133,3 +133,36 @@ def test_streaming_restore_table_with_batch_column(spark):
     sr.run_until_complete()
     got = {r["id"]: r["batch"] for r in sr.result().collect()}
     assert got == {1: 7, 2: 9}
+
+
+def test_streaming_restore_jsonl_source(spark):
+    """JSONL continuous restore: named-field micro-batches run the
+    SAME cast ladder as CSV (values stream in as strings), pick up
+    new files incrementally, and the running ledger checksum matches
+    the batch checksum of the final table."""
+    src, sink, ckpt = _fresh("jsonl")
+    _write(
+        src, "t.0001.jsonl",
+        '{"id": 1, "name": "alpha", "v": 1.5}\n'
+        '{"id": 2, "name": "beta", "v": 2.5}\n',
+    )
+    sr = StreamingRestore(
+        spark, parse_create_table(DDL), src, sink, ckpt,
+        source_format="jsonl",
+    )
+    sr.run_until_complete()
+    got = {r["id"]: (r["name"], r["v"]) for r in sr.result().collect()}
+    assert got == {1: ("alpha", 1.5), 2: ("beta", 2.5)}
+    _write(src, "t.0002.jsonl", '{"id": 3, "name": "gamma", "v": 3.5}\n')
+    sr2 = StreamingRestore(
+        spark, parse_create_table(DDL), src, sink, ckpt,
+        source_format="jsonl",
+    )
+    sr2.run_until_complete()
+    got = {
+        r["id"]: (r["name"], r["v"]) for r in sr2.result().collect()
+    }
+    assert got == {
+        1: ("alpha", 1.5), 2: ("beta", 2.5), 3: ("gamma", 3.5),
+    }
+    assert sr2.checksum() == checksum(sr2.result())

@@ -90,7 +90,15 @@ class StreamingRestore:
         sep: str = ",",
         quote: str = '"',
         max_files_per_trigger: int = 8,
+        source_format: str = "csv",
     ):
+        if source_format not in ("csv", "jsonl"):
+            raise ValueError(f"unknown source_format {source_format!r}")
+        #: "csv" (positional mydumper parts, the batch-S4 dialect) or
+        #: "jsonl" (named fields — the training-data handoff format;
+        #: values stream in as strings and run the SAME MySQL cast
+        #: ladder, so a JSONL corpus gets identical typing semantics)
+        self.source_format = source_format
         self.spark = spark
         self.schema = schema
         self.source_dir = source_dir
@@ -106,6 +114,22 @@ class StreamingRestore:
     # -- source ---------------------------------------------------------
 
     def _raw_stream(self) -> DataFrame:
+        if self.source_format == "jsonl":
+            # named fields, all read as strings: the cast ladder owns
+            # typing exactly like the CSV path (a JSON number under a
+            # StringType schema arrives as its literal text)
+            st = T.StructType(
+                [
+                    T.StructField(c.name, T.StringType())
+                    for c in self.schema.columns
+                ]
+            )
+            return (
+                self.spark.readStream.schema(st)
+                .option("maxFilesPerTrigger", str(self.max_files))
+                .option("mode", "PERMISSIVE")
+                .json(self.source_dir)
+            )
         ncols = len(self.schema.columns)
         st = T.StructType(
             [T.StructField(f"_c{i}", T.StringType()) for i in range(ncols)]
