@@ -18,7 +18,6 @@ from hypothesis import strategies as st
 from tidb_lightning_release_4_0_spark.sinks.fake_mysql import _parse_dml
 from tidb_lightning_release_4_0_spark.sinks.jdbc_sink import (
     render_insert,
-    render_sql_value,
 )
 
 # every value kind render_sql_value handles

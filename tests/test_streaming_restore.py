@@ -153,7 +153,9 @@ def test_streaming_restore_jsonl_source(spark):
     sr.run_until_complete()
     got = {r["id"]: (r["name"], r["v"]) for r in sr.result().collect()}
     assert got == {1: ("alpha", 1.5), 2: ("beta", 2.5)}
-    _write(src, "t.0002.jsonl", '{"id": 3, "name": "gamma", "v": 3.5}\n')
+    # non-ASCII text must survive (the JSON reader decodes real
+    # UTF-8 — the latin1 re-decode path is CSV-only)
+    _write(src, "t.0002.jsonl", '{"id": 3, "name": "caf\u00e9 \u4e2d", "v": 3.5}\n')
     sr2 = StreamingRestore(
         spark, parse_create_table(DDL), src, sink, ckpt,
         source_format="jsonl",
@@ -163,6 +165,6 @@ def test_streaming_restore_jsonl_source(spark):
         r["id"]: (r["name"], r["v"]) for r in sr2.result().collect()
     }
     assert got == {
-        1: ("alpha", 1.5), 2: ("beta", 2.5), 3: ("gamma", 3.5),
+        1: ("alpha", 1.5), 2: ("beta", 2.5), 3: ("caf\u00e9 \u4e2d", 3.5),
     }
     assert sr2.checksum() == checksum(sr2.result())

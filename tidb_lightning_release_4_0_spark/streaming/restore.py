@@ -184,7 +184,12 @@ class StreamingRestore:
             cols,
             rowid=F.col("_rowid"),
             strict=self.strict,
-            source_latin1=True,
+            # CSV streams read byte-faithful ISO-8859-1 (the batch-S4
+            # trick) and re-decode in the cast layer; the JSON reader
+            # decodes REAL UTF-8 — running its strings through the
+            # latin1 re-decode crashes on any non-ASCII value
+            # (MALFORMED_CHARACTER_CODING) and mangles chars > U+00FF
+            source_latin1=(self.source_format == "csv"),
             charset=self.charset,
         )
         return out
