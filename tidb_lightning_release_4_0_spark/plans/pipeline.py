@@ -364,9 +364,17 @@ class RestoreController:
         all_pq = [
             f for f in meta.data_files if f.path.lower().endswith(".parquet")
         ]
+        all_jsonl = [
+            f
+            for f in meta.data_files
+            if f.path.lower().endswith((".jsonl", ".jsonl.gz"))
+        ]
         csv_files = [f for f in all_csv if only is None or f.path in only]
         sql_files = [f for f in all_sql if only is None or f.path in only]
         pq_files = [f for f in all_pq if only is None or f.path in only]
+        jsonl_files = [
+            f for f in all_jsonl if only is None or f.path in only
+        ]
         strict = strict_sql_mode(self.cfg.tidb.sql_mode)
         frames: list[DataFrame] = []
 
@@ -391,6 +399,7 @@ class RestoreController:
         )
         GZ_LANE = _ceiling + 1
         PQ_LANE = _ceiling + (1 << 61) + 1
+        JSONL_LANE = _ceiling + (1 << 62) + 1
 
         if pq_files:
             # Spark-native source extension: columnar dumps are
@@ -423,7 +432,7 @@ class RestoreController:
             needs_rowid = (
                 not schema.has_int_pk
                 or bool(schema.auto_increment_column)
-                or bool(csv_files or sql_files)  # union needs _row_id
+                or bool(csv_files or sql_files or jsonl_files)  # union needs _row_id
             )
             if needs_rowid:
                 pdf = assign_rowid_mono(pdf, start=PQ_LANE)
@@ -481,6 +490,65 @@ class RestoreController:
                 extra.append(F.col("_row_id"))
             frames.append(pdf.select(*cols, *extra))
 
+        if jsonl_files:
+            # Beyond-reference source: JSON-Lines parts (the
+            # training-data handoff format; curation.export_jsonl is
+            # the matching writer). Fields are read BY NAME as strings
+            # (exact-name match to the DDL; extra keys ignored,
+            # missing keys arrive NULL and take column defaults) and
+            # run the SAME MySQL cast ladder as CSV — typing semantics
+            # are identical by construction. The JSON reader decodes
+            # real UTF-8, so the latin1 re-decode stays off. Row-ids
+            # use the capacity scheme in their own lane (splittable
+            # named-record files have no per-file dump order to
+            # preserve; documented like the parquet lane).
+            from ..operators.rowid import assign_rowid_mono
+
+            jname_schema = T.StructType(
+                [
+                    T.StructField(c.name, T.StringType(), True)
+                    for c in schema.columns
+                ]
+            )
+            from ..sources.sql_dump_source import MISSING_FIELD
+
+            jdf = (
+                self.spark.read.option("mode", "PERMISSIVE")
+                .schema(jname_schema)
+                .json([f.path for f in jsonl_files])
+            )
+            jdf = assign_rowid_mono(jdf, start=JSONL_LANE)
+            # JSON cannot distinguish an absent key from an explicit
+            # null; for NOT NULL columns a null is invalid anyway, so
+            # it maps to the missing sentinel and takes the column
+            # DEFAULT (the absent-trailing-field CSV semantics);
+            # nullable columns keep real NULLs
+            jdf = jdf.select(
+                *[
+                    (
+                        F.coalesce(
+                            F.col(c.name), F.lit(MISSING_FIELD)
+                        ).alias(c.name)
+                        if not c.nullable
+                        else F.col(c.name)
+                    )
+                    for c in schema.columns
+                ],
+                F.col("_row_id"),
+            )
+            frames.append(
+                apply_permutation(
+                    jdf,
+                    schema,
+                    [c.name for c in schema.columns],
+                    rowid=jdf["_row_id"],
+                    job_timestamp=self.job_timestamp,
+                    strict=strict,
+                    keep=["_row_id"],
+                    charset=self.cfg.mydumper.character_set,
+                    missing_sentinel=MISSING_FIELD,
+                )
+            )
         has_gz = any(f.path.lower().endswith(".csv.gz") for f in csv_files)
         if has_gz and self.cfg.mydumper.csv.strict_parser:
             raise ValueError(
@@ -1074,7 +1142,9 @@ class RestoreController:
                 # only unique within ONE read — engine-split reads
                 # would collide: single-shot
                 and not any(
-                    f.path.lower().endswith((".parquet", ".csv.gz"))
+                    f.path.lower().endswith(
+                        (".parquet", ".csv.gz", ".jsonl", ".jsonl.gz")
+                    )
                     for f in meta.data_files
                 )
             )

@@ -143,6 +143,12 @@ def _classify(fname: str) -> tuple[str, str] | None:
         # Spark-native extension beyond the reference's suffix switch:
         # columnar dumps load through the same permutation/cast ladder
         return "data", name[: -len(".parquet")]
+    if lower.endswith(".jsonl"):
+        # beyond-reference: JSON-Lines parts (the training-data
+        # handoff format) — named fields, same cast ladder
+        return "data", name[: -len(".jsonl")]
+    if lower.endswith(".jsonl.gz"):
+        return "data", name[: -len(".jsonl.gz")]
     return None
 
 
