@@ -102,3 +102,47 @@ def test_jsonl_extra_keys_ignored(spark):
     assert [tuple(r) for r in t.select("id", "name", "v").collect()] == [
         (1, "a", 3.0)
     ]
+
+
+def test_jsonl_case_insensitive_keys(spark):
+    """JSON keys matching the DDL case-insensitively must load (the
+    parquet/CSV-header paths are case-insensitive; Spark's JSON
+    parser alone is not — the first-line probe fixes the casing)."""
+    dump, sink = _dump(
+        "case",
+        {
+            "db.t.0001.jsonl": (
+                '{"ID": 1, "Name": "x", "V": 4.0}\n'
+                '{"ID": 2, "Name": "y", "V": 5.0}\n'
+            ),
+        },
+    )
+    t = _run(spark, dump, sink)
+    got = {r["id"]: (r["name"], r["v"]) for r in t.collect()}
+    assert got == {1: ("x", 4.0), 2: ("y", 5.0)}
+
+
+def test_jsonl_malformed_line_fails_loudly(spark):
+    """A corrupt line must ERROR the table restore (surfacing in the
+    O12 summary), never fabricate a default-filled row."""
+    root = os.path.join(TMP, "badline")
+    shutil.rmtree(root, ignore_errors=True)
+    dump = os.path.join(root, "dump")
+    os.makedirs(dump)
+    with open(os.path.join(dump, "db-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE IF NOT EXISTS `db`;\n")
+    with open(os.path.join(dump, "db.t-schema.sql"), "w") as f:
+        f.write(DDL.rstrip() + ";\n")
+    with open(os.path.join(dump, "db.t.0001.jsonl"), "w") as f:
+        f.write('{"id": 1, "name": "ok", "v": 1.0}\n')
+        f.write("THIS IS NOT JSON\n")
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=os.path.join(root, "sink"),
+        checkpoint_enable=False,
+        on_duplicate="physical",
+    )
+    s = RestoreController(spark, cfg).run()
+    assert not s.ok, "malformed JSONL must fail the table"
+    assert s.tables["db.t"].status == "failed"

@@ -168,3 +168,25 @@ def test_streaming_restore_jsonl_source(spark):
         1: ("alpha", 1.5), 2: ("beta", 2.5), 3: ("caf\u00e9 \u4e2d", 3.5),
     }
     assert sr2.checksum() == checksum(sr2.result())
+
+
+def test_streaming_jsonl_defaults_and_case_match_batch(spark):
+    """Missing NOT NULL keys take column DEFAULTS and wrong-case keys
+    resolve — identical to the batch JSONL path (v DOUBLE NOT NULL
+    DEFAULT in DDL2)."""
+    DDL2 = (
+        "create table t (id int primary key, name varchar(20) not null,"
+        " v double not null default '9.25')"
+    )
+    src, sink, ckpt = _fresh("jsonl_sem")
+    _write(
+        src, "t.0001.jsonl",
+        '{"ID": 1, "Name": "a"}\n{"ID": 2, "Name": "b", "V": 2.0}\n',
+    )
+    sr = StreamingRestore(
+        spark, parse_create_table(DDL2), src, sink, ckpt,
+        source_format="jsonl",
+    )
+    sr.run_until_complete()
+    got = {r["id"]: (r["name"], r["v"]) for r in sr.result().collect()}
+    assert got == {1: ("a", 9.25), 2: ("b", 2.0)}

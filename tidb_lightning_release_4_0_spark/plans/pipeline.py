@@ -503,19 +503,35 @@ class RestoreController:
             # named-record files have no per-file dump order to
             # preserve; documented like the parquet lane).
             from ..operators.rowid import assign_rowid_mono
-
-            jname_schema = T.StructType(
-                [
-                    T.StructField(c.name, T.StringType(), True)
-                    for c in schema.columns
-                ]
+            from ..sources.jsonl_source import (
+                read_jsonl,
+                resolve_field_names,
             )
             from ..sources.sql_dump_source import MISSING_FIELD
 
-            jdf = (
-                self.spark.read.option("mode", "PERMISSIVE")
-                .schema(jname_schema)
-                .json([f.path for f in jsonl_files])
+            # case-insensitive key match via a driver-side first-line
+            # probe (Spark's JSON parser matches schema names EXACTLY;
+            # the parquet path is case-insensitive — so is this one)
+            fmap = resolve_field_names(
+                [c.name for c in schema.columns], jsonl_files[0].path
+            )
+            jname_schema = T.StructType(
+                [
+                    T.StructField(fmap[c.name], T.StringType(), True)
+                    for c in schema.columns
+                ]
+            )
+            # read_jsonl = FAILFAST: a malformed line ERRORS the table
+            # restore (surfacing in the O12 summary) instead of
+            # materializing as an all-null row that the default-fill
+            # ladder would silently fabricate into real data
+            jdf = read_jsonl(
+                self.spark, [f.path for f in jsonl_files], jname_schema
+            ).select(
+                *[
+                    F.col(fmap[c.name]).alias(c.name)
+                    for c in schema.columns
+                ]
             )
             jdf = assign_rowid_mono(jdf, start=JSONL_LANE)
             # JSON cannot distinguish an absent key from an explicit

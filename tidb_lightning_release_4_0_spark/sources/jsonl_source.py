@@ -61,3 +61,52 @@ def read_jsonl(
         .schema(T.StructType(fields))
         .json(paths)
     )
+
+
+def probe_jsonl_keys(path: str) -> list[str] | None:
+    """Driver-side peek at the key casings used by the file — the
+    JSONL analog of the .sql path's first-INSERT column probe
+    (sql_dump_source.probe_insert_columns): one 64 KiB read, no Spark
+    job. Keys accumulate across EVERY parseable line in the head
+    (JSONL rows may omit keys, so one line alone under-reports);
+    first-seen casing wins per lowercased key. Returns None when
+    nothing parseable is found."""
+    import gzip
+    import json as _json
+
+    opener = gzip.open if path.endswith(".gz") else open
+    try:
+        with opener(path, "rt", encoding="utf-8", errors="replace") as f:
+            head = f.read(64 * 1024)
+    except OSError:
+        return None
+    seen: dict[str, str] = {}
+    any_obj = False
+    for line in head.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = _json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict):
+            any_obj = True
+            for k in obj:
+                seen.setdefault(k.lower(), k)
+    return list(seen.values()) if any_obj else None
+
+
+def resolve_field_names(
+    ddl_names: list[str], path: str
+) -> dict[str, str]:
+    """DDL column -> actual file key, matched case-insensitively
+    against the first line's keys (Spark's JSON parser matches schema
+    field names EXACTLY, so a dump whose keys differ in case from the
+    DDL would otherwise read every such value as NULL). Falls back to
+    the DDL casing for keys the probe does not see. MySQL column
+    names are unique case-insensitively, so the mapping is
+    injective."""
+    probed = probe_jsonl_keys(path) or []
+    by_lower = {k.lower(): k for k in probed}
+    return {n: by_lower.get(n.lower(), n) for n in ddl_names}

@@ -49,6 +49,7 @@ from pyspark.sql.window import Window
 from ..functions.checksum import Checksum, canonical_row, checksum_df
 from ..operators.permutation import ROWID_COL, apply_permutation
 from ..sources.schema_reader import TableSchema
+from ..sources.sql_dump_source import MISSING_FIELD as _MISSING
 
 
 class _Ledger:
@@ -117,17 +118,35 @@ class StreamingRestore:
         if self.source_format == "jsonl":
             # named fields, all read as strings: the cast ladder owns
             # typing exactly like the CSV path (a JSON number under a
-            # StringType schema arrives as its literal text)
+            # StringType schema arrives as its literal text).
+            # Key case is resolved against the first existing file
+            # (Spark matches schema names exactly); FAILFAST makes a
+            # malformed line STOP the stream loudly instead of
+            # committing a fabricated all-null row to the sink and
+            # the running checksum ledger.
+            import glob
+
+            from ..sources.jsonl_source import resolve_field_names
+
+            existing = sorted(
+                glob.glob(os.path.join(self.source_dir, "*.jsonl"))
+            )
+            self._jsonl_fmap = resolve_field_names(
+                [c.name for c in self.schema.columns],
+                existing[0] if existing else "",
+            )
             st = T.StructType(
                 [
-                    T.StructField(c.name, T.StringType())
+                    T.StructField(
+                        self._jsonl_fmap[c.name], T.StringType()
+                    )
                     for c in self.schema.columns
                 ]
             )
             return (
                 self.spark.readStream.schema(st)
                 .option("maxFilesPerTrigger", str(self.max_files))
-                .option("mode", "PERMISSIVE")
+                .option("mode", "FAILFAST")
                 .json(self.source_dir)
             )
         ncols = len(self.schema.columns)
@@ -159,6 +178,25 @@ class StreamingRestore:
         df = batch_df.toDF(*cols).withColumn(
             "_file", F.input_file_name()
         )
+        if self.source_format == "jsonl":
+            # same batch-path semantics (pipeline.py jsonl block):
+            # JSON cannot distinguish an absent key from null, so a
+            # null in a NOT NULL column maps to the missing sentinel
+            # and takes the column DEFAULT; nullable columns keep
+            # real NULLs
+            df = df.select(
+                *[
+                    (
+                        F.coalesce(
+                            F.col(c.name), F.lit(_MISSING)
+                        ).alias(c.name)
+                        if not c.nullable
+                        else F.col(c.name)
+                    )
+                    for c in self.schema.columns
+                ],
+                F.col("_file"),
+            )
         counts = (
             df.groupBy("_file").count().orderBy("_file").collect()
         )
@@ -191,6 +229,9 @@ class StreamingRestore:
             # (MALFORMED_CHARACTER_CODING) and mangles chars > U+00FF
             source_latin1=(self.source_format == "csv"),
             charset=self.charset,
+            missing_sentinel=(
+                None if self.source_format == "csv" else _MISSING
+            ),
         )
         return out
 
