@@ -119,6 +119,7 @@ def main() -> None:
     ingest_4x_mibs = None
     writephase_mibs = None
     split1_mibs = None
+    jsonl_mibs = None
     try:
         from tidb_lightning_release_4_0_spark.config import (
             Config,
@@ -217,6 +218,56 @@ def main() -> None:
         ts = _reps(lambda: restore(cfg2))
         timings["ingest_sql_orders"] = _med(ts)
         timings_min["ingest_sql_orders"] = round(min(ts), 3)
+
+        # JSONL dump parts (the training-data handoff format) through
+        # the same restore: named-field parse -> cast ladder -> write
+        jl_dump = os.path.join(TMP, "dump_jsonl")
+        jl_sink = os.path.join(TMP, "sink_jsonl")
+        if not os.path.exists(os.path.join(jl_dump, ".complete")):
+            shutil.rmtree(jl_dump, ignore_errors=True)
+            os.makedirs(jl_dump)
+            import numpy as np
+
+            od = load_table(spark, SF_DIR, "orders").toPandas()
+            od["o_orderdate"] = od["o_orderdate"].astype(str)
+            with open(
+                os.path.join(jl_dump, "tpch-schema-create.sql"), "w"
+            ) as f:
+                f.write("CREATE DATABASE IF NOT EXISTS `tpch`;\n")
+            with open(
+                os.path.join(jl_dump, "tpch.orders-schema.sql"), "w"
+            ) as f:
+                f.write(
+                    "CREATE TABLE orders ("
+                    "o_orderkey BIGINT PRIMARY KEY, o_custkey BIGINT,"
+                    "o_orderstatus VARCHAR(1), o_totalprice DOUBLE,"
+                    "o_orderdate DATETIME, o_orderpriority VARCHAR(20));\n"
+                )
+            for pi, idx in enumerate(
+                np.array_split(np.arange(len(od)), CPUS)
+            ):
+                od.iloc[idx].to_json(
+                    os.path.join(
+                        jl_dump, f"tpch.orders.{pi:04d}.jsonl"
+                    ),
+                    orient="records", lines=True, force_ascii=False,
+                )
+            open(os.path.join(jl_dump, ".complete"), "w").write("ok")
+        jl_bytes = sum(
+            os.path.getsize(os.path.join(jl_dump, f))
+            for f in os.listdir(jl_dump)
+            if f.endswith(".jsonl")
+        )
+        cfg_jl = Config(
+            mydumper=MydumperConfig(source_dir=jl_dump),
+            backend="parquet", target_dir=jl_sink,
+            on_duplicate="physical", checkpoint_enable=False, checksum=True,
+        )
+        restore(cfg_jl)  # untimed warm-up (new plan shape)
+        ts = _reps(lambda: restore(cfg_jl))
+        timings["ingest_jsonl_orders"] = _med(ts)
+        timings_min["ingest_jsonl_orders"] = round(min(ts), 3)
+        jsonl_mibs = round(jl_bytes / _med(ts) / (1 << 20), 2)
 
         # scale evidence: 4x the CSV corpus (~150 MB at sf0.1) —
         # shows fixed per-job costs amortizing (docs/SCALE.md)
@@ -325,6 +376,7 @@ def main() -> None:
                 "ingest_4x_mib_per_sec": ingest_4x_mibs,
                 "ingest_writephase_mib_per_sec": writephase_mibs,
                 "ingest_split1file_mib_per_sec": split1_mibs,
+                "ingest_jsonl_mib_per_sec": jsonl_mibs,
             }
         )
     )
