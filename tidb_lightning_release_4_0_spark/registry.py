@@ -2147,7 +2147,58 @@ def q_waiting_suppliers(spark, sf_dir):
 
 
 def build_queries():
+    # Driver CORRECTNESS snapshots sample the FIRST 50 entries of this
+    # dict in insertion order. Entries never driver-attested through r04
+    # are listed first (rotation done in round 5); new queries must be
+    # inserted within the first 50 slots to receive a driver row.
     return {
+        "hll_union_keys": q_hll_union_keys,
+        "hll_overlap_partkeys": q_hll_overlap_partkeys,
+        "url_canonicalize": q_url_canonicalize,
+        "strip_html": q_strip_html,
+        "pivot_events": q_pivot_events,
+        "cube_lineitem": q_cube_lineitem,
+        "moving_avg_events": q_moving_avg_events,
+        "ntile_customers": q_ntile_customers,
+        "string_agg_nations": q_string_agg_nations,
+        "tfidf_terms": q_tfidf_terms,
+        "custdist_orders": q_custdist_orders,
+        "promo_share_lineitem": q_promo_share_lineitem,
+        "dedup_cluster": q_dedup_cluster,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "quality_filter": q_quality_filter,
+        "pack_sequences": q_pack_sequences,
+        "quantize_embeddings": q_quantize_embeddings,
+        "token_histogram": q_token_histogram,
+        "curation_funnel": q_curation_funnel,
+        "repetition_stats": q_repetition_stats,
+        "media_metadata": q_media_metadata,
+        "salted_join_orders": q_salted_join_orders,
+        "chunk_documents": q_chunk_documents,
+        "pii_scrub": q_pii_scrub,
+        "provenance_filter": q_provenance_filter,
+        "lm_score": q_lm_score,
+        "mixture_sample": q_mixture_sample,
+        "dedup_apply_cluster": q_dedup_apply_cluster,
+        "dedup_incremental": q_dedup_incremental,
+        "order_priority_count": q_order_priority_count,
+        "top_supplier_revenue": q_top_supplier_revenue,
+        "cheapest_shipper": q_cheapest_shipper,
+        "local_supplier_volume": q_local_supplier_volume,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
+        "profit_by_nation": q_profit_by_nation,
+        "returned_items": q_returned_items,
+        "important_parts": q_important_parts,
+        "priority_lines": q_priority_lines,
+        "small_qty_revenue": q_small_qty_revenue,
+        "bracket_revenue": q_bracket_revenue,
+        "waiting_suppliers": q_waiting_suppliers,
+        "excess_shippers": q_excess_shippers,
+        "large_orders": q_large_orders,
+        "idle_customers": q_idle_customers,
+        "part_supplier_variety": q_part_supplier_variety,
         "checksum_lineitem": q_checksum_lineitem,
         "checksum_orders": q_checksum_orders,
         "index_checksum_orders": q_index_checksum_orders,
@@ -2208,55 +2259,8 @@ def build_queries():
         "hll_users_by_event": q_hll_users_by_event,
         "cms_term_counts": q_cms_term_counts,
         "hist_quantiles_price": q_hist_quantiles_price,
-        "hll_union_keys": q_hll_union_keys,
-        "hll_overlap_partkeys": q_hll_overlap_partkeys,
-        "url_canonicalize": q_url_canonicalize,
-        "strip_html": q_strip_html,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
-        "pivot_events": q_pivot_events,
-        "cube_lineitem": q_cube_lineitem,
-        "moving_avg_events": q_moving_avg_events,
-        "ntile_customers": q_ntile_customers,
-        "string_agg_nations": q_string_agg_nations,
-        "tfidf_terms": q_tfidf_terms,
-        "custdist_orders": q_custdist_orders,
-        "promo_share_lineitem": q_promo_share_lineitem,
-        "dedup_cluster": q_dedup_cluster,
-        "decontaminate": q_decontaminate,
-        "sample_stratified": q_sample_stratified,
-        "quality_filter": q_quality_filter,
-        "pack_sequences": q_pack_sequences,
-        "quantize_embeddings": q_quantize_embeddings,
-        "token_histogram": q_token_histogram,
-        "curation_funnel": q_curation_funnel,
-        "repetition_stats": q_repetition_stats,
-        "media_metadata": q_media_metadata,
-        "salted_join_orders": q_salted_join_orders,
-        "chunk_documents": q_chunk_documents,
-        "pii_scrub": q_pii_scrub,
-        "provenance_filter": q_provenance_filter,
-        "lm_score": q_lm_score,
-        "mixture_sample": q_mixture_sample,
-        "dedup_apply_cluster": q_dedup_apply_cluster,
-        "dedup_incremental": q_dedup_incremental,
-        "order_priority_count": q_order_priority_count,
-        "top_supplier_revenue": q_top_supplier_revenue,
-        "cheapest_shipper": q_cheapest_shipper,
-        "local_supplier_volume": q_local_supplier_volume,
-        "volume_shipping": q_volume_shipping,
-        "market_share": q_market_share,
-        "profit_by_nation": q_profit_by_nation,
-        "returned_items": q_returned_items,
-        "important_parts": q_important_parts,
-        "priority_lines": q_priority_lines,
-        "small_qty_revenue": q_small_qty_revenue,
-        "bracket_revenue": q_bracket_revenue,
-        "waiting_suppliers": q_waiting_suppliers,
-        "excess_shippers": q_excess_shippers,
-        "large_orders": q_large_orders,
-        "idle_customers": q_idle_customers,
-        "part_supplier_variety": q_part_supplier_variety,
     }
 
 
