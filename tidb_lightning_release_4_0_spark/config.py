@@ -38,9 +38,11 @@ class CSVConfig:
     # fidelity switch: Spark-native reader (fast, covers the common
     # dialect) vs the exact MySQL state-machine parser (csv_strict.py)
     strict_parser: bool = False
-    # mydumper.strict-format (config.go:477, mydump/region.go
-    # SplitLargeFile): the user guarantees no field contains an
-    # unquoted newline, so files may be CHUNK-SPLIT at byte ranges.
+    # BEYOND-REFERENCE EXTENSION modeled on later tidb-lightning
+    # versions' mydumper.strict-format / SplitLargeFile (the pinned
+    # release-4.0 reference has no chunk splitting): the user
+    # guarantees no field contains an unquoted newline, so files may
+    # be CHUNK-SPLIT at byte ranges.
     # Here that maps to multiLine=false — Spark's CSV reader becomes
     # splittable and one huge file fans out across the cluster at
     # maxPartitionBytes-sized blocks instead of one task; row-ids use

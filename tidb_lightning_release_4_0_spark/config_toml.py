@@ -160,8 +160,9 @@ def load_toml(path: str) -> Config:
         "backslash-escape": ("backslash_escape", bool),
         "trim-last-separator": ("trim_last_sep", bool),
     }))
-    # strict-format lives at the mydumper level in the reference
-    # (config.go:477) but drives the CSV reader's split mode here
+    # strict-format is a beyond-reference extension modeled on later
+    # tidb-lightning versions (release-4.0 has no SplitLargeFile); it
+    # lives at the mydumper level and drives the CSV split mode here
     if md.get("strict-format"):
         csv.strict_format = True
     routes = [

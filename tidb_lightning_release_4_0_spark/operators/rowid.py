@@ -262,6 +262,23 @@ def _file_base_rowids(
     )
 
 
+def _conf_bytes(v: str) -> int:
+    # JavaUtils.byteStringAsBytes subset: bare bytes or k/m/g/t
+    # with optional trailing 'b' ("128m", "128mb", "134217728")
+    v = str(v).strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
+        ("g", 1 << 30), ("t", 1 << 40), ("b", 1),
+    ):
+        if v.endswith(suf):
+            v = v[: -len(suf)]
+            mult = m
+            break
+    return int(float(v) * mult)
+
+
 def split_bytes_lower_bound(spark) -> int:
     """A plan-time LOWER bound on Spark's actual file-split size:
     maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
@@ -269,24 +286,8 @@ def split_bytes_lower_bound(spark) -> int:
     (FilePartition.maxSplitBytes). Used for the per-block row-id
     cushion — a lower bound on split size is an UPPER bound on block
     count, which keeps the cushion safe under any conf."""
-    def _bytes(v: str) -> int:
-        # JavaUtils.byteStringAsBytes subset: bare bytes or k/m/g/t
-        # with optional trailing 'b' ("128m", "128mb", "134217728")
-        v = str(v).strip().lower()
-        mult = 1
-        for suf, m in (
-            ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-            ("tb", 1 << 40), ("k", 1 << 10), ("m", 1 << 20),
-            ("g", 1 << 30), ("t", 1 << 40), ("b", 1),
-        ):
-            if v.endswith(suf):
-                v = v[: -len(suf)]
-                mult = m
-                break
-        return int(float(v) * mult)
-
-    mpb = _bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    oc = _bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
+    mpb = _conf_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    oc = _conf_bytes(spark.conf.get("spark.sql.files.openCostInBytes"))
     return max(min(mpb, max(oc, 1)), 1)
 
 
@@ -339,6 +340,27 @@ def assign_rowid_by_file_split(
     uncompressed, splittable read (multiLine=false). ``block_start``
     comes from input_file_block_start(), so the data plane needs NO
     extra job or scan — the 100 TB path for one giant CSV."""
+    # The one-block-per-task precondition is load-bearing, not
+    # advisory: with a small openCostInBytes Spark PACKS several
+    # splits into one FilePartition, monotonically_increasing_id
+    # keeps counting across the packed blocks, and a block's ids can
+    # overrun its reservation into the next file's range. Enforce it
+    # at plan time instead of trusting the docstring.
+    spark = df.sparkSession
+    try:
+        oc = spark.conf.get("spark.sql.files.openCostInBytes")
+        mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    except Exception:  # pragma: no cover - conf always readable
+        oc = mpb = None
+    if oc is not None and mpb is not None:
+        if _conf_bytes(oc) < _conf_bytes(mpb):
+            raise ValueError(
+                "assign_rowid_by_file_split requires one split per "
+                "FilePartition: set spark.sql.files.openCostInBytes "
+                ">= spark.sql.files.maxPartitionBytes (the session "
+                f"helper tlr4s.session does this; got openCost={oc}, "
+                f"maxPartitionBytes={mpb})"
+            )
     local = F.monotonically_increasing_id().bitwiseAND(
         F.lit(_PARTITION_CAPACITY - 1)
     )

@@ -509,30 +509,49 @@ class RestoreController:
             )
             from ..sources.sql_dump_source import MISSING_FIELD
 
-            # case-insensitive key match via a driver-side first-line
-            # probe (Spark's JSON parser matches schema names EXACTLY;
-            # the parquet path is case-insensitive — so is this one)
-            fmap = resolve_field_names(
-                [c.name for c in schema.columns], jsonl_files[0].path
-            )
-            jname_schema = T.StructType(
-                [
-                    T.StructField(fmap[c.name], T.StringType(), True)
-                    for c in schema.columns
-                ]
-            )
+            # case-insensitive key match via a driver-side head probe
+            # of EVERY part (Spark's JSON parser matches schema names
+            # EXACTLY; the parquet path is case-insensitive — so is
+            # this one). Probing only part 0 would silently read a
+            # differently-cased later part as all-NULL rows; instead
+            # parts are grouped by their resolved casing and each
+            # group gets its own exact-name reader schema. A part
+            # whose keys match NO target column raises (require_match).
+            ddl_names = [c.name for c in schema.columns]
+            groups: dict = {}
+            for f in jsonl_files:
+                fmap_f = resolve_field_names(
+                    ddl_names, f.path, require_match=True
+                )
+                key = tuple(fmap_f[n] for n in ddl_names)
+                groups.setdefault(key, []).append(f)
             # read_jsonl = FAILFAST: a malformed line ERRORS the table
             # restore (surfacing in the O12 summary) instead of
             # materializing as an all-null row that the default-fill
             # ladder would silently fabricate into real data
-            jdf = read_jsonl(
-                self.spark, [f.path for f in jsonl_files], jname_schema
-            ).select(
-                *[
-                    F.col(fmap[c.name]).alias(c.name)
-                    for c in schema.columns
-                ]
-            )
+            jdfs = []
+            for key in sorted(groups):
+                jname_schema = T.StructType(
+                    [
+                        T.StructField(k, T.StringType(), True)
+                        for k in key
+                    ]
+                )
+                jdfs.append(
+                    read_jsonl(
+                        self.spark,
+                        [f.path for f in groups[key]],
+                        jname_schema,
+                    ).select(
+                        *[
+                            F.col(k).alias(n)
+                            for k, n in zip(key, ddl_names)
+                        ]
+                    )
+                )
+            jdf = jdfs[0]
+            for other in jdfs[1:]:
+                jdf = jdf.unionByName(other)
             jdf = assign_rowid_mono(jdf, start=JSONL_LANE)
             # JSON cannot distinguish an absent key from an explicit
             # null; for NOT NULL columns a null is invalid anyway, so

@@ -98,13 +98,17 @@ def render_insert(
     return f"{prefix} `{table}` {collist} VALUES {tuples}"
 
 
-# MySQL/TiDB errnos the reference's classifier treats as transient
-# (common/util.go:186-218 IsRetryableError): connection loss
-# (2002/2003/2006/2013), lock waits and deadlocks (1205/1213,
-# tmysql.ErrLockDeadlock), TiDB/TiKV server-busy and timeout classes
-# (9001-9005, 8005 write-conflict), unknown-error 1105. Constraint
-# violations (1062 Duplicate entry) and syntax errors are NOT here —
-# retrying them can never succeed and hides real failures.
+# MySQL/TiDB errnos treated as transient. The reference's classifier
+# (common/util.go:186-218 IsRetryableError) lists exactly: 1105
+# unknown-error, 1213 deadlock, 8005 write-conflict, 9001-9005
+# PD/TiKV timeout+busy classes. BEYOND-REFERENCE EXTENSIONS here:
+# 1205 lock-wait-timeout, and client-side errnos 2002/2003/2006/2013
+# (connection loss) — the Go side sees those as net.Error values,
+# which util.go retries on timeout; a Python DBAPI driver surfaces
+# them as errnos instead, so listing them restores the same
+# behavior. Constraint violations (1062 Duplicate entry) and syntax
+# errors are NOT here — retrying them can never succeed and hides
+# real failures.
 _RETRYABLE_ERRNOS = {
     1105, 1205, 1213, 2002, 2003, 2006, 2013,
     8005, 9001, 9002, 9003, 9004, 9005,

@@ -98,15 +98,30 @@ def probe_jsonl_keys(path: str) -> list[str] | None:
 
 
 def resolve_field_names(
-    ddl_names: list[str], path: str
+    ddl_names: list[str], path: str, require_match: bool = False
 ) -> dict[str, str]:
     """DDL column -> actual file key, matched case-insensitively
-    against the first line's keys (Spark's JSON parser matches schema
+    against the head's keys (Spark's JSON parser matches schema
     field names EXACTLY, so a dump whose keys differ in case from the
     DDL would otherwise read every such value as NULL). Falls back to
     the DDL casing for keys the probe does not see. MySQL column
     names are unique case-insensitively, so the mapping is
-    injective."""
+    injective.
+
+    ``require_match=True`` raises when the probe sees keys but NONE
+    of them matches a DDL column: such a file would read as all-NULL
+    rows, and the NOT NULL default-fill ladder would then silently
+    fabricate rows out of column defaults — refusing loudly is the
+    only honest behavior."""
     probed = probe_jsonl_keys(path) or []
     by_lower = {k.lower(): k for k in probed}
+    if require_match and probed:
+        if not any(n.lower() in by_lower for n in ddl_names):
+            raise ValueError(
+                f"JSONL file {path!r}: none of its keys "
+                f"{sorted(probed)[:8]} match any target column "
+                f"{list(ddl_names)[:8]} — its rows would read as "
+                "all-NULL and default-fill would fabricate data; "
+                "refusing to ingest it"
+            )
     return {n: by_lower.get(n.lower(), n) for n in ddl_names}

@@ -116,38 +116,21 @@ class StreamingRestore:
 
     def _raw_stream(self) -> DataFrame:
         if self.source_format == "jsonl":
-            # named fields, all read as strings: the cast ladder owns
-            # typing exactly like the CSV path (a JSON number under a
-            # StringType schema arrives as its literal text).
-            # Key case is resolved against the first existing file
-            # (Spark matches schema names exactly); FAILFAST makes a
-            # malformed line STOP the stream loudly instead of
-            # committing a fabricated all-null row to the sink and
-            # the running checksum ledger.
-            import glob
-
-            from ..sources.jsonl_source import resolve_field_names
-
-            existing = sorted(
-                glob.glob(os.path.join(self.source_dir, "*.jsonl"))
-            )
-            self._jsonl_fmap = resolve_field_names(
-                [c.name for c in self.schema.columns],
-                existing[0] if existing else "",
-            )
-            st = T.StructType(
-                [
-                    T.StructField(
-                        self._jsonl_fmap[c.name], T.StringType()
-                    )
-                    for c in self.schema.columns
-                ]
-            )
+            # Lines stream in RAW via the text source and each
+            # micro-batch parses them itself (_transform): key casing
+            # is matched case-insensitively PER LINE, so an empty
+            # source dir at stream start, later files with different
+            # key casing, and .jsonl.gz parts all parse correctly —
+            # a stream-start schema probe would freeze whatever casing
+            # the first file happened to use (or the DDL casing when
+            # the dir starts empty, the normal continuous-restore
+            # case) and silently read every other casing as NULL.
             return (
-                self.spark.readStream.schema(st)
-                .option("maxFilesPerTrigger", str(self.max_files))
-                .option("mode", "FAILFAST")
-                .json(self.source_dir)
+                self.spark.readStream.option(
+                    "maxFilesPerTrigger", str(self.max_files)
+                )
+                .option("pathGlobFilter", "*.jsonl*")
+                .text(self.source_dir)
             )
         ncols = len(self.schema.columns)
         st = T.StructType(
@@ -175,10 +158,41 @@ class StreamingRestore:
         through one task (the count is a second scan of the batch,
         bounded by maxFilesPerTrigger)."""
         cols = [c.name for c in self.schema.columns]
-        df = batch_df.toDF(*cols).withColumn(
-            "_file", F.input_file_name()
-        )
         if self.source_format == "jsonl":
+            # Raw lines from the text stream: parse each line to
+            # map<string,string> under FAILFAST (a malformed line
+            # STOPS the stream loudly instead of committing a
+            # fabricated all-null row to the sink and the running
+            # checksum ledger), lowercase the keys JVM-side, and look
+            # each DDL column up case-insensitively — no stream-start
+            # schema probe to go stale. Values parse through the same
+            # Jackson string conversion the named-schema reader used,
+            # and the cast ladder owns typing exactly like CSV.
+            df = batch_df.withColumn("_file", F.input_file_name())
+            df = df.filter(F.trim(F.col("value")) != "")
+            m = F.from_json(
+                F.col("value"),
+                "map<string,string>",
+                {"mode": "FAILFAST"},
+            )
+            m = F.map_from_arrays(
+                F.transform(F.map_keys(m), F.lower),
+                F.map_values(m),
+            )
+            df = df.select(m.alias("_m"), "_file").select(
+                *[
+                    F.col("_m")[c.name.lower()].alias(c.name)
+                    for c in self.schema.columns
+                ],
+                F.col("_file"),
+            )
+            # a row where EVERY column is missing means the line's
+            # keys match no DDL column at all — flag it so the batch
+            # fails instead of committing default-filled fabrications
+            allnull = F.lit(True)
+            for c in cols:
+                allnull = allnull & F.col(c).isNull()
+            df = df.withColumn("_allnull", allnull.cast("int"))
             # same batch-path semantics (pipeline.py jsonl block):
             # JSON cannot distinguish an absent key from null, so a
             # null in a NOT NULL column maps to the missing sentinel
@@ -196,10 +210,33 @@ class StreamingRestore:
                     for c in self.schema.columns
                 ],
                 F.col("_file"),
+                F.col("_allnull"),
             )
+        else:
+            df = batch_df.toDF(*cols).withColumn(
+                "_file", F.input_file_name()
+            ).withColumn("_allnull", F.lit(0))
         counts = (
-            df.groupBy("_file").count().orderBy("_file").collect()
+            df.groupBy("_file")
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.sum("_allnull").alias("_an"),
+            )
+            .orderBy("_file")
+            .collect()
         )
+        bad = [
+            r["_file"]
+            for r in counts
+            if r["count"] > 0 and r["_an"] == r["count"]
+        ]
+        if bad:
+            raise ValueError(
+                f"JSONL batch: file(s) {bad} parsed entirely NULL "
+                "across all columns — their keys match no target "
+                "column; refusing to fabricate default-filled rows"
+            )
+        df = df.drop("_allnull")
         mapping: list = []
         acc = base
         for r in counts:
