@@ -424,6 +424,59 @@ def stratified_sample(
     )
 
 
+def stratified_sample_hash(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rate-based hash-threshold stratified sampling — the scale path
+    stratified_sample's docstring points at: ~n rows per stratum via
+    a per-row deterministic hash compare, so no stratum ever funnels
+    through a single reducer. One tiny count-by-strata aggregate
+    fixes each stratum's keep rate (rate = n / stratum_count, capped
+    at 1), broadcast back; the corpus scan stays narrow and
+    shuffle-free. Exact-n relaxes to expected-n (binomial around n),
+    reproducible across runs, engines, and partitionings — same
+    determinism contract as mixture_sample."""
+    counts = df.groupBy(*strata_cols).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    rates = counts.select(
+        *strata_cols,
+        F.least(
+            F.lit(float(n_per_stratum)) / F.col("_n"), F.lit(1.0)
+        ).alias("_rate"),
+    )
+    draw = hash60(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    return (
+        df.join(F.broadcast(rates), strata_cols)
+        .filter(draw < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def stratified_sample_hash_oracle_sql(
+    table: str,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    select_cols: list[str],
+    id_col: str = "doc_id",
+) -> str:
+    h = hash60_duckdb(f"cast({id_col} AS VARCHAR)")
+    strata = ", ".join(strata_cols)
+    return f"""
+WITH rates AS (
+  SELECT {strata},
+         least({float(n_per_stratum)!r} / count(*), 1.0) AS _rate
+  FROM {table} GROUP BY {strata}
+)
+SELECT {', '.join(select_cols)}
+FROM {table} JOIN rates USING ({strata})
+WHERE ({h}) / {float(1 << 60)!r} < _rate
+"""
+
+
 def stratified_sample_oracle_sql(
     table: str,
     strata_cols: list[str],

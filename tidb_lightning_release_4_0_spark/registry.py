@@ -1325,6 +1325,17 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_stratified_hash(spark, sf_dir):
+    """Hash-threshold stratified sample (the scale path for huge
+    strata): ~25 docs per lang via a per-row deterministic hash-rate
+    compare — one tiny count agg broadcast back, zero corpus shuffle,
+    no single-reducer stratum funnel."""
+    d = _t(spark, sf_dir, "documents")
+    return CU.stratified_sample_hash(d, ["lang"], 25).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_quality_filter(spark, sf_dir):
     """Quality filter with first-failing-rule reason column
     (length band, punct ratio, stopword floor, mean word length)."""
@@ -2199,6 +2210,7 @@ def build_queries():
         "large_orders": q_large_orders,
         "idle_customers": q_idle_customers,
         "part_supplier_variety": q_part_supplier_variety,
+        "sample_stratified_hash": q_sample_stratified_hash,
         "checksum_lineitem": q_checksum_lineitem,
         "checksum_orders": q_checksum_orders,
         "index_checksum_orders": q_index_checksum_orders,
@@ -2794,6 +2806,9 @@ def build_oracle_sql():
             "documents", "doc_id % 97 = 0", k=5
         ),
         "sample_stratified": CU.stratified_sample_oracle_sql(
+            "documents", ["lang"], 25, ["doc_id", "lang", "source"]
+        ),
+        "sample_stratified_hash": CU.stratified_sample_hash_oracle_sql(
             "documents", ["lang"], 25, ["doc_id", "lang", "source"]
         ),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
