@@ -379,3 +379,103 @@ def test_delete_preempts_running_task(spark):
     finally:
         gate.set()
         server.shutdown()
+
+
+def test_progress_table_endpoint(spark):
+    """GET /progress/table?t=<db>.<tbl> serves the table's checkpoint
+    ladder in the reference's TableCheckpoint JSON shape
+    (lightning.go:466-476, web.MarshalTableCheckpoints):
+    {Status, AllocBase, Engines: {id: {Status, Chunks: [{Key:
+    {Path, Offset}, Status}]}}}; 404 for a table no restore touched."""
+    from tidb_lightning_release_4_0_spark.server import parse_task_toml
+
+    configs = ConfigList()
+    server = TaskServer(
+        configs, overrides={"target_dir": os.path.join(TMP, "warehouse")}
+    ).start()
+    port = server.port
+    try:
+        d = _dump("t_cp", "srvcp", 77)
+        toml = _task_toml(d).replace(
+            b"[checkpoint]\nenable = false",
+            (
+                "[checkpoint]\nenable = true\ndriver = \"file\"\n"
+                f"dsn = \"{os.path.join(TMP, 't_cp_ckpt.json')}\""
+            ).encode(),
+        )
+        ckpath = os.path.join(TMP, "t_cp_ckpt.json")
+        if os.path.exists(ckpath):
+            os.remove(ckpath)
+        configs.push(parse_task_toml(toml, server.overrides))
+        sink = MemorySink(on_duplicate="error")
+        runner = TaskRunner(
+            spark, configs, server=server, sink_factory=lambda cfg: sink
+        )
+        # before any restore touches the table: 404 (IsNotFound branch)
+        st, _ = _req(port, "GET", "/progress/table?t=srvcp.t")
+        assert st == 404
+        assert runner.drain() == 1
+        st, cp = _req(port, "GET", "/progress/table?t=srvcp.t")
+        assert st == 200
+        assert set(cp) == {"Status", "AllocBase", "Engines"}
+        assert cp["Status"] >= 60  # >= ALL_WRITTEN on the ladder
+        engines = cp["Engines"]
+        assert engines, "at least one engine recorded"
+        for eng in engines.values():
+            assert set(eng) >= {"Status", "Chunks"}
+            for ch in eng["Chunks"]:
+                assert set(ch["Key"]) == {"Path", "Offset"}
+                assert ch["Key"]["Path"].endswith("srvcp.t.sql")
+                assert ch["Status"] >= 60
+        st, _ = _req(port, "GET", "/progress/table?t=no.such")
+        assert st == 404
+    finally:
+        server.shutdown()
+
+
+def test_marshal_table_mid_restore_shape():
+    """Store-level mid-restore snapshot: engine 0 delivered (with its
+    checksum triple), a second chunk still pending — the pending
+    chunk groups under engine -1 (the not-started remainder)."""
+    from tidb_lightning_release_4_0_spark.plans.checkpoints import (
+        CheckpointStore,
+        Status,
+    )
+
+    cp = CheckpointStore(path=None, enabled=True)
+    cp.set_table_status("db.t", Status.LOADED)
+    cp.set_alloc_base("db.t", 1000)
+    cp.mark_chunk("db.t", "/d/db.t.0001.sql", Status.ALL_WRITTEN)
+    cp.set_engine_state(
+        "db.t",
+        0,
+        {
+            "rows": 5,
+            "max_id": 5,
+            "files": ["/d/db.t.0001.sql"],
+            "crc_xor": 123,
+            "total_bytes": 456,
+            "total_kvs": 5,
+        },
+    )
+    cp.mark_chunk("db.t", "/d/db.t.0002.sql", Status.LOADED)
+    m = cp.marshal_table("db.t")
+    assert m["Status"] == Status.LOADED
+    assert m["AllocBase"] == 1000
+    e0 = m["Engines"]["0"]
+    assert e0["Status"] == Status.ALL_WRITTEN
+    assert e0["Checksum"] == {"checksum": 123, "size": 456, "kvs": 5}
+    assert e0["Chunks"] == [
+        {
+            "Key": {"Path": "/d/db.t.0001.sql", "Offset": 0},
+            "Status": Status.ALL_WRITTEN,
+        }
+    ]
+    rest = m["Engines"]["-1"]
+    assert rest["Chunks"] == [
+        {
+            "Key": {"Path": "/d/db.t.0002.sql", "Offset": 0},
+            "Status": Status.LOADED,
+        }
+    ]
+    assert cp.marshal_table("db.unknown") is None

@@ -242,6 +242,71 @@ class CheckpointStore:
     def dump(self) -> dict:
         return self.state
 
+    def marshal_table(self, table: str) -> dict | None:
+        """The reference's per-table checkpoint JSON (the payload of
+        GET /progress/table?t=, lightning.go:466-476 via
+        web.MarshalTableCheckpoints): TableCheckpoint {Status,
+        AllocBase, Engines: {id: {Status, Chunks: [{Key: {Path,
+        Offset}, Status}]}}} (checkpoints.go:92-152). Grain
+        difference, documented: the reference stores a checksum per
+        CHUNK; this store records it per delivered ENGINE, so the
+        triple rides on the engine record. Chunks not claimed by a
+        recorded engine (not yet delivered) are grouped under engine
+        "-1" — the not-started remainder. Returns None for a table
+        the store has never seen."""
+        with self._lock:
+            t = self.state["tables"].get(table)
+            prefix = f"{table}|"
+            chunks = {
+                k[len(prefix):]: int(v)
+                for k, v in self.state["chunks"].items()
+                if k.startswith(prefix)
+            }
+        if t is None and not chunks:
+            return None
+        t = t or {}
+
+        def _chunk(key: str) -> dict:
+            path, _, off = key.rpartition("|")
+            return {
+                "Key": {"Path": path, "Offset": int(off or 0)},
+                "Status": chunks.get(key, 0),
+            }
+
+        engines: dict[str, dict] = {}
+        claimed: set[str] = set()
+        for eid, rec in sorted(
+            t.get("engines", {}).items(), key=lambda kv: int(kv[0])
+        ):
+            keys = [f"{p}|0" for p in rec.get("files", [])]
+            claimed.update(keys)
+            eng: dict = {
+                "Status": (
+                    min((chunks.get(k, 0) for k in keys), default=0)
+                    if keys
+                    else int(t.get("status", 0))
+                ),
+                "Chunks": [_chunk(k) for k in sorted(keys)],
+            }
+            if rec.get("crc_xor") is not None:
+                eng["Checksum"] = {
+                    "checksum": rec["crc_xor"],
+                    "size": rec["total_bytes"],
+                    "kvs": rec["total_kvs"],
+                }
+            engines[str(int(eid))] = eng
+        rest = sorted(set(chunks) - claimed)
+        if rest:
+            engines["-1"] = {
+                "Status": min(chunks[k] for k in rest),
+                "Chunks": [_chunk(k) for k in rest],
+            }
+        return {
+            "Status": int(t.get("status", 0)),
+            "AllocBase": int(t.get("alloc_base", 0)),
+            "Engines": engines,
+        }
+
     def clean(self) -> None:
         self.remove(None)
         if self.enabled and self.path and os.path.exists(self.path):

@@ -1057,6 +1057,9 @@ class RestoreController:
             rec = {
                 "rows": int(m["total_kvs"]),
                 "max_id": int(m["max_id"]) if m.get("max_id") is not None else None,
+                # engine -> chunk mapping for the /progress/table
+                # marshal (the reference's TableCheckpoint.Engines)
+                "files": paths,
             }
             if want_cs:
                 ck = Checksum(
@@ -1121,6 +1124,15 @@ class RestoreController:
             self._gate()
             if self.progress:
                 self.progress.table_start(name)
+                # expose this table's checkpoint ladder to the task
+                # server (GET /progress/table?t=, lightning.go:466-476
+                # — BroadcastTableCheckpoint analog; marshal-on-read
+                # instead of a broadcast copy)
+                attach = getattr(
+                    self.progress, "attach_checkpoints", None
+                )
+                if attach:
+                    attach(name, self.cp)
             if self.cp.table_status(name) >= Status.CHECKSUMMED:
                 if self.progress:
                     self.progress.table_end(name)

@@ -116,6 +116,14 @@ class TaskProgress:
         self._tables: dict[str, dict] = {}
         self._status = self.NOT_STARTED
         self._message = ""
+        #: table -> its checkpoint store, for GET /progress/table?t=
+        #: (web/progress.go checkpointsMap; marshal-on-read replaces
+        #: the reference's broadcast deep-copies)
+        self._cp_stores: dict[str, object] = {}
+        #: last marshaled ladder per table — survives the store's
+        #: post-success cleanup (the reference serves its broadcast
+        #: COPY after the run, so completed tables must still answer)
+        self._cp_cache: dict[str, dict] = {}
 
     # -- broadcast hooks (BroadcastStartTask & friends) -----------------
     def start_task(self, table_sizes: dict[str, int]) -> None:
@@ -126,6 +134,38 @@ class TaskProgress:
                 name: {"w": 0, "z": size, "s": self.NOT_STARTED, "m": ""}
                 for name, size in table_sizes.items()
             }
+            self._cp_stores = {}  # BroadcastStartTask clears the map
+            self._cp_cache = {}
+
+    def attach_checkpoints(self, name: str, store) -> None:
+        with self._lock:
+            self._cp_stores[name] = store
+
+    def marshal_table(self, name: str) -> dict | None:
+        """Reference-shaped TableCheckpoint JSON for one table, or
+        None when no restore has touched it (-> 404, the
+        errors.IsNotFound branch of handleProgressTable). Falls back
+        to the table_end snapshot once the store is cleaned."""
+        with self._lock:
+            store = self._cp_stores.get(name)
+        res = store.marshal_table(name) if store is not None else None
+        with self._lock:
+            if res is not None:
+                return res
+            return self._cp_cache.get(name)
+
+    def table_end(self, name: str, error: str = "") -> None:
+        # snapshot the final ladder BEFORE a successful run's
+        # checkpoint cleanup wipes the store
+        with self._lock:
+            store = self._cp_stores.get(name)
+        snap = store.marshal_table(name) if store is not None else None
+        with self._lock:
+            if snap is not None:
+                self._cp_cache[name] = snap
+            if name in self._tables:
+                self._tables[name]["s"] = self.COMPLETED
+                self._tables[name]["m"] = error
 
     def end_task(self, error: str = "") -> None:
         with self._lock:
@@ -141,12 +181,6 @@ class TaskProgress:
         with self._lock:
             if name in self._tables:
                 self._tables[name]["w"] += int(nbytes)
-
-    def table_end(self, name: str, error: str = "") -> None:
-        with self._lock:
-            if name in self._tables:
-                self._tables[name]["s"] = self.COMPLETED
-                self._tables[name]["m"] = error
 
     def marshal(self) -> dict:
         with self._lock:
@@ -246,6 +280,19 @@ class TaskServer:
                     return
                 if self.path.rstrip("/") == "/progress/task":
                     self._json(200, server.progress.marshal())
+                    return
+                if self.path.split("?")[0].rstrip("/") == "/progress/table":
+                    # lightning.go:466-476 handleProgressTable: the
+                    # table's checkpoint ladder, 404 when unknown
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    t = (q.get("t") or [""])[0]
+                    res = server.progress.marshal_table(t)
+                    if res is None:
+                        self._json(404, f"table {t!r} not found")
+                    else:
+                        self._json(200, res)
                     return
                 if self.path.rstrip("/") == "/metrics":
                     with server._cur_lock:
