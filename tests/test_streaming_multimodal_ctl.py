@@ -391,3 +391,69 @@ def test_stream_stream_interval_join_matches_batch(spark, tables):
     key = ["click_id", "purchase_id"]
     assert got.select(*key).exceptAll(batch.select(*key)).count() == 0
     assert batch.select(*key).exceptAll(got.select(*key)).count() == 0
+
+
+def test_ctl_engine_ops(spark):
+    """ctl import-engine / cleanup-engine (main.go:261-307 analogs):
+    stage an engine dir (crash between close and import), clean the
+    staged copy, re-import a staged copy — totals match the original
+    restore throughout the live data's lifecycle."""
+    tgt = os.path.join(TMP, "ctl_engine_sink")
+    tbl_dir = os.path.join(tgt, "db.e")
+    eng = os.path.join(tbl_dir, "engine_0")
+    shutil.rmtree(tgt, ignore_errors=True)
+    os.makedirs(tbl_dir)
+    spark.range(100).toDF("i").write.parquet(eng)
+
+    def total():
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(tbl_dir)
+            .count()
+        )
+
+    def ctl(*argv):
+        return subprocess.run(
+            [sys.executable, "ctl.py", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    base = total()
+    assert base == 100
+
+    # import-engine of an already-live engine: idempotent no-op
+    out = ctl("import-engine", "--target-dir", tgt,
+              "--engine", "db.e:0")
+    assert out.returncode == 0 and "already imported" in out.stdout
+    assert total() == base
+
+    # stage: simulate a crash between engine close and import
+    os.replace(eng, eng + ".staged")
+    # cleanup-engine drops ONLY the staged copy
+    out = ctl("cleanup-engine", "--target-dir", tgt,
+              "--engine", "db.e:0")
+    assert out.returncode == 0 and "cleaned up" in out.stdout
+    assert not os.path.exists(eng + ".staged")
+
+    # engine gone entirely -> import-engine reports not found
+    out = ctl("import-engine", "--target-dir", tgt,
+              "--engine", "db.e:0")
+    assert out.returncode == 1
+
+    # re-stage (re-run of the write phase) then import: atomic publish
+    spark.range(100).toDF("i").write.parquet(eng + ".staged")
+    out = ctl("import-engine", "--target-dir", tgt,
+              "--engine", "db.e:0")
+    assert out.returncode == 0 and "imported engine" in out.stdout
+    assert os.path.isdir(eng) and not os.path.exists(eng + ".staged")
+    assert total() == base
+
+    # cleanup with nothing staged: no-op, live data untouched
+    out = ctl("cleanup-engine", "--target-dir", tgt,
+              "--engine", "db.e:0")
+    assert out.returncode == 0 and "no staged data" in out.stdout
+    assert total() == base
+
+    # bad spec
+    out = ctl("import-engine", "--target-dir", tgt, "--engine", "nope")
+    assert out.returncode == 1
