@@ -163,6 +163,21 @@ class CheckpointStore:
                 self.state["chunks"][self.chunk_key(table, p)] = int(status)
             self._save()
 
+    def mark_block_chunks(
+        self, table: str, pairs: list[tuple[str, int]], status: int
+    ) -> None:
+        """Bulk mark at BLOCK grain: one (path, byte-offset) chunk key
+        per delivered block (the reference's chunk checkpoint key,
+        checkpoints.go:92-99) — mid-file resume prunes on these."""
+        if not self.enabled:
+            return
+        with self._lock:
+            for p, off in pairs:
+                self.state["chunks"][
+                    self.chunk_key(table, p, int(off))
+                ] = int(status)
+            self._save()
+
     # -- engine-level (checksum-so-far for resume) -------------------------
     # The reference persists each chunk's running checksum triple so a
     # resumed run can rebuild the table's local checksum without
@@ -278,7 +293,11 @@ class CheckpointStore:
         for eid, rec in sorted(
             t.get("engines", {}).items(), key=lambda kv: int(kv[0])
         ):
-            keys = [f"{p}|0" for p in rec.get("files", [])]
+            if rec.get("chunks"):
+                # block-grain engine: explicit (path, offset) chunks
+                keys = [f"{p}|{int(o)}" for p, o in rec["chunks"]]
+            else:
+                keys = [f"{p}|0" for p in rec.get("files", [])]
             claimed.update(keys)
             eng: dict = {
                 "Status": (
@@ -429,6 +448,23 @@ class SQLCheckpointStore(CheckpointStore):
             rows = []
             for pa in paths:
                 key = self.chunk_key(table, pa)
+                self.state["chunks"][key] = int(status)
+                rows.append((key, int(status)))
+            self._exec(
+                f"REPLACE INTO cp_chunk_v1 (ck, status) VALUES ({p}, {p})",
+                rows,
+            )
+
+    def mark_block_chunks(
+        self, table: str, pairs: list[tuple[str, int]], status: int
+    ) -> None:
+        if not self.enabled:
+            return
+        p = self._ph
+        with self._lock:
+            rows = []
+            for pa, off in pairs:
+                key = self.chunk_key(table, pa, int(off))
                 self.state["chunks"][key] = int(status)
                 rows.append((key, int(status)))
             self._exec(

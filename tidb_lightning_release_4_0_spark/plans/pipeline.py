@@ -1089,6 +1089,142 @@ class RestoreController:
                 )
         return total, rows, max_id
 
+    def _csv_block_frame(
+        self,
+        meta: MDTableMeta,
+        schema: TableSchema,
+        blocks: list[tuple[str, int, int]],
+        split_bytes: int,
+    ) -> DataFrame:
+        """The read->permute->cast ladder over an explicit byte-range
+        block list (csv_blocks.read_csv_blocks): same all-string
+        shape, same SplitLargeFile row-id formula, same cast ladder
+        as the whole-file strict-format path — so an engine produces
+        identical rows whether it ran in the first attempt or in a
+        mid-file resume."""
+        from ..operators.rowid import file_row_bases_split
+        from ..sources.csv_blocks import read_csv_blocks
+
+        csv_cfg = self.cfg.mydumper.csv
+        ncols = len(schema.columns)
+        strict = strict_sql_mode(self.cfg.tidb.sql_mode)
+        # bases over the FULL file list: a block's ids must not
+        # depend on which blocks ride along (resume-renumber parity,
+        # as read_table's `only` contract)
+        bases = file_row_bases_split(
+            [(f.path, f.size) for f in meta.data_files],
+            ncols,
+            split_bytes,
+        )
+        df = read_csv_blocks(
+            self.spark, blocks, csv_cfg, ncols, bases, split_bytes
+        )
+        file_cols = [c.name for c in schema.columns]
+        df = df.toDF(*(["_row_id"] + file_cols))
+        return apply_permutation(
+            df,
+            schema,
+            file_cols,
+            rowid=df["_row_id"],
+            job_timestamp=self.job_timestamp,
+            strict=strict,
+            keep=["_row_id"],
+            source_latin1=True,
+            charset=self.cfg.mydumper.character_set,
+        )
+
+    def _restore_engines_blocks(
+        self,
+        name: str,
+        meta: MDTableMeta,
+        schema: TableSchema,
+        cols: list[str],
+        engines: list[list[tuple[str, int, int]]],
+        split_bytes: int,
+    ):
+        """BLOCK-grain checkpoint resume (O5 at the reference's chunk
+        key grain, checkpoints.go:92-130): one idempotent write-engine
+        job per contiguous block range of a strict-format CSV, each
+        delivered block marked under its (path, byte-offset) chunk key
+        with the engine's checksum-so-far persisted. A mid-FILE crash
+        then loses at most one engine of work — the resume plans only
+        the pending byte ranges and never re-reads delivered blocks
+        (restore.go:1265-1266 resumes a chunk from its offset the
+        same way)."""
+        want_cs = self.cfg.checksum
+        total: Checksum | None = None
+        rows = 0
+        max_id: int | None = None
+        loaded = False
+        for eid, blocks in enumerate(engines):
+            self._gate()
+            saved = self.cp.engine_state(name, eid)
+            delivered = saved is not None and all(
+                self.cp.chunk_status(name, p, off) >= Status.ALL_WRITTEN
+                for p, off, _ in blocks
+            )
+            if delivered:
+                if want_cs and saved.get("crc_xor") is not None:
+                    total = self._merge_ck(
+                        total,
+                        Checksum(
+                            saved["crc_xor"],
+                            saved["total_bytes"],
+                            saved["total_kvs"],
+                        ),
+                    )
+                rows += int(saved.get("rows") or 0)
+                if saved.get("max_id") is not None:
+                    max_id = max(max_id or 0, int(saved["max_id"]))
+                log.info(
+                    "[table: %s] block engine %d already delivered, "
+                    "skipping %d block(s)", name, eid, len(blocks)
+                )
+                continue
+            df = self._csv_block_frame(meta, schema, blocks, split_bytes)
+            if not loaded:
+                self.cp.set_table_status(name, Status.LOADED)
+                loaded = True
+            df, obs = self._observe_write(
+                df, name, cols, schema, want_cs, tag=f":be{eid}"
+            )
+            self.sink.write_engine(df, name, eid)
+            m = obs.get
+            rec = {
+                "rows": int(m["total_kvs"]),
+                "max_id": (
+                    int(m["max_id"]) if m.get("max_id") is not None else None
+                ),
+                "chunks": [[p, int(off)] for p, off, _ in blocks],
+            }
+            if want_cs:
+                ck = Checksum(
+                    int(m["crc_xor"] or 0),
+                    int(m["total_bytes"]),
+                    int(m["total_kvs"]),
+                )
+                rec.update(
+                    crc_xor=ck.crc_xor,
+                    total_bytes=ck.total_bytes,
+                    total_kvs=ck.total_kvs,
+                )
+                total = self._merge_ck(total, ck)
+            rows += int(m["total_kvs"])
+            if rec["max_id"] is not None:
+                max_id = max(max_id or 0, rec["max_id"])
+            self.cp.set_engine_state(name, eid, rec)
+            self.cp.mark_block_chunks(
+                name,
+                [(p, off) for p, off, _ in blocks],
+                Status.ALL_WRITTEN,
+            )
+            nbytes = sum(ln for _, _, ln in blocks)
+            if self._ticker:
+                self._ticker.add(nbytes)
+            if self.progress:
+                self.progress.table_written(name, nbytes)
+        return total, rows, max_id
+
     def restore_table(
         self, name: str, meta: MDTableMeta, schema: TableSchema
     ) -> TableResult:
@@ -1195,7 +1331,66 @@ class RestoreController:
                     for f in meta.data_files
                 )
             )
-            if engine_grain:
+            # BLOCK-grain engines: a strict-format CSV table larger
+            # than batch_size splits into byte-range engines, so a
+            # mid-FILE crash resumes from the last delivered block
+            # range instead of re-running whole files (checkpoints.go
+            # chunk keys; restore.go:1265-1266). Same gating as
+            # engine_grain plus: strict-format, plain .csv only (the
+            # byte-range reader seeks uncompressed files), no header
+            # (a header row is file-scoped state a block can't see).
+            block_engines = None
+            block_split = None
+            if (
+                self.cfg.mydumper.csv.strict_format
+                and self.cp.enabled
+                and not dedup_may_drop
+                and not self.cfg.bucket_buckets
+                and not self.cfg.incremental
+                and not self.cfg.mydumper.csv.strict_parser
+                and not self.cfg.mydumper.csv.header
+                and type(self.sink).write_engine is not Sink.write_engine
+                and meta.data_files
+                and all(
+                    f.path.lower().endswith(".csv")
+                    for f in meta.data_files
+                )
+            ):
+                from ..operators.rowid import split_bytes_lower_bound
+                from ..sources.csv_blocks import (
+                    group_blocks_into_engines,
+                    plan_file_blocks,
+                )
+
+                # the split size is pinned in the checkpoint: a
+                # resume MUST re-plan the exact block geometry (and
+                # id bases) of the first run even if the session conf
+                # changed in between — otherwise delivered chunk keys
+                # would not match and row-id bases would shift
+                skey = f"split_bytes:{name}"
+                persisted = self.cp.task_meta(skey)
+                if persisted:
+                    bsplit = int(persisted)
+                else:
+                    bsplit = split_bytes_lower_bound(self.spark)
+                blocks = plan_file_blocks(
+                    [(f.path, f.size) for f in meta.data_files], bsplit
+                )
+                bengines = group_blocks_into_engines(
+                    blocks, self.cfg.mydumper.batch_size
+                )
+                if len(bengines) > 1:
+                    if not persisted:
+                        self.cp.set_task_meta(skey, str(bsplit))
+                    block_engines = bengines
+                    block_split = bsplit
+
+            if block_engines is not None:
+                engine_grain = True  # post-hoc dup check applies
+                local, rows, obs_max_id = self._restore_engines_blocks(
+                    name, meta, schema, cols, block_engines, block_split
+                )
+            elif engine_grain:
                 local, rows, obs_max_id = self._restore_engines(
                     name, meta, schema, cols, engines
                 )

@@ -978,6 +978,106 @@ def q_split_csv_rowids(spark, sf_dir):
     )
 
 
+def q_resume_split_csv(spark, sf_dir):
+    """Block-grain MID-FILE checkpoint resume (O5 at the reference's
+    (path, offset) chunk-key grain, checkpoints.go:92-130,
+    restore.go:1265-1266): one strict-format CSV of orders restores
+    through byte-range block engines with an injected crash after the
+    first engine; the second run resumes from the recorded block
+    offsets (never re-reading delivered ranges) and must land EXACT
+    totals — the oracle is the same rows straight from the orders
+    table, so any lost, duplicated, or reordered-block row
+    hash-mismatches."""
+    import os
+    import shutil
+
+    from .config import Config, CSVConfig, MydumperConfig, TiDBConfig
+    from .plans.pipeline import RestoreController
+    from .sinks.parquet_sink import ParquetSink
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    fix = f"/root/repo/.tmp/split_csv/{tag}/orders.csv"
+    src = os.path.join(sf_dir, "orders.parquet")
+    if _stale_vs_parquet(fix, src):
+        os.remove(fix)
+    if not os.path.exists(fix):
+        os.makedirs(os.path.dirname(fix), exist_ok=True)
+        pdf = (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        tmp = fix + ".tmp"
+        pdf.to_csv(tmp, header=False, index=False)
+        os.replace(tmp, fix)
+    root = f"/root/repo/.tmp/resume_csv/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "dump")
+    os.makedirs(d)
+    with open(os.path.join(d, "rs-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE rs;")
+    with open(os.path.join(d, "rs.o-schema.sql"), "w") as f:
+        f.write(
+            "CREATE TABLE o (o_orderkey BIGINT PRIMARY KEY, "
+            "o_custkey BIGINT, o_orderpriority VARCHAR(20))"
+        )
+    shutil.copyfile(fix, os.path.join(d, "rs.o.0001.csv"))
+    tgt = os.path.join(root, "sink")
+    cp_path = os.path.join(root, "cp.json")
+
+    class _FailFirst(ParquetSink):
+        def __init__(self, r, fail_at):
+            super().__init__(r, on_duplicate="error")
+            self.fail_at = fail_at
+            self.delivered = 0
+
+        def write_engine(self, df, table, engine_id):
+            if self.fail_at is not None and self.delivered >= self.fail_at:
+                raise RuntimeError("injected mid-file crash")
+            res = super().write_engine(df, table, engine_id)
+            self.delivered += 1
+            return res
+
+    def cfg():
+        return Config(
+            mydumper=MydumperConfig(
+                source_dir=d,
+                csv=CSVConfig(strict_format=True),
+                batch_size=128 * 1024,
+            ),
+            backend="parquet",
+            target_dir=tgt,
+            on_duplicate="error",
+            checkpoint_path=cp_path,
+            table_concurrency=1,
+            tidb=TiDBConfig(sql_mode=""),
+        )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        crash = RestoreController(
+            spark, cfg(), sink=_FailFirst(tgt, 1)
+        ).run()
+        assert not crash.ok, "the injected crash must fire"
+        from .plans.checkpoints import CheckpointStore
+
+        cp = CheckpointStore(cp_path)
+        cp.ignore_error("all")
+        done = RestoreController(
+            spark, cfg(), sink=_FailFirst(tgt, None), checkpoints=cp
+        ).run()
+        assert done.ok, done.report()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(tgt, "rs.o"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
 def q_ann_topk_ivfpq(spark, sf_dir):
     """IVF-PQ (IVFADC): the composed scale path — coarse cells prune
     the candidate set ~n_cells/n_probe-fold AND candidates are scored
@@ -2211,6 +2311,7 @@ def build_queries():
         "idle_customers": q_idle_customers,
         "part_supplier_variety": q_part_supplier_variety,
         "sample_stratified_hash": q_sample_stratified_hash,
+        "resume_split_csv": q_resume_split_csv,
         "checksum_lineitem": q_checksum_lineitem,
         "checksum_orders": q_checksum_orders,
         "index_checksum_orders": q_index_checksum_orders,
@@ -2810,6 +2911,9 @@ def build_oracle_sql():
         ),
         "sample_stratified_hash": CU.stratified_sample_hash_oracle_sql(
             "documents", ["lang"], 25, ["doc_id", "lang", "source"]
+        ),
+        "resume_split_csv": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
         ),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(

@@ -1,0 +1,221 @@
+"""Byte-range block reader for strict-format CSV — the read side of
+block-grain (mid-file) checkpoint resume.
+
+Why this exists: Spark's job commit is atomic, so a crashed write job
+delivers NOTHING — the only way to make MID-FILE progress durable is
+to split one file's restore into several smaller jobs. Each job then
+needs to read just its byte ranges; the DataFrame CSV reader has no
+range API, so blocks are distributed as a tiny plan-time list and
+each task seeks into the file itself (the reference resumes a chunk
+from (path, offset) the same way: checkpoints.go:92-130,
+restore.go:1265-1266).
+
+Parity contract (load-bearing — resumed and fresh engines must
+produce byte-identical rows):
+
+- Line extraction mirrors Hadoop's ``LineRecordReader`` geometry
+  that Spark's own splittable scan uses: a block starting at
+  offset > 0 discards through the first ``\\n`` (the previous block
+  reads its straddling line), and a block keeps reading lines while
+  the line START is <= block end — which is also how a line ending
+  exactly on the boundary hands the NEXT line to the earlier block.
+- Bytes decode latin-1 (byte-faithful, as the batch reader's
+  ISO-8859-1 trick) and empty lines are skipped (univocity's
+  skipEmptyLines, which the native reader applies).
+- Field parsing is ``F.from_csv`` with the SAME option map as
+  ``spark.read.csv`` — the same Univocity parser, so separators,
+  quotes, escapes and null sentinels behave identically.
+- Row-ids use the same SplitLargeFile formula as
+  ``rowid.assign_rowid_by_file_split``; the in-block row index is
+  explicit here (the reader emits it), so ids are identical to what
+  the whole-file splittable read would have assigned.
+
+Constraint (documented, gated by the caller): line terminators are
+``\\n`` / ``\\r\\n``. ``header`` files are not block-split (the
+header row is file-scoped state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import CSVConfig
+
+_TAIL_CHUNK = 64 * 1024
+
+
+def plan_file_blocks(
+    files: list[tuple[str, int]], split_bytes: int
+) -> list[tuple[str, int, int]]:
+    """(path, offset, length) blocks in Spark's split geometry: the
+    session pins maxSplitBytes = maxPartitionBytes (huge
+    openCostInBytes), so offsets are multiples of ``split_bytes``."""
+    s = max(int(split_bytes), 1)
+    out: list[tuple[str, int, int]] = []
+    for path, size in files:
+        off = 0
+        while off < size:
+            out.append((path, off, min(s, size - off)))
+            off += s
+        if size == 0:
+            out.append((path, 0, 0))
+    return out
+
+
+def group_blocks_into_engines(
+    blocks: list[tuple[str, int, int]], batch_size: int
+) -> list[list[tuple[str, int, int]]]:
+    """Contiguous blocks batched into ~batch_size engines — the
+    block-grain analog of rowid.plan_engines (region.go:64-133)."""
+    engines: list[list[tuple[str, int, int]]] = []
+    cur: list[tuple[str, int, int]] = []
+    size = 0
+    for b in blocks:
+        cur.append(b)
+        size += b[2]
+        if size >= batch_size:
+            engines.append(cur)
+            cur, size = [], 0
+    if cur:
+        engines.append(cur)
+    return engines
+
+
+def _extract_lines(
+    path: str, offset: int, length: int
+) -> Iterator[str]:
+    """Lines owned by block [offset, offset+length) under the Hadoop
+    line-reader contract (see module docstring)."""
+    end = offset + length
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+        pos = offset  # absolute position of buf[cursor]
+        cursor = 0
+        if offset > 0:
+            nl = buf.find(b"\n")
+            if nl < 0:
+                return  # whole block is the previous block's straddle
+            cursor = nl + 1
+        # read lines while the line START is <= end
+        while pos + cursor <= end:
+            nl = buf.find(b"\n", cursor)
+            while nl < 0:
+                tail = f.read(_TAIL_CHUNK)
+                if not tail:
+                    break
+                buf += tail
+                nl = buf.find(b"\n", cursor)
+            if nl < 0:
+                # EOF without newline: final unterminated line
+                if cursor < len(buf):
+                    yield buf[cursor:].decode("latin-1")
+                return
+            line = buf[cursor:nl]
+            if line.endswith(b"\r"):
+                line = line[:-1]
+            yield line.decode("latin-1")
+            cursor = nl + 1
+            if pos + cursor > end:
+                return
+            # keep the buffer bounded: drop consumed bytes
+            if cursor > (1 << 22):
+                pos += cursor
+                buf = buf[cursor:]
+                cursor = 0
+
+
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("_bpath", T.StringType(), False),
+        T.StructField("_boffset", T.LongType(), False),
+        T.StructField("_bline", T.LongType(), False),
+        T.StructField("_raw", T.StringType(), True),
+    ]
+)
+
+
+def read_csv_blocks(
+    spark: SparkSession,
+    blocks: list[tuple[str, int, int]],
+    cfg: CSVConfig,
+    num_columns: int,
+    bases: dict[str, int],
+    split_bytes: int,
+) -> DataFrame:
+    """Read ONLY the given byte-range blocks into the same all-string
+    shape ``csv_source.read_csv`` produces (``_c0.._cN``), plus
+    ``_row_id`` per the SplitLargeFile scheme. One task per block."""
+    cfg.validate()
+    if cfg.header:
+        raise ValueError(
+            "block-split reads do not support header files; "
+            "the caller must gate on csv.header"
+        )
+    plan = spark.createDataFrame(
+        [(p, int(o), int(ln)) for p, o, ln in blocks],
+        "path string, off long, len long",
+    ).repartition(max(len(blocks), 1))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, off, ln in zip(pdf["path"], pdf["off"], pdf["len"]):
+                lines, idx = [], []
+                i = 0
+                for line in _extract_lines(path, int(off), int(ln)):
+                    if not line:
+                        continue  # univocity skipEmptyLines
+                    lines.append(line)
+                    idx.append(i)
+                    i += 1
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "_bpath": path,
+                            "_boffset": int(off),
+                            "_bline": pd.Series(idx, dtype="int64"),
+                            "_raw": lines,
+                        }
+                    )
+
+    raw = plan.mapInPandas(extract, schema=_RAW_SCHEMA)
+
+    # same option map as spark.read.csv (csv_source.read_csv) minus
+    # reader-only keys — from_csv runs the same Univocity parser
+    opts = cfg.spark_options()
+    for k in ("multiLine", "header", "inferSchema"):
+        opts.pop(k, None)
+    extra = cfg.trim_last_sep
+    n = num_columns + (1 if extra else 0)
+    fschema = ", ".join(f"_c{i} string" for i in range(n))
+    parsed = raw.select(
+        F.from_csv(F.col("_raw"), fschema, opts).alias("_r"),
+        "_bpath",
+        "_boffset",
+        "_bline",
+    )
+    div = max(num_columns, 1)
+    s = max(int(split_bytes), 1)
+    # rowid = file_base + off/divisor + off/split + in-block index + 1
+    # (identical to assign_rowid_by_file_split's formula; the join on
+    # the tiny bases map is broadcast)
+    bases_df = spark.createDataFrame(
+        [(p, int(b)) for p, b in bases.items()],
+        "_bpath string, _fbase long",
+    )
+    out = parsed.join(F.broadcast(bases_df), "_bpath", "left").select(
+        (
+            F.coalesce(F.col("_fbase"), F.lit(0))
+            + F.floor(F.col("_boffset") / F.lit(div))
+            + F.floor(F.col("_boffset") / F.lit(s))
+            + F.col("_bline")
+            + F.lit(1)
+        ).alias("_row_id"),
+        *[F.col("_r").getField(f"_c{i}").alias(f"_c{i}") for i in range(num_columns)],
+    )
+    return out
