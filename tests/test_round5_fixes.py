@@ -161,3 +161,64 @@ def test_split_rowid_asserts_open_cost_precondition(spark):
             )
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", old)
+
+
+def test_np_corpus_encode_matches_expression_path(spark, sf_dir):
+    """The Arrow/BLAS encode (bench/scale path) must produce the SAME
+    cells and PQ codes as the oracle-exact expression encode on real
+    data — the documented divergence is last-ulp summation order,
+    which only matters on exact distance ties (absent here)."""
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S._collect_centroids(emb, 8, "vec_id", "embedding")
+    sql_side = emb.select(
+        F.col("vec_id").alias("c_id"),
+        S._cell_sims(cents, "embedding").alias("_sims"),
+        *[
+            a.alias(f"_pqd{m}")
+            for m, a in enumerate(S._pq_dist_arrays("embedding"))
+        ],
+    ).select(
+        "c_id",
+        S._cell_from_sims("_sims").alias("_cell"),
+        *[
+            S._pq_code_from(f"_pqd{m}").alias(f"_code{m}")
+            for m in range(S._PQ_M)
+        ],
+    )
+    np_side = S._np_corpus_encode(emb, "embedding", "vec_id", cents=cents)
+    a = {r["c_id"]: tuple(r)[1:] for r in sql_side.collect()}
+    b = {r["c_id"]: tuple(r)[1:] for r in np_side.collect()}
+    assert a == b
+
+
+def test_ann_pq_numpy_encode_same_topk(spark, sf_dir):
+    """encode='numpy' must return the same top-k as encode='sql'."""
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(
+        tuple(r) for r in S.ann_topk_pq(q, emb, k=5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.ann_topk_pq(q, emb, k=5, encode="numpy").collect()
+    )
+    assert a == b
+    a = sorted(
+        tuple(r)
+        for r in S.ann_topk_ivfpq(
+            q, emb, k=5, n_cells=8, n_probe=2
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.ann_topk_ivfpq(
+            q, emb, k=5, n_cells=8, n_probe=2, encode="numpy"
+        ).collect()
+    )
+    assert a == b

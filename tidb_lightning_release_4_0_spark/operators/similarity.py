@@ -312,32 +312,42 @@ def _dot_sql_spark(a: str, b: str) -> str:
     )
 
 
-def _cell_assigner(cents: list[tuple[int, list[float]]]):
-    """Nearest-centroid (max cosine) cell id as ONE array projection:
-    the n_cells cosines land in an array and array_position(array_max)
-    picks the FIRST maximum — identical tie-break to the oracle's
-    ORDER BY cos DESC, ci ASC.
+def _cell_sims(cents: list[tuple[int, list[float]]], vec_col: str) -> Column:
+    """The n_cells cosine similarities as ONE array expression.
+
+    Callers must materialize this array in its OWN projection and
+    derive the cell id from the column REFERENCE (`_cell_from_sims`)
+    in a second projection: inlining the array into both operands of
+    array_position(sims, array_max(sims)) duplicates every dot
+    product. Catalyst keeps the split — CollapseProject refuses to
+    inline a non-cheap alias referenced more than once.
 
     Deliberately NOT an iterative when(d > best, ...) chain: each
     when() step embeds the previous best-so-far expression twice, so
-    the expression tree (and codegen) grows ~2^n_cells-fold — at 8
-    cells that made cell assignment ~250x the arithmetic it needs.
-    Centroid norms are pre-folded driver-side with the engines' exact
-    fold order, so only dot(vec, cent) and norm(vec) remain per row."""
+    the tree grows ~2^n_cells-fold. Centroid norms are pre-folded
+    driver-side with the engines' exact fold order, so only
+    dot(vec, cent) and norm(vec) remain per row."""
     import math
 
-    def cell_of(vec_col: str) -> Column:
-        nv = f"sqrt({_dot_sql_spark(vec_col, vec_col)})"
-        sims = "array(" + ", ".join(
+    nv = f"sqrt({_dot_sql_spark(vec_col, vec_col)})"
+    return F.expr(
+        "array(" + ", ".join(
             f"{_dot_sql_spark(vec_col, _arr_sql(cv))}"
             f" / ({nv} * {_dlit_sql(math.sqrt(_py_dot(cv, cv)))})"
             for _, cv in cents
         ) + ")"
-        return F.expr(
-            f"cast(array_position({sims}, array_max({sims})) - 1 as int)"
-        )
+    )
 
-    return cell_of
+
+def _cell_from_sims(sims_col: str) -> Column:
+    """First-maximum cell id from a MATERIALIZED sims array column —
+    identical tie-break to the oracle's ORDER BY cos DESC, ci ASC;
+    array_max/array_position over the column reference cost
+    O(n_cells) comparisons, not a re-evaluation."""
+    return F.expr(
+        f"cast(array_position({sims_col}, array_max({sims_col})) - 1 "
+        "as int)"
+    )
 
 
 def ivf_topk(
@@ -360,19 +370,26 @@ def ivf_topk(
     broadcast centroids, narrow cell-assignment projection, candidate
     join shuffles only same-cell rows."""
     cents = _collect_centroids(corpus, n_cells, id_col, vec_col)
-    cell_of = _cell_assigner(cents)
 
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_norm"),
-        cell_of(vec_col).alias("_cell"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            _cell_sims(cents, vec_col).alias("_sims"),
+        )
+        .withColumn("_cell", _cell_from_sims("_sims"))
+        .drop("_sims")
     )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_norm"),
-        cell_of(vec_col).alias("_cell"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            _cell_sims(cents, vec_col).alias("_sims"),
+        )
+        .withColumn("_cell", _cell_from_sims("_sims"))
+        .drop("_sims")
     )
     scored = c.join(
         F.broadcast(q),
@@ -529,7 +546,11 @@ def _sq_l2_sql(vec_col: str, m: int, j: int) -> str:
     """Sequential-fold squared L2 between subspace m of the vector and
     literal codebook centroid (m, j) — Spark-SQL string for one-parse
     plan construction (see _dot_sql_spark), same Catalyst operators
-    and fold order as the previous Column-API spelling."""
+    and fold order as the previous Column-API spelling. (An unrolled
+    Add/Multiply chain was tried in r5 and REVERTED: past a few
+    hundred nodes codegen falls back to interpreted node-at-a-time
+    eval with boxing, ~4x slower than the HOF loop — the vectorized
+    scale path is pq_encode_np, not bigger expressions.)"""
     sub = f"slice({vec_col}, {m * _PQ_SUB + 1}, {_PQ_SUB})"
     arr = _arr_sql(_pq_centroid(m, j))
     return (
@@ -539,20 +560,121 @@ def _sq_l2_sql(vec_col: str, m: int, j: int) -> str:
     )
 
 
-def pq_encode(vec_col: str) -> list[Column]:
-    """PQ codes: per subspace, the 1-based index of the nearest
-    codebook centroid (first-minimum tie-break, same both engines)."""
-    codes = []
-    for m in range(_PQ_M):
-        dists = "array(" + ", ".join(
-            _sq_l2_sql(vec_col, m, j) for j in range(_PQ_K)
-        ) + ")"
-        codes.append(
-            F.expr(
-                f"cast(array_position({dists}, array_min({dists})) as int)"
-            )
+def _pq_dist_arrays(vec_col: str) -> list[Column]:
+    """Per-subspace arrays of the K codebook distances. Same two-step
+    contract as _cell_sims: materialize in one projection, take the
+    code from the column reference in the next (_pq_code_from) — the
+    old single-expression shape inlined each array into BOTH
+    array_position and array_min, doubling the interpreted
+    higher-order-function work that dominates PQ encode."""
+    return [
+        F.expr(
+            "array(" + ", ".join(
+                _sq_l2_sql(vec_col, m, j) for j in range(_PQ_K)
+            ) + ")"
         )
-    return codes
+        for m in range(_PQ_M)
+    ]
+
+
+def _pq_code_from(dist_col: str) -> Column:
+    """1-based nearest-centroid code from a MATERIALIZED distance
+    array (first-minimum tie-break, same both engines)."""
+    return F.expr(
+        f"cast(array_position({dist_col}, array_min({dist_col})) as int)"
+    )
+
+
+def _np_corpus_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow-vectorized corpus-side encode -> (c_id[, _cell],
+    _code0.._codeM-1): one BLAS matmul per Arrow batch replaces
+    ~K*dim interpreted lambda steps per row — the scale path for
+    big corpora (the expression encode costs ~200ns per vector
+    element interpreted; this is ~100x cheaper at 50k vectors).
+
+    NOT oracle-bit-exact: numpy's SIMD/pairwise summation differs
+    from the SQL engines' sequential fold in the last ulp, which
+    could flip an argmin on an exact tie — the oracle-checked
+    registry entries keep the expression path (encode='sql').
+    Deterministic across runs and partitionings (per-row math only);
+    first-minimum/first-maximum tie-breaks match array_position."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [
+        np.array(
+            [_pq_centroid(m, j) for j in range(_PQ_K)], dtype=np.float64
+        )
+        for m in range(_PQ_M)
+    ]
+    cmat = (
+        np.array([cv for _, cv in cents], dtype=np.float64)
+        if cents
+        else None
+    )
+    cnorm = (
+        np.sqrt((cmat * cmat).sum(axis=1)) if cmat is not None else None
+    )
+    fields = [f"{id_col} long"] + (
+        ["_cell int"] if cents else []
+    ) + [f"_code{m} int" for m in range(_PQ_M)]
+    out_schema = ", ".join(fields)
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            out = {id_col: pdf[id_col].astype("int64")}
+            if cmat is not None:
+                dots = v @ cmat.T
+                vn = np.sqrt((v * v).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / (vn[:, None] * cnorm[None, :])
+                sims = np.where(np.isfinite(sims), sims, -np.inf)
+                out["_cell"] = sims.argmax(axis=1).astype("int32")
+            for m in range(_PQ_M):
+                sub = v[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 (argmin-safe)
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb[m].T)
+                    + (cb[m] * cb[m]).sum(axis=1)[None, :]
+                )
+                out[f"_code{m}"] = (d.argmin(axis=1) + 1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(enc, out_schema).select(
+        F.col(id_col).alias("c_id"),
+        *(["_cell"] if cents else []),
+        *[f"_code{m}" for m in range(_PQ_M)],
+    )
+
+
+def pq_encode_df(
+    df: DataFrame, vec_col: str, keep: list[Column]
+) -> DataFrame:
+    """(keep..., _code0.._codeM-1) via the two-step projection."""
+    staged = df.select(
+        *keep,
+        *[
+            arr.alias(f"_pqd{m}")
+            for m, arr in enumerate(_pq_dist_arrays(vec_col))
+        ],
+    )
+    drop = [f"_pqd{m}" for m in range(_PQ_M)]
+    for m in range(_PQ_M):
+        staged = staged.withColumn(
+            f"_code{m}", _pq_code_from(f"_pqd{m}")
+        )
+    return staged.drop(*drop)
 
 
 def ann_topk_pq(
@@ -561,6 +683,7 @@ def ann_topk_pq(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode: str = "sql",
 ) -> DataFrame:
     """Approximate top-k via PQ codes + ADC scoring.
 
@@ -572,13 +695,13 @@ def ann_topk_pq(
     by the candidate's codes (ADC, Jegou et al. 2011). Scoring reads
     M lookup-table entries per pair — no full-vector math against
     the corpus."""
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        *[
-            code.alias(f"_code{m}")
-            for m, code in enumerate(pq_encode(vec_col))
-        ],
-    )
+    # encode="sql": oracle-bit-exact expression encode (the checked
+    # registry entries); "numpy": the Arrow/BLAS scale path for big
+    # corpora (_np_corpus_encode's docstring has the trade-off)
+    if encode == "numpy":
+        c = _np_corpus_encode(corpus, vec_col, id_col)
+    else:
+        c = pq_encode_df(corpus, vec_col, [F.col(id_col).alias("c_id")])
     # ADC proper: the per-query lookup tables (M x K distances) are
     # precomputed once on the driver — queries are a handful by
     # definition — with the SAME sequential fold order as the engine
@@ -696,6 +819,7 @@ def ann_topk_ivfpq(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encode: str = "sql",
 ) -> DataFrame:
     """IVF-PQ: coarse-quantize the corpus into ``n_cells`` inverted
     lists, store each vector as M PQ codes, score candidates by ADC
@@ -716,18 +840,30 @@ def ann_topk_ivfpq(
     same sequential-fold IEEE arithmetic the engine expressions use,
     so DuckDB reproduces every value bit-for-bit."""
     cents = _collect_centroids(corpus, n_cells, id_col, vec_col)
-    cell_of = _cell_assigner(cents)
 
-    # corpus side: ONE narrow projection -> (id, cell, M codes); the
-    # raw vector is dropped here and never touched again
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        cell_of(vec_col).alias("_cell"),
-        *[
-            code.alias(f"_code{m}")
-            for m, code in enumerate(pq_encode(vec_col))
-        ],
-    )
+    # corpus side: one narrow TWO-STEP projection -> (id, cell, M
+    # codes); the raw vector is dropped here and never touched again,
+    # and every distance/sims array is evaluated exactly once (see
+    # _cell_sims for why the split matters). encode="numpy" swaps in
+    # the Arrow/BLAS scale path (same shape, not oracle-bit-exact).
+    if encode == "numpy":
+        c = _np_corpus_encode(corpus, vec_col, id_col, cents=cents)
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("c_id"),
+            _cell_sims(cents, vec_col).alias("_sims"),
+            *[
+                arr.alias(f"_pqd{m}")
+                for m, arr in enumerate(_pq_dist_arrays(vec_col))
+            ],
+        ).select(
+            "c_id",
+            _cell_from_sims("_sims").alias("_cell"),
+            *[
+                _pq_code_from(f"_pqd{m}").alias(f"_code{m}")
+                for m in range(_PQ_M)
+            ],
+        )
 
     # query side (a handful of rows by definition): ADC tables and the
     # n_probe nearest cells, computed driver-side with the engines'
