@@ -36,10 +36,16 @@ ROWID_COL = "_tidb_rowid"
 _CAST_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _memo_cast(df: DataFrame, key: tuple, builder) -> Column:
+def _memo_cache(df: DataFrame) -> dict | None:
     try:
-        cache = _CAST_MEMO.setdefault(df.sparkSession, {})
+        return _CAST_MEMO.setdefault(df.sparkSession, {})
     except TypeError:  # session not weak-referenceable (mocks)
+        return None
+
+
+def _memo_cast(df: DataFrame, key: tuple, builder) -> Column:
+    cache = _memo_cache(df)
+    if cache is None:
         return builder()
     col = cache.get(key)
     if col is None:
@@ -114,7 +120,71 @@ def apply_permutation(
     re-derived from it through mysql_cast — the hot path stays a
     column reference, the MySQL semantics live in the rarely-taken
     branch.
+
+    The WHOLE projection (out + extra Column lists) is memoized per
+    session: unresolved Columns are plan-independent, and even with
+    the per-column mysql_cast memo the surrounding when/default/
+    auto-inc scaffolding plus select-list assembly cost ~0.2s of
+    py4j round trips per call — paid once per distinct (schema,
+    flags, rowid-tree) instead of once per engine batch per run.
+    Every input that shapes the projection is in the key; the rowid
+    and native-frame inputs enter via their SQL reprs/fingerprints.
     """
+    memo_key = None
+    try:
+        ts_key = (
+            job_timestamp
+            if any(c.default_current_ts for c in schema.columns)
+            else None
+        )
+        nf_key = (
+            (
+                native_frame.corrupt_col,
+                native_frame.parsed_col,
+                frozenset(native_frame.native_cols),
+                native_frame.fallback_schema_ddl,
+                tuple(sorted(native_frame.fallback_options.items())),
+            )
+            if native_frame is not None
+            else None
+        )
+        memo_key = (
+            "projection",
+            tuple(repr(c) for c in schema.columns),
+            schema.has_int_pk,
+            tuple(schema.primary_key or ()),
+            (
+                tuple(file_columns)
+                if file_columns is not None
+                else ("<dfcols>", *df.columns)
+            ),
+            strict,
+            cast,
+            source_latin1,
+            charset,
+            missing_sentinel,
+            repr(rowid) if rowid is not None else None,
+            nf_key,
+            ts_key,
+            tuple(keep or ()),
+        )
+        cache = _memo_cache(df)
+        cached = cache.get(memo_key) if cache is not None else None
+        if cached is not None:
+            out, extra = cached
+            try:
+                return df.select(*out, *extra)
+            except Exception:
+                # a caller passed plan-BOUND columns (df["x"]) whose
+                # cached attributes can't resolve against this frame:
+                # evict and rebuild (callers on the hot path pass
+                # unbound F.col references, which always resolve)
+                cache.pop(memo_key, None)
+        if cache is None:
+            memo_key = None
+    except Exception:
+        memo_key = None
+
     perm = column_permutation(file_columns, schema)
     # names of the df columns holding file fields, in file order
     field_names = (
@@ -227,6 +297,10 @@ def apply_permutation(
             extra.append(rowid.cast("long").alias(ROWID_COL))
     for k in keep or []:
         extra.append(F.col(k))
+    if memo_key is not None:
+        cache = _memo_cache(df)
+        if cache is not None:
+            cache[memo_key] = (out, extra)
     return df.select(*out, *extra)
 
 

@@ -25,6 +25,7 @@ non-contiguous semantics are underdocumented) nor a global
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Iterator
 
 import pandas as pd
@@ -33,6 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 ROWID = "_row_id"
+
+#: per-session memo of the tiny per-file bases frames (see
+#: _file_base_rowids) — keyed by the expanded bases mapping
+_BMAP_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def metadata_df(spark, rows: list, schema, slices: int = 1) -> DataFrame:
@@ -239,15 +244,27 @@ def _file_base_rowids(
     if not expanded:
         return df.withColumn(ROWID, in_file_index + F.lit(1))
     spark = df.sparkSession
-    bmap_schema = T.StructType(
-        [
-            T.StructField("_fname", T.StringType()),
-            T.StructField("_fbase", T.LongType()),
-        ]
-    )
-    bmap = metadata_df(
-        spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
-    )
+    # the tiny bases frame is memoized per (session, bases): the
+    # createDataFrame round trips (~70ms at 32 files) would otherwise
+    # repeat for every engine batch of every run of the same dump
+    key = tuple(sorted(expanded.items()))
+    try:
+        cache = _BMAP_MEMO.setdefault(spark, {})
+    except TypeError:  # pragma: no cover - mock sessions
+        cache = None
+    bmap = cache.get(key) if cache is not None else None
+    if bmap is None:
+        bmap_schema = T.StructType(
+            [
+                T.StructField("_fname", T.StringType()),
+                T.StructField("_fbase", T.LongType()),
+            ]
+        )
+        bmap = metadata_df(
+            spark, [(k, int(v)) for k, v in expanded.items()], bmap_schema
+        )
+        if cache is not None:
+            cache[key] = bmap
     return (
         df.withColumn("_fname", F.input_file_name())
         .withColumn("_local", in_file_index)

@@ -576,7 +576,7 @@ class RestoreController:
                     jdf,
                     schema,
                     [c.name for c in schema.columns],
-                    rowid=jdf["_row_id"],
+                    rowid=F.col("_row_id"),
                     job_timestamp=self.job_timestamp,
                     strict=strict,
                     keep=["_row_id"],
@@ -613,7 +613,7 @@ class RestoreController:
                     df,
                     schema,
                     file_columns,
-                    rowid=df["_row_id"],
+                    rowid=F.col("_row_id"),
                     job_timestamp=self.job_timestamp,
                     strict=strict,
                     keep=["_row_id"],
@@ -704,7 +704,7 @@ class RestoreController:
                         df,
                         schema,
                         [c.name for c in schema.columns],
-                        rowid=df["_row_id"],
+                        rowid=F.col("_row_id"),
                         job_timestamp=self.job_timestamp,
                         strict=strict,
                         keep=["_row_id"],
@@ -737,7 +737,7 @@ class RestoreController:
                         df,
                         schema,
                         [c for c in file_columns if c != "_row_id"],
-                        rowid=df["_row_id"],
+                        rowid=F.col("_row_id"),
                         job_timestamp=self.job_timestamp,
                         strict=strict,
                         keep=["_row_id"],
@@ -768,7 +768,7 @@ class RestoreController:
                     df,
                     schema,
                     file_columns,
-                    rowid=df["_row_id"],
+                    rowid=F.col("_row_id"),
                     job_timestamp=self.job_timestamp,
                     strict=strict,
                     keep=["_row_id"],
@@ -1125,7 +1125,7 @@ class RestoreController:
             df,
             schema,
             file_cols,
-            rowid=df["_row_id"],
+            rowid=F.col("_row_id"),
             job_timestamp=self.job_timestamp,
             strict=strict,
             keep=["_row_id"],

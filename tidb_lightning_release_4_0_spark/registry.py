@@ -1039,12 +1039,17 @@ def q_resume_split_csv(spark, sf_dir):
             self.delivered += 1
             return res
 
+    # size the engines from the fixture so the crash geometry holds at
+    # EVERY sf: >=3 engines (the crash fires at the 2nd), each split
+    # into ~2 byte-range blocks (the resume is block-grain)
+    batch = max(4 * 1024, os.path.getsize(fix) // 4)
+
     def cfg():
         return Config(
             mydumper=MydumperConfig(
                 source_dir=d,
                 csv=CSVConfig(strict_format=True),
-                batch_size=128 * 1024,
+                batch_size=batch,
             ),
             backend="parquet",
             target_dir=tgt,
@@ -1055,7 +1060,7 @@ def q_resume_split_csv(spark, sf_dir):
         )
 
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(2048, batch // 2)))
     try:
         crash = RestoreController(
             spark, cfg(), sink=_FailFirst(tgt, 1)
