@@ -479,3 +479,52 @@ def test_marshal_table_mid_restore_shape():
         }
     ]
     assert cp.marshal_table("db.unknown") is None
+
+
+def test_web_dashboard_served():
+    """lightning.go:90-111: "/" redirects to /web/, which serves the
+    dashboard. The page must be self-contained (no external scripts)
+    and wired to the real JSON endpoints it polls."""
+    server = TaskServer(ConfigList()).start()
+    try:
+        # "/" -> 302 /web/ (RedirectHandler at lightning.go:90)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/", method="GET"
+        )
+
+        class NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        opener = urllib.request.build_opener(NoRedirect)
+        try:
+            opener.open(req)
+            raise AssertionError("expected a redirect")
+        except urllib.error.HTTPError as e:
+            assert e.code == 302
+            assert e.headers["Location"] == "/web/"
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/web/"
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        # wired to every endpoint surface the reference app uses
+        for endpoint in (
+            "/progress/task",
+            "/progress/table",
+            "/tasks",
+            "/pause",
+            "/resume",
+            "/metrics",
+        ):
+            assert endpoint in page, endpoint
+        # self-contained: no external fetches besides same-origin
+        assert "http://" not in page and "https://" not in page
+        assert "<script src" not in page and "@import" not in page
+        # renders the marshal shapes these endpoints actually emit
+        for field in ("Engines", "Chunks", "AllocBase", "Key", "Path"):
+            assert field in page, field
+    finally:
+        server.shutdown()

@@ -275,6 +275,29 @@ class TaskServer:
                     self._json(404, {"error": "not found"})
 
             def do_GET(self):
+                if self.path == "/" or self.path == "":
+                    # lightning.go:90: "/" redirects to the web app
+                    self.send_response(302)
+                    self.send_header("Location", "/web/")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                if self.path.rstrip("/") == "/web":
+                    # the dashboard (lightning.go:107-111 serves the
+                    # bundled React app; here one self-contained page
+                    # over the same JSON endpoints, web_ui.py)
+                    from .web_ui import INDEX_HTML
+
+                    body = INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", "text/html; charset=utf-8"
+                    )
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path.rstrip("/") == "/pause":
                     self._json(200, {"paused": server.pauser.is_paused})
                     return
