@@ -563,3 +563,129 @@ def approx_overlap_hll_oracle_sql(
              (SELECT e FROM e WHERE t = 'b') eb,
              (SELECT e FROM e WHERE t = 'u') eu
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: engine-exact build + zero-shuffle probe
+# ---------------------------------------------------------------------------
+#
+# Beyond-reference (M7): semi-join pruning at 100 TB. Filtering a fact
+# table to "keys present in <dim subset>" normally costs either a full
+# shuffle (SortMergeJoin semi) or broadcasting the EXACT key set (can
+# be GBs). A Bloom filter of the key set is m bits regardless of key
+# count: build is one m/32-row aggregate over the dim, the probe is a
+# pure narrow expression over broadcast literal words — the fact table
+# never shuffles and never holds more than m/32 longs per executor.
+# False positives are bounded (~(1-e^{-kn/m})^k) and deterministic
+# here: bit positions come from the portable seeded md5-prefix hash,
+# so Spark and the DuckDB oracle compute IDENTICAL words and verdicts,
+# FPs included. Survivors can then (optionally) exact-join — the
+# expensive join now touches only maybe-rows.
+
+
+def bloom_words(df: DataFrame, key: Column | str, m: int = 4096,
+                k: int = 3) -> DataFrame:
+    """Build the filter as a dense (word_idx, bits) table: each key
+    sets k bit positions hash60_seeded(key, j) % m; words pack 32
+    bits each via bit_or (32 not 64: DuckDB's BIGINT << raises on a
+    63-bit shift instead of wrapping, so the oracle twin could not
+    reproduce the top bit). m must be a multiple of 32."""
+    assert m % 32 == 0, "m must pack into 32-bit words"
+    c = F.col(key) if isinstance(key, str) else key
+    pos = [hash60_seeded(c, j) % m for j in range(k)]
+    bits = df.select(
+        F.explode(F.array(*pos)).alias("pos")
+    ).select(
+        (F.col("pos") / 32).cast("int").alias("word_idx"),
+        # shiftleft's python signature wants a literal shift; the
+        # column-shift form exists only in SQL
+        F.expr(
+            "shiftleft(cast(1 as bigint), cast(pos % 32 as int))"
+        ).alias("mask"),
+    )
+    return bits.groupBy("word_idx").agg(
+        F.bit_or("mask").alias("bits")
+    )
+
+
+def bloom_words_literal(words_df: DataFrame, m: int) -> list[int]:
+    """Collect the words into a dense driver-side list (missing words
+    -> 0). O(m/32) rows by construction — this is metadata, like IVF
+    centroids, not data."""
+    dense = [0] * (m // 32)
+    for r in words_df.collect():
+        dense[int(r["word_idx"])] = int(r["bits"])
+    return dense
+
+
+def bloom_maybe(key: Column | str, words: list[int], m: int,
+                k: int = 3) -> Column:
+    """Zero-shuffle membership probe against literal words: true iff
+    every one of the k positions' bits is set. Builds ONE SQL string
+    parsed by a single F.expr (array literal + k bit tests), so plan
+    construction stays O(1) py4j calls."""
+    kc = key if isinstance(key, str) else None
+    assert kc is not None, "bloom_maybe probes a named column"
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    from ..functions.hashing import hash60_sql
+
+    tests = []
+    for j in range(k):
+        h = hash60_sql(f"concat('s{j}:', cast({kc} as string))")
+        p = f"({h}) % {m}"
+        tests.append(
+            f"((element_at({arr}, cast(({p}) div 32 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(({p}) % 32 as int)))"
+            f" != 0)"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def bloom_probe(fact: DataFrame, fact_key: str, dim: DataFrame,
+                dim_key: Column | str, m: int = 4096,
+                k: int = 3) -> DataFrame:
+    """fact + boolean ``bloom_maybe``: membership of fact_key in the
+    dim key set, per the filter built from dim. The dim aggregate and
+    the O(m/64) collect run once; the fact side stays narrow."""
+    words = bloom_words_literal(bloom_words(dim, dim_key, m, k), m)
+    return fact.withColumn(
+        "bloom_maybe", bloom_maybe(fact_key, words, m, k)
+    )
+
+
+def bloom_probe_oracle_sql(
+    fact_table: str, fact_key: str, dim_sql: str, dim_key_expr: str,
+    select_cols: list[str], m: int = 4096, k: int = 3,
+) -> str:
+    """DuckDB twin: identical words, identical verdicts (FPs and all).
+    dim_sql is a full SELECT producing the dim rows; dim_key_expr the
+    key expression over it."""
+    pos_rows = " UNION ALL ".join(
+        f"SELECT ({hash60_seeded_duckdb(dim_key_expr, j)}) % {m} AS pos "
+        f"FROM dim"
+        for j in range(k)
+    )
+    tests = []
+    for j in range(k):
+        p = (f"(({hash60_seeded_duckdb(f'cast({fact_key} AS VARCHAR)', j)})"
+             f" % {m})")
+        tests.append(
+            f"(coalesce(w{j}.bits, 0) & (1::BIGINT << (({p}) % 32))) != 0"
+        )
+    joins = "".join(
+        f" LEFT JOIN words w{j} ON w{j}.word_idx = "
+        f"(({hash60_seeded_duckdb(f'cast({fact_key} AS VARCHAR)', j)})"
+        f" % {m}) // 32"
+        for j in range(k)
+    )
+    cols = ", ".join(select_cols)
+    return f"""
+WITH dim AS ({dim_sql}),
+positions AS ({pos_rows}),
+words AS (
+  SELECT pos // 32 AS word_idx, bit_or(1::BIGINT << (pos % 32)) AS bits
+  FROM positions GROUP BY word_idx
+)
+SELECT {cols}, ({' AND '.join(tests)}) AS bloom_maybe
+FROM {fact_table}{joins}
+"""

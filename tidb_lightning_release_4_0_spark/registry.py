@@ -2257,6 +2257,27 @@ def q_waiting_suppliers(spark, sf_dir):
     )
 
 
+def q_bloom_prune_orders(spark, sf_dir):
+    """Bloom-filter semi-join prune (sketches.py bloom_*): every
+    orders row probed against the filter built from negative-balance
+    customers. m=4096 bits / k=3 positions from the portable seeded
+    md5-prefix hash, so Spark and the DuckDB oracle compute IDENTICAL
+    words and identical verdicts — false positives included. The
+    probe side is zero-shuffle: the words collapse to O(m/64) literal
+    longs, the fact scan stays narrow, and at 100 TB only maybe-rows
+    would reach an exact join."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    orders = _t(spark, sf_dir, "orders")
+    return SK.bloom_probe(
+        orders.select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        cust,
+        "c_custkey",
+        m=4096,
+        k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2379,6 +2400,7 @@ def build_queries():
         "hist_quantiles_price": q_hist_quantiles_price,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
+        "bloom_prune_orders": q_bloom_prune_orders,
     }
 
 
@@ -2828,6 +2850,15 @@ def build_oracle_sql():
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag
         """,
+        "bloom_prune_orders": SK.bloom_probe_oracle_sql(
+            "orders",
+            "o_custkey",
+            "SELECT c_custkey FROM customer WHERE c_acctbal < 0",
+            "cast(c_custkey AS VARCHAR)",
+            ["o_orderkey", "o_custkey"],
+            m=4096,
+            k=3,
+        ),
         "pivot_events": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS click,
