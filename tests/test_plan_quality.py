@@ -328,3 +328,21 @@ def test_ivfpq_prunes_candidate_pairs(spark, sf_dir):
     ).count()
     assert pruned < 0.5 * full_pairs, (pruned, full_pairs)
     assert pruned > 0.05 * full_pairs  # sanity: cells are populated
+
+
+def test_bm25_prunes_and_broadcasts(spark, sf_dir):
+    """BM25's tf stream must be pruned by the literal IN before the
+    (doc,term) aggregate, and every stats join must broadcast — the
+    corpus never reaches a sort-merge join."""
+    from tidb_lightning_release_4_0_spark.registry import q_bm25_topdocs
+
+    plan = _plan(q_bm25_topdocs(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the literal IN prunes the exploded term stream in a Filter below
+    # the partial (doc,term) aggregate — i.e. before the tf shuffle
+    assert "IN (hash,join,vector)" in plan, plan
+    prune = plan.index("IN (hash,join,vector)")
+    first_exchange = plan.index("Exchange")
+    assert prune > first_exchange, "plans print top-down: the prune " \
+        "filter must sit BELOW (after) the shuffles that consume it"

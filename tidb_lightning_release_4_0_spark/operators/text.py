@@ -380,3 +380,124 @@ SELECT doc_id,
            AS top_bigram_frac
 FROM stats
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a literal term query — the
+    ranking primitive behind retrieval-based quality scoring and
+    decontamination triage on a training corpus. Output:
+    (doc_id, score) rounded to 6, ranked (score desc, doc_id asc).
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1)  -- the non-negative form.
+
+    Scale shape: doc lengths are one narrow agg; the tf table only
+    carries (doc, term) pairs for QUERY terms (the IN predicate prunes
+    the exploded stream before any shuffle, so a 3-term query shuffles
+    ~3 rows per matching doc no matter how wide the corpus); df/N are
+    a query-sized broadcast. Rounding BEFORE ranking keeps the top-k
+    cut engine-exact: equal-to-6-decimals scores tie-break by doc_id
+    on both engines instead of by last-ulp libm noise.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
+    ).filter(F.length("term") > 0)
+    dl = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        exploded.filter(F.col("term").isin(qt))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("dfreq") + 0.5)
+        / (F.col("dfreq") + 0.5)
+        + 1.0
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(dl), "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def bm25_scores_sql_duckdb(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of bm25_scores — identical math, identical rounding,
+    identical (score desc, doc_id) cut."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+  FROM {table}
+),
+tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok2
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+         * (tf * ({k1!r} + 1.0))
+         / (tf + {k1!r} * (1.0 - {b!r} + {b!r} * dl.dl / avgdl)) AS c
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(sum(c), 6) AS score,
+         row_number() OVER (ORDER BY round(sum(c), 6) DESC, doc_id)
+             AS _rk
+  FROM contrib GROUP BY doc_id
+) WHERE _rk <= {k}
+"""

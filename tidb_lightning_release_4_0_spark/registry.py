@@ -2278,6 +2278,20 @@ def q_bloom_prune_orders(spark, sf_dir):
     )
 
 
+def q_bm25_topdocs(spark, sf_dir):
+    """Okapi BM25 top-10 documents for a fixed 3-term query
+    (text.py::bm25_scores) — retrieval-based quality/decontamination
+    triage. The exploded token stream is pruned by the literal IN
+    before any shuffle; df/doc-length stats join broadcast; scores
+    round to 6 BEFORE the top-k cut so the selected set is
+    engine-exact (ties break by doc_id, not libm ulps)."""
+    return X.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        ["hash", "join", "vector"],
+        k=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2401,6 +2415,7 @@ def build_queries():
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
         "bloom_prune_orders": q_bloom_prune_orders,
+        "bm25_topdocs": q_bm25_topdocs,
     }
 
 
@@ -2858,6 +2873,9 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "bm25_topdocs": X.bm25_scores_sql_duckdb(
+            "documents", ["hash", "join", "vector"], k=10
         ),
         "pivot_events": """
             SELECT user_id,
