@@ -1077,3 +1077,148 @@ def random_project_oracle_sql(
     return (
         f"SELECT {', '.join(cols)} FROM {table} ORDER BY vec_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means clustering (SemDeDup-style semantic grouping)
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2_spark(a: str, b: str) -> str:
+    """Spark-SQL squared L2 between two array expressions — the same
+    sequential left fold as _dot_sql_spark, so the DuckDB twin
+    (_sq_l2_duckdb) is bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> (cast(x as double) - cast(y as double)) * "
+        f"(cast(x as double) - cast(y as double))), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def _sq_l2_duckdb(a: str, b: str, dim: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> (cast({a}[i] as double) - cast({b}[i] as double)) * "
+        f"(cast({a}[i] as double) - cast({b}[i] as double))))"
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over an embedding column, fully deterministic:
+    (id, cluster) after `iters` assign->update rounds plus a final
+    assignment against the updated centroids. The semantic-dedup /
+    corpus-diversification primitive (SemDeDup, Abbas et al. 2023
+    groups near-duplicates by k-means cell before intra-cell cosine).
+
+    Determinism contract (what makes the DuckDB twin exact):
+    - init = the k lowest-id embeddings (same rule as IVF);
+    - assignment = first-minimum over cid-ordered centroids (ties
+      break to the lowest cid on both engines);
+    - updated centroids round to 6 decimals BEFORE re-use, so both
+      engines feed IDENTICAL literals into the next distance fold
+      (cross-row avg is the one op whose ulps an engine may reorder).
+
+    Scale shape: per iteration, one narrow posexplode->groupBy over
+    (cluster, dim) — k*dim cells of partial-aggregable state, no
+    row-vs-row joins anywhere; centroids are O(k*dim) driver
+    metadata, re-broadcast as literals (the py4j lesson: ONE F.expr
+    parse per projection). Iterations are driver-sequenced like the
+    reference-grade IVF trainer; `iters` is small and fixed."""
+    cents = [
+        (i, [float(x) for x in vec])
+        for i, (_, vec) in enumerate(
+            _collect_centroids(df, k, id_col, vec_col)
+        )
+    ]
+
+    def assign(centroids) -> DataFrame:
+        dists = "array(" + ", ".join(
+            _sq_l2_spark(vec_col, _arr_sql(cv)) for _, cv in centroids
+        ) + ")"
+        cids = "array(" + ", ".join(str(c) for c, _ in centroids) + ")"
+        return df.select(
+            F.col(id_col), F.expr(dists).alias("_d")
+        ).select(
+            id_col,
+            F.expr(
+                f"element_at({cids}, "
+                f"cast(array_position(_d, array_min(_d)) as int))"
+            ).alias("cluster"),
+        )
+
+    for _ in range(iters):
+        a = assign(cents)
+        rows = (
+            df.join(a, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(
+                r["m"]
+            )
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return assign(cents)
+
+
+def kmeans_assign_sql_duckdb(
+    table: str,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled DuckDB twin: same init, same first-min tie-break
+    (row_number ORDER BY dist, cid), same round-to-6 centroid update
+    — the iteration count is fixed, so the loop unrolls to a static
+    CTE chain the oracle harness can run without parameters."""
+
+    def assign_cte(name: str, cfrom: str) -> str:
+        d = _sq_l2_duckdb(f"e.{vec_col}", "c.cv", dim)
+        return f"""
+{name} AS (
+  SELECT {id_col}, cid AS cluster FROM (
+    SELECT e.{id_col}, c.cid,
+           row_number() OVER (PARTITION BY e.{id_col}
+               ORDER BY {d} ASC, c.cid ASC) AS rk
+    FROM {table} e CROSS JOIN {cfrom} c
+  ) WHERE rk = 1
+)"""
+
+    sql = f"""WITH c0 AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid,
+         {vec_col} AS cv
+  FROM {table} ORDER BY {id_col} LIMIT {k}
+)"""
+    prev = "c0"
+    for t in range(1, iters + 1):
+        sql += "," + assign_cte(f"a{t}", prev)
+        sql += f""",
+c{t} AS (
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cluster AS cid, dim, round(avg(val), 6) AS m FROM (
+      SELECT a.cluster,
+             unnest(list_transform(e.{vec_col},
+                                   v -> cast(v AS DOUBLE))) AS val,
+             generate_subscripts(e.{vec_col}, 1) AS dim
+      FROM a{t} a JOIN {table} e USING ({id_col})
+    ) GROUP BY cid, dim
+  ) GROUP BY cid
+)"""
+        prev = f"c{t}"
+    sql += "," + assign_cte("afinal", prev)
+    return sql + f"\nSELECT {id_col}, cluster FROM afinal"

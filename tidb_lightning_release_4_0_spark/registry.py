@@ -2292,6 +2292,17 @@ def q_bm25_topdocs(spark, sf_dir):
     )
 
 
+def q_kmeans_embeddings(spark, sf_dir):
+    """Deterministic Lloyd k-means over the embeddings table
+    (similarity.py::kmeans_assign) — the SemDeDup-style semantic
+    grouping primitive. k=4, 2 assign->update rounds + final assign;
+    lowest-id init, first-min tie-break, centroids rounded to 6
+    before re-use so the unrolled DuckDB CTE chain is engine-exact."""
+    return S.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=4, iters=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2416,6 +2427,7 @@ def build_queries():
         "percentiles_lineitem": q_percentiles_lineitem,
         "bloom_prune_orders": q_bloom_prune_orders,
         "bm25_topdocs": q_bm25_topdocs,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
 
 
@@ -2873,6 +2885,9 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "kmeans_embeddings": S.kmeans_assign_sql_duckdb(
+            "embeddings", k=4, iters=2, dim=64
         ),
         "bm25_topdocs": X.bm25_scores_sql_duckdb(
             "documents", ["hash", "join", "vector"], k=10
