@@ -2363,6 +2363,7 @@ def build_queries():
         "part_supplier_variety": q_part_supplier_variety,
         "sample_stratified_hash": q_sample_stratified_hash,
         "resume_split_csv": q_resume_split_csv,
+        "bloom_prune_orders": q_bloom_prune_orders,
         "checksum_lineitem": q_checksum_lineitem,
         "checksum_orders": q_checksum_orders,
         "index_checksum_orders": q_index_checksum_orders,
@@ -2425,7 +2426,6 @@ def build_queries():
         "hist_quantiles_price": q_hist_quantiles_price,
         "top_terms": q_top_terms,
         "percentiles_lineitem": q_percentiles_lineitem,
-        "bloom_prune_orders": q_bloom_prune_orders,
         "bm25_topdocs": q_bm25_topdocs,
         "kmeans_embeddings": q_kmeans_embeddings,
     }
