@@ -1222,3 +1222,89 @@ c{t} AS (
         prev = f"c{t}"
     sql += "," + assign_cte("afinal", prev)
     return sql + f"\nSELECT {id_col}, cluster FROM afinal"
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: k-means cells bound
+    the quadratic step, then within each cell a row is a duplicate if
+    a LOWER-ID member sits at cosine >= threshold; survivors keep
+    their cluster for downstream mixture logic. Output:
+    (id, cluster, is_kept).
+
+    Engine-exactness: the cell assignment is kmeans_assign's
+    deterministic contract, and both engines compute cosine with the
+    same sequential fold over identical floats, so the >= threshold
+    verdict is bit-reproducible. Scale shape: ONE shuffle by cluster;
+    the pairwise step is O(cell^2) inside each cell — exactly the
+    bound k controls (SemDeDup's point: pick k so cells fit a
+    worker). Self-pairs and cross-cell pairs never materialize."""
+    assign = kmeans_assign(df, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col)
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).join(assign.select(F.col(id_col).alias("_id"), "cluster"), "_id")
+    a = v.select(
+        F.col("_id").alias("a_id"), F.col("_v").alias("a_v"), "cluster"
+    )
+    b = v.select(
+        F.col("_id").alias("b_id"), F.col("_v").alias("b_v"), "cluster"
+    )
+    cos = F.expr(
+        f"{_dot_sql_spark('a_v', 'b_v')} / "
+        f"(sqrt({_dot_sql_spark('a_v', 'a_v')}) * "
+        f"sqrt({_dot_sql_spark('b_v', 'b_v')}))"
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("a_id").alias("_id"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids.withColumn("_dup", F.lit(True)), "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_sql_duckdb(
+    table: str,
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    km = kmeans_assign_sql_duckdb(
+        table, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    cos = (
+        f"({dot_sql_duckdb(f'ea.{vec_col}', f'eb.{vec_col}', dim)}) / "
+        f"(sqrt({dot_sql_duckdb(f'ea.{vec_col}', f'ea.{vec_col}', dim)}) * "
+        f"sqrt({dot_sql_duckdb(f'eb.{vec_col}', f'eb.{vec_col}', dim)}))"
+    )
+    return f"""{km.replace(f'SELECT {id_col}, cluster FROM afinal', '')},
+asg AS (SELECT {id_col}, cluster FROM afinal),
+dups AS (
+  SELECT DISTINCT a.{id_col} AS did
+  FROM asg a JOIN asg b USING (cluster)
+  JOIN {table} ea ON ea.{id_col} = a.{id_col}
+  JOIN {table} eb ON eb.{id_col} = b.{id_col}
+  WHERE b.{id_col} < a.{id_col} AND ({cos}) >= {threshold!r}
+)
+SELECT asg.{id_col}, cluster,
+       (dups.did IS NULL) AS is_kept
+FROM asg LEFT JOIN dups ON asg.{id_col} = dups.did
+"""

@@ -2303,6 +2303,22 @@ def q_kmeans_embeddings(spark, sf_dir):
     )
 
 
+def q_dedup_apply_semantic(spark, sf_dir):
+    """SemDeDup end-to-end (similarity.py::semantic_dedup): k-means
+    cells bound the quadratic step, lower-id cosine>=0.95 neighbors
+    mark duplicates. The synthetic embeddings have no natural
+    near-dups (max pairwise cosine 0.51), so the input is wrapped
+    with exact copies at vec_id+10000 — every copy must be dropped
+    (cosine 1.0 to its original, same cell by determinism) and every
+    original kept; the DuckDB twin runs the identical wrapped
+    relation."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    wrapped = e.union(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return S.semantic_dedup(wrapped, k=4, iters=2, threshold=0.95)
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2428,6 +2444,7 @@ def build_queries():
         "percentiles_lineitem": q_percentiles_lineitem,
         "bm25_topdocs": q_bm25_topdocs,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "dedup_apply_semantic": q_dedup_apply_semantic,
     }
 
 
@@ -2885,6 +2902,11 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "dedup_apply_semantic": S.semantic_dedup_sql_duckdb(
+            "(SELECT vec_id, embedding FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000, embedding FROM embeddings)",
+            k=4, iters=2, threshold=0.95, dim=64,
         ),
         "kmeans_embeddings": S.kmeans_assign_sql_duckdb(
             "embeddings", k=4, iters=2, dim=64
