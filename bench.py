@@ -100,6 +100,12 @@ def main() -> None:
         "profit_by_nation",
         "small_qty_revenue",
         "excess_shippers",
+        # round 5: retrieval scoring + semantic clustering (semantic
+        # DEDUP stays correctness-only: its within-cell pairwise step
+        # is sized for the oracle corpus, not sf0.1)
+        "bm25_topdocs",
+        "kmeans_embeddings",
+        "bloom_prune_orders",
     ]
 
     timings: dict[str, float] = {}
