@@ -61,3 +61,49 @@ def test_words_dense_and_engine_sized(spark):
     assert len(words) == 512 // 32
     assert all(0 <= w < (1 << 32) for w in words)
     assert any(w != 0 for w in words)
+
+
+def test_property_no_false_negative_duckdb():
+    """Property (DuckDB twin, no SparkSession — Spark equality is
+    oracle-asserted above): for ANY key set, every true member probes
+    true, at every word-boundary-straddling m."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tidb_lightning_release_4_0_spark.operators.sketches import (
+        bloom_probe_oracle_sql,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        keys=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1, max_size=50, unique=True,
+        ),
+        extra=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            max_size=20,
+        ),
+        m=st.sampled_from([32, 64, 96, 256, 4096]),
+        k=st.integers(min_value=1, max_value=5),
+    )
+    def check(keys, extra, m, k):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE dimt (key BIGINT); CREATE TABLE fact (key BIGINT)"
+        )
+        con.executemany("INSERT INTO dimt VALUES (?)", [(x,) for x in keys])
+        con.executemany(
+            "INSERT INTO fact VALUES (?)",
+            [(x,) for x in set(keys) | set(extra)],
+        )
+        sql = bloom_probe_oracle_sql(
+            "fact", "key", "SELECT key FROM dimt",
+            "cast(key AS VARCHAR)", ["key"], m=m, k=k,
+        )
+        got = dict(con.execute(sql).fetchall())
+        assert all(got[x] for x in keys), (m, k, keys)
+
+    check()
