@@ -456,6 +456,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": REPS,
+                "ingest_reps": IREPS,
                 "sf": float(sf),
                 "ingest_mib_per_sec": ingest_mibs,
                 "ingest_4x_mib_per_sec": ingest_4x_mibs,

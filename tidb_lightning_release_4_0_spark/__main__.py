@@ -70,7 +70,10 @@ def main(argv: list[str] | None = None) -> int:
             configs, host=host or "127.0.0.1", port=int(port or 0),
             overrides=overrides,
         ).start()
-        print(f"task server listening on {host}:{server.port}")
+        print(
+            f"task server listening on {host}:{server.port} "
+            f"(dashboard: http://{host or '127.0.0.1'}:{server.port}/web/)"
+        )
         spark = get_spark(app_name="tidb-lightning-spark-server")
         spark.sparkContext.setLogLevel("WARN")
         runner = TaskRunner(
