@@ -1119,3 +1119,113 @@ def strip_html_sql_duckdb(expr: str) -> str:
         ch_sql = ch.replace("'", "''")
         out = f"replace({out}, '{ent}', '{ch_sql}')"
     return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# PageRank (domain-authority weighting, CommonCrawl-style curation)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list, deterministic
+    enough for a cross-engine oracle: ranks round to 9 decimals
+    BEFORE each re-use (the per-node contribution sum is the one op
+    whose float ordering an engine may permute), dangling mass
+    redistributes uniformly, duplicate edges count once. Output
+    (node, rank) rounded to 6. The curation use: authority weights
+    for source/domain quality scoring a la CommonCrawl graph ranks.
+
+    Scale shape: per iteration ONE shuffle — contributions group by
+    dst (map-side combined); out-degrees and the dangling-mass scalar
+    are tiny broadcast aggregates; ranks live in the node table, never
+    collected. The edge list is never mutated, so its scan/partition
+    reuses across iterations."""
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    r = nodes.join(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("n"), 9).alias("rank")
+    )
+    for _ in range(iters):
+        withdeg = r.join(
+            F.broadcast(outdeg), r["node"] == outdeg["src"], "left"
+        )
+        dangling = withdeg.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contrib = (
+            withdeg.filter(F.col("deg").isNotNull())
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .join(F.broadcast(n_nodes))
+            .join(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n")
+                    ),
+                    9,
+                ).alias("rank"),
+            )
+        )
+    return r.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_sql_duckdb(
+    edges_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled DuckDB twin: identical init, identical round-9
+    republish per iteration, identical dangling handling. edges_sql
+    must produce (src, dst)."""
+    sql = f"""WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+outdeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes, nn)"""
+    prev = "r0"
+    for t in range(1, iters + 1):
+        sql += f""",
+d{t} AS (
+  SELECT coalesce(sum(rank), 0.0) AS dmass
+  FROM {prev} LEFT JOIN outdeg ON {prev}.node = outdeg.src
+  WHERE deg IS NULL
+),
+c{t} AS (
+  SELECT e.dst, sum(r.rank / o.deg) AS c
+  FROM {prev} r JOIN outdeg o ON r.node = o.src
+  JOIN e ON e.src = r.node
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT node,
+         round((1.0 - {damping!r}) / n
+               + {damping!r} * (coalesce(c, 0.0) + dmass / n), 9)
+             AS rank
+  FROM nodes LEFT JOIN c{t} ON nodes.node = c{t}.dst, nn, d{t}
+)"""
+        prev = f"r{t}"
+    return sql + f"\nSELECT node, round(rank, 6) AS rank FROM {prev}"

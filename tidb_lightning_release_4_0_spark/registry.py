@@ -2319,6 +2319,23 @@ def q_dedup_apply_semantic(spark, sf_dir):
     return S.semantic_dedup(wrapped, k=4, iters=2, threshold=0.95)
 
 
+def q_pagerank_events(spark, sf_dir):
+    """PageRank (curation.py::pagerank) over the bipartite
+    user->prop-key graph derived from events (src=user_id,
+    dst=1000+k) — the authority-weighting primitive CommonCrawl-style
+    curation uses for source quality. 3 power iterations, round-9
+    republish per iteration makes the unrolled DuckDB twin exact."""
+    ev = _t(spark, sf_dir, "events")
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (
+            F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("long")
+            + 1000
+        ).alias("dst"),
+    )
+    return CU.pagerank(edges, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2445,6 +2462,7 @@ def build_queries():
         "bm25_topdocs": q_bm25_topdocs,
         "kmeans_embeddings": q_kmeans_embeddings,
         "dedup_apply_semantic": q_dedup_apply_semantic,
+        "pagerank_events": q_pagerank_events,
     }
 
 
@@ -2902,6 +2920,12 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "pagerank_events": CU.pagerank_sql_duckdb(
+            "SELECT user_id AS src, "
+            "cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1000 "
+            "AS dst FROM events",
+            iters=3,
         ),
         "dedup_apply_semantic": S.semantic_dedup_sql_duckdb(
             "(SELECT vec_id, embedding FROM embeddings UNION ALL "
