@@ -1229,3 +1229,63 @@ r{t} AS (
 )"""
         prev = f"r{t}"
     return sql + f"\nSELECT node, round(rank, 6) AS rank FROM {prev}"
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n weighted sample without replacement: the A-Res scheme
+    (Efraimidis & Spirakis 2006) with the "random" draw derandomized
+    to the portable md5-prefix hash — u = (hash60(id)+1)/(2^60+1) in
+    (0,1], key = ln(u)/weight, keep the n largest keys. Reproducible
+    across runs, partitionings, AND engines: a last-ulp ln()
+    difference can only flip a rank when two keys are within ulps of
+    each other, which for continuous keys means equal (id-hash,
+    weight) pairs — and exact ties break by id. Inclusion probability
+    is proportional to weight, the standard quality-weighted corpus
+    draw. Output: sampled rows + their sample_rank.
+
+    Scale: narrow per-row key, one global top-n (n is small by
+    definition of a sample; for huge n switch to the hash-threshold
+    pattern of stratified_sample_hash)."""
+    u = (hash60(F.col(id_col).cast("string")) + 1) / F.lit(
+        float((1 << 60) + 1)
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.orderBy(F.col("_k").desc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_k", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("_k")
+    )
+
+
+def weighted_sample_sql_duckdb(
+    table: str,
+    weight_col: str,
+    n: int,
+    select_cols: list[str],
+    id_col: str = "doc_id",
+) -> str:
+    h = hash60_duckdb(f"cast({id_col} AS VARCHAR)")
+    key = (
+        f"ln((({h}) + 1) / {float((1 << 60) + 1)!r}) / "
+        f"cast({weight_col} AS DOUBLE)"
+    )
+    cols = ", ".join(select_cols)
+    return f"""
+SELECT {cols}, sample_rank FROM (
+  SELECT {cols},
+         cast(row_number() OVER (ORDER BY {key} DESC, {id_col}) AS INTEGER) AS sample_rank
+  FROM {table}
+) WHERE sample_rank <= {n}
+"""

@@ -2336,6 +2336,18 @@ def q_pagerank_events(spark, sf_dir):
     return CU.pagerank(edges, iters=3)
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Quality-weighted corpus draw (curation.py::weighted_sample):
+    Efraimidis-Spirakis A-Res with the draw derandomized to the
+    portable hash — 25 documents sampled proportional to n_chars.
+    Engine-exact: rank gaps dwarf libm ulps, exact ties break by id."""
+    return CU.weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        25,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2463,6 +2475,7 @@ def build_queries():
         "kmeans_embeddings": q_kmeans_embeddings,
         "dedup_apply_semantic": q_dedup_apply_semantic,
         "pagerank_events": q_pagerank_events,
+        "weighted_sample_docs": q_weighted_sample_docs,
     }
 
 
@@ -2920,6 +2933,9 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "weighted_sample_docs": CU.weighted_sample_sql_duckdb(
+            "documents", "n_chars", 25, ["doc_id", "n_chars"]
         ),
         "pagerank_events": CU.pagerank_sql_duckdb(
             "SELECT user_id AS src, "
