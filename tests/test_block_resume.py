@@ -232,3 +232,84 @@ def test_resume_survives_conf_change(spark):
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_resume_with_changed_batch_size_exact_totals(spark):
+    """Geometry pinning covers BOTH inputs: a resume under a config
+    whose batch_size changed must re-plan the FIRST run's engine
+    grouping (pinned in the checkpoint) — otherwise old engine_state
+    records would merge onto engines now holding different blocks,
+    duplicating or losing rows."""
+    root, d, tgt = _mkdump("resize_resume")
+    cp_path = os.path.join(root, "cp.json")
+    old = _with_small_blocks(spark)
+    try:
+        sink = _FailNthEngineSink(tgt, fail_at=2)
+        run = RestoreController(
+            spark, _cfg(d, tgt, cp_path), sink=sink
+        ).run()
+        assert not run.ok and sink.delivered == 2
+
+        # resume with batch_size HALVED (8 KiB instead of 16 KiB)
+        cfg2 = _cfg(d, tgt, cp_path)
+        cfg2.mydumper.batch_size = 8 * 1024
+        cp2 = CheckpointStore(cp_path)
+        cp2.ignore_error("all")
+        sink2 = _FailNthEngineSink(tgt, fail_at=None)
+        run2 = RestoreController(
+            spark, cfg2, sink=sink2, checkpoints=cp2
+        ).run()
+        assert run2.ok, run2.report()
+        got = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(tgt, "blk.t")
+        )
+        assert got.count() == N_ROWS
+        assert got.agg(F.sum("id")).first()[0] == N_ROWS * (N_ROWS + 1) // 2
+        assert got.select("id").distinct().count() == N_ROWS
+        # pinned grouping => the resume delivered exactly the engines
+        # the FIRST run's geometry had left (not a re-sliced set)
+        path = os.path.join(d, "blk.t.0001.csv")
+        n_total_blocks = -(-os.path.getsize(path) // (4 * 1024))
+        n_engines = -(-n_total_blocks // 4)
+        assert sink2.delivered == n_engines - 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_cr_terminated_file_skips_block_path(spark):
+    """A lone-\\r (classic-Mac) CSV must NOT take the block path —
+    the block reader only implements \\n / \\r\\n geometry — but the
+    restore itself must still succeed through the native reader,
+    which does terminate lines at \\r."""
+    root = os.path.join(TMP, "cr_file")
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "dump")
+    os.makedirs(d)
+    with open(os.path.join(d, "blk-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE blk;")
+    with open(os.path.join(d, "blk.t-schema.sql"), "w") as f:
+        f.write("CREATE TABLE t (id INT PRIMARY KEY, v VARCHAR(40))")
+    with open(os.path.join(d, "blk.t.0001.csv"), "wb") as f:
+        for i in range(1, 2001):
+            f.write(f"{i},cr-row-{i}".encode() + b"\r")
+    tgt = os.path.join(root, "sink")
+    cp_path = os.path.join(root, "cp.json")
+    old = _with_small_blocks(spark)
+    try:
+        run = RestoreController(spark, _cfg(d, tgt, cp_path)).run()
+        assert run.ok, run.report()
+        cp = CheckpointStore(cp_path) if os.path.exists(cp_path) else None
+        if cp is not None:
+            # no block-grain (offset > 0) chunk keys were recorded
+            assert all(
+                k.endswith("|0")
+                for k in cp.dump()["chunks"]
+                if k.startswith("blk.t|")
+            )
+        got = spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(tgt, "blk.t")
+        )
+        assert got.count() == 2000
+        assert got.agg(F.sum("id")).first()[0] == 2000 * 2001 // 2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

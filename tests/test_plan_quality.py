@@ -339,10 +339,31 @@ def test_bm25_prunes_and_broadcasts(spark, sf_dir):
     plan = _plan(q_bm25_topdocs(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+    # the corpus-sized doc-length frame must NOT be the broadcast
+    # side: every keyed broadcast subtree must carry the query-term
+    # IN prune (the tf x dfreq side); the only unkeyed broadcast is
+    # the 1-row stats scalar (IdentityBroadcastMode cross join)
+    import re
+
+    # positional/subtree checks read the executedPlan tree string,
+    # where operators print inline ("Exchange hashpartitioning(...)"),
+    # not explain("formatted")'s numbered-details layout
+    tree = (
+        q_bm25_topdocs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"BroadcastExchange HashedRelation", tree):
+        subtree = tree[m.start():m.start() + 4000]
+        assert "IN (hash,join,vector)" in subtree, subtree[:600]
+    assert "TakeOrderedAndProject" in tree, "top-k must not be a " \
+        "single-partition global window"
     # the literal IN prunes the exploded term stream in a Filter below
-    # the partial (doc,term) aggregate — i.e. before the tf shuffle
-    assert "IN (hash,join,vector)" in plan, plan
-    prune = plan.index("IN (hash,join,vector)")
-    first_exchange = plan.index("Exchange")
-    assert prune > first_exchange, "plans print top-down: the prune " \
+    # the partial (doc,term) aggregate — i.e. before the tf SHUFFLE
+    # (anchor on the shuffle operator, not the Exchange substring
+    # inside BroadcastExchange)
+    prune = tree.index("IN (hash,join,vector)")
+    first_shuffle = tree.index("Exchange hashpartitioning")
+    assert prune > first_shuffle, "plans print top-down: the prune " \
         "filter must sit BELOW (after) the shuffles that consume it"

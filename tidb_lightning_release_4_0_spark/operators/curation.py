@@ -1260,12 +1260,16 @@ def weighted_sample(
         float((1 << 60) + 1)
     )
     key = F.log(u) / F.col(weight_col).cast("double")
+    # orderBy().limit() -> TakeOrderedAndProject: per-partition top-n
+    # + an n-row merge, never the single-partition global window a
+    # partitionBy-less row_number would force; the rank is then a
+    # window over just the n selected rows
+    top = df.withColumn("_k", key).orderBy(
+        F.col("_k").desc(), F.col(id_col).asc()
+    ).limit(n)
     w = Window.orderBy(F.col("_k").desc(), F.col(id_col).asc())
     return (
-        df.withColumn("_k", key)
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= n)
-        .drop("_k")
+        top.withColumn("sample_rank", F.row_number().over(w)).drop("_k")
     )
 
 

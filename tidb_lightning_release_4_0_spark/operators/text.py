@@ -413,7 +413,6 @@ def bm25_scores(
     on both engines instead of by last-ulp libm noise.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     toks = F.split(F.lower(F.col(text_col)), "[^a-z]+")
     exploded = df.select(
@@ -435,9 +434,11 @@ def bm25_scores(
         / (F.col("dfreq") + 0.5)
         + 1.0
     )
+    # dl is CORPUS-sized (one row per doc) — it must never broadcast;
+    # the query-pruned (tf x dfreq) side is the provably-small one,
+    # so it carries the hint and dl streams through the join
     contrib = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(dl), "doc_id")
+        dl.join(F.broadcast(tf.join(F.broadcast(dfreq), "term")), "doc_id")
         .join(F.broadcast(stats))
         .select(
             "doc_id",
@@ -455,12 +456,12 @@ def bm25_scores(
     scored = contrib.groupBy("doc_id").agg(
         F.round(F.sum("c"), 6).alias("score")
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= k)
-        .drop("_rk")
-    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — a
+    # distributed per-partition top-k + k-row merge, NOT the global
+    # single-partition window a partitionBy-less row_number needs
+    return scored.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
 
 
 def bm25_scores_sql_duckdb(

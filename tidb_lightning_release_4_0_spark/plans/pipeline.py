@@ -1358,30 +1358,52 @@ class RestoreController:
             ):
                 from ..operators.rowid import split_bytes_lower_bound
                 from ..sources.csv_blocks import (
+                    files_use_supported_terminators,
                     group_blocks_into_engines,
                     plan_file_blocks,
                 )
 
-                # the split size is pinned in the checkpoint: a
-                # resume MUST re-plan the exact block geometry (and
-                # id bases) of the first run even if the session conf
-                # changed in between — otherwise delivered chunk keys
-                # would not match and row-id bases would shift
+                # BOTH geometry inputs are pinned in the checkpoint:
+                # a resume MUST re-plan the exact block geometry, id
+                # bases, AND engine grouping of the first run even if
+                # the session conf or config changed in between —
+                # otherwise delivered chunk keys would not match, row-
+                # id bases would shift, and (for batch_size) old
+                # engine_state records would be merged onto engines
+                # now holding DIFFERENT blocks, duplicating or losing
+                # rows
                 skey = f"split_bytes:{name}"
                 persisted = self.cp.task_meta(skey)
                 if persisted:
                     bsplit = int(persisted)
                 else:
                     bsplit = split_bytes_lower_bound(self.spark)
-                blocks = plan_file_blocks(
-                    [(f.path, f.size) for f in meta.data_files], bsplit
-                )
-                bengines = group_blocks_into_engines(
-                    blocks, self.cfg.mydumper.batch_size
-                )
+                bkey = f"block_batch_size:{name}"
+                persisted_bs = self.cp.task_meta(bkey)
+                if persisted_bs:
+                    bsize = int(persisted_bs)
+                else:
+                    bsize = self.cfg.mydumper.batch_size
+                file_sizes = [(f.path, f.size) for f in meta.data_files]
+                blocks = plan_file_blocks(file_sizes, bsplit)
+                bengines = group_blocks_into_engines(blocks, bsize)
+                if len(bengines) > 1 and not files_use_supported_terminators(
+                    file_sizes
+                ):
+                    # lone-\r line endings: the block reader's line
+                    # geometry would diverge from the native
+                    # splittable scan — stay on the engine-grain path
+                    log.warning(
+                        "table %s: CR line terminators detected; "
+                        "block-grain resume disabled for this table",
+                        name,
+                    )
+                    bengines = []
                 if len(bengines) > 1:
                     if not persisted:
                         self.cp.set_task_meta(skey, str(bsplit))
+                    if not persisted_bs:
+                        self.cp.set_task_meta(bkey, str(bsize))
                     block_engines = bengines
                     block_split = bsplit
 

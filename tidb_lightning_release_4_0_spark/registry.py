@@ -2332,7 +2332,8 @@ def q_pagerank_events(spark, sf_dir):
             F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("long")
             + 1000
         ).alias("dst"),
-    )
+    ).filter(F.col("dst").isNotNull())  # digitless props: Spark casts
+    # '' to NULL where DuckDB raises — both sides drop the row
     return CU.pagerank(edges, iters=3)
 
 
@@ -2356,8 +2357,11 @@ def q_weighted_sample_docs(spark, sf_dir):
 def build_queries():
     # Driver CORRECTNESS snapshots sample the FIRST 50 entries of this
     # dict in insertion order. Entries never driver-attested through r04
-    # are listed first (rotation done in round 5); new queries must be
-    # inserted within the first 50 slots to receive a driver row.
+    # are listed first (rotation done in round 5). 55 entries have never
+    # been attested, so 5 round-5 additions queue PAST slot 50 for the
+    # round-6 rotation: bm25_topdocs, kmeans_embeddings,
+    # dedup_apply_semantic, pagerank_events, weighted_sample_docs
+    # (displace r05-attested entries for them next round).
     return {
         "hll_union_keys": q_hll_union_keys,
         "hll_overlap_partkeys": q_hll_overlap_partkeys,
@@ -2938,9 +2942,11 @@ def build_oracle_sql():
             "documents", "n_chars", 25, ["doc_id", "n_chars"]
         ),
         "pagerank_events": CU.pagerank_sql_duckdb(
+            "SELECT src, dst FROM ("
             "SELECT user_id AS src, "
-            "cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) + 1000 "
-            "AS dst FROM events",
+            "cast(nullif(regexp_extract(props, '([0-9]+)', 1), '') "
+            "AS BIGINT) + 1000 AS dst FROM events"
+            ") WHERE dst IS NOT NULL",
             iters=3,
         ),
         "dedup_apply_semantic": S.semantic_dedup_sql_duckdb(

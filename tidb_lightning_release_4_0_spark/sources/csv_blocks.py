@@ -86,6 +86,31 @@ def group_blocks_into_engines(
     return engines
 
 
+def files_use_supported_terminators(
+    files: list[tuple[str, int]], probe_bytes: int = 64 * 1024
+) -> bool:
+    """Plan-time enforcement of the module's terminator constraint:
+    Hadoop's LineRecordReader also ends a line at a LONE ``\\r``,
+    which _extract_lines deliberately does not implement — so a file
+    using classic-Mac endings must NOT take the block path (it falls
+    back to engine-grain, which reads through the native splittable
+    scan). Probes the head of every file; a ``\\r`` not followed by
+    ``\\n`` (including one ending the probe window — ambiguous,
+    treated conservatively) disqualifies the whole table."""
+    for path, _ in files:
+        try:
+            with open(path, "rb") as f:
+                head = f.read(probe_bytes)
+        except OSError:
+            return False
+        i = head.find(b"\r")
+        while i >= 0:
+            if i + 1 >= len(head) or head[i + 1 : i + 2] != b"\n":
+                return False
+            i = head.find(b"\r", i + 2)
+    return True
+
+
 def _extract_lines(
     path: str, offset: int, length: int
 ) -> Iterator[str]:
