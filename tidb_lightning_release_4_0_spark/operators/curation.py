@@ -964,6 +964,72 @@ FROM {table} JOIN rates USING ({source_col})
 """
 
 
+def mixture_temperature(
+    df: DataFrame,
+    temperature: float,
+    target_total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture (the multilingual/data-mixing
+    standard, e.g. mT5's alpha-sampling): source weights are DERIVED
+    from corpus counts, w_s = n_s^(1/T) / sum n^(1/T), instead of
+    hand-set — T=1 reproduces natural proportions, T->inf approaches
+    uniform, so low-resource sources are boosted without choosing
+    numbers per source. Same deterministic hash draw and rate-cap
+    contract as mixture_sample; same scale shape (one tiny
+    count-by-source aggregate broadcast back, zero corpus shuffle).
+    A last-ulp pow() divergence flips a verdict only when a draw sits
+    within ulps of its rate — probability ~2^-53 per row."""
+    inv_t = 1.0 / float(temperature)
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    powed = counts.select(
+        source_col, "_n", F.pow(F.col("_n").cast("double"), inv_t).alias("_p")
+    )
+    tot = powed.agg(F.sum("_p").alias("_tp"))
+    rates = powed.join(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.col("_p") / F.col("_tp") * float(target_total) / F.col("_n"),
+            F.lit(1.0),
+        ).alias("_rate"),
+    )
+    draw = hash60(F.col(id_col).cast("string")) / F.lit(float(1 << 60))
+    return df.join(F.broadcast(rates), source_col).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        (draw < F.col("_rate")).alias("keep"),
+    )
+
+
+def mixture_temperature_oracle_sql(
+    temperature: float,
+    target_total: int,
+    table: str = "documents",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    h = hash60_duckdb(f"cast({id_col} AS VARCHAR)")
+    inv_t = 1.0 / float(temperature)
+    return f"""
+WITH counts AS (
+  SELECT {source_col}, count(*) AS _n FROM {table} GROUP BY 1
+),
+powed AS (
+  SELECT {source_col}, _n, pow(_n::DOUBLE, {inv_t!r}) AS _p FROM counts
+),
+tot AS (SELECT sum(_p) AS _tp FROM powed),
+rates AS (
+  SELECT {source_col},
+         least(_p / _tp * {float(target_total)!r} / _n, 1.0) AS _rate
+  FROM powed, tot
+)
+SELECT {id_col} AS doc_id, {source_col} AS source,
+       ({h}) / {float(1 << 60)!r} < _rate AS keep
+FROM {table} JOIN rates USING ({source_col})
+"""
+
+
 def export_jsonl(
     df,
     path: str,

@@ -2349,6 +2349,17 @@ def q_weighted_sample_docs(spark, sf_dir):
     )
 
 
+def q_mixture_temperature(spark, sf_dir):
+    """Temperature mixing (curation.py::mixture_temperature, T=2):
+    source weights derived as n^(1/T)/sum — low-resource sources
+    boosted without per-source numbers; deterministic hash draw."""
+    return CU.mixture_temperature(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        temperature=2.0,
+        target_total=200,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2480,6 +2491,7 @@ def build_queries():
         "dedup_apply_semantic": q_dedup_apply_semantic,
         "pagerank_events": q_pagerank_events,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "mixture_temperature": q_mixture_temperature,
     }
 
 
@@ -2937,6 +2949,9 @@ def build_oracle_sql():
             ["o_orderkey", "o_custkey"],
             m=4096,
             k=3,
+        ),
+        "mixture_temperature": CU.mixture_temperature_oracle_sql(
+            2.0, 200
         ),
         "weighted_sample_docs": CU.weighted_sample_sql_duckdb(
             "documents", "n_chars", 25, ["doc_id", "n_chars"]
