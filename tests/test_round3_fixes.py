@@ -256,6 +256,10 @@ def test_analyze_executes_parquet(spark):
         backend="parquet",
         target_dir=tgt,
         tidb=TiDBConfig(sql_mode=""),
+        # pin the full-ANALYZE path: this test asserts catalog
+        # rowCount, which the default auto mode deliberately skips
+        # (the run already verified the exact count)
+        analyze_mode="full",
     )
     cp = CheckpointStore(None, enabled=True)  # in-memory, inspectable
     ctrl = RestoreController(spark, cfg, checkpoints=cp)

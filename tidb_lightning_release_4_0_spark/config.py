@@ -177,6 +177,17 @@ class Config:
     # (bit-compatible with the reference's crc64-ecma, Arrow kernel)
     checksum_algo: str = "xxdirect"
     analyze: bool = True
+    # How C5 computes catalog statistics. "full" always runs
+    # ANALYZE ... COMPUTE STATISTICS (a row-count scan of the
+    # delivered table — the third data pass of a checksummed
+    # restore). "auto" (default) skips that redundant scan whenever
+    # the run already holds an exact delivered row count (the write
+    # job's Observation, or the checksum read-back aggregate — both
+    # count every delivered row): sizeInBytes comes from the file
+    # listing via ANALYZE ... NOSCAN and no job runs. At 100 TB the
+    # difference is a whole extra pass over the table just to
+    # re-count rows the pipeline has already counted twice.
+    analyze_mode: Literal["auto", "full"] = "auto"
     # T8: deliver secondary-index projections as separate sorted
     # "index engines" alongside the data (the reference's index-KV
     # engine split, sql2kv.go:218-239). Opt-in: doubles write volume

@@ -53,7 +53,12 @@ _KNOWN: dict[str, set[str]] = {
         "log-level",
     },
     "checkpoint": {"enable", "schema", "driver", "dsn", "keep-after-success"},
-    "post-restore": {"checksum", "compact", "level-1-compact", "analyze"},
+    # analyze-mode is a beyond-reference extension (auto = skip the
+    # ANALYZE row-count scan when the run already verified the count)
+    "post-restore": {
+        "checksum", "compact", "level-1-compact", "analyze",
+        "analyze-mode",
+    },
     "black-white-list": {
         "do-dbs", "ignore-dbs", "do-tables", "ignore-tables",
     },
@@ -219,6 +224,7 @@ def load_toml(path: str) -> Config:
             "checksum": ("checksum", bool),
             "compact": ("compact", bool),
             "analyze": ("analyze", bool),
+            "analyze-mode": ("analyze_mode", str),
         }),
         **_pick(light, {"table-concurrency": ("table_concurrency", int)}),
     )

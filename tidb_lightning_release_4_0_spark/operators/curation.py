@@ -1359,3 +1359,322 @@ SELECT {cols}, sample_rank FROM (
   FROM {table}
 ) WHERE sample_rank <= {n}
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hashed-n-gram feature stream: one row per unigram/bigram
+    INSTANCE (counts matter in DSIR, so no dedup). Tokens are the
+    non-empty ``[a-z0-9]+`` runs of the lowercased text; bigrams are
+    adjacent pairs of that filtered sequence."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(toks)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bi)).alias("g"),
+    )
+
+
+def _dsir_grams_sql_duckdb(table: str, text_col: str, id_col: str) -> str:
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), "
+        f"'[^a-z0-9]+'), x -> length(x) > 0)"
+    )
+    return f"""
+  SELECT {id_col} AS doc_id,
+         unnest(list_concat(
+           t,
+           list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         )) AS g
+  FROM (SELECT {id_col}, {toks} AS t FROM {table})
+"""
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR log importance weight: how much more likely
+    the document is under a small target-domain language model than
+    under the raw-corpus model, both estimated as add-one-smoothed
+    multinomials over ``n_buckets`` hashed n-gram buckets (the
+    "hashed n-gram features" estimator of Xie et al. 2023, *Data
+    Selection for Language Models via Importance Resampling*).
+
+        w(d) = sum_g  count_g(d) * ( ln p_tgt[h(g)] - ln p_raw[h(g)] )
+
+    Output: (doc_id, weight DOUBLE rounded to 4). Documents with no
+    grams get weight 0.
+
+    Engine-exactness: each bucket's log-ratio delta is rounded to 9
+    decimals and cast to DECIMAL before the per-doc multiply-sum, so
+    the aggregation is exact integer*decimal arithmetic — associative
+    and therefore partition-order-independent (a raw float sum of
+    hundreds of ln terms would drift between engines).
+
+    Scale shape (100 TB): the corpus is tokenized ONCE into a gram
+    stream; bucket histograms are two fixed-size (n_buckets-row)
+    aggregates — the per-partition partial maps are bounded by
+    n_buckets regardless of corpus size — joined back by broadcast.
+    The only corpus-scale shuffle is the final groupBy(doc_id), which
+    carries (doc_id, bucket, count) triples, never text. The target
+    sample is small by construction (that is the DSIR premise)."""
+    spark = df.sparkSession
+    grams = _dsir_grams(df, text_col, id_col)
+    tgrams = _dsir_grams(target, text_col, id_col)
+    b = F.pmod(hash60(F.col("g")), F.lit(n_buckets)).alias("b")
+    doc_b = grams.select("doc_id", b).groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    raw_cnt = grams.select(b).groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr")
+    )
+    tgt_cnt = tgrams.select(b).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    # dense bucket table 0..B-1 so absent buckets smooth to count 0
+    buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
+    table = (
+        buckets.join(F.broadcast(raw_cnt), "b", "left")
+        .join(F.broadcast(tgt_cnt), "b", "left")
+        .select(
+            "b",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = table.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    delta = (
+        F.round(
+            F.log(
+                (F.col("ct") + 1.0)
+                / (F.col("tt") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("cr") + 1.0)
+                / (F.col("tr") + F.lit(float(n_buckets)))
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("delta")
+    )
+    deltas = table.crossJoin(F.broadcast(totals)).select("b", delta)
+    scored = (
+        doc_b.join(F.broadcast(deltas), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("delta")).alias("_w"))
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return docs.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("_w").cast("double"), F.lit(0.0)), 4
+        ).alias("weight"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n corpus documents by DSIR importance weight (the
+    deterministic hard-selection variant; for the paper's softened
+    gumbel resampling compose ``dsir_weights`` with
+    ``weighted_sample`` on exp(weight)). orderBy().limit() compiles
+    to TakeOrderedAndProject — per-partition top-n, k-row merge, no
+    single-partition window funnel."""
+    w = dsir_weights(df, target, n_buckets, text_col, id_col)
+    return w.orderBy(F.col("weight").desc(), F.col("doc_id")).limit(n)
+
+
+def dsir_weights_sql_duckdb(
+    table: str,
+    target_pred: str,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of dsir_weights where the target sample is
+    ``SELECT * FROM table WHERE target_pred``. Identical hashing,
+    smoothing, 9-decimal delta rounding and decimal aggregation."""
+    h = hash60_duckdb("g")
+    return f"""
+WITH grams AS ({_dsir_grams_sql_duckdb(table, text_col, id_col)}),
+tgrams AS (
+  {_dsir_grams_sql_duckdb(f"(SELECT * FROM {table} WHERE {target_pred})", text_col, id_col)}
+),
+doc_b AS (
+  SELECT doc_id, ({h}) % {n_buckets} AS b, count(*) AS n
+  FROM grams GROUP BY 1, 2
+),
+raw_cnt AS (
+  SELECT ({h}) % {n_buckets} AS b, count(*) AS cr FROM grams GROUP BY 1
+),
+tgt_cnt AS (
+  SELECT ({h}) % {n_buckets} AS b, count(*) AS ct FROM tgrams GROUP BY 1
+),
+buckets AS (SELECT unnest(range({n_buckets})) AS b),
+tbl AS (
+  SELECT buckets.b,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM buckets
+  LEFT JOIN raw_cnt ON buckets.b = raw_cnt.b
+  LEFT JOIN tgt_cnt ON buckets.b = tgt_cnt.b
+),
+totals AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tbl),
+deltas AS (
+  SELECT b,
+         cast(round(
+           ln((ct + 1.0) / (tt + {float(n_buckets)!r}))
+           - ln((cr + 1.0) / (tr + {float(n_buckets)!r})), 9)
+           AS DECIMAL(20,9)) AS delta
+  FROM tbl, totals
+),
+scored AS (
+  SELECT doc_id, sum(n * delta) AS _w
+  FROM doc_b JOIN deltas USING (b) GROUP BY doc_id
+)
+SELECT t.{id_col} AS doc_id,
+       round(coalesce(cast(_w AS DOUBLE), 0.0), 4) AS weight
+FROM {table} t LEFT JOIN scored ON t.{id_col} = scored.doc_id
+"""
+
+
+def dsir_select_sql_duckdb(
+    table: str,
+    target_pred: str,
+    n: int,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    inner = dsir_weights_sql_duckdb(
+        table, target_pred, n_buckets, text_col, id_col
+    )
+    return f"""
+SELECT doc_id, weight FROM ({inner})
+ORDER BY weight DESC, doc_id LIMIT {n}
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al., 2020, §2.2)
+# ---------------------------------------------------------------------------
+
+
+def c4_line_filter(
+    df: DataFrame,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+    line_blacklist: tuple[str, ...] = ("javascript",),
+    doc_blacklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The C4 line-level cleaning heuristics (Raffel et al. 2020,
+    *Exploring the Limits of Transfer Learning...*, §2.2): keep only
+    lines that end in terminal punctuation (``. ! ? "``) and contain
+    at least ``min_words`` words; drop lines mentioning a
+    ``line_blacklist`` term; drop the whole document when fewer than
+    ``min_kept_lines`` lines survive or the raw text contains a
+    ``doc_blacklist`` term (boilerplate/code markers).
+
+    Output: (doc_id, n_kept, n_dropped, keep, text_clean) where
+    text_clean re-joins the surviving lines.
+
+    Scale: pure per-row array expressions (split -> transform ->
+    filter -> array_join), whole-stage codegen, ZERO shuffles — the
+    shape a line-level pass must have at 100 TB."""
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"), lambda x: F.trim(x)
+    )
+
+    def line_ok(line: Column) -> Column:
+        cond = (
+            line.rlike('[.!?"]$')
+            & (F.size(F.split(line, r"\s+")) >= min_words)
+        )
+        for term in line_blacklist:
+            cond = cond & ~F.lower(line).contains(term.lower())
+        return cond
+
+    kept = F.filter(lines, line_ok)
+    doc_ok = F.size(kept) >= min_kept_lines
+    for term in doc_blacklist:
+        doc_ok = doc_ok & ~F.lower(F.col(text_col)).contains(
+            term.lower()
+        )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_dropped"),
+        doc_ok.alias("keep"),
+        F.when(doc_ok, F.array_join(kept, "\n"))
+        .otherwise(F.lit(""))
+        .alias("text_clean"),
+    )
+
+
+def c4_line_filter_sql_duckdb(
+    table: str,
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+    line_blacklist: tuple[str, ...] = ("javascript",),
+    doc_blacklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of c4_line_filter (identical trimming, predicates
+    and join order)."""
+    line_terms = " AND ".join(
+        f"NOT contains(lower(l), '{t.lower()}')" for t in line_blacklist
+    ) or "TRUE"
+    doc_terms = " AND ".join(
+        f"NOT contains(lower({text_col}), '{t.lower()}')"
+        for t in doc_blacklist
+    ) or "TRUE"
+    lines = f"list_transform(string_split({text_col}, chr(10)), x -> trim(x))"
+    kept = (
+        f"list_filter({lines}, l -> regexp_matches(l, '[.!?\"]$') "
+        f"AND len(string_split_regex(l, '\\s+')) >= {min_words} "
+        f"AND {line_terms})"
+    )
+    return f"""
+SELECT {id_col} AS doc_id,
+       cast(len(kept) AS INTEGER) AS n_kept,
+       cast(len(lines) - len(kept) AS INTEGER) AS n_dropped,
+       (len(kept) >= {min_kept_lines} AND {doc_terms}) AS keep,
+       CASE WHEN len(kept) >= {min_kept_lines} AND {doc_terms}
+            THEN array_to_string(kept, chr(10)) ELSE '' END AS text_clean
+FROM (
+  SELECT {id_col}, {text_col},
+         {lines} AS lines, {kept} AS kept
+  FROM {table}
+)
+"""

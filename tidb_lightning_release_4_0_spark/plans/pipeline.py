@@ -1539,8 +1539,19 @@ class RestoreController:
                 self.sink.finalize(self.spark, name)
             # C5: ANALYZE actually runs (restore.go:1038-1050) — the
             # ANALYZED status is only recorded when the sink computed
-            # statistics
-            if self.cfg.analyze and self.sink.analyze(self.spark, name):
+            # statistics. analyze_mode="auto": when this run already
+            # holds an exact delivered row count (write-job observe,
+            # or the checksum read-back which counts every row), the
+            # row-count scan of a full ANALYZE is a redundant THIRD
+            # pass over the table — size-only NOSCAN stats suffice
+            # and cost zero jobs.
+            noscan = (
+                getattr(self.cfg, "analyze_mode", "auto") == "auto"
+                and rows >= 0
+            )
+            if self.cfg.analyze and self.sink.analyze(
+                self.spark, name, noscan=noscan
+            ):
                 self.cp.set_table_status(name, Status.ANALYZED)
             else:
                 self.cp.set_table_status(name, Status.ANALYZE_SKIPPED)

@@ -2360,6 +2360,39 @@ def q_mixture_temperature(spark, sf_dir):
     )
 
 
+def q_dsir_select_docs(spark, sf_dir):
+    """DSIR data selection (curation.py::dsir_select): top-25 corpus
+    docs by hashed-n-gram importance weight toward a src1 target
+    sample (Xie et al. 2023). Bucket log-ratio deltas rounded to 9
+    and aggregated in DECIMAL, so the multiply-sum is exact and
+    partition-order-free on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src1")
+    return CU.dsir_select(docs, target, 25, n_buckets=256)
+
+
+def q_c4_line_filter_docs(spark, sf_dir):
+    """C4 line-level cleaning (curation.py::c4_line_filter): the
+    synthetic corpus has no newlines, so the query lineifies text
+    deterministically first (' table' -> '.' + newline, mirrored in
+    the oracle), then applies the terminal-punctuation / min-words /
+    blacklist rules. Zero shuffles — pure codegen array ops."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.expr(
+            "replace(text, ' table', concat('.', chr(10)))"
+        ).alias("text"),
+    )
+    return CU.c4_line_filter(
+        lined,
+        min_words=3,
+        min_kept_lines=2,
+        line_blacklist=("spark",),
+        doc_blacklist=("vector",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the registry
 # ---------------------------------------------------------------------------
@@ -2492,6 +2525,8 @@ def build_queries():
         "pagerank_events": q_pagerank_events,
         "weighted_sample_docs": q_weighted_sample_docs,
         "mixture_temperature": q_mixture_temperature,
+        "dsir_select_docs": q_dsir_select_docs,
+        "c4_line_filter_docs": q_c4_line_filter_docs,
     }
 
 
@@ -2952,6 +2987,17 @@ def build_oracle_sql():
         ),
         "mixture_temperature": CU.mixture_temperature_oracle_sql(
             2.0, 200
+        ),
+        "dsir_select_docs": CU.dsir_select_sql_duckdb(
+            "documents", "source = 'src1'", 25, n_buckets=256
+        ),
+        "c4_line_filter_docs": CU.c4_line_filter_sql_duckdb(
+            "(SELECT doc_id, replace(text, ' table', '.' || chr(10)) "
+            "AS text FROM documents)",
+            min_words=3,
+            min_kept_lines=2,
+            line_blacklist=("spark",),
+            doc_blacklist=("vector",),
         ),
         "weighted_sample_docs": CU.weighted_sample_sql_duckdb(
             "documents", "n_chars", 25, ["doc_id", "n_chars"]

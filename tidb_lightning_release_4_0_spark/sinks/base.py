@@ -71,10 +71,14 @@ class Sink(ABC):
     def finalize(self, spark: SparkSession, table: str) -> None:
         """Post-import: compaction/OPTIMIZE analog (O9)."""
 
-    def analyze(self, spark: SparkSession, table: str) -> bool:
+    def analyze(
+        self, spark: SparkSession, table: str, noscan: bool = False
+    ) -> bool:
         """C5: compute optimizer statistics on the restored table
         (ANALYZE TABLE, restore.go:1038-1050). Returns True if
-        statistics were actually computed."""
+        statistics were actually computed. ``noscan`` asks for the
+        scan-free variant (size-only stats) when the caller already
+        verified an exact row count this run."""
         return False
 
     def cleanup(self, table: str) -> None:

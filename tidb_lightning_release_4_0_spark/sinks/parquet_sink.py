@@ -659,16 +659,27 @@ class ParquetSink(Sink):
             shutil.rmtree(path)
             os.replace(tmp, path)
 
-    def analyze(self, spark: SparkSession, table: str) -> bool:
+    def analyze(
+        self, spark: SparkSession, table: str, noscan: bool = False
+    ) -> bool:
         """C5: register the restored parquet as an external catalog
         table and run ANALYZE TABLE ... COMPUTE STATISTICS — the
         Spark-native twin of the post-import ANALYZE the reference
         executes against TiDB (restore.go:1038-1050). The catalog
         entry persists: downstream queries on the registered name get
-        CBO row/size statistics."""
+        CBO row/size statistics.
+
+        ``noscan=True`` runs ``ANALYZE ... NOSCAN`` instead: catalog
+        sizeInBytes from the file listing, zero jobs. The pipeline
+        passes it when the run already verified an exact delivered
+        row count (observe/read-back), so re-counting would be a
+        redundant extra pass over the whole table."""
         path = self._path(table)
         if not os.path.isdir(path):
             return False
+        stmt_tail = "COMPUTE STATISTICS NOSCAN" if noscan else (
+            "COMPUTE STATISTICS"
+        )
         db, tbl = self._catalog_ident(table)
         if self.bucket_buckets > 0 and self.key_columns.get(table):
             # _write_bucketed already registered the table WITH its
@@ -676,7 +687,7 @@ class ParquetSink(Sink):
             # metadata and downstream joins would shuffle again
             if spark.catalog.tableExists(f"{db}.{tbl}"):
                 spark.sql(
-                    f"ANALYZE TABLE `{db}`.`{tbl}` COMPUTE STATISTICS"
+                    f"ANALYZE TABLE `{db}`.`{tbl}` {stmt_tail}"
                 )
                 return True
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
@@ -692,7 +703,7 @@ class ParquetSink(Sink):
             schema=schema,
             recursiveFileLookup="true",
         )
-        spark.sql(f"ANALYZE TABLE `{db}`.`{tbl}` COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE `{db}`.`{tbl}` {stmt_tail}")
         return True
 
     def cleanup(self, table: str) -> None:
