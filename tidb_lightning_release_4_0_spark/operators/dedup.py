@@ -622,3 +622,109 @@ SELECT tot.doc_id,
              ELSE 0.0 END, 4) AS dup_frac
 FROM tot LEFT JOIN dup USING (doc_id)
 """
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance — the
+    web-crawl dedup of Manku et al. 2007 (*Detecting Near-Duplicates
+    for Web Crawling*): two docs are near-dups when their ``bits``-bit
+    signatures differ in at most ``max_hamming`` bit positions.
+
+    Banding gives the candidate set WITHOUT an all-pairs join: split
+    each signature into ``n_bands`` blocks; by pigeonhole, any pair
+    within hamming ``max_hamming < n_bands`` agrees exactly on at
+    least one whole block, so an equi-join per block finds every true
+    pair. Output: (left_id, right_id, hamming), left < right.
+
+    Scale shape: signatures are one narrow codegen projection (text
+    never leaves its partition); the shuffle carries (band_idx,
+    band_value, id, sig) — n_bands rows/doc of a few longs. The join
+    is equi-keyed and AQE-skew-splittable; a degenerate hot band
+    value (e.g. a boilerplate-dominated block) is the documented
+    salting/filter-hot-buckets case, same as MinHash LSH."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < n_bands"
+        )
+    if bits % n_bands:
+        raise ValueError("n_bands must divide bits")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(F.col(text_col), bits).alias("sig"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+            F.bit_count(
+                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_dup_pairs_sql_duckdb(
+    table: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of simhash_dup_pairs — identical signature, band
+    split, pigeonhole join and hamming cut."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_sql_duckdb(text_col, bits)
+    return f"""
+WITH sigs AS (
+  SELECT {id_col} AS doc_id, {sig} AS sig FROM {table}
+),
+bands AS (
+  SELECT doc_id, sig, i.range AS band,
+         (sig >> (i.range * {band_bits})) & {mask} AS val
+  FROM sigs, range({n_bands}) i
+)
+SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+       cast(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= {max_hamming}
+"""

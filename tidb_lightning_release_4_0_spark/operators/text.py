@@ -502,3 +502,126 @@ SELECT doc_id, score FROM (
   FROM contrib GROUP BY doc_id
 ) WHERE _rk <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model score (the KenLM-shaped upgrade of the
+# unigram CCNet-style filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram language-model quality score: each document's mean
+    negative log-likelihood of its token bigrams under add-one-
+    smoothed corpus bigram frequencies,
+
+        -mean ln( (c(w1 w2) + 1) / (c(w1) + V) )
+
+    with V the corpus unigram vocabulary size — the order-2 step from
+    ``unigram_lm_score`` toward the KenLM perplexity filters public
+    pipelines use (CCNet; word order now matters: "the of" scores
+    badly even though both unigrams are common). Documents with
+    fewer than two tokens have no bigrams and are omitted.
+
+    Output: (doc_id, n_bigrams, lm2_score rounded to 4).
+
+    Engine-exactness: each bigram's log term is rounded to 9 decimals
+    and summed as DECIMAL (associative), then divided once — a raw
+    float mean over hundreds of terms would be partition-order-
+    dependent.
+
+    Scale: the bigram count table is the big intermediate (quadratic
+    vocab in theory, corpus-bounded in practice); it stays a hash
+    aggregate keyed by the pair with map-side combine, joined back
+    broadcast (or shuffle-keyed when the pair table outgrows
+    broadcast). Text never shuffles — only (doc_id, w1, w2) triples.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    big = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = df.select(F.explode(toks).alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    cbig = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nll = (
+        F.round(
+            -F.log(
+                (F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("nll")
+    )
+    scored = (
+        big.join(F.broadcast(cbig), ["w1", "w2"])
+        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1")
+        .join(F.broadcast(vocab))
+        .select("doc_id", nll)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll").alias("_s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(
+            F.col("_s").cast("double") / F.col("n_bigrams"), 4
+        ).alias("lm2_score"),
+    )
+
+
+def bigram_lm_score_sql_duckdb(table: str = "documents") -> str:
+    """DuckDB twin of bigram_lm_score — identical tokenization,
+    smoothing, 9-decimal rounding and DECIMAL aggregation."""
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^a-z]+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS tk FROM {table}),
+big AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(w1 := tk[i], w2 := tk[i+1]))) AS p
+  FROM t
+),
+big2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM big),
+uni AS (
+  SELECT unnest(tk) AS term FROM t
+),
+c1 AS (SELECT term AS w1, count(*) AS c1 FROM uni GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM c1),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM big2 GROUP BY 1, 2),
+nlls AS (
+  SELECT doc_id,
+         cast(round(-ln((c12 + 1.0) / (c1 + v)), 9) AS DECIMAL(20,9))
+             AS nll
+  FROM big2 JOIN c12 USING (w1, w2) JOIN c1 USING (w1), vocab
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(cast(sum(nll) AS DOUBLE) / count(*), 4) AS lm2_score
+FROM nlls GROUP BY doc_id
+"""

@@ -2360,6 +2360,24 @@ def q_mixture_temperature(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (dedup.py::simhash_dup_pairs, Manku et
+    al. 2007): banded pigeonhole join, hamming <= 1 over 32-bit
+    signatures (2 bands of 16 bits — the guarantee needs
+    max_hamming < n_bands)."""
+    return D.simhash_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=1, n_bands=2
+    )
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Bigram LM perplexity filter (text.py::bigram_lm_score): mean
+    NLL of token bigrams under add-one-smoothed corpus counts;
+    9-decimal rounded terms summed in DECIMAL for engine-exact
+    aggregation."""
+    return X.bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_select_docs(spark, sf_dir):
     """DSIR data selection (curation.py::dsir_select): top-25 corpus
     docs by hashed-n-gram importance weight toward a src1 target
@@ -2527,6 +2545,8 @@ def build_queries():
         "mixture_temperature": q_mixture_temperature,
         "dsir_select_docs": q_dsir_select_docs,
         "c4_line_filter_docs": q_c4_line_filter_docs,
+        "simhash_dup_pairs": q_simhash_pairs,
+        "bigram_lm_score": q_bigram_lm_score,
     }
 
 
@@ -2988,6 +3008,10 @@ def build_oracle_sql():
         "mixture_temperature": CU.mixture_temperature_oracle_sql(
             2.0, 200
         ),
+        "simhash_dup_pairs": D.simhash_dup_pairs_sql_duckdb(
+            "documents", max_hamming=1, n_bands=2
+        ),
+        "bigram_lm_score": X.bigram_lm_score_sql_duckdb("documents"),
         "dsir_select_docs": CU.dsir_select_sql_duckdb(
             "documents", "source = 'src1'", 25, n_buckets=256
         ),
