@@ -1,0 +1,158 @@
+"""Semantic unit tests for the second batch of round-5 operators:
+DSIR selection, C4 line cleaning, SimHash hamming dedup, bigram LM.
+
+The registry oracle suite proves engine parity; these tests pin the
+SEMANTICS (planted duplicates are found, target docs score high,
+cleaning rules fire) and the plan shapes (zero-shuffle where the
+operator promises it).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import tidb_lightning_release_4_0_spark.operators.curation as CU
+import tidb_lightning_release_4_0_spark.operators.dedup as D
+import tidb_lightning_release_4_0_spark.operators.text as X
+
+
+# ---------------------------------------------------------------------------
+# DSIR
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Docs written in the target domain's vocabulary must outscore
+    docs written in a disjoint vocabulary."""
+    rows = [(i, "alpha beta gamma delta alpha beta") for i in range(5)]
+    rows += [(10 + i, "omega sigma tau rho omega sigma") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5)
+    top = CU.dsir_select(df, target, 5, n_buckets=64).collect()
+    assert {r.doc_id for r in top} == {0, 1, 2, 3, 4}
+    assert all(r.weight > 0 for r in top)
+
+
+def test_dsir_empty_doc_weight_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "")], "doc_id long, text string"
+    )
+    w = {r.doc_id: r.weight for r in CU.dsir_weights(
+        df, df.filter("doc_id = 1"), n_buckets=16).collect()}
+    assert w[2] == 0.0
+    assert len(w) == 2  # empty doc still present
+
+
+# ---------------------------------------------------------------------------
+# C4 line filter
+# ---------------------------------------------------------------------------
+
+
+def test_c4_rules_fire(spark):
+    text = "\n".join([
+        "This line ends with a period.",   # kept
+        "short.",                          # < 3 words -> dropped
+        "no terminal punctuation here",    # dropped
+        "This one has javascript inside.", # line blacklist -> dropped
+        'A quoted line ends well."',       # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = CU.c4_line_filter(df, min_words=3, min_kept_lines=2).collect()[0]
+    assert (r.n_kept, r.n_dropped, r.keep) == (2, 3, True)
+    assert r.text_clean.splitlines() == [
+        "This line ends with a period.",
+        'A quoted line ends well."',
+    ]
+
+
+def test_c4_doc_blacklist_and_min_lines(spark):
+    good = "One good line here.\nAnother good line here."
+    df = spark.createDataFrame(
+        [
+            (1, good + "\nLorem Ipsum dolor sit amet."),  # doc blacklist
+            (2, "Only one good line here."),              # < min lines
+            (3, good),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in CU.c4_line_filter(
+        df, min_words=3, min_kept_lines=2).collect()}
+    assert not r[1].keep and r[1].text_clean == ""
+    assert not r[2].keep
+    assert r[3].keep and r[3].n_kept == 2
+
+
+def test_c4_line_filter_zero_shuffle(spark, sf_dir):
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    plan = R.q_c4_line_filter_docs(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SimHash hamming dedup
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_find_planted_near_dup(spark):
+    """An exact copy (hamming 0) and a light edit must pair with the
+    original; an unrelated-vocabulary doc must not."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base.replace("kappa", "kappax")
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.left_id, r.right_id): r.hamming
+        for r in D.simhash_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    if (1, 3) in pairs:  # one-token edit usually flips <= 3 bits
+        assert pairs[(1, 3)] <= 3
+
+
+def test_simhash_pairs_pigeonhole_guard(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        D.simhash_dup_pairs(df, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError):
+        D.simhash_dup_pairs(df, n_bands=5)  # 5 does not divide 32
+
+
+def test_simhash_pairs_no_cartesian(spark, sf_dir):
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    plan = R.q_simhash_pairs(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_orders_fluency(spark):
+    """A doc of corpus-frequent bigrams must score lower (more
+    likely) than a doc whose bigrams never co-occur elsewhere."""
+    common = "the cat sat on the mat"
+    rows = [(i, common) for i in range(5)]
+    rows.append((10, "mat the on sat cat the"))  # same unigrams, shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r.lm2_score for r in X.bigram_lm_score(df).collect()}
+    assert s[0] < s[10]
+
+
+def test_bigram_lm_short_docs_omitted(spark):
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in X.bigram_lm_score(df).collect()}
+    assert 1 not in rows  # no bigrams
+    assert rows[2].n_bigrams == 1
