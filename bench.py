@@ -106,6 +106,11 @@ def main() -> None:
         "bm25_topdocs",
         "kmeans_embeddings",
         "bloom_prune_orders",
+        # round 5 session 4: data-selection + dedup additions
+        "dsir_select_docs",
+        "c4_line_filter_docs",
+        "simhash_dup_pairs",
+        "bigram_lm_score",
     ]
 
     timings: dict[str, float] = {}

@@ -2370,6 +2370,20 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_apply_simhash(spark, sf_dir):
+    """Apply SimHash near-dedup cluster-correctly: connected
+    components over the hamming<=1 pair graph, elect the min doc_id
+    per component, drop every other member (transitive chains
+    A~B~C collapse to one survivor)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.simhash_dup_pairs(d, max_hamming=1, n_bands=2)
+    clusters = CU.connected_components(pairs)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_bigram_lm_score(spark, sf_dir):
     """Bigram LM perplexity filter (text.py::bigram_lm_score): mean
     NLL of token bigrams under add-one-smoothed corpus counts;
@@ -2546,6 +2560,7 @@ def build_queries():
         "dsir_select_docs": q_dsir_select_docs,
         "c4_line_filter_docs": q_c4_line_filter_docs,
         "simhash_dup_pairs": q_simhash_pairs,
+        "dedup_apply_simhash": q_dedup_apply_simhash,
         "bigram_lm_score": q_bigram_lm_score,
     }
 
@@ -3012,6 +3027,18 @@ def build_oracle_sql():
             "documents", max_hamming=1, n_bands=2
         ),
         "bigram_lm_score": X.bigram_lm_score_sql_duckdb("documents"),
+        "dedup_apply_simhash": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM (
+                {CU.connected_components_oracle_sql(
+                    D.simhash_dup_pairs_sql_duckdb(
+                        "documents", max_hamming=1, n_bands=2
+                    )
+                )}
+              ) WHERE doc_id <> cluster_id
+            )
+        """,
         "dsir_select_docs": CU.dsir_select_sql_duckdb(
             "documents", "source = 'src1'", 25, n_buckets=256
         ),
