@@ -1445,9 +1445,16 @@ def dsir_weights(
     doc_b = grams.select("doc_id", b).groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).alias("n")
     )
-    raw_cnt = grams.select(b).groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr")
-    )
+    # doc_b feeds BOTH the corpus histogram and the final scoring
+    # join. Materialize it once (lazy localCheckpoint): its (doc_id,
+    # bucket, count) triples are a small fraction of the corpus, and
+    # without the pin each consumer would re-tokenize the whole
+    # corpus (AQE stage reuse is not guaranteed across the broadcast
+    # boundary the histogram sits behind).
+    doc_b = doc_b.localCheckpoint(eager=False)
+    # corpus bucket histogram derived from doc_b, NOT by re-exploding
+    # grams: the raw counts are sum-of-per-doc-counts by definition
+    raw_cnt = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
     tgt_cnt = tgrams.select(b).groupBy("b").agg(
         F.count(F.lit(1)).alias("ct")
     )
@@ -1462,25 +1469,30 @@ def dsir_weights(
             F.coalesce("ct", F.lit(0)).alias("ct"),
         )
     )
-    totals = table.agg(
-        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
-    )
+    # totals as window sums over the bucket table itself (a FIXED
+    # n_buckets-row frame, so the unpartitioned window is a
+    # 256-row single-partition op at any corpus scale) — a separate
+    # totals aggregate + cross join would reference `table` twice
+    # and duplicate its whole corpus-scan subtree in the plan
+    every = Window.partitionBy()
+    tr = F.sum("cr").over(every)
+    tt = F.sum("ct").over(every)
     delta = (
         F.round(
             F.log(
                 (F.col("ct") + 1.0)
-                / (F.col("tt") + F.lit(float(n_buckets)))
+                / (tt + F.lit(float(n_buckets)))
             )
             - F.log(
                 (F.col("cr") + 1.0)
-                / (F.col("tr") + F.lit(float(n_buckets)))
+                / (tr + F.lit(float(n_buckets)))
             ),
             9,
         )
         .cast("decimal(20,9)")
         .alias("delta")
     )
-    deltas = table.crossJoin(F.broadcast(totals)).select("b", delta)
+    deltas = table.select("b", delta)
     scored = (
         doc_b.join(F.broadcast(deltas), "b")
         .groupBy("doc_id")
@@ -1547,14 +1559,13 @@ tbl AS (
   LEFT JOIN raw_cnt ON buckets.b = raw_cnt.b
   LEFT JOIN tgt_cnt ON buckets.b = tgt_cnt.b
 ),
-totals AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM tbl),
 deltas AS (
   SELECT b,
          cast(round(
-           ln((ct + 1.0) / (tt + {float(n_buckets)!r}))
-           - ln((cr + 1.0) / (tr + {float(n_buckets)!r})), 9)
-           AS DECIMAL(20,9)) AS delta
-  FROM tbl, totals
+           ln((ct + 1.0) / (sum(ct) OVER () + {float(n_buckets)!r}))
+           - ln((cr + 1.0) / (sum(cr) OVER () + {float(n_buckets)!r})),
+           9) AS DECIMAL(20,9)) AS delta
+  FROM tbl
 ),
 scored AS (
   SELECT doc_id, sum(n * delta) AS _w
