@@ -1689,3 +1689,115 @@ FROM (
   FROM {table}
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Global boilerplate-line removal (RefinedWeb / MassiveText style)
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines that repeat across more than ``max_df`` distinct
+    documents — the corpus-global line dedup step of RefinedWeb
+    (Penedo et al. 2023) / MassiveText: navigation bars, cookie
+    banners and license footers repeat across thousands of pages and
+    survive per-document filters, so the df (document frequency) of
+    each exact line is the signal.
+
+    Output: (doc_id, n_lines, n_kept, text_clean) — text_clean
+    re-joins surviving lines in original order; every input doc
+    appears (all-boilerplate docs keep an empty string).
+
+    Scale shape: the line-frequency aggregate shuffles only (line
+    hash, doc_id) pairs — never text. The repack shuffles each doc's
+    surviving (pos, line) pairs back to their doc — one bounded
+    corpus shuffle. When the hot-line set is small enough to collect
+    (it is, by definition of boilerplate), the documented scale
+    variant broadcasts it and filters the line array in place with
+    zero text shuffle (decontaminate's broadcast-gram pattern)."""
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(lines).alias("pos", "line"),
+    ).withColumn("lhash", hash60(F.trim(F.col("line"))))
+    hot = (
+        exploded.groupBy("lhash")
+        .agg(F.count_distinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") > max_df)
+        .select("lhash")
+    )
+    kept = exploded.join(F.broadcast(hot), "lhash", "left_anti")
+    packed = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+    )
+    return base.join(packed, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
+def strip_boilerplate_lines_sql_duckdb(
+    table: str,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of strip_boilerplate_lines — identical hashing,
+    df threshold and order-preserving repack."""
+    h = hash60_duckdb("trim(e['line'])")
+    return f"""
+WITH lined AS (
+  SELECT {id_col} AS doc_id,
+         string_split({text_col}, chr(10)) AS lines
+  FROM {table}
+),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(lines) + 1),
+                i -> struct_pack(pos := i, line := lines[i]))) AS e
+  FROM lined
+),
+ex2 AS (
+  SELECT doc_id, e['pos'] AS pos, e['line'] AS line, {h} AS lhash
+  FROM exploded
+),
+hot AS (
+  SELECT lhash FROM (
+    SELECT lhash, count(DISTINCT doc_id) AS line_df
+    FROM ex2 GROUP BY lhash
+  ) WHERE line_df > {max_df}
+),
+kept AS (
+  SELECT * FROM ex2 WHERE lhash NOT IN (SELECT lhash FROM hot)
+),
+packed AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id AS doc_id,
+       cast(len(l.lines) AS INTEGER) AS n_lines,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.text_clean, '') AS text_clean
+FROM lined l LEFT JOIN packed p ON l.doc_id = p.doc_id
+"""

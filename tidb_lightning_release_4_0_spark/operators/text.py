@@ -625,3 +625,119 @@ SELECT doc_id, count(*) AS n_bigrams,
        round(cast(sum(nll) AS DOUBLE) / count(*), 4) AS lm2_score
 FROM nlls GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal
+# ---------------------------------------------------------------------------
+
+_ENTROPY_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Shannon entropy of the per-document character distribution
+    (over [a-z0-9 ] of the lowercased text) — a classic cheap garbage
+    detector: binary-ish blobs and keyboard-mash score far from the
+    ~2.9-4.2 bits of natural language, repeated-char spam scores near
+    zero.
+
+    Output: (doc_id, n_chars, entropy) with entropy in bits, rounded
+    to 4.
+
+    Plan shape: per-character counts come from the length-difference
+    trick — count(c) = len(s) - len(replace(s, c, '')) — unrolled
+    over the 37-character alphabet as literal JVM expressions: ZERO
+    explodes, ZERO shuffles, one codegen projection per row at any
+    corpus scale. Each probability term is rounded to 9 decimals and
+    summed as DECIMAL so the oracle twin is bit-exact."""
+    from pyspark.sql import functions as F
+
+    low = F.lower(F.col(text_col))
+    counts = [
+        (
+            F.length(low)
+            - F.length(F.replace(low, F.lit(c), F.lit("")))
+        )
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, c in enumerate(_ENTROPY_CHARS)
+    ]
+    base = df.select(F.col(id_col).alias("doc_id"), *counts)
+    total = sum(F.col(f"_c{i}") for i in range(len(_ENTROPY_CHARS)))
+    base = base.withColumn("_n", total)
+    # -(p * log2 p) per character as an exact INTEGER number of
+    # 1e-9 units. Chained DECIMAL addition would overflow Spark's
+    # 38-digit precision cap over 37 terms and silently shrink the
+    # scale (observed: scale 9 -> 6, flipping the final rounding);
+    # longs sum exactly on any engine. Terms are bounded by
+    # log2(e)/e ~ 0.531, so the scaled sum fits a long with room.
+    terms = [
+        F.when(
+            F.col(f"_c{i}") > 0,
+            F.round(
+                (F.col(f"_c{i}") / F.col("_n"))
+                * -F.log2(F.col(f"_c{i}") / F.col("_n"))
+                * 1e9,
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(len(_ENTROPY_CHARS))
+    ]
+    ent = terms[0]
+    for t in terms[1:]:
+        ent = ent + t
+    # HALF_UP to 4 decimals in integer arithmetic (the sum is
+    # nonnegative), then ONE exact long->double cast: rounding a
+    # double diverges between engines on exact .xxxx5 boundaries
+    # (Spark rounds the shortest decimal rendering, DuckDB the
+    # exact binary value)
+    rounded = ((ent + F.lit(50000)) / F.lit(100000)).cast("long")
+    return base.select(
+        "doc_id",
+        F.col("_n").alias("n_chars"),
+        F.when(
+            F.col("_n") > 0,
+            rounded.cast("double") / F.lit(10000.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
+def char_entropy_sql_duckdb(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of char_entropy — identical counts, term rounding
+    and DECIMAL summation."""
+    cols = []
+    for i, c in enumerate(_ENTROPY_CHARS):
+        lit = c.replace("'", "''")
+        cols.append(
+            f"(length(low) - length(replace(low, '{lit}', '')))"
+            f"::BIGINT AS _c{i}"
+        )
+    n = len(_ENTROPY_CHARS)
+    total = " + ".join(f"_c{i}" for i in range(n))
+    terms = " + ".join(
+        f"CASE WHEN _c{i} > 0 THEN cast(round((_c{i} / _n) * "
+        f"-log2(_c{i} / _n) * 1e9, 0) AS BIGINT) "
+        f"ELSE 0 END"
+        for i in range(n)
+    )
+    return f"""
+WITH low AS (
+  SELECT {id_col} AS doc_id, lower({text_col}) AS low FROM {table}
+),
+cnt AS (SELECT doc_id, {', '.join(cols)} FROM low),
+tot AS (SELECT *, ({total}) AS _n FROM cnt),
+summed AS (
+  SELECT doc_id, _n, ({terms}) AS _s FROM tot
+)
+SELECT doc_id, _n AS n_chars,
+       CASE WHEN _n > 0
+            THEN cast((_s + 50000) // 100000 AS DOUBLE) / 10000.0
+            ELSE 0.0 END AS entropy
+FROM summed
+"""

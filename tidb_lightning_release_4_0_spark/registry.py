@@ -2392,6 +2392,28 @@ def q_bigram_lm_score(spark, sf_dir):
     return X.bigram_lm_score(_t(spark, sf_dir, "documents"))
 
 
+def q_strip_boilerplate_docs(spark, sf_dir):
+    """Corpus-global boilerplate-line removal (curation.py::
+    strip_boilerplate_lines, RefinedWeb-style): lines repeating in
+    > max_df distinct docs are dropped everywhere, surviving lines
+    repack in original order. The synthetic corpus has no newlines,
+    so the query lineifies one word per line (mirrored in the
+    oracle); max_df=390 splits the corpus vocabulary mid-range."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id", F.expr("replace(text, ' ', chr(10))").alias("text")
+    )
+    return CU.strip_boilerplate_lines(lined, max_df=390)
+
+
+def q_char_entropy_docs(spark, sf_dir):
+    """Character-entropy garbage detector (text.py::char_entropy):
+    37 length-difference counts unrolled as literal codegen
+    expressions — zero explodes, zero shuffles; integer-scaled
+    summation keeps both engines bit-exact."""
+    return X.char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_select_docs(spark, sf_dir):
     """DSIR data selection (curation.py::dsir_select): top-25 corpus
     docs by hashed-n-gram importance weight toward a src1 target
@@ -2562,6 +2584,8 @@ def build_queries():
         "simhash_dup_pairs": q_simhash_pairs,
         "dedup_apply_simhash": q_dedup_apply_simhash,
         "bigram_lm_score": q_bigram_lm_score,
+        "strip_boilerplate_docs": q_strip_boilerplate_docs,
+        "char_entropy_docs": q_char_entropy_docs,
     }
 
 
@@ -3027,6 +3051,12 @@ def build_oracle_sql():
             "documents", max_hamming=1, n_bands=2
         ),
         "bigram_lm_score": X.bigram_lm_score_sql_duckdb("documents"),
+        "strip_boilerplate_docs": CU.strip_boilerplate_lines_sql_duckdb(
+            "(SELECT doc_id, replace(text, ' ', chr(10)) AS text "
+            "FROM documents)",
+            max_df=390,
+        ),
+        "char_entropy_docs": X.char_entropy_sql_duckdb("documents"),
         "dedup_apply_simhash": f"""
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (
