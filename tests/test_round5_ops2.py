@@ -192,3 +192,70 @@ def test_simhash_banding_completeness(spark):
             ).collect()
         }
         assert got == expect, (mh, nb, len(got), len(expect))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_lines_dropped_globally(spark):
+    """A footer repeating in 3 of 4 docs (max_df=2) is dropped from
+    every doc; unique lines survive in original order; a doc that is
+    ALL boilerplate stays present with empty text."""
+    footer = "(c) example corp - all rights reserved"
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one\n{footer}\nunique two"),
+            (2, f"{footer}\nonly here"),
+            (3, f"something else\n{footer}"),
+            (4, footer),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in CU.strip_boilerplate_lines(
+        df, max_df=2).collect()}
+    assert r[1].text_clean == "unique one\nunique two"
+    assert (r[1].n_lines, r[1].n_kept) == (3, 2)
+    assert r[2].text_clean == "only here"
+    assert r[4].text_clean == "" and r[4].n_kept == 0
+
+
+def test_boilerplate_keeps_below_threshold(spark):
+    """A line in exactly max_df docs survives (strictly-greater
+    rule)."""
+    df = spark.createDataFrame(
+        [(1, "shared line"), (2, "shared line"), (3, "lonely line")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in CU.strip_boilerplate_lines(
+        df, max_df=2).collect()}
+    assert r[1].text_clean == "shared line"
+    assert r[3].text_clean == "lonely line"
+
+
+# ---------------------------------------------------------------------------
+# Character entropy
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-checkable distributions: single repeated char -> 0 bits;
+    'ab' -> 1 bit; four equally frequent chars -> 2 bits."""
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abababab"), (3, "abcdabcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    r = {x.doc_id: x for x in X.char_entropy(df).collect()}
+    assert r[1].entropy == 0.0
+    assert r[2].entropy == 1.0
+    assert r[3].entropy == 2.0
+    assert r[4].entropy == 0.0 and r[4].n_chars == 0
+
+
+def test_char_entropy_zero_shuffle(spark, sf_dir):
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    plan = R.q_char_entropy_docs(spark, sf_dir)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
