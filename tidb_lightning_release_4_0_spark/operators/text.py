@@ -741,3 +741,163 @@ SELECT doc_id, _n AS n_chars,
             ELSE 0.0 END AS entropy
 FROM summed
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character ``k``-gram
+    of the normalized text, slide a window of ``w`` consecutive gram
+    hashes, and select each window's minimum hash (rightmost on tie).
+
+    Guarantee: any substring match of length >= ``w + k - 1`` between
+    two documents yields at least one shared fingerprint, while only a
+    ~``2/(w+1)`` fraction of gram hashes is retained — the standard
+    local fingerprinting scheme for plagiarism/near-dup detection.
+
+    Returns ``(doc_id, pos, fph)`` — one row per selected fingerprint.
+
+    The rightmost-tie argmin is ONE window aggregate: per window
+    starting at ``pos``, ``min(struct(h, -pos))`` orders
+    lexicographically — smallest hash first, then largest position —
+    so no self-join is needed to recover the selected position.
+
+    100 TB scale: text is projected away before any exchange — only
+    ``(doc_id, pos, h)`` triples shuffle (same design as
+    duplicate_span_grams), and the window is partitioned per document,
+    so gram volume parallelizes across the corpus. All built-ins
+    (whole-stage codegen); no Python.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    d = df.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"case when length(_n) >= {int(k)} then "
+                f"transform(sequence(1, length(_n) - {int(k)} + 1), "
+                f"i -> substring(_n, i, {int(k)})) "
+                f"else array() end"
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", hash60(F.col("g")).alias("h"))
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, int(w) - 1)
+    )
+    sel = grams.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+        .over(win)
+        .alias("m"),
+        F.count(F.lit(1)).over(win).alias("cnt"),
+    )
+    return (
+        sel.filter(F.col("cnt") == int(w))
+        .select(
+            "doc_id",
+            (-F.col("m.np")).alias("pos"),
+            F.col("m.h").alias("fph"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints_oracle_sql(
+    table: str = "documents", k: int = 8, w: int = 8
+) -> str:
+    h = hash60_duckdb(f"substr(_n, i, {int(k)})")
+    frame = (
+        f"PARTITION BY doc_id ORDER BY pos "
+        f"ROWS BETWEEN CURRENT ROW AND {int(w) - 1} FOLLOWING"
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS _n
+  FROM {table}
+), g AS (
+  SELECT doc_id, i - 1 AS pos, {h} AS h
+  FROM n, LATERAL unnest(
+    generate_series(1, greatest(length(_n) - {int(k)} + 1, 0))) AS t(i)
+), w AS (
+  SELECT doc_id,
+         min(struct_pack(h := h, np := -pos)) OVER ({frame}) AS m,
+         count(*) OVER ({frame}) AS cnt
+  FROM g
+)
+SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS fph FROM w WHERE cnt = {int(w)}
+"""
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints:
+    documents sharing >= ``min_shared`` distinct fingerprint hashes.
+
+    Scale design mirrors minhash_lsh_pairs: the join key is the
+    fingerprint hash, and hashes appearing in more than ``max_bucket``
+    documents (ubiquitous boilerplate grams) are dropped BEFORE the
+    pair join, so no bucket ever goes quadratic on a mega-cluster.
+    Only ``(doc_id, fph)`` pairs shuffle.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    sets = fps.select("doc_id", "fph").distinct()
+    small = (
+        sets.groupBy("fph")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter(F.col("_nb") <= int(max_bucket))
+        .select("fph")
+    )
+    pruned = sets.join(small, "fph")
+    pairs = (
+        pruned.alias("l")
+        .join(
+            pruned.alias("r"),
+            (F.col("l.fph") == F.col("r.fph"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+        )
+        .agg(F.countDistinct(F.col("l.fph")).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= int(min_shared))
+    )
+    return pairs
+
+
+def winnow_candidate_pairs_oracle_sql(
+    table: str = "documents",
+    k: int = 8,
+    w: int = 8,
+    min_shared: int = 3,
+    max_bucket: int = 64,
+) -> str:
+    fps = winnow_fingerprints_oracle_sql(table, k=k, w=w)
+    return f"""
+WITH fps AS ({fps}),
+sets AS (SELECT DISTINCT doc_id, fph FROM fps),
+small AS (
+  SELECT fph FROM sets GROUP BY fph HAVING count(*) <= {int(max_bucket)}
+),
+pruned AS (SELECT s.* FROM sets s JOIN small USING (fph))
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       count(DISTINCT l.fph) AS shared_fp
+FROM pruned l JOIN pruned r
+  ON l.fph = r.fph AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+HAVING count(DISTINCT l.fph) >= {int(min_shared)}
+"""

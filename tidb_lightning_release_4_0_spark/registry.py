@@ -2414,6 +2414,31 @@ def q_char_entropy_docs(spark, sf_dir):
     return X.char_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (text.py::winnow_fingerprints —
+    Schleimer et al. 2003 / MOSS): per-window rightmost-min k-gram
+    hash selection via ONE struct-ordered window aggregate. Only
+    (doc_id, pos, hash) triples shuffle; text never leaves the scan
+    stage."""
+    return X.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=8, w=8
+    )
+
+
+def q_winnow_candidates(spark, sf_dir):
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (text.py::winnow_candidate_pairs): bucket join on fingerprint
+    hash with an LSH-style max_bucket skew cap, so ubiquitous
+    boilerplate grams never go quadratic."""
+    return X.winnow_candidate_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=8,
+        w=8,
+        min_shared=3,
+        max_bucket=64,
+    )
+
+
 def q_dsir_select_docs(spark, sf_dir):
     """DSIR data selection (curation.py::dsir_select): top-25 corpus
     docs by hashed-n-gram importance weight toward a src1 target
@@ -2586,6 +2611,8 @@ def build_queries():
         "bigram_lm_score": q_bigram_lm_score,
         "strip_boilerplate_docs": q_strip_boilerplate_docs,
         "char_entropy_docs": q_char_entropy_docs,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_candidates": q_winnow_candidates,
     }
 
 
@@ -3545,6 +3572,12 @@ def build_oracle_sql():
                                    / len(sents), 4) END AS rep_ratio
             FROM s
         """,
+        "winnow_fingerprints": X.winnow_fingerprints_oracle_sql(
+            "documents", k=8, w=8
+        ),
+        "winnow_candidates": X.winnow_candidate_pairs_oracle_sql(
+            "documents", k=8, w=8, min_shared=3, max_bucket=64
+        ),
     }
 
 
