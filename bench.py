@@ -111,6 +111,11 @@ def main() -> None:
         "c4_line_filter_docs",
         "simhash_dup_pairs",
         "bigram_lm_score",
+        # round 5 session 5: winnowing fingerprint selection (the
+        # candidate JOIN stays correctness-only like semantic dedup:
+        # it re-derives the fingerprint set, so benching it would
+        # mostly re-measure this stage)
+        "winnow_fingerprints",
     ]
 
     timings: dict[str, float] = {}

@@ -791,21 +791,33 @@ def winnow_fingerprints(
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, int(w) - 1)
     )
+    # Dedupe WITHOUT a second exchange: the selected position is
+    # non-decreasing as the window slides (a later window picks either
+    # the same rightmost-min or something to its right), so duplicate
+    # selections are always CONSECUTIVE in window order — `m != lag(m)`
+    # over the same partition/order spec is an exact distinct, computed
+    # in the same single window pass (one shuffle total, vs two with
+    # .distinct()). Rows dropped by the full-window cnt filter are only
+    # the per-doc suffix, so pre-filter lag == post-filter lag for
+    # every surviving row.
     sel = grams.select(
         "doc_id",
+        F.col("pos").alias("_p"),
         F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
         .over(win)
         .alias("m"),
         F.count(F.lit(1)).over(win).alias("cnt"),
+    ).withColumn(
+        "prev",
+        F.lag("m").over(Window.partitionBy("doc_id").orderBy("_p")),
     )
-    return (
-        sel.filter(F.col("cnt") == int(w))
-        .select(
-            "doc_id",
-            (-F.col("m.np")).alias("pos"),
-            F.col("m.h").alias("fph"),
-        )
-        .distinct()
+    return sel.filter(
+        (F.col("cnt") == int(w))
+        & (F.col("prev").isNull() | (F.col("m") != F.col("prev")))
+    ).select(
+        "doc_id",
+        (-F.col("m.np")).alias("pos"),
+        F.col("m.h").alias("fph"),
     )
 
 
