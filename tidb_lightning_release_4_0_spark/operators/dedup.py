@@ -728,3 +728,139 @@ FROM bands l JOIN bands r
   ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
 WHERE bit_count(xor(l.sig, r.sig)) <= {max_hamming}
 """
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """Exact all-pairs Jaccard similarity join with prefix filtering
+    (Chaudhuri et al. ICDE 2006; Bayardo et al. WWW 2007 "Scaling Up
+    All Pairs"): documents whose word-token sets have Jaccard
+    similarity >= num/den, with NO false negatives — the exact
+    complement to the probabilistic MinHash-LSH path.
+
+    Prefix filter: order each document's tokens by ascending corpus
+    document-frequency (rarest first, ties by token); two sets with
+    J >= t MUST share a token within each side's first
+    ``|s| - ceil(t*|s|) + 1`` tokens, so the candidate join runs on
+    prefix tokens only — rare tokens, small buckets — instead of all
+    tokens or all pairs.
+
+    The threshold is a rational ``num/den`` and every comparison is
+    integer cross-multiplication (``den*inter >= num*union``,
+    ``prefix = sz - ceil(num*sz/den) + 1`` via integer ceil-div), so
+    the cut is bit-exact on both engines — no float boundary rows.
+
+    100 TB scale: the only corpus-wide shuffles carry (token, doc_id)
+    pairs; document-frequency ranking is a token-keyed aggregate
+    joined back (no driver collect); the quadratic step is confined
+    to per-prefix-token buckets, which the rarest-first order keeps
+    small. Verification joins token-set arrays for candidate pairs
+    only.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+            lambda x: x != "",
+        )
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("st"))
+    flat = d.select("doc_id", F.explode("st").alias("tok"))
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy("_df", "tok")
+    ranked = (
+        flat.join(freq, "tok")
+        .withColumn("_rn", F.row_number().over(wdoc))
+        .withColumn(
+            "_sz",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
+        )
+    )
+    # prefix length = sz - ceil(t*sz) + 1, integer ceil-division
+    plen = F.col("_sz") - F.floor(
+        (F.lit(int(num)) * F.col("_sz") + F.lit(int(den) - 1)) / F.lit(int(den))
+    ) + F.lit(1)
+    prefix = ranked.filter(F.col("_rn") <= plen).select("doc_id", "tok")
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+        )
+        .distinct()
+    )
+    lsets = d.select(
+        F.col("doc_id").alias("left_id"), F.col("st").alias("_ls")
+    )
+    rsets = d.select(
+        F.col("doc_id").alias("right_id"), F.col("st").alias("_rs")
+    )
+    inter = F.size(F.array_intersect(F.col("_ls"), F.col("_rs")))
+    uni = (
+        F.size(F.col("_ls")) + F.size(F.col("_rs")) - inter
+    )
+    return (
+        cand.join(lsets, "left_id")
+        .join(rsets, "right_id")
+        .withColumn("_i", inter)
+        .withColumn("_u", uni)
+        .filter(
+            F.lit(int(den)) * F.col("_i") >= F.lit(int(num)) * F.col("_u")
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("_i") / F.col("_u"), 4).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_join_prefix_oracle_sql(
+    table: str = "documents", num: int = 1, den: int = 2
+) -> str:
+    toks = (
+        "list_distinct(list_filter(string_split(regexp_replace("
+        "lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> ''))"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS st FROM {table}),
+flat AS (SELECT doc_id, unnest(st) AS tok FROM d),
+freq AS (SELECT tok, count(*) AS _df FROM flat GROUP BY tok),
+ranked AS (
+  SELECT f.doc_id, f.tok,
+         row_number() OVER (PARTITION BY f.doc_id
+                            ORDER BY q._df, f.tok) AS _rn,
+         count(*) OVER (PARTITION BY f.doc_id) AS _sz
+  FROM flat f JOIN freq q USING (tok)
+),
+prefix AS (
+  SELECT doc_id, tok FROM ranked
+  WHERE _rn <= _sz - (({num} * _sz + {den - 1}) // {den}) + 1
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+  FROM prefix l JOIN prefix r
+    ON l.tok = r.tok AND l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT c.left_id, c.right_id,
+         len(list_intersect(ld.st, rd.st)) AS _i,
+         len(ld.st) + len(rd.st) - len(list_intersect(ld.st, rd.st)) AS _u
+  FROM cand c
+  JOIN d ld ON ld.doc_id = c.left_id
+  JOIN d rd ON rd.doc_id = c.right_id
+)
+SELECT left_id, right_id, round(_i::DOUBLE / _u, 4) AS jaccard
+FROM scored WHERE {den} * _i >= {num} * _u
+"""

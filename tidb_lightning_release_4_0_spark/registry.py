@@ -2439,6 +2439,17 @@ def q_winnow_candidates(spark, sf_dir):
     )
 
 
+def q_jaccard_join_docs(spark, sf_dir):
+    """Exact all-pairs Jaccard similarity join with prefix filtering
+    (dedup.py::jaccard_join_prefix — Bayardo et al. 2007): no false
+    negatives, candidates bucketed by rarest-first prefix tokens,
+    integer cross-multiplied threshold (J >= 1/2) so the cut is
+    engine-exact."""
+    return D.jaccard_join_prefix(
+        _t(spark, sf_dir, "documents"), num=1, den=2
+    )
+
+
 def q_dsir_select_docs(spark, sf_dir):
     """DSIR data selection (curation.py::dsir_select): top-25 corpus
     docs by hashed-n-gram importance weight toward a src1 target
@@ -2613,6 +2624,7 @@ def build_queries():
         "char_entropy_docs": q_char_entropy_docs,
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_candidates": q_winnow_candidates,
+        "jaccard_join_docs": q_jaccard_join_docs,
     }
 
 
@@ -3577,6 +3589,9 @@ def build_oracle_sql():
         ),
         "winnow_candidates": X.winnow_candidate_pairs_oracle_sql(
             "documents", k=8, w=8, min_shared=3, max_bucket=64
+        ),
+        "jaccard_join_docs": D.jaccard_join_prefix_oracle_sql(
+            "documents", num=1, den=2
         ),
     }
 
