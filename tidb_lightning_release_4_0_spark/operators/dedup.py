@@ -769,18 +769,18 @@ def jaccard_join_prefix(
         )
     )
     d = df.select(F.col(id_col).alias("doc_id"), toks.alias("st"))
-    flat = d.select("doc_id", F.explode("st").alias("tok"))
+    # set size travels WITH the exploded rows (known pre-explode), so
+    # the per-doc window computes only row_number, not a second
+    # whole-partition count aggregate
+    flat = d.select(
+        "doc_id", F.size("st").alias("_sz"), F.explode("st").alias("tok")
+    )
     freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     from pyspark.sql import Window
 
     wdoc = Window.partitionBy("doc_id").orderBy("_df", "tok")
-    ranked = (
-        flat.join(freq, "tok")
-        .withColumn("_rn", F.row_number().over(wdoc))
-        .withColumn(
-            "_sz",
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")),
-        )
+    ranked = flat.join(freq, "tok").withColumn(
+        "_rn", F.row_number().over(wdoc)
     )
     # prefix length = sz - ceil(t*sz) + 1, integer ceil-division
     plen = F.col("_sz") - F.floor(
