@@ -2439,6 +2439,21 @@ def q_winnow_candidates(spark, sf_dir):
     )
 
 
+def q_dedup_apply_winnow(spark, sf_dir):
+    """Apply winnowing near-dedup cluster-correctly: connected
+    components over the shared-fingerprint candidate graph, elect the
+    min doc_id per component, drop every other member."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = X.winnow_candidate_pairs(
+        d, k=8, w=8, min_shared=3, max_bucket=64
+    )
+    clusters = CU.connected_components(pairs)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    return d.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
 def q_jaccard_join_docs(spark, sf_dir):
     """Exact all-pairs Jaccard similarity join with prefix filtering
     (dedup.py::jaccard_join_prefix — Bayardo et al. 2007): no false
@@ -2625,6 +2640,7 @@ def build_queries():
         "winnow_fingerprints": q_winnow_fingerprints,
         "winnow_candidates": q_winnow_candidates,
         "jaccard_join_docs": q_jaccard_join_docs,
+        "dedup_apply_winnow": q_dedup_apply_winnow,
     }
 
 
@@ -3593,6 +3609,18 @@ def build_oracle_sql():
         "jaccard_join_docs": D.jaccard_join_prefix_oracle_sql(
             "documents", num=1, den=2
         ),
+        "dedup_apply_winnow": f"""
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+              SELECT doc_id FROM (
+                {CU.connected_components_oracle_sql(
+                    X.winnow_candidate_pairs_oracle_sql(
+                        "documents", k=8, w=8, min_shared=3, max_bucket=64
+                    )
+                )}
+              ) WHERE doc_id <> cluster_id
+            )
+        """,
     }
 
 
