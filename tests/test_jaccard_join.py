@@ -89,3 +89,30 @@ def test_empty_and_whitespace_docs(spark):
         for r in D.jaccard_join_prefix(_docs(spark, texts)).collect()
     }
     assert got == {(2, 3)}
+
+
+def test_random_corpus_matches_brute_force(spark):
+    # Seeded random corpus: skewed vocabulary (Zipf-ish), duplicate
+    # docs, singleton tokens, repeated tokens inside one doc — the
+    # prefix filter must stay complete on all of them.
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(30):
+        n = rng.randint(1, 12)
+        words = [
+            vocab[min(int(rng.expovariate(0.08)), 59)] for _ in range(n)
+        ]
+        texts.append(" ".join(words))
+    texts[7] = texts[3]           # exact duplicate pair
+    texts[21] = texts[20] + " w0" # high-overlap pair
+    for num, den in ((1, 2), (1, 3), (3, 4)):
+        got = {
+            (r.left_id, r.right_id): r.jaccard
+            for r in D.jaccard_join_prefix(
+                _docs(spark, texts), num=num, den=den
+            ).collect()
+        }
+        assert got == _brute(texts, num, den), (num, den)
