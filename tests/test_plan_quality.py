@@ -367,3 +367,32 @@ def test_bm25_prunes_and_broadcasts(spark, sf_dir):
     first_shuffle = tree.index("Exchange hashpartitioning")
     assert prune > first_shuffle, "plans print top-down: the prune " \
         "filter must sit BELOW (after) the shuffles that consume it"
+
+
+def test_winnow_single_exchange_and_pruned_scan(spark, sf_dir):
+    """Winnowing must stay one exchange (the per-doc window shuffle):
+    the rightmost-min dedupe rides the same window pass via lag, not
+    a second .distinct() exchange — and only (doc_id, text) is read."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_winnow_fingerprints,
+    )
+
+    df = q_winnow_fingerprints(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    read = [l for l in _plan(df).splitlines() if "ReadSchema" in l]
+    assert read and "lang" not in read[0] and "source" not in read[0], read
+
+
+def test_jaccard_join_pruned_scan_no_cartesian(spark, sf_dir):
+    """Prefix-join candidates come from an equi-join on prefix tokens
+    — never a cartesian — and the scans read only doc_id/text."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_jaccard_join_docs,
+    )
+
+    df = q_jaccard_join_docs(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    for l in [l for l in plan.splitlines() if "ReadSchema" in l]:
+        assert "lang" not in l and "n_chars" not in l, l
