@@ -309,14 +309,22 @@ def split_bytes_lower_bound(spark) -> int:
 
 
 def file_row_bases_split(
-    files: list[tuple[str, int]], num_columns: int, split_bytes: int
+    files: list[tuple[str, int]],
+    num_columns: int,
+    split_bytes: int,
+    divisor: int | None = None,
 ) -> dict[str, int]:
     """Per-file bases for chunk-split reads: capacity = size/divisor
     PLUS one row per block — a line straddling a block boundary makes
     that block hold up to one row more than its byte capacity implies
     (the trailing line is read past the block end), so each file
-    reserves ceil(size / split_bytes) extra ids."""
-    divisor = max(num_columns, 1)
+    reserves ceil(size / split_bytes) extra ids.
+
+    ``divisor`` defaults to the column count (a delimited CSV row
+    occupies >= #columns bytes); line-delimited formats with a
+    different minimum row width pass it explicitly (JSONL:
+    csv_blocks.JSONL_MIN_LINE_BYTES — a row is at least "{}\\n")."""
+    divisor = max(num_columns if divisor is None else divisor, 1)
     bases: dict[str, int] = {}
     base = 0
     for path, size in files:

@@ -1133,6 +1133,91 @@ class RestoreController:
             charset=self.cfg.mydumper.character_set,
         )
 
+    def _jsonl_block_frame(
+        self,
+        meta: MDTableMeta,
+        schema: TableSchema,
+        blocks: list[tuple[str, int, int]],
+        split_bytes: int,
+    ) -> DataFrame:
+        """The JSONL analog of _csv_block_frame: read an explicit
+        byte-range block list (csv_blocks.read_jsonl_blocks) into the
+        batch JSONL lane's all-string DDL-named shape — same per-file
+        key-casing groups, same NOT NULL missing-sentinel coalesce,
+        same cast ladder — plus SplitLargeFile row-ids with the JSONL
+        minimum-line divisor. Resumed and fresh engines produce
+        identical rows."""
+        from ..operators.rowid import file_row_bases_split
+        from ..sources.csv_blocks import (
+            JSONL_MIN_LINE_BYTES,
+            read_jsonl_blocks,
+        )
+        from ..sources.jsonl_source import resolve_field_names
+        from ..sources.sql_dump_source import MISSING_FIELD
+
+        strict = strict_sql_mode(self.cfg.tidb.sql_mode)
+        ddl_names = [c.name for c in schema.columns]
+        # bases over the FULL file list (resume-renumber parity)
+        bases = file_row_bases_split(
+            [(f.path, f.size) for f in meta.data_files],
+            len(schema.columns),
+            split_bytes,
+            divisor=JSONL_MIN_LINE_BYTES,
+        )
+        # per-file key casing, grouped exactly like the batch lane
+        # (a differently-cased later part must not read all-NULL)
+        fmap_by_path = {
+            f.path: resolve_field_names(
+                ddl_names, f.path, require_match=True
+            )
+            for f in meta.data_files
+        }
+        groups: dict[tuple, list[tuple[str, int, int]]] = {}
+        for b in blocks:
+            key = tuple(fmap_by_path[b[0]][n] for n in ddl_names)
+            groups.setdefault(key, []).append(b)
+        jdfs = []
+        for key in sorted(groups):
+            jdfs.append(
+                read_jsonl_blocks(
+                    self.spark,
+                    groups[key],
+                    ddl_names,
+                    list(key),
+                    bases,
+                    split_bytes,
+                )
+            )
+        jdf = jdfs[0]
+        for other in jdfs[1:]:
+            jdf = jdf.unionByName(other)
+        # JSON null vs absent-key: same sentinel rule as the batch
+        # lane — NOT NULL columns take the column DEFAULT
+        jdf = jdf.select(
+            *[
+                (
+                    F.coalesce(
+                        F.col(c.name), F.lit(MISSING_FIELD)
+                    ).alias(c.name)
+                    if not c.nullable
+                    else F.col(c.name)
+                )
+                for c in schema.columns
+            ],
+            F.col("_row_id"),
+        )
+        return apply_permutation(
+            jdf,
+            schema,
+            ddl_names,
+            rowid=F.col("_row_id"),
+            job_timestamp=self.job_timestamp,
+            strict=strict,
+            keep=["_row_id"],
+            charset=self.cfg.mydumper.character_set,
+            missing_sentinel=MISSING_FIELD,
+        )
+
     def _restore_engines_blocks(
         self,
         name: str,
@@ -1181,7 +1266,16 @@ class RestoreController:
                     "skipping %d block(s)", name, eid, len(blocks)
                 )
                 continue
-            df = self._csv_block_frame(meta, schema, blocks, split_bytes)
+            if meta.data_files and meta.data_files[0].path.lower().endswith(
+                ".jsonl"
+            ):
+                df = self._jsonl_block_frame(
+                    meta, schema, blocks, split_bytes
+                )
+            else:
+                df = self._csv_block_frame(
+                    meta, schema, blocks, split_bytes
+                )
             if not loaded:
                 self.cp.set_table_status(name, Status.LOADED)
                 loaded = True
@@ -1351,9 +1445,20 @@ class RestoreController:
                 and not self.cfg.mydumper.csv.header
                 and type(self.sink).write_engine is not Sink.write_engine
                 and meta.data_files
-                and all(
-                    f.path.lower().endswith(".csv")
-                    for f in meta.data_files
+                and (
+                    all(
+                        f.path.lower().endswith(".csv")
+                        for f in meta.data_files
+                    )
+                    # JSONL is line-delimited, hence byte-range
+                    # splittable under the same Hadoop line geometry;
+                    # uncompressed .jsonl only (the reader seeks), and
+                    # never mixed with other formats in one table
+                    # (block row-id bases are one scheme per table)
+                    or all(
+                        f.path.lower().endswith(".jsonl")
+                        for f in meta.data_files
+                    )
                 )
             ):
                 from ..operators.rowid import split_bytes_lower_bound

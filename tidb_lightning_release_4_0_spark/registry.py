@@ -2439,6 +2439,111 @@ def q_winnow_candidates(spark, sf_dir):
     )
 
 
+def q_resume_split_jsonl(spark, sf_dir):
+    """Block-grain MID-FILE checkpoint resume for the JSONL lane
+    (same O5 (path, offset) chunk-key grain as resume_split_csv —
+    JSONL is line-delimited, hence byte-range splittable under the
+    identical Hadoop line geometry): one JSONL dump of orders
+    restores through byte-range block engines with an injected crash
+    after the first engine; the resumed run continues from the
+    recorded block offsets and must land EXACT totals against the
+    orders table itself as oracle."""
+    import os
+    import shutil
+
+    from .config import Config, CSVConfig, MydumperConfig, TiDBConfig
+    from .plans.pipeline import RestoreController
+    from .sinks.parquet_sink import ParquetSink
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    fix = f"/root/repo/.tmp/split_jsonl/{tag}/orders.jsonl"
+    src = os.path.join(sf_dir, "orders.parquet")
+    if _stale_vs_parquet(fix, src):
+        os.remove(fix)
+    if not os.path.exists(fix):
+        os.makedirs(os.path.dirname(fix), exist_ok=True)
+        pdf = (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .orderBy("o_orderkey")
+            .toPandas()
+        )
+        tmp = fix + ".tmp"
+        pdf.to_json(
+            tmp, orient="records", lines=True, force_ascii=False
+        )
+        os.replace(tmp, fix)
+    root = f"/root/repo/.tmp/resume_jsonl/{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "dump")
+    os.makedirs(d)
+    with open(os.path.join(d, "rs-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE rs;")
+    with open(os.path.join(d, "rs.o-schema.sql"), "w") as f:
+        f.write(
+            "CREATE TABLE o (o_orderkey BIGINT PRIMARY KEY, "
+            "o_custkey BIGINT, o_orderpriority VARCHAR(20))"
+        )
+    shutil.copyfile(fix, os.path.join(d, "rs.o.0001.jsonl"))
+    tgt = os.path.join(root, "sink")
+    cp_path = os.path.join(root, "cp.json")
+
+    class _FailFirst(ParquetSink):
+        def __init__(self, r, fail_at):
+            super().__init__(r, on_duplicate="error")
+            self.fail_at = fail_at
+            self.delivered = 0
+
+        def write_engine(self, df, table, engine_id):
+            if self.fail_at is not None and self.delivered >= self.fail_at:
+                raise RuntimeError("injected mid-file crash")
+            res = super().write_engine(df, table, engine_id)
+            self.delivered += 1
+            return res
+
+    batch = max(4 * 1024, os.path.getsize(fix) // 4)
+
+    def cfg():
+        return Config(
+            mydumper=MydumperConfig(
+                source_dir=d,
+                csv=CSVConfig(strict_format=True),
+                batch_size=batch,
+            ),
+            backend="parquet",
+            target_dir=tgt,
+            on_duplicate="error",
+            checkpoint_path=cp_path,
+            table_concurrency=1,
+            tidb=TiDBConfig(sql_mode=""),
+        )
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set(
+        "spark.sql.files.maxPartitionBytes", str(max(2048, batch // 2))
+    )
+    try:
+        crash = RestoreController(
+            spark, cfg(), sink=_FailFirst(tgt, 1)
+        ).run()
+        assert not crash.ok, "the injected crash must fire"
+        from .plans.checkpoints import CheckpointStore
+
+        cp = CheckpointStore(cp_path)
+        cp.ignore_error("all")
+        done = RestoreController(
+            spark, cfg(), sink=_FailFirst(tgt, None), checkpoints=cp
+        ).run()
+        assert done.ok, done.report()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(tgt, "rs.o"))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+    )
+
+
 def q_dedup_apply_winnow(spark, sf_dir):
     """Apply winnowing near-dedup cluster-correctly: connected
     components over the shared-fingerprint candidate graph, elect the
@@ -2641,6 +2746,7 @@ def build_queries():
         "winnow_candidates": q_winnow_candidates,
         "jaccard_join_docs": q_jaccard_join_docs,
         "dedup_apply_winnow": q_dedup_apply_winnow,
+        "resume_split_jsonl": q_resume_split_jsonl,
     }
 
 
@@ -3247,6 +3353,9 @@ def build_oracle_sql():
             "documents", ["lang"], 25, ["doc_id", "lang", "source"]
         ),
         "resume_split_csv": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
+        ),
+        "resume_split_jsonl": (
             "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
         ),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),

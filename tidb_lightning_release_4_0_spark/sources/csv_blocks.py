@@ -112,10 +112,14 @@ def files_use_supported_terminators(
 
 
 def _extract_lines(
-    path: str, offset: int, length: int
+    path: str, offset: int, length: int, encoding: str = "latin-1"
 ) -> Iterator[str]:
     """Lines owned by block [offset, offset+length) under the Hadoop
-    line-reader contract (see module docstring)."""
+    line-reader contract (see module docstring). ``encoding`` is
+    latin-1 for the CSV path (byte-faithful, re-decoded downstream)
+    and utf-8 for JSONL (real UTF-8 by the format's definition —
+    multi-byte sequences never contain 0x0A, so byte-offset line
+    geometry is unaffected)."""
     end = offset + length
     with open(path, "rb") as f:
         f.seek(offset)
@@ -139,12 +143,12 @@ def _extract_lines(
             if nl < 0:
                 # EOF without newline: final unterminated line
                 if cursor < len(buf):
-                    yield buf[cursor:].decode("latin-1")
+                    yield buf[cursor:].decode(encoding)
                 return
             line = buf[cursor:nl]
             if line.endswith(b"\r"):
                 line = line[:-1]
-            yield line.decode("latin-1")
+            yield line.decode(encoding)
             cursor = nl + 1
             if pos + cursor > end:
                 return
@@ -244,3 +248,95 @@ def read_csv_blocks(
         *[F.col("_r").getField(f"_c{i}").alias(f"_c{i}") for i in range(num_columns)],
     )
     return out
+
+
+# A valid JSON-Lines row is at least "{}" plus its newline — 3 bytes
+# — so byte-capacity row-id reservations for JSONL blocks divide by 3
+# (the CSV path divides by the column count for the same reason:
+# every delimited row occupies >= #columns bytes).
+JSONL_MIN_LINE_BYTES = 3
+
+
+def read_jsonl_blocks(
+    spark: SparkSession,
+    blocks: list[tuple[str, int, int]],
+    ddl_names: list[str],
+    src_keys: list[str],
+    bases: dict[str, int],
+    split_bytes: int,
+) -> DataFrame:
+    """Read ONLY the given byte-range blocks of JSON-Lines files into
+    the same all-string DDL-named shape the batch JSONL lane produces
+    (pipeline read_table), plus ``_row_id`` per the SplitLargeFile
+    scheme with divisor JSONL_MIN_LINE_BYTES. One task per block.
+
+    ``src_keys`` is ONE resolved key-casing group (jsonl_source.
+    resolve_field_names output aligned with ``ddl_names``); the caller
+    groups blocks by their file's casing and unions the groups —
+    the same contract as the batch lane's per-group reader schemas.
+
+    Parity contract with the batch lane: utf-8 decode (real UTF-8 —
+    no latin1 re-decode), whitespace-only lines skipped (Spark's
+    text-based JSON reader drops blank lines), malformed lines FAIL
+    the job (from_json mode=FAILFAST — the read_jsonl contract: a bad
+    line must never materialize as an all-null row that default-fill
+    would fabricate into data)."""
+    plan = spark.createDataFrame(
+        [(p, int(o), int(ln)) for p, o, ln in blocks],
+        "path string, off long, len long",
+    ).repartition(max(len(blocks), 1))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, off, ln in zip(pdf["path"], pdf["off"], pdf["len"]):
+                lines, idx = [], []
+                i = 0
+                for line in _extract_lines(
+                    path, int(off), int(ln), encoding="utf-8"
+                ):
+                    if not line.strip():
+                        continue  # Spark's JSON text source drops blanks
+                    lines.append(line)
+                    idx.append(i)
+                    i += 1
+                if lines:
+                    yield pd.DataFrame(
+                        {
+                            "_bpath": path,
+                            "_boffset": int(off),
+                            "_bline": pd.Series(idx, dtype="int64"),
+                            "_raw": lines,
+                        }
+                    )
+
+    raw = plan.mapInPandas(extract, schema=_RAW_SCHEMA)
+    jschema = T.StructType(
+        [T.StructField(k, T.StringType(), True) for k in src_keys]
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("_raw"), jschema, {"mode": "FAILFAST"}
+        ).alias("_r"),
+        "_bpath",
+        "_boffset",
+        "_bline",
+    )
+    div = JSONL_MIN_LINE_BYTES
+    s = max(int(split_bytes), 1)
+    bases_df = spark.createDataFrame(
+        [(p, int(b)) for p, b in bases.items()],
+        "_bpath string, _fbase long",
+    )
+    return parsed.join(F.broadcast(bases_df), "_bpath", "left").select(
+        (
+            F.coalesce(F.col("_fbase"), F.lit(0))
+            + F.floor(F.col("_boffset") / F.lit(div))
+            + F.floor(F.col("_boffset") / F.lit(s))
+            + F.col("_bline")
+            + F.lit(1)
+        ).alias("_row_id"),
+        *[
+            F.col("_r").getField(k).alias(n)
+            for k, n in zip(src_keys, ddl_names)
+        ],
+    )
