@@ -92,3 +92,88 @@ def range_join(
         c = left[lc] == right[rc]
         cond = c if cond is None else (cond & c)
     return left.join(right, cond & range_pred)
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention analysis: users grouped by their FIRST-event
+    day (the cohort), then for every (cohort_day, day_offset) the
+    count and fraction of that cohort active ``day_offset`` days
+    after joining — the standard product-analytics retention matrix.
+
+    Returns (cohort_day, day_offset, n_users, cohort_size,
+    retention), one row per cohort-offset with activity.
+
+    100 TB scale: two hash aggregates keyed by user (first-event) and
+    by (cohort, offset) — no windows, no self-joins over the event
+    stream; the cohort-size table is one row per cohort day and
+    broadcasts into the final join. The distinct before the count
+    bounds per-key work at events-per-user, and every aggregate has a
+    map-side partial.
+    """
+    ev = df.select(
+        F.col(user_col).alias("_u"), F.to_date(F.col(ts_col)).alias("_d")
+    )
+    first = ev.groupBy("_u").agg(F.min("_d").alias("cohort_day"))
+    act = (
+        ev.join(first, "_u")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("_d"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            "_u",
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("_u").alias("n_users"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            # string form: engine-portable (a DATE cell round-trips
+            # differently through pandas on the two engines)
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users") / F.col("cohort_size"), 4
+            ).alias("retention"),
+        )
+    )
+
+
+def cohort_retention_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS _u, CAST({ts_col} AS DATE) AS _d FROM {table}
+),
+first AS (SELECT _u, min(_d) AS cohort_day FROM ev GROUP BY _u),
+act AS (
+  SELECT DISTINCT f.cohort_day,
+         date_diff('day', f.cohort_day, e._d) AS day_offset,
+         e._u
+  FROM ev e JOIN first f USING (_u)
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day, a.day_offset,
+       count(DISTINCT a._u) AS n_users,
+       s.cohort_size,
+       round(count(DISTINCT a._u)::DOUBLE / s.cohort_size, 4)
+         AS retention
+FROM act a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+"""

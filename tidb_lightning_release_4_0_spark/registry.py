@@ -25,6 +25,7 @@ from .operators import curation as CU
 from .operators import dedup as D
 from .operators import sketches as SK
 from .operators import similarity as S
+from .operators import temporal as TP
 from .operators import text as X
 from .operators.cast import mysql_cast
 from .operators.rowid import assign_rowid_dense
@@ -2439,6 +2440,15 @@ def q_winnow_candidates(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (temporal.py::cohort_retention): users
+    cohorted by first-event day, distinct-active counts per
+    (cohort_day, day_offset) with the retained fraction. Two hash
+    aggregates + a broadcast cohort-size join — no windows or event
+    self-joins."""
+    return TP.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 def q_resume_split_jsonl(spark, sf_dir):
     """Block-grain MID-FILE checkpoint resume for the JSONL lane
     (same O5 (path, offset) chunk-key grain as resume_split_csv —
@@ -2747,6 +2757,7 @@ def build_queries():
         "jaccard_join_docs": q_jaccard_join_docs,
         "dedup_apply_winnow": q_dedup_apply_winnow,
         "resume_split_jsonl": q_resume_split_jsonl,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3358,6 +3369,7 @@ def build_oracle_sql():
         "resume_split_jsonl": (
             "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
         ),
+        "cohort_retention": TP.cohort_retention_oracle_sql("events"),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(
             "documents", budget=512
