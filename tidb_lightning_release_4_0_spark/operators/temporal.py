@@ -177,3 +177,103 @@ SELECT CAST(a.cohort_day AS VARCHAR) AS cohort_day, a.day_offset,
 FROM act a JOIN sizes s USING (cohort_day)
 GROUP BY a.cohort_day, a.day_offset, s.cohort_size
 """
+
+
+def funnel_conversion(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel conversion: for each step k, the users whose
+    FIRST step-k event strictly follows their first completed step
+    k-1 — the standard ordered-sequence funnel (a user must view,
+    then click, then purchase, in time order).
+
+    Returns (stage_idx, stage, n_users, conversion): conversion is
+    the fraction of the PREVIOUS stage's users who reached this one
+    (1.0 for the first stage; round-4).
+
+    100 TB scale: one filtered min-aggregate per step keyed by user
+    (map-side partials; the event stream is filtered to one type
+    BEFORE each shuffle), chained by per-user joins that shrink
+    monotonically — never a self-join of the full stream against
+    itself. The final stage table is ``len(steps)`` rows; the lag
+    window over it is driver-trivial.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    reached: list[DataFrame] = []
+    prev = None
+    for k, step in enumerate(steps):
+        cur = ev.filter(F.col("_ty") == step)
+        if prev is not None:
+            cur = cur.join(prev, "_u").filter(F.col("_ts") > F.col("_tk"))
+        cur = cur.groupBy("_u").agg(F.min("_ts").alias("_tk"))
+        reached.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(k + 1).alias("stage_idx"),
+                F.lit(step).alias("stage"),
+                "n_users",
+            )
+        )
+        prev = cur
+    out = reached[0]
+    for r in reached[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("stage_idx")
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            / F.coalesce(F.lag("n_users").over(w), F.col("n_users")),
+            4,
+        ).alias("conversion"),
+    )
+
+
+def funnel_conversion_oracle_sql(
+    table: str = "events",
+    steps: list[str] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> str:
+    steps = steps or ["view", "click", "purchase"]
+    ctes = []
+    for k, step in enumerate(steps):
+        name = f"s{k + 1}"
+        if k == 0:
+            ctes.append(
+                f"{name} AS (SELECT {user_col} AS _u, min({ts_col}) AS _tk"
+                f" FROM {table} WHERE {type_col} = '{step}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.{user_col} AS _u, min(e.{ts_col})"
+                f" AS _tk FROM {table} e JOIN s{k} ON e.{user_col} ="
+                f" s{k}._u WHERE e.{type_col} = '{step}' AND e.{ts_col}"
+                f" > s{k}._tk GROUP BY 1)"
+            )
+    rows = " UNION ALL ".join(
+        f"SELECT {k + 1} AS stage_idx, '{s}' AS stage,"
+        f" (SELECT count(*) FROM s{k + 1}) AS n_users"
+        for k, s in enumerate(steps)
+    )
+    return f"""
+WITH {', '.join(ctes)},
+stages AS ({rows})
+SELECT stage_idx, stage, n_users,
+       round(n_users::DOUBLE / coalesce(
+           lag(n_users) OVER (ORDER BY stage_idx), n_users), 4)
+         AS conversion
+FROM stages
+"""

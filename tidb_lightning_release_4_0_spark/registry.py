@@ -2449,6 +2449,16 @@ def q_cohort_retention(spark, sf_dir):
     return TP.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_funnel_events(spark, sf_dir):
+    """Ordered funnel conversion (temporal.py::funnel_conversion):
+    first-view -> first-later-click -> first-later-purchase per user;
+    per-step filtered min-aggregates chained by shrinking per-user
+    joins — never a stream self-join."""
+    return TP.funnel_conversion(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def q_resume_split_jsonl(spark, sf_dir):
     """Block-grain MID-FILE checkpoint resume for the JSONL lane
     (same O5 (path, offset) chunk-key grain as resume_split_csv —
@@ -2758,6 +2768,7 @@ def build_queries():
         "dedup_apply_winnow": q_dedup_apply_winnow,
         "resume_split_jsonl": q_resume_split_jsonl,
         "cohort_retention": q_cohort_retention,
+        "funnel_events": q_funnel_events,
     }
 
 
@@ -3370,6 +3381,9 @@ def build_oracle_sql():
             "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
         ),
         "cohort_retention": TP.cohort_retention_oracle_sql("events"),
+        "funnel_events": TP.funnel_conversion_oracle_sql(
+            "events", ["view", "click", "purchase"]
+        ),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(
             "documents", budget=512
