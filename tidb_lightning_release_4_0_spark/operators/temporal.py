@@ -277,3 +277,93 @@ SELECT stage_idx, stage, n_users,
          AS conversion
 FROM stages
 """
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per-user Recency (days from last activity to
+    the corpus max date), Frequency (event count) and Monetary (value
+    sum), each quantile-bucketed into ``buckets`` scores via ntile —
+    the classic marketing/user-quality segmentation.
+
+    Scores are 1..buckets with ``buckets`` best (most recent, most
+    frequent, highest spend). Ties are broken by user id so the
+    bucketing is deterministic and engine-portable (ntile's division
+    of equal-sized groups is order-sensitive).
+
+    Returns (user_id, recency_days, frequency, monetary, r, f, m,
+    segment) with segment the concatenated "rfm" digit string.
+
+    100 TB scale: ONE hash aggregate keyed by user builds the metric
+    table; the three ntile windows run over that (one row per user,
+    not per event). A global ntile is a single-partition sort — at
+    extreme user counts swap in the histogram-quantile bucketer
+    (sketches.histogram_quantiles) for score edges; at the typical
+    "users << events" shape the one-reducer sort on the aggregate is
+    the cheapest correct plan.
+    """
+    agg = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(F.to_date(F.col(ts_col))).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col(value_col)), 4).alias("monetary"),
+    )
+    anchor = df.agg(F.max(F.to_date(F.col(ts_col))).alias("_anchor"))
+    m = agg.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("_anchor"), F.col("_last")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency"), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary"), F.col("user_id"))
+    return (
+        m.withColumn("r", F.ntile(buckets).over(r_w))
+        .withColumn("f", F.ntile(buckets).over(f_w))
+        .withColumn("m", F.ntile(buckets).over(m_w))
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")),
+        )
+    )
+
+
+def rfm_segments_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    buckets: int = 5,
+) -> str:
+    return f"""
+WITH agg AS (
+  SELECT {user_col} AS user_id,
+         max(CAST({ts_col} AS DATE)) AS _last,
+         count(*) AS frequency,
+         round(sum({value_col}), 4) AS monetary
+  FROM {table} GROUP BY 1
+),
+anchor AS (SELECT max(CAST({ts_col} AS DATE)) AS _anchor FROM {table}),
+m AS (
+  SELECT user_id,
+         date_diff('day', _last, _anchor) AS recency_days,
+         frequency, monetary
+  FROM agg CROSS JOIN anchor
+)
+SELECT user_id, recency_days, frequency, monetary,
+       ntile({buckets}) OVER (ORDER BY recency_days DESC, user_id) AS r,
+       ntile({buckets}) OVER (ORDER BY frequency, user_id) AS f,
+       ntile({buckets}) OVER (ORDER BY monetary, user_id) AS m,
+       ntile({buckets}) OVER (ORDER BY recency_days DESC, user_id)
+         || '' || ntile({buckets}) OVER (ORDER BY frequency, user_id)
+         || '' || ntile({buckets}) OVER (ORDER BY monetary, user_id)
+         AS segment
+FROM m
+"""

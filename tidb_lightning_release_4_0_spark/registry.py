@@ -2449,6 +2449,14 @@ def q_cohort_retention(spark, sf_dir):
     return TP.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (temporal.py::rfm_segments): one per-user
+    hash aggregate, then three deterministic ntile windows over the
+    user-grain table (ties broken by user id so quantile buckets are
+    engine-exact)."""
+    return TP.rfm_segments(_t(spark, sf_dir, "events"))
+
+
 def q_funnel_events(spark, sf_dir):
     """Ordered funnel conversion (temporal.py::funnel_conversion):
     first-view -> first-later-click -> first-later-purchase per user;
@@ -2769,6 +2777,7 @@ def build_queries():
         "resume_split_jsonl": q_resume_split_jsonl,
         "cohort_retention": q_cohort_retention,
         "funnel_events": q_funnel_events,
+        "rfm_segments": q_rfm_segments,
     }
 
 
@@ -3384,6 +3393,7 @@ def build_oracle_sql():
         "funnel_events": TP.funnel_conversion_oracle_sql(
             "events", ["view", "click", "purchase"]
         ),
+        "rfm_segments": TP.rfm_segments_oracle_sql("events"),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(
             "documents", budget=512
