@@ -913,3 +913,163 @@ FROM pruned l JOIN pruned r
 GROUP BY 1, 2
 HAVING count(DISTINCT l.fph) >= {int(min_shared)}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merges(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al.
+    2016, *Neural Machine Translation of Rare Words with Subword
+    Units*). Classic BPE trains on the WORD-FREQUENCY table, not the
+    raw text: the corpus collapses to (word, count) once, and every
+    merge round then touches only the vocabulary.
+
+    Representation: each word's symbol sequence is one string with a
+    two-space delimiter and space sentinels (``"hello"`` starts as
+    ``" h  e  l  l  o "``), so applying merge (l, r) is a single
+    engine-native ``replace(s, " l  r ", " lr ")`` — left-to-right
+    non-overlapping in both Spark (Java String semantics) and DuckDB,
+    which IS the standard greedy BPE merge order, and the double-space
+    delimiter makes a merged token's tail unable to re-match within
+    the same round (" aa " ends in one space, the pattern needs two).
+
+    Per round: explode adjacent symbol pairs weighted by word count,
+    pick the (count desc, left, right) argmax — a deterministic total
+    order, exact integer counts — collect that ONE row, and fold the
+    merge back in as a literal projection. Output:
+    (merge_rank, lhs, rhs, pair_count), one row per learned merge.
+
+    Scale shape: the corpus is scanned exactly once (the word-count
+    hash aggregate, map-side combined, then localCheckpoint'd); each
+    of the k rounds shuffles only (l, r, count) pairs from the
+    VOCABULARY table — corpus-size-independent — and collects one row.
+    Driver memory is O(k). Rounds are inherently sequential (each
+    argmax depends on the previous merge), same as any BPE trainer.
+    """
+    spark = df.sparkSession
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+            F.lit(" "),
+        ).alias("s"),
+        "wcount",
+    ).localCheckpoint()
+    merges = []
+    for rank in range(1, int(n_merges) + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        n = F.size(syms)
+        pairs = (
+            vocab.filter(n >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, n - 1).alias("l"),
+                        F.slice(syms, 2, n - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "wcount",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        merges.append((rank, best["l"], best["r"], int(best["cnt"])))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f" {best['l']}  {best['r']} "),
+                F.lit(f" {best['l']}{best['r']} "),
+            ).alias("s"),
+            "wcount",
+        )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType(), False),
+            T.StructField("lhs", T.StringType(), False),
+            T.StructField("rhs", T.StringType(), False),
+            T.StructField("pair_count", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_merges_sql_duckdb(
+    table: str = "documents",
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> str:
+    """Unrolled DuckDB twin of bpe_merges: identical tokenization,
+    identical sentinel encoding, identical replace semantics
+    (left-to-right non-overlapping), identical argmax total order."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z]+'), "
+        "x -> length(x) > 0)"
+    )
+    # Every per-round CTE is MATERIALIZED and the 1-row argmax is
+    # cross-joined (never a scalar subquery): inlined, each round
+    # would reference the previous one several times and the plan
+    # tree would grow exponentially in n_merges.
+    sql = f"""WITH words AS MATERIALIZED (
+  SELECT w, count(*) AS wcount FROM (
+    SELECT unnest({toks}) AS w FROM {table}
+  ) GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS s,
+         wcount
+  FROM words
+)"""
+    prev = "v0"
+    for t in range(1, int(n_merges) + 1):
+        sql += f""",
+p{t} AS (
+  SELECT p.l AS l, p.r AS r, cast(sum(wcount) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(tk)),
+                  i -> struct_pack(l := tk[i], r := tk[i+1]))) AS p,
+           wcount
+    FROM (SELECT string_split(trim(s), '  ') AS tk, wcount FROM {prev})
+    WHERE len(tk) >= 2
+  ) GROUP BY 1, 2
+),
+b{t} AS MATERIALIZED (
+  SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
+),
+v{t} AS MATERIALIZED (
+  SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS s,
+         wcount
+  FROM {prev}, b{t} b
+)"""
+        prev = f"v{t}"
+    parts = [
+        f"SELECT {t} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, int(n_merges) + 1)
+    ]
+    return sql + "\n" + "\nUNION ALL\n".join(parts)

@@ -2467,6 +2467,16 @@ def q_funnel_events(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer merge learning (text.py::bpe_merges): the first
+    8 byte-pair merges over the documents corpus, Sennrich-2016
+    greedy word-frequency training. One corpus scan (the word-count
+    hash agg), then 8 vocabulary-sized argmax rounds; deterministic
+    (count desc, lhs, rhs) tie-break; oracle is the unrolled 8-round
+    DuckDB twin with identical replace semantics."""
+    return X.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_resume_split_jsonl(spark, sf_dir):
     """Block-grain MID-FILE checkpoint resume for the JSONL lane
     (same O5 (path, offset) chunk-key grain as resume_split_csv —
@@ -2778,6 +2788,7 @@ def build_queries():
         "cohort_retention": q_cohort_retention,
         "funnel_events": q_funnel_events,
         "rfm_segments": q_rfm_segments,
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -3394,6 +3405,7 @@ def build_oracle_sql():
             "events", ["view", "click", "purchase"]
         ),
         "rfm_segments": TP.rfm_segments_oracle_sql("events"),
+        "bpe_merges": X.bpe_merges_sql_duckdb("documents", 8),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(
             "documents", budget=512
