@@ -116,6 +116,12 @@ def main() -> None:
         # it re-derives the fingerprint set, so benching it would
         # mostly re-measure this stage)
         "winnow_fingerprints",
+        # round 5 session 6: BPE tokenizer training (8 merge rounds
+        # over the word-frequency table; the Jaccard prefix JOIN stays
+        # correctness-only — its output is ~3M pairs on this
+        # template-heavy synthetic corpus, so benching it measures
+        # result materialization, not the operator)
+        "bpe_merges",
     ]
 
     timings: dict[str, float] = {}

@@ -370,16 +370,24 @@ def test_bm25_prunes_and_broadcasts(spark, sf_dir):
 
 
 def test_winnow_single_exchange_and_pruned_scan(spark, sf_dir):
-    """Winnowing must stay one exchange (the per-doc window shuffle):
-    the rightmost-min dedupe rides the same window pass via lag, not
-    a second .distinct() exchange — and only (doc_id, text) is read."""
+    """Winnowing must stay one CORPUS exchange (the per-doc window
+    shuffle): the rightmost-min dedupe rides the same window pass via
+    lag, not a second .distinct() exchange — and only (doc_id, text)
+    is read. The small-input spread (active at this test's single-file
+    scale, a no-op on a real multi-split corpus) is the one permitted
+    extra exchange, and it must be the round-robin spread, not a
+    second hash dedupe."""
     from tidb_lightning_release_4_0_spark.registry import (
         q_winnow_fingerprints,
     )
 
     df = q_winnow_fingerprints(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, plan
+    if n_exchanges == 2:
+        assert "roundrobin" in plan.lower(), plan
+    assert plan.lower().count("hashpartitioning") <= 1, plan
     read = [l for l in _plan(df).splitlines() if "ReadSchema" in l]
     assert read and "lang" not in read[0] and "source" not in read[0], read
 

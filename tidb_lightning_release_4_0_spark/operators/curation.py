@@ -49,8 +49,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.exprs import let
 from ..functions.hashing import hash60, hash60_duckdb
 from .dedup import word_shingles, word_shingles_sql_duckdb
+from .partitioning import spread_small_input as _spread
 from .text import (
     punct_ratio,
     punct_ratio_sql_duckdb,
@@ -1375,19 +1377,25 @@ def _dsir_grams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: F.length(x) > 0,
     )
-    n = F.size(toks)
-    bi = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+
+    # tokenize ONCE per row (let-binding) and build bigrams by zipping
+    # the array with its own shift — element_at(toks, i) inside a
+    # per-index lambda would re-run the tokenizer per element, O(L^2)
+    def grams(t: Column) -> Column:
+        n = F.size(t)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(t, bi)
+
+    return _spread(df).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.concat(toks, bi)).alias("g"),
+        F.explode(let(toks, grams)).alias("g"),
     )
 
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import let
 from ..functions.hashing import hash60, hash60_duckdb
 from .partitioning import spread_small_input as _spread
 
@@ -68,15 +69,22 @@ def exact_dedup_groups_oracle_sql(table: str = "documents") -> str:
 
 
 def word_shingles(c: Column, k: int = 3) -> Column:
-    """k-word shingles of lowercased text (distinct, order-free set)."""
+    """k-word shingles of lowercased text (distinct, order-free set).
+
+    The token array is let-bound so the split/regexp tokenizer runs
+    ONCE per row — referenced directly inside the per-index transform
+    lambda it would re-evaluate per shingle, O(L^2) per document."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
-    n = F.size(toks)
-    # guard: F.sequence(1, 0) would generate a DESCENDING range
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    return F.array_distinct(sh)
+
+    def sh(t: Column) -> Column:
+        n = F.size(t)
+        # guard: F.sequence(1, 0) would generate a DESCENDING range
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+
+    return F.array_distinct(let(toks, sh))
 
 
 def word_shingles_sql_duckdb(expr: str, k: int = 3) -> str:
@@ -541,21 +549,25 @@ def duplicate_spans(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
         " ",
     )
-    n = F.size(toks)
-    idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
+
     # only the hash leaves the row: positions are counted by row
     # multiplicity (explode preserves duplicates), so shipping a pos
-    # column through the dominant hash-keyed shuffle would be waste
-    grams = F.transform(
-        idx, lambda i: hash60(F.concat_ws(" ", F.slice(toks, i, k)))
-    )
-    base = df.select(
+    # column through the dominant hash-keyed shuffle would be waste.
+    # The token array is let-bound (tokenize once per row, not once
+    # per gram), and n_grams == size(grams) by construction.
+    def grams(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.when(
+            n >= k, F.sequence(F.lit(1), n - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: hash60(F.concat_ws(" ", F.slice(t, i, k)))
+        )
+
+    base = _spread(df).select(
         F.col(id_col).alias("doc_id"),
-        F.greatest(n - (k - 1), F.lit(0)).alias("n_grams"),
-        grams.alias("_g"),
-    )
+        let(toks, grams).alias("_g"),
+    ).select("doc_id", F.size("_g").alias("n_grams"), "_g")
     e = base.select("doc_id", F.explode("_g").alias("h"))
     cross = (
         e.groupBy("h")
@@ -657,7 +669,7 @@ def simhash_dup_pairs(
         raise ValueError("n_bands must divide bits")
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sigs = df.select(
+    sigs = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         simhash(F.col(text_col), bits).alias("sig"),
     )
@@ -768,7 +780,7 @@ def jaccard_join_prefix(
             lambda x: x != "",
         )
     )
-    d = df.select(F.col(id_col).alias("doc_id"), toks.alias("st"))
+    d = _spread(df).select(F.col(id_col).alias("doc_id"), toks.alias("st"))
     # set size travels WITH the exploded rows (known pre-explode), so
     # the per-doc window computes only row_number, not a second
     # whole-partition count aggregate
@@ -797,6 +809,19 @@ def jaccard_join_prefix(
         .select(
             F.col("l.doc_id").alias("left_id"),
             F.col("r.doc_id").alias("right_id"),
+        )
+        # Pin the dedup+verify width: candidate rows are 16-byte id
+        # pairs, so AQE's byte-based coalescing happily squashes them
+        # onto one task — but the downstream work per row is a
+        # token-SET intersection, compute-bound, not byte-bound. A
+        # fixed-count repartition (scaled to the cluster) on the
+        # distinct keys disables the coalesce for exactly this
+        # exchange; the distinct's final aggregate then reuses the
+        # same partitioning at the same width.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism * 2,
+            "left_id",
+            "right_id",
         )
         .distinct()
     )

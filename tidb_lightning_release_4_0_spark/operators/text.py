@@ -276,64 +276,103 @@ def repetition_stats(
 
     Scale shape: ONE narrow projection, zero shuffles — every stat is
     higher-order array math over the row's own lines/words inside
-    whole-stage codegen. The within-row counting is O(L^2) in the
-    row's OWN line/bigram count (count via filter per element), which
-    is the right trade at corpus scale: no explode, no per-doc
-    groupBy, nothing leaves the row; for pathological single-document
-    lengths, chunk first (curation.chunk_documents). The DuckDB twin
-    computes identical list expressions, so every fraction is
-    oracle-exact."""
+    whole-stage codegen. The line/bigram arrays are LET-BOUND (split
+    once per row; a captured split expression inside the counting
+    lambdas would re-tokenize the text per element). The within-row
+    counting is O(L^2) in the row's OWN line/bigram count (count via
+    filter per element), which is the right trade at corpus scale: no
+    explode, no per-doc groupBy, nothing leaves the row; for
+    pathological single-document lengths, chunk first
+    (curation.chunk_documents). The DuckDB twin computes identical
+    list expressions, so every fraction is oracle-exact."""
+    from ..functions.exprs import let
+
     c = F.col(text_col)
     lines = F.filter(
         F.split(c, "\n"), lambda line: F.trim(line) != ""
     )
-    n_lines = F.size(lines)
-    dup_occurrences = n_lines - F.size(F.array_distinct(lines))
-    dup_chars = F.aggregate(
-        lines,
-        F.lit(0).cast("long"),
-        lambda acc, line: acc
-        + F.when(
-            F.size(F.filter(lines, lambda y: y == line)) > 1,
-            F.length(line).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    total_chars = F.aggregate(
-        lines,
-        F.lit(0).cast("long"),
-        lambda acc, line: acc + F.length(line).cast("long"),
-    )
+
+    def line_stats(ls: Column) -> Column:
+        n_lines = F.size(ls)
+        dup_chars = F.aggregate(
+            ls,
+            F.lit(0).cast("long"),
+            lambda acc, line: acc
+            + F.when(
+                F.size(F.filter(ls, lambda y: y == line)) > 1,
+                F.length(line).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        total_chars = F.aggregate(
+            ls,
+            F.lit(0).cast("long"),
+            lambda acc, line: acc + F.length(line).cast("long"),
+        )
+        return F.struct(
+            n_lines.alias("n_lines"),
+            (n_lines - F.size(F.array_distinct(ls))).alias("dup_occ"),
+            dup_chars.alias("dup_chars"),
+            total_chars.alias("total_chars"),
+        )
+
     words = F.filter(
         F.split(F.lower(c), "[^a-z]+"), lambda w: w != ""
     )
-    nw = F.size(words)
-    bigrams = F.zip_with(
-        F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(nw - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
-    top_bigram = F.coalesce(
-        F.array_max(
-            F.transform(
-                bigrams,
-                lambda b: F.size(F.filter(bigrams, lambda y: y == b)),
+
+    def bigram_stats(ws: Column) -> Column:
+        nw = F.size(ws)
+        bigrams = F.zip_with(
+            F.slice(ws, 1, F.greatest(nw - 1, F.lit(0))),
+            F.slice(ws, 2, F.greatest(nw - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+
+        def top(bg: Column) -> Column:
+            return F.struct(
+                F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            bg,
+                            lambda b: F.size(
+                                F.filter(bg, lambda y: y == b)
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("top_bigram"),
+                F.size(bg).alias("nb"),
             )
-        ),
-        F.lit(0),
-    )
-    nb = F.size(bigrams)
+
+        return let(bigrams, top)
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
             F.when(den > 0, num.cast("double") / den).otherwise(0.0), 4
         )
 
-    return df.select(
+    # two-step select: the stat structs are computed once into real
+    # columns, then the fractions read struct FIELDS (attribute
+    # accesses) — a single select would re-evaluate each struct per
+    # reference. Deliberately NOT spread_small_input'd: this operator
+    # promises zero exchanges (nothing leaves the row), and the
+    # let-bound counting is cheap enough to keep that promise.
+    staged = df.select(
         F.col(id_col).alias("doc_id"),
-        n_lines.alias("n_lines"),
-        frac(dup_occurrences, n_lines).alias("dup_line_frac"),
-        frac(dup_chars, total_chars).alias("dup_line_char_frac"),
-        frac(top_bigram, nb).alias("top_bigram_frac"),
+        let(lines, line_stats).alias("_l"),
+        let(words, bigram_stats).alias("_b"),
+    )
+    return staged.select(
+        "doc_id",
+        F.col("_l.n_lines").alias("n_lines"),
+        frac(F.col("_l.dup_occ"), F.col("_l.n_lines")).alias(
+            "dup_line_frac"
+        ),
+        frac(F.col("_l.dup_chars"), F.col("_l.total_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        frac(F.col("_b.top_bigram"), F.col("_b.nb")).alias(
+            "top_bigram_frac"
+        ),
     )
 
 
@@ -538,25 +577,32 @@ def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     """
     from pyspark.sql import functions as F
 
+    from ..functions.exprs import let
+    from .partitioning import spread_small_input as _spread
+
+    df = _spread(df)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"),
         lambda x: F.length(x) > 0,
     )
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
+
+    # tokenize ONCE per row (let-binding) and zip the array with its
+    # own shift — element_at(toks, i) inside a per-index lambda would
+    # re-run the tokenizer per element, O(L^2) per document
+    def to_pairs(t):
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             ),
-        ),
-    ).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
-    )
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
     big = df.select(
-        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("p")
+        F.col(id_col).alias("doc_id"),
+        F.explode(let(toks, to_pairs)).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     uni = df.select(F.explode(toks).alias("term")).groupBy("term").agg(
         F.count(F.lit(1)).alias("c1")
@@ -773,8 +819,10 @@ def winnow_fingerprints(
     so gram volume parallelizes across the corpus. All built-ins
     (whole-stage codegen); no Python.
     """
+    from .partitioning import spread_small_input as _spread
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
-    d = df.select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
+    d = _spread(df).select(F.col(id_col).alias("doc_id"), norm.alias("_n"))
     grams = d.select(
         "doc_id",
         F.posexplode(

@@ -2601,10 +2601,12 @@ def q_jaccard_join_docs(spark, sf_dir):
     """Exact all-pairs Jaccard similarity join with prefix filtering
     (dedup.py::jaccard_join_prefix — Bayardo et al. 2007): no false
     negatives, candidates bucketed by rarest-first prefix tokens,
-    integer cross-multiplied threshold (J >= 1/2) so the cut is
-    engine-exact."""
+    integer cross-multiplied threshold so the cut is engine-exact.
+    J >= 4/5 — the realistic near-dup cut; at 1/2 the template-heavy
+    synthetic corpus passes ~70% of ALL pairs, making the output
+    (and any engine's runtime) quadratic by construction."""
     return D.jaccard_join_prefix(
-        _t(spark, sf_dir, "documents"), num=1, den=2
+        _t(spark, sf_dir, "documents"), num=4, den=5
     )
 
 
@@ -3764,7 +3766,7 @@ def build_oracle_sql():
             "documents", k=8, w=8, min_shared=3, max_bucket=64
         ),
         "jaccard_join_docs": D.jaccard_join_prefix_oracle_sql(
-            "documents", num=1, den=2
+            "documents", num=4, den=5
         ),
         "dedup_apply_winnow": f"""
             SELECT doc_id FROM documents
