@@ -1,0 +1,93 @@
+"""Semantic unit tests for the session-6 operators: integer-exact
+event anomaly days and Unicode NFC normalization.
+
+The registry oracle suite proves engine parity at sf0.01; these pin
+the SEMANTICS: bursts are flagged, flat activity is not, the z-test
+degrades cleanly at sigma=0 and n=1, and NFC composes decomposed
+sequences byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import tidb_lightning_release_4_0_spark.operators.temporal as TP
+import tidb_lightning_release_4_0_spark.operators.text as X
+
+
+def _events(spark, day_counts, user_id=1):
+    """day_counts[i] events on 2024-01-(i+1) for one user."""
+    rows = []
+    eid = 0
+    for i, cnt in enumerate(day_counts):
+        for j in range(cnt):
+            rows.append(
+                (eid, datetime(2024, 1, i + 1, 8, j % 60), user_id)
+            )
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def test_burst_day_is_flagged(spark):
+    # ten flat days then a 10x burst: z = (50-9.09)/12.8 ~ 3.2 > 2
+    df = _events(spark, [5] * 10 + [50])
+    out = TP.anomaly_days(df).collect()
+    assert [(r.event_date, r.n_events) for r in out] == [
+        ("2024-01-11", 50)
+    ]
+
+
+def test_flat_activity_not_flagged(spark):
+    # identical days: sigma = 0 and every deviation is 0 — the
+    # integer test ((n*cnt-S) > 0) rejects without any division
+    df = _events(spark, [5, 5, 5, 5])
+    assert TP.anomaly_days(df).count() == 0
+
+
+def test_mild_variation_not_flagged(spark):
+    # 9 events vs mean 6, sigma ~1.73: z ~1.73 < 2
+    df = _events(spark, [5, 5, 5, 9])
+    assert TP.anomaly_days(df).count() == 0
+
+
+def test_single_day_user_never_flagged(spark):
+    df = _events(spark, [100])
+    assert TP.anomaly_days(df).count() == 0
+
+
+def test_users_are_independent(spark):
+    flat = _events(spark, [5] * 10, user_id=1)
+    bursty = _events(spark, [5] * 10 + [50], user_id=2)
+    out = TP.anomaly_days(flat.union(bursty)).collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(2, 50)]
+
+
+def test_nfc_composes_and_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),  # e + combining acute (decomposed)
+            (2, "caf\u00e9"),   # precomposed
+            (3, "plain ascii"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.normalize_nfc(df).collect()}
+    assert out[1].text_nfc == "caf\u00e9" and out[1].changed is True
+    assert out[2].text_nfc == "caf\u00e9" and out[2].changed is False
+    assert out[3].text_nfc == "plain ascii" and out[3].changed is False
+
+
+def test_nfc_idempotent_and_null_safe(spark):
+    df = spark.createDataFrame(
+        [(1, "a\u0300 la carte"), (2, None)],
+        "doc_id long, text string",
+    )
+    once = X.normalize_nfc(df)
+    twice = X.normalize_nfc(
+        once.select("doc_id", once.text_nfc.alias("text"))
+    ).collect()
+    again = {r.doc_id: r for r in twice}
+    assert again[1].changed is False  # already composed
+    assert again[2].text_nfc is None and again[2].changed is None

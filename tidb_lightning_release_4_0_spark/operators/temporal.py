@@ -367,3 +367,96 @@ SELECT user_id, recency_days, frequency, monetary,
          AS segment
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Event-count anomaly detection (integer-exact z-test)
+# ---------------------------------------------------------------------------
+
+
+def anomaly_days(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 2,
+) -> DataFrame:
+    """Per-user daily-activity anomaly days: days whose event count
+    exceeds the user's own mean by more than ``k`` standard
+    deviations (population sigma over the user's ACTIVE days) — the
+    classic burst/bot/incident signal over an event stream.
+
+    Engine-exactness: the z-test is evaluated WITHOUT computing mean,
+    sigma, or any float. With per-user day count n, daily sums
+    S = sum(cnt), Q = sum(cnt^2):
+
+        cnt > mean + k*sigma
+        <=>  n*cnt - S > 0  AND  (n*cnt - S)^2 > k^2 * (n*Q - S^2)
+
+    (multiply through by n^2) — pure int64 arithmetic, identical in
+    every engine, no sqrt/epsilon boundary rows. Bound: safe while
+    n * max_daily_count < ~3e9 (the square must fit int64); at that
+    volume per single user, pre-aggregate to coarser buckets.
+
+    Output: (user_id, event_date, n_events) — the anomalous days.
+
+    Scale shape: one hash aggregate to the (user, day) grain, one
+    user-grain aggregate REUSING the same partitioning (user is a
+    prefix of the first grouping key), one user-keyed join back —
+    shuffles carry (user, day, count) triples, never events.
+    """
+    # ISO-string day key: engines render DATE values differently
+    # through their pandas bridges; a yyyy-MM-dd string is canonical
+    daily = df.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.date_format(F.to_date(F.col(ts_col)), "yyyy-MM-dd").alias(
+            "event_date"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    st = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_q"),
+    )
+    dev = F.col("_n") * F.col("n_events") - F.col("_s")
+    return (
+        daily.join(st, "user_id")
+        .filter(
+            (F.col("_n") >= 2)
+            & (dev > 0)
+            & (
+                dev * dev
+                > F.lit(int(k) * int(k))
+                * (F.col("_n") * F.col("_q") - F.col("_s") * F.col("_s"))
+            )
+        )
+        .select("user_id", "event_date", "n_events")
+    )
+
+
+def anomaly_days_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 2,
+) -> str:
+    """DuckDB twin of anomaly_days — identical integer z-test."""
+    return f"""
+WITH daily AS (
+  SELECT {user_col} AS user_id,
+         strftime(CAST({ts_col} AS DATE), '%Y-%m-%d') AS event_date,
+         count(*) AS n_events
+  FROM {table} GROUP BY 1, 2
+),
+st AS (
+  SELECT user_id, count(*) AS _n,
+         cast(sum(n_events) AS BIGINT) AS _s,
+         cast(sum(n_events * n_events) AS BIGINT) AS _q
+  FROM daily GROUP BY 1
+)
+SELECT d.user_id, d.event_date, d.n_events
+FROM daily d JOIN st USING (user_id)
+WHERE _n >= 2
+  AND (_n * d.n_events - _s) > 0
+  AND (_n * d.n_events - _s) * (_n * d.n_events - _s)
+      > {int(k) * int(k)} * (_n * _q - _s * _s)
+"""

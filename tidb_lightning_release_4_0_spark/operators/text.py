@@ -1121,3 +1121,73 @@ v{t} AS MATERIALIZED (
         for t in range(1, int(n_merges) + 1)
     ]
     return sql + "\n" + "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (Arrow-batched pandas UDF lane)
+# ---------------------------------------------------------------------------
+
+
+def normalize_nfc(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization of a text column — the canonical-
+    composition cleanup every multi-source corpus needs before
+    dedup/hashing (the same visible string can arrive as composed
+    U+00E9 or decomposed U+0065+U+0301 and would otherwise hash as
+    two different documents).
+
+    Spark has no built-in Unicode normalizer, so this is the repo's
+    one TEXT-lane pandas UDF: an Arrow-batched scalar kernel over
+    stdlib ``unicodedata.normalize("NFC", ...)`` (same rationale as
+    the crc64 kernel — a real per-value algorithm no builtin
+    expresses; Arrow batching keeps the Python exchange columnar).
+    The DuckDB oracle is ``nfc_normalize()`` (utf8proc) — both
+    implement Unicode canonical composition, so outputs match
+    byte-for-byte.
+
+    Output: (doc_id, text_nfc, changed).
+
+    Scale shape: a narrow per-row projection, zero shuffles; Arrow
+    batch size bounds executor Python memory regardless of corpus
+    size.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    # real type objects, set post-hoc: the module-wide
+    # `from __future__ import annotations` would stringify inline
+    # hints, and pyspark resolves hint strings against module
+    # globals, where the locally-imported pandas is not visible
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_kernel, "string")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _nfc(F.col(text_col)).alias("text_nfc"),
+        F.col(text_col).alias("_orig"),
+    ).select(
+        "doc_id",
+        "text_nfc",
+        (F.col("text_nfc") != F.col("_orig")).alias("changed"),
+    )
+
+
+def normalize_nfc_sql_duckdb(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of normalize_nfc (utf8proc NFC)."""
+    return f"""
+SELECT doc_id, nfc_normalize({text_expr}) AS text_nfc,
+       nfc_normalize({text_expr}) <> {text_expr} AS changed
+FROM {table}
+"""

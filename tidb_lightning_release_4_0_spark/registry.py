@@ -2477,6 +2477,34 @@ def q_bpe_merges(spark, sf_dir):
     return X.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_anomaly_days(spark, sf_dir):
+    """Per-user daily burst detection (temporal.py::anomaly_days):
+    days whose event count beats the user's mean by > 2 population
+    sigmas, tested in pure int64 cross-multiplied arithmetic — no
+    sqrt, no float boundary rows."""
+    return TP.anomaly_days(_t(spark, sf_dir, "events"))
+
+
+def q_nfc_normalize_docs(spark, sf_dir):
+    """Unicode NFC normalization (text.py::normalize_nfc): the
+    repo's one text-lane Arrow-batched pandas UDF (Spark has no
+    built-in normalizer), oracle'd against DuckDB's utf8proc
+    nfc_normalize. Decomposed sequences (e+U+0301, a+U+0300) are
+    injected in-query (the strip_html pattern) so composition
+    actually fires on this ASCII synthetic corpus — both the
+    changed and unchanged branches are exercised."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("cafe\u0301 "),
+            F.col("text"),
+            F.lit(" a\u0300 la carte"),
+        ),
+    ).otherwise(F.col("text"))
+    return X.normalize_nfc(d.select("doc_id", wrapped.alias("text")))
+
+
 def q_resume_split_jsonl(spark, sf_dir):
     """Block-grain MID-FILE checkpoint resume for the JSONL lane
     (same O5 (path, offset) chunk-key grain as resume_split_csv —
@@ -2791,6 +2819,8 @@ def build_queries():
         "funnel_events": q_funnel_events,
         "rfm_segments": q_rfm_segments,
         "bpe_merges": q_bpe_merges,
+        "anomaly_days": q_anomaly_days,
+        "nfc_normalize_docs": q_nfc_normalize_docs,
     }
 
 
@@ -3408,6 +3438,12 @@ def build_oracle_sql():
         ),
         "rfm_segments": TP.rfm_segments_oracle_sql("events"),
         "bpe_merges": X.bpe_merges_sql_duckdb("documents", 8),
+        "anomaly_days": TP.anomaly_days_oracle_sql("events"),
+        "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
+            "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
+            "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
+            " || ' la carte' ELSE text END AS text FROM documents)"
+        ),
         "quality_filter": CU.quality_filter_oracle_sql("documents"),
         "pack_sequences": CU.pack_sequences_oracle_sql(
             "documents", budget=512
