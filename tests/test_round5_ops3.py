@@ -91,3 +91,53 @@ def test_nfc_idempotent_and_null_safe(spark):
     again = {r.doc_id: r for r in twice}
     assert again[1].changed is False  # already composed
     assert again[2].text_nfc is None and again[2].changed is None
+
+
+def test_triangle_counts_match_brute_force(spark):
+    """Degree-ordered counting equals the itertools brute force on a
+    seeded random graph (fixed seed — determinism of the test, not
+    the operator, which is input-deterministic)."""
+    import itertools
+    import random
+
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    rng = random.Random(42)
+    nodes = list(range(24))
+    edges = sorted(
+        {
+            (a, b)
+            for a in nodes
+            for b in nodes
+            if a < b and rng.random() < 0.25
+        }
+    )
+    adj = {n: set() for n in nodes}
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    expected = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(edges, "left_id long, right_id long")
+    got = {
+        r.node: r.n_triangles for r in CU.triangle_counts(df).collect()
+    }
+    assert got == expected and expected  # non-degenerate graph
+
+
+def test_triangle_counts_dedupes_and_canonicalizes_edges(spark):
+    # duplicate edges, reversed edges and self-loops must not change
+    # the single triangle {1,2,3}
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (3, 4)],
+        "left_id long, right_id long",
+    )
+    got = {
+        r.node: r.n_triangles for r in CU.triangle_counts(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -1809,3 +1809,122 @@ SELECT l.doc_id AS doc_id,
        coalesce(p.text_clean, '') AS text_clean
 FROM lined l LEFT JOIN packed p ON l.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered, over the near-dup candidate graph)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    local-clustering signal of a near-dup candidate graph (a dup
+    CLUSTER is a clique, so triangle-dense nodes are the cores of
+    boilerplate/template families; an isolated false-positive pair
+    has none).
+
+    Degree-ordered orientation (the classic MapReduce triangle
+    algorithm, Suri & Vassilvitskii WWW 2011): every edge is directed
+    from its (degree, id)-smaller endpoint to the larger, wedges are
+    built only between OUT-neighbors, and each triangle is counted
+    exactly once at its unique two-out-edge node. Out-degrees are
+    bounded by O(sqrt(m)), so a celebrity node of degree d costs
+    O(sqrt(m)^2) = O(m), never d^2 — the star-node blowup a naive
+    lowest-id orientation hits on skewed dup graphs.
+
+    Output: (node, n_triangles) for nodes in >= 1 triangle.
+
+    Scale shape: one degree aggregate, two joins keyed by node ids
+    and one keyed by the (v, w) edge pair — everything equi-keyed and
+    AQE-skew-splittable; no driver state.
+    """
+    a = F.least(F.col(left_col), F.col(right_col)).alias("a")
+    b = F.greatest(F.col(left_col), F.col(right_col)).alias("b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .union(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wd = (
+        e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    directed = wd.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    l = directed.alias("l")
+    r = directed.alias("r")
+    wedge_lt = (F.col("l.dv") < F.col("r.dv")) | (
+        (F.col("l.dv") == F.col("r.dv")) & (F.col("l.v") < F.col("r.v"))
+    )
+    wedges = l.join(r, (F.col("l.u") == F.col("r.u")) & wedge_lt).select(
+        F.col("l.u").alias("u"),
+        F.col("l.v").alias("v"),
+        F.col("r.v").alias("w"),
+    )
+    closing = directed.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of triangle_counts; ``edges_sql`` must produce
+    (left_id, right_id). Identical (degree, id) orientation order."""
+    return f"""
+WITH raw AS (SELECT * FROM ({edges_sql})),
+e AS (
+  SELECT DISTINCT least(left_id, right_id) AS a,
+         greatest(left_id, right_id) AS b
+  FROM raw WHERE left_id <> right_id
+),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+),
+wd AS (
+  SELECT e.a, e.b, da.d AS da, db.d AS db
+  FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+),
+directed AS (
+  SELECT CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+         CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v,
+         CASE WHEN da < db OR (da = db AND a < b) THEN db ELSE da END AS dv
+  FROM wd
+),
+wedges AS (
+  SELECT l.u AS u, l.v AS v, r.v AS w
+  FROM directed l JOIN directed r
+    ON l.u = r.u AND (l.dv < r.dv OR (l.dv = r.dv AND l.v < r.v))
+),
+tri AS (
+  SELECT w.u, w.v, w.w
+  FROM wedges w JOIN directed c ON c.u = w.v AND c.v = w.w
+)
+SELECT node, count(*) AS n_triangles FROM (
+  SELECT u AS node FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+) GROUP BY 1
+"""

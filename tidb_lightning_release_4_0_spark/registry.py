@@ -2505,6 +2505,19 @@ def q_nfc_normalize_docs(spark, sf_dir):
     return X.normalize_nfc(d.select("doc_id", wrapped.alias("text")))
 
 
+def q_triangles_dupgraph(spark, sf_dir):
+    """Per-node triangle counts (curation.py::triangle_counts,
+    Suri-Vassilvitskii degree-ordered orientation) over the
+    MinHash-LSH candidate graph — dup clusters are cliques, so
+    triangle-dense nodes are template-family cores. The edge list is
+    the oracle-verified dedup_minhash pair set; the oracle composes
+    that same SQL and the identical (degree, id) orientation."""
+    edges = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return CU.triangle_counts(edges)
+
+
 def q_resume_split_jsonl(spark, sf_dir):
     """Block-grain MID-FILE checkpoint resume for the JSONL lane
     (same O5 (path, offset) chunk-key grain as resume_split_csv —
@@ -2821,6 +2834,7 @@ def build_queries():
         "bpe_merges": q_bpe_merges,
         "anomaly_days": q_anomaly_days,
         "nfc_normalize_docs": q_nfc_normalize_docs,
+        "triangles_dupgraph": q_triangles_dupgraph,
     }
 
 
@@ -3439,6 +3453,9 @@ def build_oracle_sql():
         "rfm_segments": TP.rfm_segments_oracle_sql("events"),
         "bpe_merges": X.bpe_merges_sql_duckdb("documents", 8),
         "anomaly_days": TP.anomaly_days_oracle_sql("events"),
+        "triangles_dupgraph": CU.triangle_counts_oracle_sql(
+            D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
+        ),
         "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
             "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
