@@ -76,3 +76,92 @@ def test_stops_early_when_no_pairs_remain(spark):
     # merge table even though n_merges asked for 4.
     out = _merges(spark, ["a b c a"], 4)
     assert out == []
+
+
+# ---------------------------------------------------------------------------
+# Reference-implementation property test (train + encode)
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(texts, n_merges):
+    """Straight-line Sennrich BPE on the word-frequency dict."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((rank, l, r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges, vocab, words
+
+
+def test_trainer_matches_reference_on_random_corpora(spark):
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(rng.randint(3, 12))
+            )
+            for _ in range(15)
+        ]
+        want = _ref_bpe(texts, 5)[0]
+        got = _merges(spark, texts, 5)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_encode_matches_reference_symbol_counts(spark):
+    import re
+
+    texts = ["abab banana abc abab", "banana aba cabc"]
+    merges, vocab, words = _ref_bpe(texts, 4)
+    import tidb_lightning_release_4_0_spark.operators.text as X
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chars_sym, r.n_subwords)
+        for r in X.bpe_encode(
+            df, [(l, r_) for _, l, r_, _ in merges]
+        ).collect()
+    }
+    # reference: encode each doc's words via the final vocab mapping
+    final = { "".join(k): k for k in vocab }
+    for i, t in enumerate(texts):
+        ws = [w for w in re.split(r"[^a-z]+", t.lower()) if w]
+        n_chars = sum(len(w) for w in ws)
+        n_sub = sum(len(final["".join(tuple(w))]) for w in ws)
+        assert got[i] == (n_chars, n_sub), (i, got[i], (n_chars, n_sub))

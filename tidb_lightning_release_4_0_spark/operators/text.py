@@ -1191,3 +1191,114 @@ SELECT doc_id, nfc_normalize({text_expr}) AS text_nfc,
        nfc_normalize({text_expr}) <> {text_expr} AS changed
 FROM {table}
 """
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merges (from ``bpe_merges``) to the corpus
+    and report per-document subword counts — the encode half of the
+    tokenizer: merge rank order IS application order (Sennrich 2016).
+
+    Each merge is one engine-native ``replace`` over the same
+    double-space sentinel encoding the trainer used, so the chain is
+    k narrow codegen projections — zero shuffles, no UDF, and the
+    same greedy left-to-right semantics in Spark and DuckDB. The
+    merge list is a tiny driver-side literal (k pairs), exactly like
+    a broadcast vocabulary.
+
+    Output: (doc_id, n_chars_sym, n_subwords) where n_chars_sym is
+    the pre-merge symbol count (letters of the [a-z]+ words) and
+    n_subwords the post-merge token count — n_chars_sym/n_subwords
+    is the compression ratio tokenizer training optimizes.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    # sentinel-encode every word, then join the per-word strings with
+    # ONE extra space: intra-word symbol gaps are exactly two spaces,
+    # word boundaries become three, so no trainer pattern (which
+    # contains a two-space gap flanked by single spaces) can ever
+    # match across a word boundary.
+    s = F.concat_ws(
+        " ",
+        F.transform(
+            toks,
+            lambda x: F.concat(
+                F.lit(" "),
+                F.rtrim(F.regexp_replace(x, "(.)", "$1  ")),
+                F.lit(" "),
+            ),
+        ),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), s.alias("_s"))
+    col = F.col("_s")
+    for l, r in merges:
+        col = F.replace(
+            col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        )
+    staged = base.select("doc_id", F.col("_s"), col.alias("_m"))
+
+    def n_syms(c: Column) -> Column:
+        return F.size(
+            F.filter(F.split(c, " +"), lambda x: F.length(x) > 0)
+        )
+
+    return staged.select(
+        "doc_id",
+        n_syms(F.col("_s")).alias("n_chars_sym"),
+        n_syms(F.col("_m")).alias("n_subwords"),
+    )
+
+
+def bpe_encode_sql_duckdb(
+    table: str = "documents",
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of bpe_merges + bpe_encode composed: re-learns the
+    merges with the trainer CTEs, then applies them to the documents
+    through the same per-round MATERIALIZED replace chain. Assumes
+    the corpus yields all ``n_merges`` merges (an empty argmax round
+    would annihilate the cross join; the Spark side would simply
+    apply fewer merges — only reachable on degenerate corpora)."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z]+'), "
+        "x -> length(x) > 0)"
+    )
+    enc = (
+        f"array_to_string(list_transform({toks}, "
+        "x -> ' ' || rtrim(regexp_replace(x, '(.)', '\\1  ', 'g')) || ' '"
+        "), ' ')"
+    )
+
+    def n_syms(expr: str) -> str:
+        return (
+            f"len(list_filter(string_split_regex({expr}, ' +'), "
+            f"x -> length(x) > 0))"
+        )
+
+    trainer = bpe_merges_sql_duckdb(table, n_merges, text_col)
+    prefix = trainer[: trainer.rindex("\nSELECT 1 AS merge_rank")]
+    sql = prefix + f""",
+d0 AS MATERIALIZED (
+  SELECT doc_id, {enc} AS s0, {enc} AS s FROM {table}
+)"""
+    prev = "d0"
+    for t in range(1, int(n_merges) + 1):
+        sql += f""",
+d{t} AS MATERIALIZED (
+  SELECT doc_id, s0,
+         replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS s
+  FROM {prev}, b{t} b
+)"""
+        prev = f"d{t}"
+    return sql + f"""
+SELECT doc_id, {n_syms('s0')} AS n_chars_sym, {n_syms('s')} AS n_subwords
+FROM {prev}
+"""

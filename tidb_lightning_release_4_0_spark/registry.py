@@ -2505,6 +2505,18 @@ def q_nfc_normalize_docs(spark, sf_dir):
     return X.normalize_nfc(d.select("doc_id", wrapped.alias("text")))
 
 
+def q_bpe_encode_docs(spark, sf_dir):
+    """BPE tokenizer ENCODE (text.py::bpe_encode): train 8 merges on
+    the corpus (bpe_merges), then apply them in rank order as k
+    chained engine-native replaces — per-doc subword counts and the
+    pre-merge symbol counts whose ratio is tokenizer compression.
+    Oracle re-learns the same merges in SQL and applies the same
+    replace chain."""
+    d = _t(spark, sf_dir, "documents")
+    m = X.bpe_merges(d, n_merges=8).orderBy("merge_rank").collect()
+    return X.bpe_encode(d, [(r["lhs"], r["rhs"]) for r in m])
+
+
 def q_triangles_dupgraph(spark, sf_dir):
     """Per-node triangle counts (curation.py::triangle_counts,
     Suri-Vassilvitskii degree-ordered orientation) over the
@@ -2835,6 +2847,7 @@ def build_queries():
         "anomaly_days": q_anomaly_days,
         "nfc_normalize_docs": q_nfc_normalize_docs,
         "triangles_dupgraph": q_triangles_dupgraph,
+        "bpe_encode_docs": q_bpe_encode_docs,
     }
 
 
@@ -3456,6 +3469,7 @@ def build_oracle_sql():
         "triangles_dupgraph": CU.triangle_counts_oracle_sql(
             D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
         ),
+        "bpe_encode_docs": X.bpe_encode_sql_duckdb("documents", 8),
         "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
             "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
