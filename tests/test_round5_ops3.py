@@ -141,3 +141,36 @@ def test_triangle_counts_dedupes_and_canonicalizes_edges(spark):
         r.node: r.n_triangles for r in CU.triangle_counts(df).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_zipf_alpha_recovers_planted_exponent(spark):
+    """A corpus drawn EXACTLY as freq(rank) = round(C * rank^-1)
+    must fit alpha ~ 1."""
+    import tidb_lightning_release_4_0_spark.operators.text as X
+
+    words = []
+    for rank in range(1, 101):
+        w = "w" + "".join(chr(ord("a") + int(d)) for d in f"{rank:03d}")
+        words.extend([w] * max(round(1000 / rank), 1))
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = X.zipf_alpha(df, top_k=100).collect()[0]
+    assert row.n_terms == 100
+    assert abs(row.alpha - 1.0) < 0.05, row.alpha
+
+
+def test_zipf_alpha_flat_corpus_near_zero(spark):
+    # every term equally frequent -> slope ~ 0
+    import tidb_lightning_release_4_0_spark.operators.text as X
+
+    text = (
+        " ".join(
+            "t" + chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+            for i in range(50)
+        )
+        + " "
+    ) * 4
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = X.zipf_alpha(df, top_k=50).collect()[0]
+    assert abs(row.alpha) < 1e-9, row.alpha

@@ -1302,3 +1302,128 @@ d{t} AS MATERIALIZED (
 SELECT doc_id, {n_syms('s0')} AS n_chars_sym, {n_syms('s')} AS n_subwords
 FROM {prev}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit (corpus health diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def zipf_alpha(
+    df: DataFrame,
+    top_k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Least-squares Zipf exponent over the top-``top_k`` corpus
+    terms: natural text follows freq(rank) ~ rank^-alpha with alpha
+    near 1; a far-off alpha flags template spam (too flat) or
+    degenerate boilerplate (too steep) — a one-row corpus health
+    metric curation dashboards track.
+
+    Fit: regress y = ln(freq) on x = ln(rank) over the top-k terms
+    (rank by freq desc, term — deterministic), alpha = -slope.
+
+    Engine-exactness: x and y are rounded to 9 decimals and summed as
+    DECIMAL, the slope assembled from the five exact sums, and only
+    the final division is float (rounded to 6) — no
+    partition-order-dependent float accumulation.
+
+    Scale shape: the term count is one map-side-combined hash
+    aggregate; the rank is a row_number over ONLY the top-k rows
+    (orderBy().limit() compiles to TakeOrderedAndProject — a k-row
+    merge, never a vocabulary-wide single-partition window), so the
+    single-partition step is k rows at any corpus size.
+
+    Output: (n_terms, alpha, intercept).
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda x: F.length(x) > 0,
+    )
+    freq = (
+        df.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("term"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    d9 = "decimal(20,9)"
+    xy = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast(d9)
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).cast(d9).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    den = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / den
+    # fewer than 2 distinct terms: var(ln rank) = 0, slope undefined
+    # (the when() also keeps the division lazy under ANSI mode)
+    defined = den != 0.0
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.when(defined, F.round(-slope, 6)).alias("alpha"),
+        F.when(defined, F.round((sy - slope * sx) / n, 6)).alias(
+            "intercept"
+        ),
+    )
+
+
+def zipf_alpha_sql_duckdb(
+    table: str = "documents", top_k: int = 1000, text_col: str = "text"
+) -> str:
+    """DuckDB twin of zipf_alpha: identical rank order, rounding and
+    decimal accumulation."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_col}), '[^a-z]+'), "
+        "x -> length(x) > 0)"
+    )
+    return f"""
+WITH freq AS (
+  SELECT term, count(*) AS c FROM (
+    SELECT unnest({toks}) AS term FROM {table}
+  ) GROUP BY 1 ORDER BY c DESC, term LIMIT {int(top_k)}
+),
+xy AS (
+  SELECT cast(round(ln(cast(row_number() OVER (ORDER BY c DESC, term)
+                     AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
+         cast(round(ln(cast(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+  FROM freq
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy
+),
+d AS (
+  SELECT n, cast(sx AS DOUBLE) AS sx, cast(sy AS DOUBLE) AS sy,
+         cast(sxy AS DOUBLE) AS sxy, cast(sxx AS DOUBLE) AS sxx,
+         cast(n AS DOUBLE) * cast(sxx AS DOUBLE)
+           - cast(sx AS DOUBLE) * cast(sx AS DOUBLE) AS den
+  FROM s
+)
+SELECT n AS n_terms,
+       CASE WHEN den <> 0.0 THEN
+         round(-((cast(n AS DOUBLE) * sxy - sx * sy) / den), 6)
+       END AS alpha,
+       CASE WHEN den <> 0.0 THEN
+         round((sy - ((cast(n AS DOUBLE) * sxy - sx * sy) / den) * sx)
+               / cast(n AS DOUBLE), 6)
+       END AS intercept
+FROM d
+"""

@@ -2517,6 +2517,15 @@ def q_bpe_encode_docs(spark, sf_dir):
     return X.bpe_encode(d, [(r["lhs"], r["rhs"]) for r in m])
 
 
+def q_zipf_alpha_docs(spark, sf_dir):
+    """Zipf's-law exponent over the top-1000 corpus terms
+    (text.py::zipf_alpha): the one-row corpus-health diagnostic —
+    natural text sits near alpha=1, template spam flattens it.
+    Exact decimal accumulation of the rounded log terms; the only
+    float step is the final one-row slope division."""
+    return X.zipf_alpha(_t(spark, sf_dir, "documents"), top_k=1000)
+
+
 def q_triangles_dupgraph(spark, sf_dir):
     """Per-node triangle counts (curation.py::triangle_counts,
     Suri-Vassilvitskii degree-ordered orientation) over the
@@ -2848,6 +2857,7 @@ def build_queries():
         "nfc_normalize_docs": q_nfc_normalize_docs,
         "triangles_dupgraph": q_triangles_dupgraph,
         "bpe_encode_docs": q_bpe_encode_docs,
+        "zipf_alpha_docs": q_zipf_alpha_docs,
     }
 
 
@@ -3470,6 +3480,7 @@ def build_oracle_sql():
             D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
         ),
         "bpe_encode_docs": X.bpe_encode_sql_duckdb("documents", 8),
+        "zipf_alpha_docs": X.zipf_alpha_sql_duckdb("documents", 1000),
         "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
             "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
