@@ -1282,6 +1282,14 @@ def bpe_encode_sql_duckdb(
             f"x -> length(x) > 0))"
         )
 
+    if int(n_merges) == 0:
+        # identity encode: no merges, n_subwords == n_chars_sym —
+        # mirrors the Spark side's empty replace chain
+        return f"""
+SELECT doc_id, {n_syms(enc)} AS n_chars_sym,
+       {n_syms(enc)} AS n_subwords
+FROM {table}
+"""
     trainer = bpe_merges_sql_duckdb(table, n_merges, text_col)
     prefix = trainer[: trainer.rindex("\nSELECT 1 AS merge_rank")]
     sql = prefix + f""",
@@ -1324,10 +1332,14 @@ def zipf_alpha(
     Fit: regress y = ln(freq) on x = ln(rank) over the top-k terms
     (rank by freq desc, term — deterministic), alpha = -slope.
 
-    Engine-exactness: x and y are rounded to 9 decimals and summed as
-    DECIMAL, the slope assembled from the five exact sums, and only
-    the final division is float (rounded to 6) — no
-    partition-order-dependent float accumulation.
+    Engine-exactness: x and y are rounded to 7 decimals as
+    DECIMAL(16,7) — chosen so the cross products are DECIMAL(33,14),
+    which BOTH engines keep exact (Spark's allowPrecisionLoss rule
+    would round a (20,9)x(20,9) product to scale 15 while DuckDB
+    keeps scale 18, desynchronizing the sums) — the slope is
+    assembled from the five exact sums, and only the final one-row
+    division is float (rounded to 6). No partition-order-dependent
+    float accumulation.
 
     Scale shape: the term count is one map-side-combined hash
     aggregate; the rank is a row_number over ONLY the top-k rows
@@ -1351,12 +1363,12 @@ def zipf_alpha(
         .limit(int(top_k))
     )
     w = Window.orderBy(F.col("c").desc(), F.col("term"))
-    d9 = "decimal(20,9)"
+    d7 = "decimal(16,7)"
     xy = freq.select(
-        F.round(F.log(F.row_number().over(w).cast("double")), 9)
-        .cast(d9)
+        F.round(F.log(F.row_number().over(w).cast("double")), 7)
+        .cast(d7)
         .alias("x"),
-        F.round(F.log(F.col("c").cast("double")), 9).cast(d9).alias("y"),
+        F.round(F.log(F.col("c").cast("double")), 7).cast(d7).alias("y"),
     )
     s = xy.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1401,8 +1413,8 @@ WITH freq AS (
 ),
 xy AS (
   SELECT cast(round(ln(cast(row_number() OVER (ORDER BY c DESC, term)
-                     AS DOUBLE)), 9) AS DECIMAL(20,9)) AS x,
-         cast(round(ln(cast(c AS DOUBLE)), 9) AS DECIMAL(20,9)) AS y
+                     AS DOUBLE)), 7) AS DECIMAL(16,7)) AS x,
+         cast(round(ln(cast(c AS DOUBLE)), 7) AS DECIMAL(16,7)) AS y
   FROM freq
 ),
 s AS (
