@@ -851,6 +851,30 @@ def q_jsonl_roundtrip(spark, sf_dir):
     )
 
 
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC export -> read-back round-trip (the columnar interchange
+    format besides parquet a warehouse handoff may require; Spark's
+    ORC writer/reader is built in). Orders written once as ORC under
+    the scratch dir, read back and projected; the oracle is the
+    ORIGINAL parquet table, so the comparison proves the format hop
+    is lossless for longs, doubles, strings and timestamps (the
+    timestamp column exercises ORC's UTC semantics against the
+    session's pinned zone)."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/root/repo/.tmp/orc_rt/{tag}/orders"
+    src = os.path.join(sf_dir, "orders.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if _stale_vs_parquet(marker, src) or not os.path.exists(marker):
+        _t(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    out = spark.read.orc(path)
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+
+
 def q_dedup_apply_spans(spark, sf_dir):
     """Apply-policy for duplicated spans: drop documents whose
     cross-document duplicated-gram coverage is >= 0.5 (mostly
@@ -2815,6 +2839,7 @@ def build_queries():
         "duplicate_spans": q_duplicate_spans,
         "dedup_apply_spans": q_dedup_apply_spans,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -3081,6 +3106,10 @@ def build_oracle_sql():
         ),
         "jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "orc_roundtrip": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+            " o_orderdate, o_orderpriority FROM orders"
         ),
         "dedup_apply_spans": (
             "SELECT doc_id FROM ("
