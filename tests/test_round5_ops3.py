@@ -174,3 +174,42 @@ def test_zipf_alpha_flat_corpus_near_zero(spark):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     row = X.zipf_alpha(df, top_k=50).collect()[0]
     assert abs(row.alpha) < 1e-9, row.alpha
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.i, r.j): r.cov
+        for r in S.embedding_covariance(df, dim=5).collect()
+    }
+    # reference on the same 6-decimal-rounded inputs (population cov)
+    Xr = np.round(X.astype(np.float64), 6)
+    C = np.cov(Xr, rowvar=False, bias=True)
+    assert len(got) == 15
+    for i in range(5):
+        for j in range(i, 5):
+            assert abs(got[(i, j)] - C[i, j]) < 2e-6, (i, j)
+
+
+def test_embedding_covariance_skips_malformed_vectors(spark):
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 5.0]), (3, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.i, r.j): r.cov
+        for r in S.embedding_covariance(df, dim=2).collect()
+    }
+    # population cov of [(1,2),(3,5)]: var x = 1, var y = 2.25, cov = 1.5
+    assert got == {(0, 0): 1.0, (0, 1): 1.5, (1, 1): 2.25}

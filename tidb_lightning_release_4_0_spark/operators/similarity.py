@@ -1308,3 +1308,113 @@ SELECT asg.{id_col}, cluster,
        (dups.did IS NULL) AS is_kept
 FROM asg LEFT JOIN dups ON asg.{id_col} = dups.did
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact covariance matrix over an embedding column (PCA/whitening prep)
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact (population) covariance matrix of a ``dim``-dimensional
+    embedding column — the distributed half of PCA/whitening: compute
+    the d x d second-moment sums on the cluster, run the O(d^3)
+    eigendecomposition wherever the tiny result lands.
+
+    Upper triangle only (cov is symmetric): one row per (i, j), i<=j,
+    cov_ij = (S_ij - S_i*S_j/n) / n from raw moment sums — no
+    mean-subtraction pass over the data.
+
+    Engine-exactness: components are rounded to 6 decimals as
+    DECIMAL(12,6) (float32 widens to double exactly, so both engines
+    round the same value), products are DECIMAL(25,12) — exact in
+    both engines — and all sums are decimal. The only float steps are
+    the final one-row-per-cell divisions from identical exact inputs.
+
+    Scale shape: rows explode to (i, j, product) with the product
+    projected BEFORE the exchange, so the hash aggregate map-side
+    combines to at most d(d+1)/2 keys per task and the shuffle
+    carries d(d+1)/2 rows per partition regardless of corpus size.
+    The per-row cost is O(d^2) decimal multiplies; for very large d
+    swap to the documented mapInPandas partial-outer-product kernel
+    (one float64 d x d partial per Arrow batch) and accept float
+    rounding in exchange for BLAS speed.
+    """
+    d6 = "decimal(12,6)"
+    e6 = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double"), 6).cast(d6),
+    )
+    base = _spread(df).filter(F.size(F.col(vec_col)) == int(dim)).select(
+        e6.alias("_e")
+    )
+    ij = base.select(
+        "_e", F.explode(F.sequence(F.lit(0), F.lit(int(dim) - 1))).alias("i")
+    ).select(
+        "_e", "i",
+        F.explode(
+            F.sequence(F.col("i"), F.lit(int(dim) - 1))
+        ).alias("j"),
+    )
+    prods = ij.select(
+        "i",
+        "j",
+        (
+            F.element_at(F.col("_e"), F.col("i") + 1)
+            * F.element_at(F.col("_e"), F.col("j") + 1)
+        ).alias("p"),
+        F.element_at(F.col("_e"), F.col("i") + 1).alias("xi"),
+        F.element_at(F.col("_e"), F.col("j") + 1).alias("xj"),
+    )
+    s = prods.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sij"),
+        F.sum("xi").alias("si"),
+        F.sum("xj").alias("sj"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "i",
+        "j",
+        F.round(
+            (
+                F.col("sij").cast("double")
+                - F.col("si").cast("double")
+                * F.col("sj").cast("double")
+                / n
+            )
+            / n,
+            6,
+        ).alias("cov"),
+    )
+
+
+def embedding_covariance_sql_duckdb(
+    table: str = "embeddings", dim: int = 64, vec_col: str = "embedding"
+) -> str:
+    """DuckDB twin — identical rounding, decimal accumulation and
+    final float expression order."""
+    return f"""
+WITH x AS (
+  SELECT list_transform({vec_col},
+         v -> cast(round(cast(v AS DOUBLE), 6) AS DECIMAL(12,6))) AS e
+  FROM {table} WHERE len({vec_col}) = {int(dim)}
+),
+s AS (
+  SELECT i, j, count(*) AS n,
+         sum(e[i+1] * e[j+1]) AS sij,
+         sum(e[i+1]) AS si, sum(e[j+1]) AS sj
+  FROM x, range(0, {int(dim)}) ti(i), range(0, {int(dim)}) tj(j)
+  WHERE j >= i
+  GROUP BY 1, 2
+)
+SELECT i, j,
+       round((cast(sij AS DOUBLE)
+              - cast(si AS DOUBLE) * cast(sj AS DOUBLE)
+                / cast(n AS DOUBLE)) / cast(n AS DOUBLE), 6) AS cov
+FROM s
+"""

@@ -2550,6 +2550,16 @@ def q_zipf_alpha_docs(spark, sf_dir):
     return X.zipf_alpha(_t(spark, sf_dir, "documents"), top_k=1000)
 
 
+def q_embedding_covariance(spark, sf_dir):
+    """Exact 64x64 covariance of the embeddings table
+    (similarity.py::embedding_covariance): the distributed half of
+    PCA/whitening — decimal moment sums, d(d+1)/2 shuffle keys
+    regardless of corpus size, upper triangle out."""
+    return S.embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), dim=64
+    )
+
+
 def q_triangles_dupgraph(spark, sf_dir):
     """Per-node triangle counts (curation.py::triangle_counts,
     Suri-Vassilvitskii degree-ordered orientation) over the
@@ -2883,6 +2893,7 @@ def build_queries():
         "triangles_dupgraph": q_triangles_dupgraph,
         "bpe_encode_docs": q_bpe_encode_docs,
         "zipf_alpha_docs": q_zipf_alpha_docs,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -3510,6 +3521,9 @@ def build_oracle_sql():
         ),
         "bpe_encode_docs": X.bpe_encode_sql_duckdb("documents", 8),
         "zipf_alpha_docs": X.zipf_alpha_sql_duckdb("documents", 1000),
+        "embedding_covariance": S.embedding_covariance_sql_duckdb(
+            "embeddings", 64
+        ),
         "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
             "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
