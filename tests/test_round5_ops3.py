@@ -213,3 +213,30 @@ def test_embedding_covariance_skips_malformed_vectors(spark):
     }
     # population cov of [(1,2),(3,5)]: var x = 1, var y = 2.25, cov = 1.5
     assert got == {(0, 0): 1.0, (0, 1): 1.5, (1, 1): 2.25}
+
+
+def test_pca_projected_variance_equals_top_eigenvalues(spark):
+    import numpy as np
+
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated along two directions
+    base = rng.normal(size=(120, 4))
+    base[:, 0] *= 5.0
+    base[:, 1] *= 2.0
+    X = base.astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    out = S.pca_project(df, dim=4, k=2).collect()
+    P = np.array([[r.pc1, r.pc2] for r in sorted(out, key=lambda r: r.vec_id)])
+    Xd = X.astype(np.float64)
+    C = np.cov(np.round(Xd, 6), rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(C))[::-1]
+    got_var = P.var(axis=0)  # population variance of the projections
+    assert abs(got_var[0] - evals[0]) < 1e-2 * evals[0]
+    assert abs(got_var[1] - evals[1]) < 1e-2 * max(evals[1], 1e-9)
+    # components are uncorrelated
+    assert abs(np.corrcoef(P[:, 0], P[:, 1])[0, 1]) < 0.05

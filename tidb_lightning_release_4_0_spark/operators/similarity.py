@@ -1418,3 +1418,74 @@ SELECT i, j,
                 / cast(n AS DOUBLE)) / cast(n AS DOUBLE), 6) AS cov
 FROM s
 """
+
+
+def pca_project(
+    df: DataFrame,
+    dim: int,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components —
+    the whitening/visualization step on top of
+    ``embedding_covariance``: the d x d covariance is computed
+    DISTRIBUTED (decimal moment sums, d(d+1)/2-key shuffle), the
+    O(d^3) eigendecomposition runs driver-side on that tiny matrix
+    (numpy eigh — symmetric, deterministic for a fixed input), and
+    the projection returns to the cluster as a broadcast literal
+    matrix folded into a JVM-side expression (no UDF: each component
+    is a linear combination built from array element references).
+
+    Sign convention: each eigenvector is oriented so its
+    largest-|coefficient| entry is positive — eigenvectors are only
+    defined up to sign, and pinning it makes the output reproducible
+    across LAPACK builds in the common (non-degenerate) case.
+
+    Output: (vec_id, pc1..pck rounded to 6, centered projection).
+    No SQL oracle (eigendecomposition is not SQL-expressible):
+    registry coverage is rows-only; correctness is pinned by the
+    numpy cross-check in tests (projected variances == eigenvalues).
+    """
+    import numpy as np
+
+    cov_rows = embedding_covariance(df, dim, vec_col).collect()
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = r["cov"]
+        C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][: int(k)]
+    W = evecs[:, order]  # d x k
+    for c in range(W.shape[1]):
+        piv = int(np.argmax(np.abs(W[:, c])))
+        if W[piv, c] < 0:
+            W[:, c] = -W[:, c]
+    # per-dimension means for centering (one tiny d-row aggregate)
+    m = (
+        df.filter(F.size(F.col(vec_col)) == int(dim))
+        .select(
+            F.posexplode(F.col(vec_col)).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in m:
+        mu[r["i"]] = r["mu"]
+    base = df.filter(F.size(F.col(vec_col)) == int(dim)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")
+    )
+    cols = []
+    for c in range(W.shape[1]):
+        expr = F.lit(0.0)
+        for i in range(dim):
+            w = float(W[i, c])
+            if w != 0.0:
+                expr = expr + F.lit(w) * (
+                    F.element_at(F.col("_e"), i + 1).cast("double")
+                    - F.lit(float(mu[i]))
+                )
+        cols.append(F.round(expr, 6).alias(f"pc{c + 1}"))
+    return base.select("vec_id", *cols)

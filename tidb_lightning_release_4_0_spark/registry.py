@@ -2560,6 +2560,17 @@ def q_embedding_covariance(spark, sf_dir):
     )
 
 
+def q_pca_embeddings(spark, sf_dir):
+    """Top-2 PCA projection (similarity.py::pca_project): covariance
+    distributed (the embedding_covariance plan), eigh driver-side on
+    the 64x64 result, projection as a broadcast-literal JVM
+    expression — no UDF. Rows-only (eigendecomposition is not
+    SQL-expressible); numpy cross-check pins correctness in tests."""
+    return S.pca_project(
+        _t(spark, sf_dir, "embeddings"), dim=64, k=2
+    )
+
+
 def q_triangles_dupgraph(spark, sf_dir):
     """Per-node triangle counts (curation.py::triangle_counts,
     Suri-Vassilvitskii degree-ordered orientation) over the
@@ -2894,6 +2905,7 @@ def build_queries():
         "bpe_encode_docs": q_bpe_encode_docs,
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "embedding_covariance": q_embedding_covariance,
+        "pca_embeddings": q_pca_embeddings,
     }
 
 
