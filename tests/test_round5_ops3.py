@@ -240,3 +240,47 @@ def test_pca_projected_variance_equals_top_eigenvalues(spark):
     assert abs(got_var[1] - evals[1]) < 1e-2 * max(evals[1], 1e-9)
     # components are uncorrelated
     assert abs(np.corrcoef(P[:, 0], P[:, 1])[0, 1]) < 0.05
+
+
+def test_stratified_sample_hash_flag_delegates(spark):
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(200)],
+        "doc_id long, src string",
+    )
+    via_flag = CU.stratified_sample(
+        df, ["src"], 10, method="hash"
+    ).collect()
+    direct = CU.stratified_sample_hash(df, ["src"], 10).collect()
+    assert sorted(r.doc_id for r in via_flag) == sorted(
+        r.doc_id for r in direct
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        CU.stratified_sample(df, ["src"], 10, method="bogus")
+
+
+def test_rrf_fuse_hand_computed(spark):
+    import tidb_lightning_release_4_0_spark.operators.similarity as S
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (10, 2), (40, 3)], "doc_id long, rank int"
+    )
+    out = {
+        r.doc_id: (r.rrf_score, r.n_rankers)
+        for r in S.rrf_fuse([a, b], k0=60, k=10).collect()
+    }
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/62 (tie!); 30: 1/63; 40: 1/63
+    assert out[10] == out[20]
+    assert round(out[10][0], 9) == round(
+        round(1 / 61, 9) + round(1 / 62, 9), 9
+    )
+    assert out[10][1] == 2 and out[30][1] == 1
+    assert out[30][0] == out[40][0] == round(1 / 63, 9)
+    # deterministic order under ties: top-k keeps both tied docs
+    assert set(out) == {10, 20, 30, 40}

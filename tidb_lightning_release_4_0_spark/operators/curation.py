@@ -406,15 +406,26 @@ def stratified_sample(
     strata_cols: list[str],
     n_per_stratum: int,
     id_col: str = "doc_id",
+    method: str = "exact",
 ) -> DataFrame:
-    """Exact n rows per stratum, chosen in deterministic pseudo-random
-    order (hash of the id, ties by id) — reproducible across runs,
-    engines, and partitionings, unlike ``rand()``.
+    """Stratified sample, reproducible across runs, engines, and
+    partitionings (hash of the id, ties by id — never ``rand()``).
 
-    Scale: one shuffle by strata; each stratum's top-n funnels
-    through a single reducer (row_number). For strata too large for
-    that, use rate-based hash sampling instead:
-    ``WHERE hash60(id) % M < n * M / stratum_count`` — fully narrow."""
+    method="exact" (default): exactly n rows per stratum via a
+    per-stratum window top-n. Scale: one shuffle by strata; each
+    stratum's top-n funnels through a single reducer (row_number) —
+    right for many medium strata.
+
+    method="hash": the scale path for HUGE strata — rate-based
+    hash-threshold sampling (``stratified_sample_hash``): ~n rows
+    per stratum (binomial around n), fully narrow scan, no stratum
+    ever funnels through one reducer."""
+    if method == "hash":
+        return stratified_sample_hash(
+            df, strata_cols, n_per_stratum, id_col
+        )
+    if method != "exact":
+        raise ValueError(f"unknown stratified-sample method {method!r}")
     key = hash60(F.col(id_col).cast("string"))
     w = Window.partitionBy(*strata_cols).orderBy(
         key.asc(), F.col(id_col).asc()

@@ -1489,3 +1489,61 @@ def pca_project(
                 )
         cols.append(F.round(expr, 6).alias(f"pc{c + 1}"))
     return base.select("vec_id", *cols)
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid sparse+dense retrieval)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of several rankers' top-k lists — the standard hybrid
+    retrieval combiner (BM25 + embedding ANN):
+
+        rrf(d) = sum_r 1 / (k0 + rank_r(d))
+
+    Engine-exactness: each reciprocal is rounded to 9 decimals and
+    summed as DECIMAL (the per-term double division of identical
+    integer inputs is identical in every engine; the SUM order is
+    then irrelevant because decimal addition is exact), and the
+    final top-k cuts on (score desc, id) — no float tie ambiguity.
+
+    Scale shape: inputs are already top-k lists (k rows per ranker
+    per query), so everything here is small by construction; the
+    union + hash aggregate is the whole plan. Output:
+    (doc_id, rrf_score, n_rankers).
+    """
+    parts = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            F.round(
+                F.lit(1.0) / (F.lit(int(k0)) + F.col(rank_col)), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("doc_id").agg(
+        F.sum("_c").alias("_s"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    return (
+        fused.orderBy(F.col("_s").desc(), F.col("doc_id"))
+        .limit(int(k))
+        .select(
+            "doc_id",
+            F.round(F.col("_s").cast("double"), 9).alias("rrf_score"),
+            "n_rankers",
+        )
+    )

@@ -2571,6 +2571,30 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_docs(spark, sf_dir):
+    """Hybrid retrieval (similarity.py::rrf_fuse, Cormack 2009):
+    reciprocal-rank fusion of the BM25 top-10 (sparse, fixed 3-term
+    query) with the exact cosine top-10 for query vector 0 (dense) —
+    the standard two-tower + lexical combiner. Reciprocals rounded
+    to 9 decimals and summed as DECIMAL so the fused ranking is
+    engine-exact; inputs are k-row lists so the fusion plan is tiny
+    by construction."""
+    from pyspark.sql.window import Window
+
+    sparse = X.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["hash", "join", "vector"], k=10
+    )
+    wr = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    sparse_r = sparse.select(
+        "doc_id", F.row_number().over(wr).alias("rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = S.topk_cosine(
+        emb.filter(F.col("vec_id") < 1), emb, k=10
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return S.rrf_fuse([sparse_r, dense], k0=60, k=10)
+
+
 def q_triangles_dupgraph(spark, sf_dir):
     """Per-node triangle counts (curation.py::triangle_counts,
     Suri-Vassilvitskii degree-ordered orientation) over the
@@ -2906,6 +2930,7 @@ def build_queries():
         "zipf_alpha_docs": q_zipf_alpha_docs,
         "embedding_covariance": q_embedding_covariance,
         "pca_embeddings": q_pca_embeddings,
+        "hybrid_rrf_docs": q_hybrid_rrf_docs,
     }
 
 
@@ -3536,6 +3561,32 @@ def build_oracle_sql():
         "embedding_covariance": S.embedding_covariance_sql_duckdb(
             "embeddings", 64
         ),
+        "hybrid_rrf_docs": f"""
+WITH sparse AS ({X.bm25_scores_sql_duckdb(
+            "documents", ["hash", "join", "vector"], k=10
+        )}),
+sr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sparse
+),
+dense AS ({S.topk_cosine_oracle_sql("embeddings", "vec_id < 1", 10)}),
+u AS (
+  SELECT doc_id,
+         cast(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS c
+  FROM sr
+  UNION ALL
+  SELECT c_id AS doc_id,
+         cast(round(1.0 / (60 + rank), 9) AS DECIMAL(20,9)) AS c
+  FROM dense
+),
+f AS (
+  SELECT doc_id, sum(c) AS s, count(*) AS n_rankers
+  FROM u GROUP BY 1
+)
+SELECT doc_id, round(cast(s AS DOUBLE), 9) AS rrf_score, n_rankers
+FROM f ORDER BY s DESC, doc_id LIMIT 10
+""",
         "nfc_normalize_docs": X.normalize_nfc_sql_duckdb(
             "(SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN "
             "'cafe' || chr(769) || ' ' || text || ' a' || chr(768)"
