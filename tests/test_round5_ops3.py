@@ -284,3 +284,38 @@ def test_rrf_fuse_hand_computed(spark):
     assert out[30][0] == out[40][0] == round(1 / 63, 9)
     # deterministic order under ties: top-k keeps both tied docs
     assert set(out) == {10, 20, 30, 40}
+
+
+def test_market_basket_hand_computed(spark):
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    # baskets: {1,2,3}, {1,2}, {1,2}, {3} -> pair (1,2) in 3 baskets
+    rows = [
+        (100, 1), (100, 2), (100, 3),
+        (101, 1), (101, 2),
+        (102, 1), (102, 2), (102, 2),  # duplicate item dedupes
+        (103, 3),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in CU.market_basket_pairs(df, min_support=2).collect()
+    }
+    r = out[(1, 2)]
+    # n_a = n_b = 3 baskets, n_ab = 3, N = 4
+    assert r.n_ab == 3
+    assert r.conf_a_to_b == 1.0 and r.conf_b_to_a == 1.0
+    assert abs(r.lift - (3 * 4) / (3 * 3)) < 1e-6  # lift rounds to 6
+    assert (1, 3) not in out  # support 1 < min_support
+
+
+def test_market_basket_cap_drops_mega_basket(spark):
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    rows = [(1, i) for i in range(10)] + [(2, 0), (2, 1), (3, 0), (3, 1)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = CU.market_basket_pairs(
+        df, min_support=2, max_basket=5
+    ).collect()
+    # basket 1 (10 items) is dropped; only (0,1) from baskets 2 and 3
+    assert [(r.item_a, r.item_b, r.n_ab) for r in out] == [(0, 1, 2)]

@@ -1939,3 +1939,120 @@ SELECT node, count(*) AS n_triangles FROM (
   UNION ALL SELECT w FROM tri
 ) GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (co-purchase pairs, Apriori k=2)
+# ---------------------------------------------------------------------------
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Pairwise association rules over baskets — the k=2 Apriori
+    step: for item pairs co-occurring in >= ``min_support`` baskets,
+    emit support, confidence in both directions and lift.
+
+        conf(a->b) = n_ab / n_a        lift = n_ab * N / (n_a * n_b)
+
+    Engine-exactness: all counts are exact integers; the ratios are
+    single double divisions of identical integer inputs (identical
+    in every engine), rounded to 6.
+
+    Scale shape: items dedupe per basket first (multiplicity is not
+    co-occurrence), pairs form via a self-join keyed by the basket
+    id — quadratic only within one basket, and baskets larger than
+    ``max_basket`` items are dropped before pairing (the same skew
+    cap as LSH band buckets: a degenerate mega-basket would
+    contribute B^2 pairs and distort every rule it touches). Item
+    supports and the basket total are broadcast-sized aggregates.
+    """
+    b = df.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+    ).distinct()
+    sizes = b.groupBy("bk").agg(F.count(F.lit(1)).alias("_n"))
+    b = b.join(
+        sizes.filter(F.col("_n") <= int(max_basket)).select("bk"), "bk"
+    )
+    nt = b.agg(F.count_distinct("bk").alias("n_total"))
+    supp = b.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l.bk") == F.col("r.bk"))
+            & (F.col("l.it") < F.col("r.it")),
+        )
+        .groupBy(
+            F.col("l.it").alias("item_a"), F.col("r.it").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    sa = supp.withColumnRenamed("it", "item_a").withColumnRenamed(
+        "n_item", "n_a"
+    )
+    sb = supp.withColumnRenamed("it", "item_b").withColumnRenamed(
+        "n_item", "n_b"
+    )
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .join(F.broadcast(nt))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_b"), 6
+            ).alias("conf_b_to_a"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def market_basket_pairs_oracle_sql(
+    table: str = "lineitem",
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+    max_basket: int = 64,
+) -> str:
+    """DuckDB twin — identical dedupe, cap, counts and float order."""
+    return f"""
+WITH b0 AS (
+  SELECT DISTINCT {basket_col} AS bk, {item_col} AS it FROM {table}
+),
+ok AS (
+  SELECT bk FROM b0 GROUP BY bk HAVING count(*) <= {int(max_basket)}
+),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (bk)),
+nt AS (SELECT count(DISTINCT bk) AS n_total FROM b),
+supp AS (SELECT it, count(*) AS n_item FROM b GROUP BY 1),
+pairs AS (
+  SELECT l.it AS item_a, r.it AS item_b, count(*) AS n_ab
+  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+  GROUP BY 1, 2 HAVING count(*) >= {int(min_support)}
+)
+SELECT item_a, item_b, n_ab,
+       round(cast(n_ab AS DOUBLE) / sa.n_item, 6) AS conf_a_to_b,
+       round(cast(n_ab AS DOUBLE) / sb.n_item, 6) AS conf_b_to_a,
+       round(cast(n_ab AS DOUBLE) * cast(n_total AS DOUBLE)
+             / (cast(sa.n_item AS DOUBLE) * cast(sb.n_item AS DOUBLE)),
+             6) AS lift
+FROM pairs
+JOIN supp sa ON pairs.item_a = sa.it
+JOIN supp sb ON pairs.item_b = sb.it, nt
+"""

@@ -2571,6 +2571,17 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_market_basket(spark, sf_dir):
+    """Market-basket association rules (curation.py::
+    market_basket_pairs, Apriori k=2): part pairs co-purchased in
+    >= 3 orders with confidence both ways and lift. Baskets dedupe
+    items first; a max_basket skew cap drops degenerate mega-orders
+    before the within-basket pair join."""
+    return CU.market_basket_pairs(
+        _t(spark, sf_dir, "lineitem"), min_support=3
+    )
+
+
 def q_hybrid_rrf_docs(spark, sf_dir):
     """Hybrid retrieval (similarity.py::rrf_fuse, Cormack 2009):
     reciprocal-rank fusion of the BM25 top-10 (sparse, fixed 3-term
@@ -2931,6 +2942,7 @@ def build_queries():
         "embedding_covariance": q_embedding_covariance,
         "pca_embeddings": q_pca_embeddings,
         "hybrid_rrf_docs": q_hybrid_rrf_docs,
+        "market_basket": q_market_basket,
     }
 
 
@@ -3560,6 +3572,9 @@ def build_oracle_sql():
         "zipf_alpha_docs": X.zipf_alpha_sql_duckdb("documents", 1000),
         "embedding_covariance": S.embedding_covariance_sql_duckdb(
             "embeddings", 64
+        ),
+        "market_basket": CU.market_basket_pairs_oracle_sql(
+            "lineitem", min_support=3
         ),
         "hybrid_rrf_docs": f"""
 WITH sparse AS ({X.bm25_scores_sql_duckdb(
