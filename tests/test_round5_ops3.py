@@ -319,3 +319,21 @@ def test_market_basket_cap_drops_mega_basket(spark):
     ).collect()
     # basket 1 (10 items) is dropped; only (0,1) from baskets 2 and 3
     assert [(r.item_a, r.item_b, r.n_ab) for r in out] == [(0, 1, 2)]
+
+
+def test_readability_hand_computed(spark):
+    # "The cat sat. It ran!" -> 2 sentences, 5 words, 5 syllables
+    # (each word one vowel group) -> 206.835 - 1.015*2.5 - 84.6*1.0
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!"), (2, "..."), (3, "Obvious example.")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.readability(df).collect()}
+    r = out[1]
+    assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 5, 5)
+    assert abs(r.flesch - (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-4
+    assert 2 not in out  # zero words -> omitted
+    # "obvious" vowel groups: o-iou = wait: o,b,v,i,o,u,s -> 'o','iou'
+    # = 2; "example": e,a,e = 3 (e-xa-mple -> 'e','a','e')
+    r3 = out[3]
+    assert (r3.n_sentences, r3.n_words, r3.n_syllables) == (1, 2, 5)

@@ -1439,3 +1439,128 @@ SELECT n AS n_terms,
        END AS intercept
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability score (Flesch reading ease, vowel-group syllables)
+# ---------------------------------------------------------------------------
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document,
+
+        206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    with the standard cheap proxies: sentences = non-empty runs
+    between ``[.!?]+`` (min 1 so fragments don't divide by zero),
+    words = non-empty ``[a-z]+`` runs of the lowercased text,
+    syllables = vowel GROUPS per word (``[aeiouy]+`` runs, min 1 per
+    word) — the classic approximation used when no dictionary is
+    available. Documents with zero words are omitted (the score is
+    undefined, same as fragments in the original formula).
+
+    Engine-exactness: all three counts are exact integers; the score
+    is one float expression of identical integer inputs, rounded to
+    4. Zero shuffles — a narrow per-row projection over let-bound
+    token arrays.
+
+    Output: (doc_id, n_sentences, n_words, n_syllables, flesch).
+    """
+    from ..functions.exprs import let
+
+    c = F.col(text_col)
+    sentences = F.filter(
+        F.split(c, "[.!?]+"), lambda s: F.trim(s) != ""
+    )
+    words = F.filter(
+        F.split(F.lower(c), "[^a-z]+"), lambda x: F.length(x) > 0
+    )
+
+    def syl(ws: Column) -> Column:
+        return F.aggregate(
+            ws,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.size(
+                    F.filter(
+                        F.split(w, "[^aeiouy]+"),
+                        lambda g: F.length(g) > 0,
+                    )
+                ),
+                F.lit(1),
+            ).cast("long"),
+        )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.greatest(F.size(sentences), F.lit(1)).alias("n_sentences"),
+        let(
+            words,
+            lambda ws: F.struct(
+                F.size(ws).alias("nw"), syl(ws).alias("ns")
+            ),
+        ).alias("_w"),
+    ).select(
+        "doc_id",
+        "n_sentences",
+        F.col("_w.nw").alias("n_words"),
+        F.col("_w.ns").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double")
+            / F.col("n_sentences").cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return staged.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
+
+
+def readability_sql_duckdb(
+    table: str = "documents", text_expr: str = "text"
+) -> str:
+    """DuckDB twin — identical splits, minimums, and float order."""
+    sents = (
+        f"greatest(len(list_filter(string_split_regex({text_expr},"
+        f" '[\\.!\\?]+'), s -> trim(s) <> '')), 1)"
+    )
+    words = (
+        f"list_filter(string_split_regex(lower({text_expr}),"
+        f" '[^a-z]+'), x -> length(x) > 0)"
+    )
+    syl = (
+        "list_sum(list_transform(w, x -> greatest("
+        "len(list_filter(string_split_regex(x, '[^aeiouy]+'),"
+        " g -> length(g) > 0)), 1)))"
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {sents} AS n_sentences, w,
+         len(w) AS n_words,
+         CASE WHEN len(w) = 0 THEN 0
+              ELSE cast({syl} AS BIGINT) END AS n_syllables
+  FROM (SELECT doc_id, {words} AS w, {text_expr} FROM {table})
+)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       round(206.835
+             - 1.015 * (cast(n_words AS DOUBLE)
+                        / cast(n_sentences AS DOUBLE))
+             - 84.6 * (cast(n_syllables AS DOUBLE)
+                       / cast(n_words AS DOUBLE)), 4) AS flesch
+FROM staged WHERE n_words > 0
+"""

@@ -2571,6 +2571,14 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_readability_docs(spark, sf_dir):
+    """Flesch reading-ease per document (text.py::readability):
+    sentence/word/vowel-group-syllable counts are exact integers,
+    the score one float expression of them, rounded to 4 — a
+    standard curation quality signal, zero shuffles."""
+    return X.readability(_t(spark, sf_dir, "documents"))
+
+
 def q_market_basket(spark, sf_dir):
     """Market-basket association rules (curation.py::
     market_basket_pairs, Apriori k=2): part pairs co-purchased in
@@ -2943,6 +2951,7 @@ def build_queries():
         "pca_embeddings": q_pca_embeddings,
         "hybrid_rrf_docs": q_hybrid_rrf_docs,
         "market_basket": q_market_basket,
+        "readability_docs": q_readability_docs,
     }
 
 
@@ -3576,6 +3585,7 @@ def build_oracle_sql():
         "market_basket": CU.market_basket_pairs_oracle_sql(
             "lineitem", min_support=3
         ),
+        "readability_docs": X.readability_sql_duckdb("documents"),
         "hybrid_rrf_docs": f"""
 WITH sparse AS ({X.bm25_scores_sql_duckdb(
             "documents", ["hash", "join", "vector"], k=10
