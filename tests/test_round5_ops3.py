@@ -337,3 +337,43 @@ def test_readability_hand_computed(spark):
     # = 2; "example": e,a,e = 3 (e-xa-mple -> 'e','a','e')
     r3 = out[3]
     assert (r3.n_sentences, r3.n_words, r3.n_syllables) == (1, 2, 5)
+
+
+def test_clustering_coefficient_hand_computed(spark):
+    import tidb_lightning_release_4_0_spark.operators.curation as CU
+
+    # triangle {1,2,3} plus pendant 4 attached to 3
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)],
+        "left_id long, right_id long",
+    )
+    got = {
+        r.node: (r.degree, r.n_triangles, r.cc)
+        for r in CU.clustering_coefficient(df).collect()
+    }
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    # node 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert got[3][0] == 3 and abs(got[3][2] - 1 / 3) < 1e-6
+    assert got[4] == (1, 0, 0.0)  # degree-1 convention
+
+
+def test_benford_profile_natural_vs_uniform(spark):
+    import tidb_lightning_release_4_0_spark.operators.sketches as SK
+
+    # exponential growth (1.07^k) follows Benford closely
+    vals = [(i, 1.07 ** i) for i in range(400)]
+    df = spark.createDataFrame(vals, "i long, v double")
+    prof = {r.digit: r for r in SK.benford_profile(df, "v").collect()}
+    assert set(prof) == set(range(1, 10))
+    assert sum(r.n_obs for r in prof.values()) == 400
+    # digit 1 ~ 30.1%, monotone decreasing overall
+    assert abs(prof[1].obs_frac - 0.301) < 0.05
+    assert prof[1].n_obs > prof[9].n_obs
+    assert prof[1].abs_dev < 0.05
+    # non-positive values are excluded
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 123.0)], "i long, v double"
+    )
+    prof2 = SK.benford_profile(df2, "v").collect()
+    assert len(prof2) == 1 and prof2[0].digit == 1 and prof2[0].n_obs == 1

@@ -2056,3 +2056,80 @@ FROM pairs
 JOIN supp sa ON pairs.item_a = sa.it
 JOIN supp sb ON pairs.item_b = sb.it, nt
 """
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected edge
+    list: cc(v) = 2*T(v) / (deg(v) * (deg(v)-1)) — how close each
+    node's neighborhood is to a clique. On a near-dup candidate
+    graph, cc ~ 1 marks true template families (cliques) while low
+    cc flags chain-like false-positive bridges — a cheap precision
+    signal before committing to a survivor policy.
+
+    Triangles come from the degree-ordered ``triangle_counts`` (no
+    star-node blowup); degrees are one aggregate over the canonical
+    edge set. Nodes with degree 1 have cc undefined -> 0 by the
+    usual convention. Output: (node, degree, n_triangles, cc).
+    """
+    a = F.least(F.col(left_col), F.col(right_col)).alias("a")
+    b = F.greatest(F.col(left_col), F.col(right_col)).alias("b")
+    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(e, "a", "b")
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(
+                        F.col("n_triangles").cast("double"), F.lit(0.0)
+                    )
+                    / (d * (d - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("cc"),
+        )
+    )
+
+
+def clustering_coefficient_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin; edges_sql must produce (left_id, right_id)."""
+    tri = triangle_counts_oracle_sql(edges_sql)
+    return f"""
+WITH eraw AS (SELECT * FROM ({edges_sql})),
+ee AS (
+  SELECT DISTINCT least(left_id, right_id) AS a,
+         greatest(left_id, right_id) AS b
+  FROM eraw WHERE left_id <> right_id
+),
+degs AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM ee UNION ALL SELECT b FROM ee
+  ) GROUP BY 1
+),
+tri AS ({tri})
+SELECT degs.node, degree,
+       coalesce(n_triangles, 0) AS n_triangles,
+       round(CASE WHEN degree >= 2 THEN
+         2.0 * coalesce(cast(n_triangles AS DOUBLE), 0.0)
+         / (cast(degree AS DOUBLE) * (cast(degree AS DOUBLE) - 1.0))
+       ELSE 0.0 END, 6) AS cc
+FROM degs LEFT JOIN tri ON degs.node = tri.node
+"""

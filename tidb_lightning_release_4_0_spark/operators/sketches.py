@@ -689,3 +689,87 @@ words AS (
 SELECT {cols}, ({' AND '.join(tests)}) AS bloom_maybe
 FROM {fact_table}{joins}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law first-digit profile (data-quality / fraud signal)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_profile(
+    df: DataFrame, value_col: str
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric
+    column vs Benford's law — the classic anomaly/fabrication signal
+    for financial-ish columns (a synthetic or tampered column
+    deviates; naturally-grown magnitudes follow log10(1 + 1/d)).
+
+    Digit extraction is ENGINE-PORTABLE by construction: the value
+    is cast to DECIMAL(38,4) and rendered to a string (both engines
+    print decimals with plain digits, no scientific notation), and
+    the first [1-9] character is the digit — no log10 float boundary
+    at exact powers of ten. Non-positive and null values are
+    excluded.
+
+    Output: one row per digit 1..9 — (digit, n_obs, obs_frac,
+    benford_frac, abs_dev), fractions rounded to 6. The count table
+    is a 9-key hash aggregate; nothing else shuffles.
+    """
+    s = F.col(value_col).cast("decimal(38,4)").cast("string")
+    digit = F.regexp_extract(s, "([1-9])", 1).cast("int")
+    counts = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    bf = F.lit(0.0)
+    for d in range(9, 0, -1):
+        bf = F.when(F.col("digit") == d, F.lit(_BENFORD[d])).otherwise(bf)
+    obs = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(obs, 6).alias("obs_frac"),
+            F.round(bf, 6).alias("benford_frac"),
+            F.round(F.abs(obs - bf), 6).alias("abs_dev"),
+        )
+    )
+
+
+def benford_profile_sql_duckdb(table: str, value_col: str) -> str:
+    """DuckDB twin — identical decimal rendering, digit extraction,
+    literal Benford fractions and float order."""
+    cases = " ".join(
+        f"WHEN digit = {d} THEN {_BENFORD[d]!r}" for d in range(1, 10)
+    )
+    return f"""
+WITH counts AS (
+  SELECT cast(regexp_extract(
+           cast(cast({value_col} AS DECIMAL(38,4)) AS VARCHAR),
+           '([1-9])', 1) AS INT) AS digit,
+         count(*) AS n_obs
+  FROM {table}
+  WHERE {value_col} > 0
+    AND regexp_extract(
+          cast(cast({value_col} AS DECIMAL(38,4)) AS VARCHAR),
+          '([1-9])', 1) <> ''
+  GROUP BY 1
+),
+tot AS (SELECT sum(n_obs) AS n_total FROM counts)
+SELECT digit, n_obs,
+       round(cast(n_obs AS DOUBLE) / cast(n_total AS DOUBLE), 6)
+           AS obs_frac,
+       round(CASE {cases} ELSE 0.0 END, 6) AS benford_frac,
+       round(abs(cast(n_obs AS DOUBLE) / cast(n_total AS DOUBLE)
+                 - CASE {cases} ELSE 0.0 END), 6) AS abs_dev
+FROM counts, tot
+"""

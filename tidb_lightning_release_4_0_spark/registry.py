@@ -2571,6 +2571,28 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficient (curation.py::
+    clustering_coefficient) over the MinHash-LSH candidate graph:
+    cc ~ 1 marks true template-family cliques, low cc flags
+    chain-like false-positive bridges. Triangles via the
+    degree-ordered plan; oracle composes the same edge SQL."""
+    edges = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+    return CU.clustering_coefficient(edges)
+
+
+def q_benford_prices(spark, sf_dir):
+    """Benford first-digit profile (sketches.py::benford_profile) of
+    o_totalprice — the classic financial data-quality check. Digit
+    extraction via decimal-string rendering (no log10 float boundary
+    at powers of ten); per-digit counts exact, fractions rounded."""
+    return SK.benford_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
 def q_readability_docs(spark, sf_dir):
     """Flesch reading-ease per document (text.py::readability):
     sentence/word/vowel-group-syllable counts are exact integers,
@@ -2952,6 +2974,8 @@ def build_queries():
         "hybrid_rrf_docs": q_hybrid_rrf_docs,
         "market_basket": q_market_basket,
         "readability_docs": q_readability_docs,
+        "clustering_coeff": q_clustering_coeff,
+        "benford_prices": q_benford_prices,
     }
 
 
@@ -3586,6 +3610,12 @@ def build_oracle_sql():
             "lineitem", min_support=3
         ),
         "readability_docs": X.readability_sql_duckdb("documents"),
+        "clustering_coeff": CU.clustering_coefficient_oracle_sql(
+            D.minhash_lsh_pairs_oracle_sql("documents", threshold=0.2)
+        ),
+        "benford_prices": SK.benford_profile_sql_duckdb(
+            "orders", "o_totalprice"
+        ),
         "hybrid_rrf_docs": f"""
 WITH sparse AS ({X.bm25_scores_sql_duckdb(
             "documents", ["hash", "join", "vector"], k=10
