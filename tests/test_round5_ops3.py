@@ -377,3 +377,48 @@ def test_benford_profile_natural_vs_uniform(spark):
     )
     prof2 = SK.benford_profile(df2, "v").collect()
     assert len(prof2) == 1 and prof2[0].digit == 1 and prof2[0].n_obs == 1
+
+
+def test_fuzzy_match_hand_computed(spark):
+    import tidb_lightning_release_4_0_spark.operators.dedup as D
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "ted widget"),   # dist 1
+            (3, "maroon widget"),  # dist 5 from red, 6 from ted
+            (4, "red bolt"),     # different block
+        ],
+        "p_partkey long, p_name string",
+    )
+    out = {
+        (r.id_a, r.id_b): r.edit_dist
+        for r in D.fuzzy_match_pairs(
+            df, "p_name", "p_partkey", max_dist=3
+        ).collect()
+    }
+    assert out == {(1, 2): 1}  # (1,3) too far; (x,4) other block
+
+
+def test_mutual_information_extremes(spark):
+    import math
+
+    import tidb_lightning_release_4_0_spark.operators.sketches as SK
+    from pyspark.sql import functions as F
+
+    # perfectly dependent: y == x over 2 uniform levels -> MI = ln 2
+    rows = [(i, i % 2, i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows, "i long, x int, y int")
+    r = SK.mutual_information(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.n_rows == 40 and r.n_cells == 2
+    assert abs(r.mi_nats - math.log(2)) < 1e-6
+    # independent: y uniform regardless of x -> MI = 0
+    rows2 = [(i, i % 2, (i // 2) % 2) for i in range(40)]
+    df2 = spark.createDataFrame(rows2, "i long, x int, y int")
+    r2 = SK.mutual_information(df2, F.col("x"), F.col("y")).collect()[0]
+    assert abs(r2.mi_nats) < 1e-9
+    # nulls count as their own level (no silent row drops)
+    rows3 = [(1, None, 1), (2, None, 1), (3, 1, 2), (4, 1, 2)]
+    df3 = spark.createDataFrame(rows3, "i long, x int, y int")
+    r3 = SK.mutual_information(df3, F.col("x"), F.col("y")).collect()[0]
+    assert r3.n_rows == 4 and abs(r3.mi_nats - math.log(2)) < 1e-6

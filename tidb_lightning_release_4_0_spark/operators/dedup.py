@@ -889,3 +889,92 @@ scored AS (
 SELECT left_id, right_id, round(_i::DOUBLE / _u, 4) AS jaccard
 FROM scored WHERE {den} * _i >= {num} * _u
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (edit-distance entity resolution)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 3,
+    max_block: int = 200,
+) -> DataFrame:
+    """Entity-resolution candidate pairs by Levenshtein distance
+    within blocks — the classic blocked fuzzy join: rows sharing a
+    block key (here the LAST token of the name, the head noun in
+    noun-phrase names) are compared pairwise and kept when the full
+    names are within ``max_dist`` edits.
+
+    Both engines implement the same Levenshtein metric as a builtin
+    (integer result — no float anywhere), so the cut is engine-exact.
+
+    Scale shape: the quadratic step is confined to blocks; blocks
+    larger than ``max_block`` are dropped before pairing (the same
+    skew cap as LSH buckets — a degenerate mega-block means the
+    blocking key is wrong, not that O(B^2) work is right). Only
+    (block, id, name) triples shuffle.
+
+    Output: (id_a, id_b, name_a, name_b, edit_dist), id_a < id_b.
+    """
+    block = F.element_at(F.split(F.col(name_col), " "), -1)
+    b = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.col(name_col).alias("name"),
+        block.alias("_blk"),
+    )
+    sizes = (
+        b.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= int(max_block))
+        .select("_blk")
+    )
+    b = b.join(sizes, "_blk")
+    pairs = (
+        b.alias("l")
+        .join(
+            b.alias("r"),
+            (F.col("l._blk") == F.col("r._blk"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.name").alias("name_a"),
+            F.col("r.name").alias("name_b"),
+            F.levenshtein(F.col("l.name"), F.col("r.name")).alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= int(max_dist))
+    )
+    return pairs
+
+
+def fuzzy_match_pairs_oracle_sql(
+    table: str,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 3,
+    max_block: int = 200,
+) -> str:
+    """DuckDB twin — identical blocking, cap and integer metric."""
+    return f"""
+WITH b0 AS (
+  SELECT {id_col} AS id, {name_col} AS name,
+         list_extract(string_split({name_col}, ' '), -1) AS _blk
+  FROM {table}
+),
+ok AS (
+  SELECT _blk FROM b0 GROUP BY _blk HAVING count(*) <= {int(max_block)}
+),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (_blk))
+SELECT l.id AS id_a, r.id AS id_b,
+       l.name AS name_a, r.name AS name_b,
+       cast(levenshtein(l.name, r.name) AS INT) AS edit_dist
+FROM b l JOIN b r ON l._blk = r._blk AND l.id < r.id
+WHERE levenshtein(l.name, r.name) <= {int(max_dist)}
+"""

@@ -773,3 +773,100 @@ SELECT digit, n_obs,
                  - CASE {cases} ELSE 0.0 END), 6) AS abs_dev
 FROM counts, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (dependence profile)
+# ---------------------------------------------------------------------------
+
+
+def mutual_information(
+    df: DataFrame, x: Column, y: Column
+) -> DataFrame:
+    """Mutual information (nats) between two categorical expressions
+    — the data-profiling dependence measure (does event type depend
+    on day-of-week? does language depend on source?):
+
+        MI = sum_xy (n_xy / N) * ln(n_xy * N / (n_x * n_y))
+
+    Engine-exactness: all counts are exact; each cell's term is one
+    float expression of identical integers, rounded to 9 decimals
+    and summed as DECIMAL (exact, order-free), with the final MI
+    rounded to 6. Null categories count as their own level via a
+    sentinel, so the profile never silently drops rows.
+
+    Scale shape: one (x, y) hash aggregate (map-side combined, cells
+    bounded by |X|*|Y|); the marginals derive from the CELL table,
+    not a second corpus scan, and join back broadcast.
+
+    Output: one row — (n_rows, n_cells, mi_nats).
+    """
+    xs = F.coalesce(x.cast("string"), F.lit("\x00null"))
+    ys = F.coalesce(y.cast("string"), F.lit("\x00null"))
+    cells = df.select(xs.alias("_x"), ys.alias("_y")).groupBy(
+        "_x", "_y"
+    ).agg(F.count(F.lit(1)).alias("n_xy"))
+    nx = cells.groupBy("_x").agg(F.sum("n_xy").alias("n_x"))
+    ny = cells.groupBy("_y").agg(F.sum("n_xy").alias("n_y"))
+    nt = cells.agg(F.sum("n_xy").alias("n_t"))
+    term = (
+        F.round(
+            (F.col("n_xy").cast("double") / F.col("n_t").cast("double"))
+            * F.log(
+                F.col("n_xy").cast("double")
+                * F.col("n_t").cast("double")
+                / (
+                    F.col("n_x").cast("double")
+                    * F.col("n_y").cast("double")
+                )
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("_t")
+    )
+    return (
+        cells.join(F.broadcast(nx), "_x")
+        .join(F.broadcast(ny), "_y")
+        .join(F.broadcast(nt))
+        .select("n_t", term)
+        .groupBy("n_t")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("_t").alias("_mi"),
+        )
+        .select(
+            F.col("n_t").alias("n_rows"),
+            "n_cells",
+            F.round(F.col("_mi").cast("double"), 6).alias("mi_nats"),
+        )
+    )
+
+
+def mutual_information_sql_duckdb(
+    table: str, x_expr: str, y_expr: str
+) -> str:
+    """DuckDB twin — identical sentinel, rounding and float order."""
+    xs = f"coalesce(cast({x_expr} AS VARCHAR), chr(0) || 'null')"
+    ys = f"coalesce(cast({y_expr} AS VARCHAR), chr(0) || 'null')"
+    return f"""
+WITH cells AS (
+  SELECT {xs} AS _x, {ys} AS _y, count(*) AS n_xy
+  FROM {table} GROUP BY 1, 2
+),
+nx AS (SELECT _x, sum(n_xy) AS n_x FROM cells GROUP BY 1),
+ny AS (SELECT _y, sum(n_xy) AS n_y FROM cells GROUP BY 1),
+nt AS (SELECT cast(sum(n_xy) AS BIGINT) AS n_t FROM cells),
+terms AS (
+  SELECT n_t,
+         cast(round(
+           (cast(n_xy AS DOUBLE) / cast(n_t AS DOUBLE))
+           * ln(cast(n_xy AS DOUBLE) * cast(n_t AS DOUBLE)
+                / (cast(n_x AS DOUBLE) * cast(n_y AS DOUBLE))),
+           9) AS DECIMAL(20,9)) AS t
+  FROM cells JOIN nx USING (_x) JOIN ny USING (_y), nt
+)
+SELECT n_t AS n_rows, count(*) AS n_cells,
+       round(cast(sum(t) AS DOUBLE), 6) AS mi_nats
+FROM terms GROUP BY 1
+"""

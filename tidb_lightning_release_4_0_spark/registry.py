@@ -2571,6 +2571,36 @@ def q_pca_embeddings(spark, sf_dir):
     )
 
 
+def q_fuzzy_match_parts(spark, sf_dir):
+    """Blocked fuzzy entity matching (dedup.py::fuzzy_match_pairs):
+    DISTINCT part-name strings (id = min partkey per name — entity
+    resolution matches entity strings, exact duplicates collapse
+    first) within <= 3 Levenshtein edits, blocked on the head noun
+    so the quadratic step never leaves a block; the max_block skew
+    cap mirrors LSH buckets. Integer metric — the cut is
+    engine-exact."""
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+    )
+    return D.fuzzy_match_pairs(names, "p_name", "p_partkey", max_dist=3)
+
+
+def q_mutual_info_events(spark, sf_dir):
+    """Mutual information (sketches.py::mutual_information) between
+    event type and day-of-week — the dependence profile a feature
+    audit runs before trusting a column pair. Per-cell log terms
+    rounded to 9 decimals, DECIMAL-summed; marginals derive from the
+    cell table, never a second corpus scan."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.mutual_information(
+        ev,
+        F.col("event_type"),
+        (F.dayofweek(F.col("ts")) - 1).cast("int"),
+    )
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Local clustering coefficient (curation.py::
     clustering_coefficient) over the MinHash-LSH candidate graph:
@@ -2976,6 +3006,8 @@ def build_queries():
         "readability_docs": q_readability_docs,
         "clustering_coeff": q_clustering_coeff,
         "benford_prices": q_benford_prices,
+        "fuzzy_match_parts": q_fuzzy_match_parts,
+        "mutual_info_events": q_mutual_info_events,
     }
 
 
@@ -3615,6 +3647,18 @@ def build_oracle_sql():
         ),
         "benford_prices": SK.benford_profile_sql_duckdb(
             "orders", "o_totalprice"
+        ),
+        "fuzzy_match_parts": D.fuzzy_match_pairs_oracle_sql(
+            "(SELECT p_name, min(p_partkey) AS p_partkey"
+            " FROM part GROUP BY 1)",
+            "p_name",
+            "p_partkey",
+            max_dist=3,
+        ),
+        "mutual_info_events": SK.mutual_information_sql_duckdb(
+            "events",
+            "event_type",
+            "cast(date_part('dow', ts) AS INT)",
         ),
         "hybrid_rrf_docs": f"""
 WITH sparse AS ({X.bm25_scores_sql_duckdb(
