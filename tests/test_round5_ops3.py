@@ -333,8 +333,8 @@ def test_readability_hand_computed(spark):
     assert (r.n_sentences, r.n_words, r.n_syllables) == (2, 5, 5)
     assert abs(r.flesch - (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-4
     assert 2 not in out  # zero words -> omitted
-    # "obvious" vowel groups: o-iou = wait: o,b,v,i,o,u,s -> 'o','iou'
-    # = 2; "example": e,a,e = 3 (e-xa-mple -> 'e','a','e')
+    # "obvious" vowel groups: 'o', 'iou' = 2; "example": 'e', 'a',
+    # 'e' = 3 -> 5 syllables total
     r3 = out[3]
     assert (r3.n_sentences, r3.n_words, r3.n_syllables) == (1, 2, 5)
 

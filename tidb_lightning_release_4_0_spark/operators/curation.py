@@ -1853,19 +1853,38 @@ def triangle_counts(
     and one keyed by the (v, w) edge pair — everything equi-keyed and
     AQE-skew-splittable; no driver state.
     """
+    e = _canonical_edges(edges, left_col, right_col)
+    deg = _edge_degrees(e)
+    return _triangles_from_canonical(e, deg)
+
+
+def _canonical_edges(
+    edges: DataFrame, left_col: str, right_col: str
+) -> DataFrame:
+    """Undirected edge list -> canonical deduped (a < b) edges."""
     a = F.least(F.col(left_col), F.col(right_col)).alias("a")
     b = F.greatest(F.col(left_col), F.col(right_col)).alias("b")
-    e = (
+    return (
         edges.select(a, b)
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    deg = (
+
+
+def _edge_degrees(e: DataFrame) -> DataFrame:
+    """(v, d) degree table over canonical (a, b) edges."""
+    return (
         e.select(F.col("a").alias("v"))
         .union(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _triangles_from_canonical(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered triangle counting over pre-canonicalized edges
+    and a precomputed degree table (shared with
+    clustering_coefficient so neither pass runs twice)."""
     wd = (
         e.join(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da"), "a")
         .join(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db"), "b")
@@ -2075,16 +2094,12 @@ def clustering_coefficient(
     edge set. Nodes with degree 1 have cc undefined -> 0 by the
     usual convention. Output: (node, degree, n_triangles, cc).
     """
-    a = F.least(F.col(left_col), F.col(right_col)).alias("a")
-    b = F.greatest(F.col(left_col), F.col(right_col)).alias("b")
-    e = edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
-    deg = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    e = _canonical_edges(edges, left_col, right_col)
+    degs = _edge_degrees(e)
+    deg = degs.select(
+        F.col("v").alias("node"), F.col("d").alias("degree")
     )
-    tri = triangle_counts(e, "a", "b")
+    tri = _triangles_from_canonical(e, degs)
     d = F.col("degree").cast("double")
     return (
         deg.join(tri, "node", "left")

@@ -1338,46 +1338,18 @@ def embedding_covariance(
     Scale shape: rows explode to (i, j, product) with the product
     projected BEFORE the exchange, so the hash aggregate map-side
     combines to at most d(d+1)/2 keys per task and the shuffle
-    carries d(d+1)/2 rows per partition regardless of corpus size.
-    The per-row cost is O(d^2) decimal multiplies; for very large d
-    swap to the documented mapInPandas partial-outer-product kernel
-    (one float64 d x d partial per Arrow batch) and accept float
-    rounding in exchange for BLAS speed.
+    carries d(d+1)/2 rows per partition regardless of corpus size;
+    the d marginal sums come from their own d-key aggregate (NOT
+    carried per cell — that would triple the accumulator state) and
+    join back broadcast. The per-row cost is O(d^2) decimal
+    multiplies; for very large d swap to the documented mapInPandas
+    partial-outer-product kernel (one float64 d x d partial per
+    Arrow batch) and accept float rounding in exchange for BLAS
+    speed.
     """
-    d6 = "decimal(12,6)"
-    e6 = F.transform(
-        F.col(vec_col),
-        lambda v: F.round(v.cast("double"), 6).cast(d6),
-    )
-    base = _spread(df).filter(F.size(F.col(vec_col)) == int(dim)).select(
-        e6.alias("_e")
-    )
-    ij = base.select(
-        "_e", F.explode(F.sequence(F.lit(0), F.lit(int(dim) - 1))).alias("i")
-    ).select(
-        "_e", "i",
-        F.explode(
-            F.sequence(F.col("i"), F.lit(int(dim) - 1))
-        ).alias("j"),
-    )
-    prods = ij.select(
-        "i",
-        "j",
-        (
-            F.element_at(F.col("_e"), F.col("i") + 1)
-            * F.element_at(F.col("_e"), F.col("j") + 1)
-        ).alias("p"),
-        F.element_at(F.col("_e"), F.col("i") + 1).alias("xi"),
-        F.element_at(F.col("_e"), F.col("j") + 1).alias("xj"),
-    )
-    s = prods.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("p").alias("sij"),
-        F.sum("xi").alias("si"),
-        F.sum("xj").alias("sj"),
-    )
+    sums = _moment_sums(df, dim, vec_col)
     n = F.col("n").cast("double")
-    return s.select(
+    return sums.select(
         "i",
         "j",
         F.round(
@@ -1393,6 +1365,55 @@ def embedding_covariance(
     )
 
 
+def _moment_sums(
+    df: DataFrame, dim: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact decimal moment sums shared by embedding_covariance and
+    pca_project: one distributed plan producing, per upper-triangle
+    cell, (i, j, n, sij, si, sj) where sij is the pair-product sum
+    and si/sj the per-dimension marginal sums (computed once per
+    DIMENSION in a d-key aggregate and joined back broadcast)."""
+    d6 = "decimal(12,6)"
+    e6 = F.transform(
+        F.col(vec_col),
+        lambda v: F.round(v.cast("double"), 6).cast(d6),
+    )
+    base = _spread(df).filter(
+        F.size(F.col(vec_col)) == int(dim)
+    ).select(e6.alias("_e"))
+    marg = (
+        base.select(F.posexplode(F.col("_e")).alias("k", "x"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    )
+    ij = base.select(
+        "_e",
+        F.explode(F.sequence(F.lit(0), F.lit(int(dim) - 1))).alias("i"),
+    ).select(
+        "_e", "i",
+        F.explode(
+            F.sequence(F.col("i"), F.lit(int(dim) - 1))
+        ).alias("j"),
+    )
+    prods = ij.select(
+        "i",
+        "j",
+        (
+            F.element_at(F.col("_e"), F.col("i") + 1)
+            * F.element_at(F.col("_e"), F.col("j") + 1)
+        ).alias("p"),
+    )
+    cells = prods.groupBy("i", "j").agg(F.sum("p").alias("sij"))
+    mi = marg.select(
+        F.col("k").alias("i"), F.col("n").alias("n"),
+        F.col("s").alias("si"),
+    )
+    mj = marg.select(
+        F.col("k").alias("j"), F.col("s").alias("sj")
+    )
+    return cells.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+
+
 def embedding_covariance_sql_duckdb(
     table: str = "embeddings", dim: int = 64, vec_col: str = "embedding"
 ) -> str:
@@ -1404,13 +1425,20 @@ WITH x AS (
          v -> cast(round(cast(v AS DOUBLE), 6) AS DECIMAL(12,6))) AS e
   FROM {table} WHERE len({vec_col}) = {int(dim)}
 ),
-s AS (
-  SELECT i, j, count(*) AS n,
-         sum(e[i+1] * e[j+1]) AS sij,
-         sum(e[i+1]) AS si, sum(e[j+1]) AS sj
+marg AS (
+  SELECT k, count(*) AS n, sum(e[k+1]) AS s
+  FROM x, range(0, {int(dim)}) tk(k) GROUP BY 1
+),
+cells AS (
+  SELECT i, j, sum(e[i+1] * e[j+1]) AS sij
   FROM x, range(0, {int(dim)}) ti(i), range(0, {int(dim)}) tj(j)
   WHERE j >= i
   GROUP BY 1, 2
+),
+s AS (
+  SELECT i, j, mi.n AS n, sij, mi.s AS si, mj.s AS sj
+  FROM cells JOIN marg mi ON cells.i = mi.k
+  JOIN marg mj ON cells.j = mj.k
 )
 SELECT i, j,
        round((cast(sij AS DOUBLE)
@@ -1449,11 +1477,19 @@ def pca_project(
     """
     import numpy as np
 
-    cov_rows = embedding_covariance(df, dim, vec_col).collect()
+    # ONE distributed job: the shared moment-sums plan yields both
+    # the covariance matrix AND the exact per-dimension means (the
+    # marginal decimal sums / n — deterministic, unlike a float avg)
+    sums = _moment_sums(df, dim, vec_col).collect()
     C = np.zeros((dim, dim))
-    for r in cov_rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
+    mu = np.zeros(dim)
+    for r in sums:
+        n = float(r["n"])
+        cov = (float(r["sij"]) - float(r["si"]) * float(r["sj"]) / n) / n
+        C[r["i"], r["j"]] = cov
+        C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mu[r["i"]] = float(r["si"]) / n
     evals, evecs = np.linalg.eigh(C)
     order = np.argsort(evals)[::-1][: int(k)]
     W = evecs[:, order]  # d x k
@@ -1461,19 +1497,6 @@ def pca_project(
         piv = int(np.argmax(np.abs(W[:, c])))
         if W[piv, c] < 0:
             W[:, c] = -W[:, c]
-    # per-dimension means for centering (one tiny d-row aggregate)
-    m = (
-        df.filter(F.size(F.col(vec_col)) == int(dim))
-        .select(
-            F.posexplode(F.col(vec_col)).alias("i", "x")
-        )
-        .groupBy("i")
-        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(dim)
-    for r in m:
-        mu[r["i"]] = r["mu"]
     base = df.filter(F.size(F.col(vec_col)) == int(dim)).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")
     )
@@ -1520,6 +1543,8 @@ def rrf_fuse(
     union + hash aggregate is the whole plan. Output:
     (doc_id, rrf_score, n_rankers).
     """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     parts = [
         r.select(
             F.col(id_col).alias("doc_id"),
