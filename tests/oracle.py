@@ -44,9 +44,14 @@ def _norm_cell(v) -> str:
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        # repr() is the shortest exact round-trip rendering — full
+        # double fidelity. Integral floats are NOT collapsed to int:
+        # the driver hashes the pandas rendering, so a DuckDB HUGEINT
+        # sum landing as float64 ("1764.0") must mismatch an int64
+        # ("1764") HERE first (the r5 priority_lines escape), and a
+        # 7th-significant-digit divergence must not be masked by %.6g
+        # (the r5 promo_share escape).
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, (list, tuple, np.ndarray)):

@@ -1349,18 +1349,25 @@ def embedding_covariance(
     """
     sums = _moment_sums(df, dim, vec_col)
     n = F.col("n").cast("double")
+    # + 0.0 collapses IEEE negative zero (round can yield -0.0 for a
+    # tiny negative covariance; the engines disagree on which zero
+    # they produce and a value-hash of the rendering distinguishes
+    # "-0.0" from "0.0"). Mirrored in the DuckDB twin.
     return sums.select(
         "i",
         "j",
-        F.round(
-            (
-                F.col("sij").cast("double")
-                - F.col("si").cast("double")
-                * F.col("sj").cast("double")
-                / n
+        (
+            F.round(
+                (
+                    F.col("sij").cast("double")
+                    - F.col("si").cast("double")
+                    * F.col("sj").cast("double")
+                    / n
+                )
+                / n,
+                6,
             )
-            / n,
-            6,
+            + F.lit(0.0)
         ).alias("cov"),
     )
 
@@ -1443,7 +1450,8 @@ s AS (
 SELECT i, j,
        round((cast(sij AS DOUBLE)
               - cast(si AS DOUBLE) * cast(sj AS DOUBLE)
-                / cast(n AS DOUBLE)) / cast(n AS DOUBLE), 6) AS cov
+                / cast(n AS DOUBLE)) / cast(n AS DOUBLE), 6)
+       + 0.0 AS cov
 FROM s
 """
 

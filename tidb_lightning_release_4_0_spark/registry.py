@@ -1346,19 +1346,19 @@ def q_promo_share_lineitem(spark, sf_dir):
         * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,4)"))
     )
     j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # Each decimal sum is cast to double BEFORE the division: Spark's
+    # allowPrecisionLoss decimal division truncates the quotient to
+    # scale 6 (15.5505 vs DuckDB's 15.550491 at sf0.01), while an
+    # IEEE-double quotient of two exactly-summed decimals agrees with
+    # DuckDB bit-for-bit after round(..., 6).
+    econ = F.sum(
+        F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+            F.lit(0).cast("decimal(38,8)")
+        )
+    ).cast("double")
+    total = F.sum(rev).cast("double")
     return j.agg(
-        F.round(
-            (
-                F.sum(
-                    F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
-                        F.lit(0).cast("decimal(38,8)")
-                    )
-                )
-                / F.sum(rev)
-            ).cast("double")
-            * 100.0,
-            6,
-        ).alias("promo_share_pct")
+        F.round(econ / total * 100.0, 6).alias("promo_share_pct")
     )
 
 
@@ -3577,14 +3577,15 @@ def build_oracle_sql():
             ORDER BY custdist DESC, c_count DESC
         """,
         "promo_share_lineitem": """
-            SELECT round(cast(
-                     sum(CASE WHEN p.p_type = 'ECONOMY'
+            SELECT round(
+                     cast(sum(CASE WHEN p.p_type = 'ECONOMY'
                          THEN cast(l.l_extendedprice AS DECIMAL(18,2))
                               * (1 - cast(l.l_discount AS DECIMAL(18,4)))
-                         ELSE 0 END)
-                     / sum(cast(l.l_extendedprice AS DECIMAL(18,2))
+                         ELSE 0 END) AS DOUBLE)
+                     / cast(sum(cast(l.l_extendedprice AS DECIMAL(18,2))
                            * (1 - cast(l.l_discount AS DECIMAL(18,4))))
-                   AS DOUBLE) * 100.0, 6) AS promo_share_pct
+                           AS DOUBLE)
+                     * 100.0, 6) AS promo_share_pct
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         """,
         "tfidf_terms": """
@@ -3882,10 +3883,14 @@ FROM f ORDER BY s DESC, doc_id LIMIT 10
         """,
         "priority_lines": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority
+                                     IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= DATE '1997-01-01'
               AND l_shipdate < DATE '1998-01-01'
