@@ -1483,28 +1483,11 @@ def pca_project(
     registry coverage is rows-only; correctness is pinned by the
     numpy cross-check in tests (projected variances == eigenvalues).
     """
-    import numpy as np
-
     # ONE distributed job: the shared moment-sums plan yields both
     # the covariance matrix AND the exact per-dimension means (the
     # marginal decimal sums / n — deterministic, unlike a float avg)
     sums = _moment_sums(df, dim, vec_col).collect()
-    C = np.zeros((dim, dim))
-    mu = np.zeros(dim)
-    for r in sums:
-        n = float(r["n"])
-        cov = (float(r["sij"]) - float(r["si"]) * float(r["sj"]) / n) / n
-        C[r["i"], r["j"]] = cov
-        C[r["j"], r["i"]] = cov
-        if r["i"] == r["j"]:
-            mu[r["i"]] = float(r["si"]) / n
-    evals, evecs = np.linalg.eigh(C)
-    order = np.argsort(evals)[::-1][: int(k)]
-    W = evecs[:, order]  # d x k
-    for c in range(W.shape[1]):
-        piv = int(np.argmax(np.abs(W[:, c])))
-        if W[piv, c] < 0:
-            W[:, c] = -W[:, c]
+    W, mu = _pca_basis(sums, dim, k)
     base = df.filter(F.size(F.col(vec_col)) == int(dim)).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_e")
     )
@@ -1518,8 +1501,122 @@ def pca_project(
                     F.element_at(F.col("_e"), i + 1).cast("double")
                     - F.lit(float(mu[i]))
                 )
-        cols.append(F.round(expr, 6).alias(f"pc{c + 1}"))
+        cols.append((F.round(expr, 6) + F.lit(0.0)).alias(f"pc{c + 1}"))
     return base.select("vec_id", *cols)
+
+
+def _pca_basis(sum_rows, dim: int, k: int):
+    """Shared eigensolve for pca_project and its oracle twin: given
+    the (i, j, n, sij, si, sj) moment-sum rows — from Spark's
+    collect() OR the identical DuckDB aggregation — build the
+    covariance matrix with the SAME float conversions and return the
+    sign-pinned top-k basis W (d x k) and the exact mean vector mu.
+    Both callers run numpy's eigh on this machine, so the basis is
+    bit-identical between the query and the oracle."""
+    import numpy as np
+
+    C = np.zeros((dim, dim))
+    mu = np.zeros(dim)
+    for r in sum_rows:
+        n = float(r["n"])
+        cov = (float(r["sij"]) - float(r["si"]) * float(r["sj"]) / n) / n
+        C[r["i"], r["j"]] = cov
+        C[r["j"], r["i"]] = cov
+        if r["i"] == r["j"]:
+            mu[r["i"]] = float(r["si"]) / n
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][: int(k)]
+    W = evecs[:, order]  # d x k
+    for c in range(W.shape[1]):
+        piv = int(np.argmax(np.abs(W[:, c])))
+        if W[piv, c] < 0:
+            W[:, c] = -W[:, c]
+    return W, mu
+
+
+def pca_project_sql_duckdb(
+    sf_dir: str,
+    table: str = "embeddings",
+    dim: int = 64,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str | None:
+    """DuckDB twin of ``pca_project`` — an INDEPENDENT projection of
+    the same table, with only the tiny (d x k) basis baked in as
+    literals.
+
+    The eigendecomposition itself is not SQL-expressible, but it is a
+    deterministic function of the moment sums, and the moment sums
+    are themselves oracle-paired (``embedding_covariance``). So the
+    twin recomputes the SAME decimal moment sums in DuckDB at
+    generation time, runs the SAME ``_pca_basis`` eigensolve, and
+    emits SQL whose projection replicates Spark's expression shape
+    term-for-term: ``0.0 + w_0*(e_1 - mu_0) + w_1*(e_2 - mu_1) + …``
+    left-to-right in IEEE double, zero-weight terms skipped, rounded
+    to 6 with negative zero collapsed. Identical input bits + an
+    identical operation sequence → identical hashes.
+
+    Returns None when the parquet is absent (the registry then keeps
+    the entry rows-only rather than failing oracle_sql()).
+    """
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM read_parquet('{path}')"
+    )
+    sums = con.execute(
+        f"""
+WITH x AS (
+  SELECT list_transform({vec_col},
+         v -> cast(round(cast(v AS DOUBLE), 6) AS DECIMAL(12,6))) AS e
+  FROM {table} WHERE len({vec_col}) = {int(dim)}
+),
+marg AS (
+  SELECT k, count(*) AS n, sum(e[k+1]) AS s
+  FROM x, range(0, {int(dim)}) tk(k) GROUP BY 1
+),
+cells AS (
+  SELECT i, j, sum(e[i+1] * e[j+1]) AS sij
+  FROM x, range(0, {int(dim)}) ti(i), range(0, {int(dim)}) tj(j)
+  WHERE j >= i GROUP BY 1, 2
+)
+SELECT i, j, mi.n AS n, sij, mi.s AS si, mj.s AS sj
+FROM cells JOIN marg mi ON cells.i = mi.k
+JOIN marg mj ON cells.j = mj.k
+"""
+    ).fetchall()
+    rows = [
+        {"i": i, "j": j, "n": n, "sij": sij, "si": si, "sj": sj}
+        for (i, j, n, sij, si, sj) in sums
+    ]
+    con.close()
+    W, mu = _pca_basis(rows, dim, k)
+    cols = []
+    for c in range(W.shape[1]):
+        terms = ["0.0"]
+        for i in range(dim):
+            w = float(W[i, c])
+            if w != 0.0:
+                terms.append(
+                    f"({w!r}) * (CAST({vec_col}[{i + 1}] AS DOUBLE)"
+                    f" - ({float(mu[i])!r}))"
+                )
+        expr = " + ".join(terms)
+        cols.append(f"round({expr}, 6) + 0.0 AS pc{c + 1}")
+    col_sql = ",\n       ".join(cols)
+    return f"""
+SELECT {id_col} AS vec_id,
+       {col_sql}
+FROM {table}
+WHERE len({vec_col}) = {int(dim)}
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -16,6 +16,8 @@ Engine-portability rules used throughout (so value hashes match):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2850,14 +2852,77 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# The driver CORRECTNESS snapshot samples the FIRST 50 entries of
+# build_queries() in insertion order. This prefix makes the round-6
+# sample explicit: the 37 entries never attested in any r01–r05
+# snapshot (docs/ROTATION.md), then the 2 entries whose r05 rows were
+# red (hash fixes this round — they must re-attest green), then the
+# 11 oldest-attested entries. Future rotations edit THIS list (and
+# the pin in tests/test_registry_order.py), nothing else.
+_R6_PREFIX = [
+    # -- never driver-attested (r01–r05) --
+    "orc_roundtrip",
+    "bm25_topdocs",
+    "kmeans_embeddings",
+    "dedup_apply_semantic",
+    "pagerank_events",
+    "weighted_sample_docs",
+    "mixture_temperature",
+    "dsir_select_docs",
+    "c4_line_filter_docs",
+    "simhash_dup_pairs",
+    "dedup_apply_simhash",
+    "bigram_lm_score",
+    "strip_boilerplate_docs",
+    "char_entropy_docs",
+    "winnow_fingerprints",
+    "winnow_candidates",
+    "jaccard_join_docs",
+    "dedup_apply_winnow",
+    "resume_split_jsonl",
+    "cohort_retention",
+    "funnel_events",
+    "rfm_segments",
+    "bpe_merges",
+    "anomaly_days",
+    "nfc_normalize_docs",
+    "triangles_dupgraph",
+    "bpe_encode_docs",
+    "zipf_alpha_docs",
+    "embedding_covariance",
+    "pca_embeddings",
+    "hybrid_rrf_docs",
+    "market_basket",
+    "readability_docs",
+    "clustering_coeff",
+    "benford_prices",
+    "fuzzy_match_parts",
+    "mutual_info_events",
+    # -- red in r05, fixed this round: re-attest green --
+    "promo_share_lineitem",
+    "priority_lines",
+    # -- oldest-attested backfill --
+    "top_terms",
+    "percentiles_lineitem",
+    "sessionize_events",
+    "salted_agg_lineitem",
+    "chunk_plan",
+    "asof_join_orders",
+    "range_join_events",
+    "click_purchase_attribution",
+    "hll_distinct_parts",
+    "hll_users_by_event",
+    "cms_term_counts",
+]
+
+
 def build_queries():
-    # Driver CORRECTNESS snapshots sample the FIRST 50 entries of this
-    # dict in insertion order. Entries never driver-attested through r04
-    # are listed first (rotation done in round 5). 55 entries have never
-    # been attested, so 5 round-5 additions queue PAST slot 50 for the
-    # round-6 rotation: bm25_topdocs, kmeans_embeddings,
-    # dedup_apply_semantic, pagerank_events, weighted_sample_docs
-    # (displace r05-attested entries for them next round).
+    base = _build_queries_unordered()
+    head = {k: base[k] for k in _R6_PREFIX}
+    return {**head, **{k: v for k, v in base.items() if k not in head}}
+
+
+def _build_queries_unordered():
     return {
         "hll_union_keys": q_hll_union_keys,
         "hll_overlap_partkeys": q_hll_overlap_partkeys,
@@ -3012,6 +3077,25 @@ def build_queries():
 
 
 def build_oracle_sql():
+    tq = X.token_count_sql_duckdb("text")
+    oracles = _build_oracle_sql_static()
+    # pca_embeddings: the projection twin is generated from the same
+    # parquet (deterministic eigensolve over DuckDB-computed moment
+    # sums — see similarity.pca_project_sql_duckdb). Generated here,
+    # not a static string; omitted (rows-only fallback) if the
+    # testdata parquet is absent in this environment.
+    pca = S.pca_project_sql_duckdb(_ORACLE_SF_DIR, dim=64, k=2)
+    if pca is not None:
+        oracles["pca_embeddings"] = pca
+    return oracles
+
+
+_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _build_oracle_sql_static():
     tq = X.token_count_sql_duckdb("text")
     return {
         "checksum_lineitem": checksum_oracle_sql("lineitem", LINEITEM_TYPES),
