@@ -165,3 +165,37 @@ def test_encode_matches_reference_symbol_counts(spark):
         n_chars = sum(len(w) for w in ws)
         n_sub = sum(len(final["".join(tuple(w))]) for w in ws)
         assert got[i] == (n_chars, n_sub), (i, got[i], (n_chars, n_sub))
+
+
+def test_degenerate_corpus_twin_degrades_like_spark(spark, tmp_path):
+    """A corpus with no mergeable pairs after round 1 must leave the
+    DuckDB encode twin returning every document (LEFT-JOIN empty
+    argmax rounds coalesce to the unmerged string), exactly like the
+    Spark side applying fewer merges — not zero rows."""
+    import duckdb
+
+    texts = ["ab ab", "ab"]  # one merge (a,b); rounds 2+ are empty
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    learned = [
+        (r.lhs, r.rhs)
+        for r in X.bpe_merges(df, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert len(learned) == 1  # the corpus dries up after (a, b)
+    sp = {
+        r.doc_id: (r.n_chars_sym, r.n_subwords)
+        for r in X.bpe_encode(df, learned).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (0, 'ab ab'),"
+        " (1, 'ab')) t(doc_id, text)"
+    )
+    du = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(
+            X.bpe_encode_sql_duckdb("documents", n_merges=4)
+        ).fetchall()
+    }
+    assert sp == du == {0: (4, 2), 1: (2, 1)}

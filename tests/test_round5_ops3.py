@@ -422,3 +422,18 @@ def test_mutual_information_extremes(spark):
     df3 = spark.createDataFrame(rows3, "i long, x int, y int")
     r3 = SK.mutual_information(df3, F.col("x"), F.col("y")).collect()[0]
     assert r3.n_rows == 4 and abs(r3.mi_nats - math.log(2)) < 1e-6
+
+
+def test_benford_profile_tiny_positive_value_excluded(spark):
+    """A positive value below the DECIMAL(38,4) quantum renders as
+    '0.0000': the leading-digit extract is empty and must become a
+    null (dropped row), not an ANSI cast crash — matching the DuckDB
+    twin, which filters such rows."""
+    import tidb_lightning_release_4_0_spark.operators.sketches as SK
+
+    df = spark.createDataFrame(
+        [(1, 0.00001), (2, 123.4), (3, -5.0), (4, None)],
+        "i long, v double",
+    )
+    prof = {r.digit: r.n_obs for r in SK.benford_profile(df, "v").collect()}
+    assert prof == {1: 1}  # only 123.4 survives

@@ -748,6 +748,7 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     num: int = 1,
     den: int = 2,
+    verify_partitions: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard similarity join with prefix filtering
     (Chaudhuri et al. ICDE 2006; Bayardo et al. WWW 2007 "Scaling Up
@@ -814,12 +815,17 @@ def jaccard_join_prefix(
         # pairs, so AQE's byte-based coalescing happily squashes them
         # onto one task — but the downstream work per row is a
         # token-SET intersection, compute-bound, not byte-bound. A
-        # fixed-count repartition (scaled to the cluster) on the
-        # distinct keys disables the coalesce for exactly this
-        # exchange; the distinct's final aggregate then reuses the
-        # same partitioning at the same width.
+        # fixed-count repartition on the distinct keys disables the
+        # coalesce for exactly this exchange; the distinct's final
+        # aggregate then reuses the same partitioning at the same
+        # width. Default 2x parallelism fits bench-scale candidate
+        # volumes; on a big cluster pass verify_partitions scaled to
+        # the expected candidate count (~50k pairs/partition) so a
+        # huge candidate set is not underpartitioned by the default.
         .repartition(
-            df.sparkSession.sparkContext.defaultParallelism * 2,
+            int(verify_partitions)
+            if verify_partitions
+            else df.sparkSession.sparkContext.defaultParallelism * 2,
             "left_id",
             "right_id",
         )

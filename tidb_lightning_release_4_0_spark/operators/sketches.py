@@ -720,7 +720,13 @@ def benford_profile(
     is a 9-key hash aggregate; nothing else shuffles.
     """
     s = F.col(value_col).cast("decimal(38,4)").cast("string")
-    digit = F.regexp_extract(s, "([1-9])", 1).cast("int")
+    # nullif guards the cast: a positive value < 0.00005 renders as
+    # "0.0000", the extract returns '' and cast('' AS int) would
+    # throw under Spark's default ANSI mode — null instead, filtered
+    # below exactly like the DuckDB twin drops such rows.
+    digit = F.nullif(
+        F.regexp_extract(s, "([1-9])", 1), F.lit("")
+    ).cast("int")
     counts = (
         df.filter(F.col(value_col) > 0)
         .select(digit.alias("digit"))

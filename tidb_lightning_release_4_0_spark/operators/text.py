@@ -1046,6 +1046,11 @@ def bpe_merges(
             break
         best = pairs[0]
         merges.append((rank, best["l"], best["r"], int(best["cnt"])))
+        # re-localCheckpoint every round: without it each round's
+        # collect() re-executes the whole chain of prior replace
+        # projections from the single checkpoint, so total work grows
+        # O(n_merges^2) in the merge count — checkpointing keeps each
+        # round O(vocab).
         vocab = vocab.select(
             F.replace(
                 F.col("s"),
@@ -1053,7 +1058,7 @@ def bpe_merges(
                 F.lit(f" {best['l']}{best['r']} "),
             ).alias("s"),
             "wcount",
-        )
+        ).localCheckpoint()
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -1109,10 +1114,11 @@ b{t} AS MATERIALIZED (
   SELECT l, r, cnt FROM p{t} ORDER BY cnt DESC, l, r LIMIT 1
 ),
 v{t} AS MATERIALIZED (
-  SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                 ' ' || b.l || b.r || ' ') AS s,
+  SELECT CASE WHEN b.l IS NULL THEN s
+              ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') END AS s,
          wcount
-  FROM {prev}, b{t} b
+  FROM {prev} LEFT JOIN b{t} b ON TRUE
 )"""
         prev = f"v{t}"
     parts = [
@@ -1262,10 +1268,11 @@ def bpe_encode_sql_duckdb(
 ) -> str:
     """DuckDB twin of bpe_merges + bpe_encode composed: re-learns the
     merges with the trainer CTEs, then applies them to the documents
-    through the same per-round MATERIALIZED replace chain. Assumes
-    the corpus yields all ``n_merges`` merges (an empty argmax round
-    would annihilate the cross join; the Spark side would simply
-    apply fewer merges — only reachable on degenerate corpora)."""
+    through the same per-round MATERIALIZED replace chain. Each
+    round LEFT-JOINs its 1-row argmax (coalescing to the unmerged
+    string when the round is empty), so on a degenerate corpus that
+    yields fewer than ``n_merges`` merges the twin degrades exactly
+    like the Spark side — it just applies fewer merges."""
     toks = (
         f"list_filter(string_split_regex(lower({text_col}), '[^a-z]+'), "
         "x -> length(x) > 0)"
@@ -1301,9 +1308,10 @@ d0 AS MATERIALIZED (
         sql += f""",
 d{t} AS MATERIALIZED (
   SELECT doc_id, s0,
-         replace(s, ' ' || b.l || '  ' || b.r || ' ',
-                 ' ' || b.l || b.r || ' ') AS s
-  FROM {prev}, b{t} b
+         CASE WHEN b.l IS NULL THEN s
+              ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                           ' ' || b.l || b.r || ' ') END AS s
+  FROM {prev} LEFT JOIN b{t} b ON TRUE
 )"""
         prev = f"d{t}"
     return sql + f"""
