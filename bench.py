@@ -347,10 +347,13 @@ def main() -> None:
         # strict-format single-file ingest: the WHOLE lineitem corpus
         # as ONE CSV file, chunk-split into byte-range blocks
         # (multiLine=false + offset/divisor row-id bases) — the case
-        # that previously serialized on one task per file. 2 MiB
-        # blocks ≈ 19 tasks at this corpus size (measured 12.7 vs
-        # 9.3 MiB/s at 4 MiB); a real 100 TB corpus uses the default
-        # 128-256 MiB blocks — block count, not size, is what matters
+        # that previously serialized on one task per file. Block
+        # count, not size, is what matters: a real 100 TB corpus uses
+        # the default 128-256 MiB blocks; locally the rule is >= 1.5
+        # blocks per core so stragglers overlap (measured at this
+        # corpus: 18.7 MiB/s at 2 MiB/19 tasks, 21.7 at 1 MiB/38,
+        # 23.5 at 768 KiB/50, flat below — 0.6 tasks/core leaves 40%
+        # of the box idle)
         from tidb_lightning_release_4_0_spark.config import CSVConfig
 
         one_dump = os.path.join(TMP, "dump1file")
@@ -381,7 +384,8 @@ def main() -> None:
             on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 << 20))
+        block = max((one_bytes // (CPUS * 3 // 2)) // 1024 * 1024, 64 << 10)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(block))
         try:
             restore(cfg1f)  # untimed warm-up (new plan shape)
             ts = _reps(lambda: restore(cfg1f))
