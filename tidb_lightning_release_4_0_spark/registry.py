@@ -2356,11 +2356,14 @@ def q_pagerank_events(spark, sf_dir):
     edges = ev.select(
         F.col("user_id").alias("src"),
         (
-            F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("long")
+            F.nullif(
+                F.regexp_extract(F.col("props"), r"([0-9]+)", 1), F.lit("")
+            ).cast("long")
             + 1000
         ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())  # digitless props: Spark casts
-    # '' to NULL where DuckDB raises — both sides drop the row
+    ).filter(F.col("dst").isNotNull())  # digitless props: nullif keeps
+    # the '' -> NULL -> dropped row semantics under ANSI mode (a bare
+    # cast('' as long) throws there), matching the oracle's nullif
     return CU.pagerank(edges, iters=3)
 
 
