@@ -6,7 +6,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
    "sf": ..., "mib_per_sec": ...}
 
-Every measurement runs $SPARK_GRAFT_BENCH_REPS times (default 3) and
+Every measurement runs $SPARK_GRAFT_BENCH_REPS times (default 3;
+the graded ingest MiB/s metrics use $SPARK_GRAFT_BENCH_INGEST_REPS,
+default 5 — medians over more reps absorb this box's multi-x
+run-to-run variance where it matters most) and
 reports the MEDIAN (per-rep minima in "queries_min") — this box has
 multi-x run-to-run variance and a single-shot number can neither
 prove a win nor a regression. Each ingest configuration gets its own
@@ -296,7 +299,7 @@ def main() -> None:
             on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         restore(cfg_jl)  # untimed warm-up (new plan shape)
-        ts = _reps(lambda: restore(cfg_jl))
+        ts = _ireps(lambda: restore(cfg_jl))
         timings["ingest_jsonl_orders"] = _med(ts)
         timings_min["ingest_jsonl_orders"] = round(min(ts), 3)
         jsonl_mibs = round(jl_bytes / _med(ts) / (1 << 20), 2)
@@ -338,7 +341,7 @@ def main() -> None:
             backend="parquet", target_dir=big_sink,
             on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
-        ts = _reps(lambda: restore(cfg3))  # warm from the 1x runs
+        ts = _ireps(lambda: restore(cfg3))  # warm from the 1x runs
         timings["ingest_csv_4x"] = _med(ts)
         timings_min["ingest_csv_4x"] = round(min(ts), 3)
         ingest_4x_mibs = round(big_bytes / _med(ts) / (1 << 20), 2)
@@ -388,7 +391,7 @@ def main() -> None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(block))
         try:
             restore(cfg1f)  # untimed warm-up (new plan shape)
-            ts = _reps(lambda: restore(cfg1f))
+            ts = _ireps(lambda: restore(cfg1f))
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
         timings["ingest_csv_split1file"] = _med(ts)
