@@ -68,6 +68,14 @@ class ParquetSink(Sink):
         # partitions (MySQL hash partitioning is modulo for integer
         # columns; tests/partitioned-table golden)
         self.partition_spec = partition_spec or {}
+        # table -> StructType delivered by THIS process's plain
+        # (non-directory-partitioned) writes: read_back can then skip
+        # parquet schema inference — a driver-side footer-read job
+        # per spark.read.parquet, paid twice per restored table
+        # (verify + analyze). Partitioned layouts are never recorded
+        # (their columns come from directory discovery), and a table
+        # not written this process falls back to inference.
+        self._delivered_schema: dict = {}
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table.replace("`", ""))
@@ -286,9 +294,11 @@ class ParquetSink(Sink):
                 raise ValueError(f"Duplicate entry for key {dup[0]}")
             shutil.rmtree(path, ignore_errors=True)
             os.replace(tmp, path)
+            self._record_schema(table, pdf, pcols)
         else:
             pdf, pcols = self._partitioned(df, table)
             pdf.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+            self._record_schema(table, pdf, pcols)
         # rows are reported by the caller's Observation (no extra scan)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
@@ -313,6 +323,8 @@ class ParquetSink(Sink):
         `error` dup mode validates against an unbucketed STAGING copy
         first (one extra scan of staged bytes, not a source re-parse);
         only validated data reaches the target."""
+        # conservative: bucketed layouts re-infer schema on read_back
+        self._delivered_schema.pop(table, None)
         spark = df.sparkSession
         db, tbl = self._catalog_ident(table)
         tmp = None
@@ -424,6 +436,8 @@ class ParquetSink(Sink):
         mid-publish leaves the table mixed and the invalid
         checkpoint routes the rerun through ctl, like any failed
         import."""
+        # conservative: merged layouts re-infer schema on read_back
+        self._delivered_schema.pop(table, None)
         spark = df.sparkSession
         spec = self.partition_spec.get(table)
         pvals: list[int] | None = None
@@ -576,6 +590,7 @@ class ParquetSink(Sink):
         df = self._sorted(df, table)
         df, pcols = self._partitioned(df, table)
         df.write.mode("overwrite").partitionBy(*pcols).parquet(path)
+        self._record_schema(table, df, pcols)
         size = sum(
             os.path.getsize(os.path.join(dp, f))
             for dp, _, fs in os.walk(path)
@@ -607,13 +622,25 @@ class ParquetSink(Sink):
             os.path.join(self._path(table), "_indexes", index_name)
         )
 
+    def _record_schema(self, table: str, df: DataFrame, pcols) -> None:
+        """Remember the delivered schema of a plain write so
+        read_back can skip parquet footer inference (one driver-side
+        job per spark.read.parquet); a partitioned layout drops the
+        record — its columns come from directory discovery."""
+        if pcols:
+            self._delivered_schema.pop(table, None)
+        else:
+            self._delivered_schema[table] = df.schema
+
     def read_back(self, spark: SparkSession, table: str) -> DataFrame:
         # recursive: the engine-grain path writes engine_<n>/
         # subdirectories; single-shot writes files at the root —
         # recursiveFileLookup reads both layouts
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            self._path(table)
-        )
+        reader = spark.read.option("recursiveFileLookup", "true")
+        st = self._delivered_schema.get(table)
+        if st is not None:
+            reader = reader.schema(st)
+        return reader.parquet(self._path(table))
 
     # target output file size for finalize-compaction (O9's
     # full-compact analog; Delta OPTIMIZE equivalent)
