@@ -43,6 +43,19 @@ def _memo_cache(df: DataFrame) -> dict | None:
         return None
 
 
+def session_plan_cache(spark) -> dict | None:
+    """Session-lifetime plan/expression memo (the same store the
+    cast memo uses): callers key finished plan fragments — Column
+    trees or whole DataFrames — on every input that shapes them.
+    DataFrames are immutable plan handles, so reuse is safe; a key
+    must cover file lists WITH sizes/mtimes because a cached scan
+    pins its file-listing snapshot."""
+    try:
+        return _CAST_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weak-referenceable (mocks)
+        return None
+
+
 def _memo_cast(df: DataFrame, key: tuple, builder) -> Column:
     cache = _memo_cache(df)
     if cache is None:
