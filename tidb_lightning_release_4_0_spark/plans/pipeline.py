@@ -839,6 +839,17 @@ class RestoreController:
             df = df.unionByName(f)
         if _plan_key is not None and _plan_cache is not None:
             _plan_cache[_plan_key] = df
+            # cap retained read plans: each pins a FileIndex listing
+            # snapshot, and a long-lived task server would otherwise
+            # accumulate one per dump it ever loaded (FIFO eviction;
+            # dicts iterate in insertion order)
+            rt_keys = [
+                k
+                for k in _plan_cache
+                if isinstance(k, tuple) and k and k[0] == "read_table"
+            ]
+            for k in rt_keys[: max(len(rt_keys) - 64, 0)]:
+                _plan_cache.pop(k, None)
         return df
 
     def _observe_write(
