@@ -1,0 +1,101 @@
+"""E2E: a restore under checksum_algo="kv_crc64" computes the same
+checksum triple as a pure-Python reference walk over the source rows
+(encode_record -> crc64(key||value) XOR), i.e. the C1 pipeline is
+reference-parity at the KV-byte level, not just hash-compatible.
+
+Covers: int-PK handle (PKIsHandle — the PK column moves to the key
+and keeps its DDL column id), no-PK `_tidb_rowid` handle, NULLs,
+strings, doubles, datetimes, and both row format versions.
+"""
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+
+from tidb_lightning_release_4_0_spark.config import Config, MydumperConfig
+from tidb_lightning_release_4_0_spark.functions.hashing import crc64_bytes
+from tidb_lightning_release_4_0_spark.functions.kv_codec import encode_record
+from tidb_lightning_release_4_0_spark.plans.pipeline import RestoreController
+
+ROOT = "/root/repo/.tmp/kv_e2e"
+
+
+def _dump(tag: str, ddl: str, csv_rows: str) -> str:
+    d = os.path.join(ROOT, tag)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    with open(os.path.join(d, "kv-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE kv;")
+    with open(os.path.join(d, "kv.t-schema.sql"), "w") as f:
+        f.write(ddl)
+    with open(os.path.join(d, "kv.t.0001.csv"), "w") as f:
+        f.write(csv_rows)
+    return d
+
+
+def _run(spark, tag: str, dump: str, algo: str):
+    sink = os.path.join(ROOT, f"sink_{tag}")
+    shutil.rmtree(sink, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=dump),
+        backend="parquet",
+        target_dir=sink,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        checksum=True,
+        checksum_algo=algo,
+    )
+    ctl = RestoreController(spark, cfg)
+    summary = ctl.run()
+    assert summary.ok, summary.report()
+    return summary.tables["kv.t"]
+
+
+@pytest.mark.parametrize("version,algo", [(1, "kv_crc64"), (2, "kv_crc64_v2")])
+def test_kv_checksum_int_pk(spark, version, algo):
+    ddl = (
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, name VARCHAR(16), "
+        "score DOUBLE, born DATETIME)"
+    )
+    rows = [
+        (1, "alice", 1.5, dt.datetime(2009, 2, 14, 7, 31, 30)),
+        (2, "bob", -2.25, dt.datetime(1999, 12, 31, 23, 59, 59)),
+        (3, None, None, None),
+    ]
+    NUL = "\\N"
+    csv = "".join(
+        f"{i},{NUL if n is None else n},"
+        f"{NUL if s is None else s},"
+        f"{NUL if b is None else b.strftime('%Y-%m-%d %H:%M:%S')}\n"
+        for i, n, s, b in rows
+    )
+    res = _run(spark, f"pk_v{version}", _dump(f"pk_v{version}", ddl, csv), algo)
+
+    # independent expected: PK is the handle (key), value encodes the
+    # remaining columns with their DDL ids 2,3,4
+    expect_crc, expect_bytes = 0, 0
+    for i, n, s, b in rows:
+        k, v = encode_record(1, i, [2, 3, 4], [n, s, b], version)
+        expect_crc ^= crc64_bytes(k + v)
+        expect_bytes += len(k) + len(v)
+    got = res.checksum
+    assert got.total_kvs == len(rows)
+    assert got.total_bytes == expect_bytes
+    assert (got.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
+
+
+def test_kv_checksum_rowid_handle(spark):
+    # no integer PK -> _tidb_rowid handle; all DDL columns (ids 1,2)
+    # are in the value
+    ddl = "CREATE TABLE t (name VARCHAR(16), qty INT)"
+    csv = "x,10\ny,20\nz,\\N\n"
+    res = _run(spark, "rowid_v1", _dump("rowid_v1", ddl, csv), "kv_crc64")
+    rows = [("x", 10), ("y", 20), ("z", None)]
+    expect_crc = 0
+    for handle, (n, q) in enumerate(rows, start=1):
+        k, v = encode_record(1, handle, [1, 2], [n, q], 1)
+        expect_crc ^= crc64_bytes(k + v)
+    assert res.checksum.total_kvs == 3
+    assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc

@@ -1,0 +1,102 @@
+"""Byte-exact goldens for the TiKV row-KV codec (T6) and the KV
+checksum (C1), pinned to the reference's own test fixtures:
+
+- lightning/backend/sql2kv_test.go:105-130 (v1 rows + record key),
+  :159-172 (row format v2), :202-208 (packed datetime)
+- lightning/verification/checksum_test.go:52-72 (crc64 XOR monoid
+  over KV pairs)
+"""
+
+import datetime as dt
+
+from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+    encode_record,
+    encode_row_v1,
+    encode_row_v2,
+    pack_datetime,
+    record_key,
+)
+from tidb_lightning_release_4_0_spark.functions.hashing import crc64_bytes
+
+
+GOLD_KEY = bytes(
+    [0x74, 0x80, 0, 0, 0, 0, 0, 0, 0x1, 0x5F, 0x72, 0x80, 0, 0, 0, 0, 0, 0, 0x1]
+)
+
+
+def test_record_key_golden():
+    # sql2kv_test.go:105 — table id 1, handle 1
+    assert record_key(1, 1) == GOLD_KEY
+    # TestEncodeTimestamp uses handle 70 (0x46)
+    assert record_key(1, 70)[-1] == 0x46
+
+
+def test_row_v1_int_golden():
+    # sql2kv_test.go:105-110 — column id 1, TINYINT value 1
+    key, val = encode_record(1, 1, [1], [1], row_format_version=1)
+    assert key == GOLD_KEY
+    assert val == bytes([0x8, 0x2, 0x8, 0x2])
+
+
+def test_row_v1_clamped_tiny_golden():
+    # sql2kv_test.go:125-130 — non-strict mode clamps 10000000 to the
+    # TINYINT max 127; the encoder receives the already-cast 127
+    # (the cast layer is T3's job, the codec encodes datums)
+    assert encode_row_v1([1], [127]) == bytes([0x8, 0x2, 0x8, 0xFE, 0x1])
+
+
+def test_row_v2_golden():
+    # sql2kv_test.go:159-172
+    assert encode_row_v2([1], [127]) == bytes(
+        [0x80, 0x0, 0x1, 0x0, 0x0, 0x0, 0x1, 0x1, 0x0, 0x7F]
+    )
+
+
+def test_row_v1_timestamp_golden():
+    # sql2kv_test.go:202-208 — DATETIME datum, row format v1. The
+    # fixture bytes decode to wall-clock 2009-02-14 07:31:30: the
+    # reference generated them under a UTC+8 session timezone with
+    # the suite's FIRST session timestamp (1234567890 — the mock
+    # session is shared across that file's encoders). The codec's
+    # contract is "encode a given local datetime"; timezone and
+    # default-fill policy are the cast layer's job (T3/T4).
+    val = encode_row_v1([1], [dt.datetime(2009, 2, 14, 7, 31, 30)])
+    assert val == bytes(
+        [0x8, 0x2, 0x9, 0x80, 0x80, 0x80, 0xF0, 0xFD, 0x8E, 0xF7, 0xC0, 0x19]
+    )
+
+
+def test_null_and_multi_column_shapes():
+    # NULL datum -> NilFlag byte; column order preserved in v1
+    assert encode_row_v1([1, 2], [None, "ab"]) == bytes(
+        [0x8, 0x2, 0x0, 0x8, 0x4, 0x2, 0x4]
+    ) + b"ab"
+    # v2: nulls listed after not-nulls, ascending ids
+    v2 = encode_row_v2([2, 1], [None, 5])
+    assert v2[:6] == bytes([0x80, 0x0, 0x1, 0x0, 0x1, 0x0])
+    assert v2[6] == 1 and v2[7] == 2  # notnull id 1, null id 2
+
+
+def test_kv_checksum_golden():
+    # verification/checksum_test.go:52-72: crc64-ECMA(key || val) per
+    # pair, XOR across pairs
+    kvs = [
+        (b"Cop", b"PingCAP"),
+        (
+            b"Introduction",
+            b"Inspired by Google Spanner/F1, PingCAP develops TiDB.",
+        ),
+    ]
+    total = 0
+    for k, v in kvs:
+        total ^= crc64_bytes(k + v)
+    assert total == 4850203904608948940
+
+
+def test_pack_datetime_roundtrip_fields():
+    p = pack_datetime(dt.datetime(2009, 2, 13, 23, 31, 33))
+    assert p & 0xFFFFFF == 0  # no microseconds
+    hms = (p >> 24) & ((1 << 17) - 1)
+    assert hms == (23 << 12) | (31 << 6) | 33
+    ymd = p >> 41
+    assert ymd == ((2009 * 13 + 2) << 5) | 13

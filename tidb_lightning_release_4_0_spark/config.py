@@ -174,7 +174,12 @@ class Config:
     # hash for the in-pipeline checksum: xxdirect (xxhash64 over typed
     # columns, no canonicalization — fastest), xxhash64/hash60 over the
     # canonical serialization (hash60 = ANSI-oracle-portable), crc64
-    # (bit-compatible with the reference's crc64-ecma, Arrow kernel)
+    # (bit-compatible with the reference's crc64-ecma, Arrow kernel),
+    # or kv_crc64 / kv_crc64_v2 — FULL reference parity: rows encoded
+    # into the exact TiKV record KV bytes (row format v1/v2,
+    # functions/kv_codec.py, golden-tested against the reference's
+    # sql2kv fixtures) then crc64-ECMA per pair, XOR-merged, exactly
+    # verification/checksum.go:47-75. Slow-exact path.
     checksum_algo: str = "xxdirect"
     analyze: bool = True
     # How C5 computes catalog statistics. "full" always runs

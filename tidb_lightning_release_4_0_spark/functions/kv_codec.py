@@ -1,0 +1,328 @@
+"""TiKV row-KV codec (T6, byte-exact): encode a table row into the
+same (key, value) byte pair the reference's kv encoder emits, so the
+C1 checksum over these pairs is bit-identical with tidb-lightning's
+local checksum (verification/checksum.go:47-75: per pair
+crc64-ECMA(key || value), XOR-merged across pairs).
+
+Everything here is derived from PUBLIC formats:
+
+- record keys and the old ("v1") row value layout follow TiDB's
+  public codec (`t` + comparable-int64 table id + `_r` +
+  comparable-int64 handle; values as [varint column id, flagged
+  datum] pairs) — behavior pinned by the reference's own test
+  fixtures (lightning/backend/sql2kv_test.go:105-130,202 carry the
+  expected bytes);
+- the "v2" row layout follows the published design document
+  (pingcap/tidb docs/design/2018-07-19-row-format.md), fixture at
+  sql2kv_test.go:159;
+- packed datetimes follow the MySQL binary datetime layout
+  (((year*13+month)<<5 | day) << 17 | hour<<12 | minute<<6 |
+  second, all shifted left 24 for the microsecond field).
+
+Scope (documented): the DATA row KV. Secondary-index KVs are built
+by TiDB's table layer in the reference and have no byte fixtures in
+this repo's pinned release; the index analog here remains the T8
+sorted index projection. DECIMAL columns use the MySQL myDecimal
+binary layout, which is out of scope for the dumps this engine
+ships (they use DOUBLE); encoding one raises NotImplementedError
+rather than producing non-parity bytes.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import struct
+
+try:  # pandas is only needed by the Spark kernel at the bottom
+    import pandas as pd
+except Exception:  # pragma: no cover - pandas is baked into the env
+    pd = None
+
+SIGN_MASK = 0x8000000000000000
+
+# public TiDB codec datum flags
+NIL_FLAG = 0x0
+BYTES_FLAG = 0x1
+COMPACT_BYTES_FLAG = 0x2
+INT_FLAG = 0x3
+UINT_FLAG = 0x4
+FLOAT_FLAG = 0x5
+VARINT_FLAG = 0x8
+UVARINT_FLAG = 0x9
+
+
+def encode_int_comparable(v: int) -> bytes:
+    """Memory-comparable int64: big-endian of (v XOR sign bit)."""
+    return struct.pack(">Q", (v ^ SIGN_MASK) & 0xFFFFFFFFFFFFFFFF)
+
+
+def encode_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def encode_varint(v: int) -> bytes:
+    """Protocol-buffer zigzag varint (what TiDB's codec.EncodeVarint
+    writes for signed values). Python's arithmetic right shift keeps
+    the sign, so the standard (v<<1) ^ (v>>63) zigzag works for both
+    signs once masked to 64 bits."""
+    return encode_uvarint(((v << 1) ^ (v >> 63)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def encode_compact_bytes(b: bytes) -> bytes:
+    return encode_varint(len(b)) + b
+
+
+def encode_float_comparable(f: float) -> bytes:
+    u = struct.unpack(">Q", struct.pack(">d", f))[0]
+    if f >= 0:
+        u |= SIGN_MASK
+    else:
+        u = (~u) & 0xFFFFFFFFFFFFFFFF
+    return struct.pack(">Q", u)
+
+
+def pack_datetime(dt: _dt.datetime) -> int:
+    """MySQL packed binary datetime (types.Time.ToPackedUint)."""
+    ymd = ((dt.year * 13 + dt.month) << 5) | dt.day
+    hms = (dt.hour << 12) | (dt.minute << 6) | dt.second
+    return ((ymd << 17) | hms) << 24 | dt.microsecond
+
+
+def record_key(table_id: int, handle: int) -> bytes:
+    """tablecodec record key: t{tid}_r{handle}."""
+    return (
+        b"t" + encode_int_comparable(table_id)
+        + b"_r" + encode_int_comparable(handle)
+    )
+
+
+def _encode_datum_v1(v) -> bytes:
+    """One flagged datum, row-VALUE encoding (codec.EncodeValue)."""
+    if v is None:
+        return bytes([NIL_FLAG])
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int):
+        return bytes([VARINT_FLAG]) + encode_varint(v)
+    if isinstance(v, float):
+        return bytes([FLOAT_FLAG]) + encode_float_comparable(v)
+    if isinstance(v, str):
+        return bytes([COMPACT_BYTES_FLAG]) + encode_compact_bytes(
+            v.encode("utf-8")
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return bytes([COMPACT_BYTES_FLAG]) + encode_compact_bytes(bytes(v))
+    if isinstance(v, _dt.datetime):
+        return bytes([UVARINT_FLAG]) + encode_uvarint(pack_datetime(v))
+    if isinstance(v, _dt.date):
+        return bytes([UVARINT_FLAG]) + encode_uvarint(
+            pack_datetime(_dt.datetime(v.year, v.month, v.day))
+        )
+    raise NotImplementedError(
+        f"kv_codec v1: unsupported datum type {type(v).__name__} "
+        "(DECIMAL/myDecimal is deliberately out of scope)"
+    )
+
+
+def encode_row_v1(col_ids: list[int], values: list) -> bytes:
+    """Old row format: [varint colID, flagged datum]*; an all-NULL /
+    zero-column row encodes as varint 0 (codec.EncodeRow parity)."""
+    out = bytearray()
+    for cid, v in zip(col_ids, values):
+        out += bytes([VARINT_FLAG]) + encode_varint(cid)
+        out += _encode_datum_v1(v)
+    if not out:
+        return bytes([VARINT_FLAG]) + encode_varint(0)
+    return bytes(out)
+
+
+def _v2_int_bytes(v: int) -> bytes:
+    """Row-format-v2 integer cell: smallest little-endian signed."""
+    for fmt, lo, hi in (
+        ("<b", -(1 << 7), 1 << 7),
+        ("<h", -(1 << 15), 1 << 15),
+        ("<i", -(1 << 31), 1 << 31),
+    ):
+        if lo <= v < hi:
+            return struct.pack(fmt, v)
+    return struct.pack("<q", v)
+
+
+def _v2_uint_bytes(v: int) -> bytes:
+    for fmt, hi in (("<B", 1 << 8), ("<H", 1 << 16), ("<I", 1 << 32)):
+        if v < hi:
+            return struct.pack(fmt, v)
+    return struct.pack("<Q", v)
+
+
+def _encode_cell_v2(v) -> bytes:
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int):
+        return _v2_int_bytes(v)
+    if isinstance(v, float):
+        # v2 stores the comparable float encoding (codec.EncodeFloat)
+        return encode_float_comparable(v)
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, _dt.datetime):
+        return _v2_uint_bytes(pack_datetime(v))
+    if isinstance(v, _dt.date):
+        return _v2_uint_bytes(pack_datetime(_dt.datetime(v.year, v.month, v.day)))
+    raise NotImplementedError(
+        f"kv_codec v2: unsupported datum type {type(v).__name__}"
+    )
+
+
+def encode_row_v2(col_ids: list[int], values: list) -> bytes:
+    """New row format (design doc 2018-07-19-row-format.md), small
+    layout: version, flag, u16 not-null count, u16 null count,
+    ascending not-null column ids, ascending null column ids,
+    u16 end offsets of each not-null cell, cell payloads.
+
+    The "big" layout (any column id > 255 or total value size >
+    65535) switches ids to u32 and offsets to u32, flag bit 0 set.
+    """
+    notnull = sorted(
+        [(cid, v) for cid, v in zip(col_ids, values) if v is not None]
+    )
+    nulls = sorted([cid for cid, v in zip(col_ids, values) if v is None])
+    cells = [_encode_cell_v2(v) for _, v in notnull]
+    total = sum(len(c) for c in cells)
+    big = total > 0xFFFF or any(
+        cid > 0xFF for cid in [c for c, _ in notnull] + nulls
+    )
+    out = bytearray()
+    out.append(0x80)  # version
+    out.append(0x1 if big else 0x0)
+    out += struct.pack("<H", len(notnull))
+    out += struct.pack("<H", len(nulls))
+    idfmt = "<I" if big else "<B"
+    offfmt = "<I" if big else "<H"
+    for cid, _ in notnull:
+        out += struct.pack(idfmt, cid)
+    for cid in nulls:
+        out += struct.pack(idfmt, cid)
+    off = 0
+    for c in cells:
+        off += len(c)
+        out += struct.pack(offfmt, off)
+    for c in cells:
+        out += c
+    return bytes(out)
+
+
+def encode_record(
+    table_id: int,
+    handle: int,
+    col_ids: list[int],
+    values: list,
+    row_format_version: int = 1,
+) -> tuple[bytes, bytes]:
+    """One data-row KV pair, reference-parity bytes."""
+    key = record_key(table_id, handle)
+    if row_format_version == 2:
+        return key, encode_row_v2(col_ids, values)
+    return key, encode_row_v1(col_ids, values)
+
+
+def kv_hash_columns(
+    df,
+    cols: list[str],
+    handle_col: str,
+    col_ids: list[int] | None = None,
+    table_id: int = 1,
+    row_format_version: int = 1,
+):
+    """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
+    row, the crc64-ECMA of the reference-parity KV bytes (key ||
+    value) and their byte length — C1 with TRUE kv-level parity
+    instead of the canonical-string twin. Column ids are DDL
+    position + 1, the ids TiDB assigns a freshly created table; the
+    handle is the single-int PK or ``_tidb_rowid``, exactly
+    PKIsHandle semantics.
+
+    Arrow-batched pandas UDF with a per-row Python encode — the
+    deliberate slow-exact path (the vectorized xxdirect mode is the
+    100 TB default); scale-shape: embarrassingly parallel map, no
+    shuffle, no collect."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from .hashing import crc64_bytes
+
+    if col_ids is None:
+        col_ids = list(range(1, len(cols) + 1))
+
+    # coerce by the SPARK column type, not the pandas dtype: Arrow ->
+    # pandas widens a nullable INT column to float64 (10 -> 10.0),
+    # which would silently encode as a float datum and break parity
+    def _coercer(dt):
+        name = dt.typeName()
+        if name in ("byte", "short", "integer", "long"):
+            return lambda v: int(v)
+        if name in ("float", "double"):
+            return lambda v: float(v)
+        if name == "string":
+            return lambda v: str(v)
+        if name == "timestamp":
+            return lambda v: (
+                v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+            )
+        if name == "date":
+            return lambda v: v
+        if name == "boolean":
+            return lambda v: int(bool(v))
+        if name == "binary":
+            return lambda v: bytes(v)
+        raise NotImplementedError(
+            f"kv_crc64 checksum: unsupported Spark type {name} "
+            "(DECIMAL/myDecimal is deliberately out of scope)"
+        )
+
+    coercers = [_coercer(df.schema[c].dataType) for c in cols]
+
+    def _py(v, coerce):
+        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+            return None
+        if hasattr(v, "item") and not isinstance(v, pd.Timestamp):
+            v = v.item()
+        return coerce(v)
+
+    out_type = T.StructType(
+        [
+            T.StructField("h", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    # hints say Series (the signature PySpark's inference accepts);
+    # a StructType argument actually ARRIVES as a pandas DataFrame
+    # and a StructType result is RETURNED as one
+    @pandas_udf(out_type)
+    def _kernel(batch: pd.Series) -> pd.Series:
+        hs, ns = [], []
+        for row in batch.itertuples(index=False, name=None):
+            handle = int(row[0])
+            vals = [_py(v, c) for v, c in zip(row[1:], coercers)]
+            k, v = encode_record(
+                table_id, handle, col_ids, vals, row_format_version
+            )
+            crc = crc64_bytes(k + v)
+            # reinterpret the uint64 as int64 for Spark's LongType
+            hs.append(crc - (1 << 64) if crc >= (1 << 63) else crc)
+            ns.append(len(k) + len(v))
+        return pd.DataFrame({"h": hs, "n": ns})
+
+    # one struct Column; the caller materializes it ONCE and projects
+    # the two fields (field-extracting the UDF expression twice could
+    # evaluate the kernel twice)
+    return _kernel(F.struct(F.col(handle_col), *[F.col(c) for c in cols]))

@@ -892,7 +892,7 @@ class RestoreController:
             # row hash projected ONCE into _h (+_len for the
             # canonical modes); the aggregates only touch those
             # columns, so hashing runs once per row
-            df = self._with_row_hash(df, cols)
+            df = self._with_row_hash(df, cols, schema)
             metrics += [
                 F.bit_xor(F.col("_h")).alias("crc_xor"),
                 (
@@ -1626,7 +1626,7 @@ class RestoreController:
                 aggs = []
                 proj = back
                 if need_remote and (not dedup_may_drop or inc_verifiable):
-                    proj = self._with_row_hash(back, cols)
+                    proj = self._with_row_hash(back, cols, schema)
                     aggs += [
                         F.bit_xor(F.col("_h")).alias("crc_xor"),
                         (
@@ -1775,7 +1775,9 @@ class RestoreController:
                 delivered.select(*cols, *extra), name, ix.name, cols
             )
 
-    def _with_row_hash(self, df: DataFrame, cols: list[str]) -> DataFrame:
+    def _with_row_hash(
+        self, df: DataFrame, cols: list[str], schema: TableSchema | None = None
+    ) -> DataFrame:
         """Project the per-row checksum hash `_h` (+ `_len` for the
         canonical-serialization modes) — C1's map side.
 
@@ -1789,8 +1791,52 @@ class RestoreController:
           serialization then hash; hash60 is ANSI-oracle-portable,
           crc64 is bit-compatible with the reference
           (verification/checksum.go:37).
+        - ``kv_crc64`` / ``kv_crc64_v2``: FULL reference parity — the
+          row is encoded into the exact TiKV record KV bytes (row
+          format v1 / v2, functions/kv_codec.py, golden-tested
+          against sql2kv_test.go fixtures) and each pair hashed with
+          crc64-ECMA like verification/checksum.go:47-75. The
+          slow-exact path (per-row Python encode over Arrow batches).
         """
         algo = getattr(self.cfg, "checksum_algo", "xxdirect")
+        if algo in ("kv_crc64", "kv_crc64_v2"):
+            from ..functions.kv_codec import kv_hash_columns
+            from ..operators.permutation import ROWID_COL
+
+            if schema is not None and schema.has_int_pk and schema.primary_key:
+                handle = schema.primary_key[0]
+            elif ROWID_COL in df.columns:
+                handle = ROWID_COL
+            else:
+                raise ValueError(
+                    "kv_crc64 checksum needs a handle column "
+                    "(single-int PK or _tidb_rowid)"
+                )
+            # PKIsHandle semantics: the handle lives in the KEY, so
+            # the row VALUE encodes every column except it — but a
+            # DDL column keeps its DDL-position id even when it is
+            # the handle (TiDB ids are 1..N in creation order)
+            ddl_ids = (
+                {c.name: i + 1 for i, c in enumerate(schema.columns)}
+                if schema is not None
+                else {c: i + 1 for i, c in enumerate(cols)}
+            )
+            value_cols = [
+                c for c in cols if c != handle and c != ROWID_COL
+            ]
+            pair = kv_hash_columns(
+                df,
+                value_cols,
+                handle,
+                col_ids=[ddl_ids[c] for c in value_cols],
+                row_format_version=2 if algo.endswith("v2") else 1,
+            )
+            return (
+                df.withColumn("_kvp", pair)
+                .withColumn("_h", F.col("_kvp.h"))
+                .withColumn("_len", F.col("_kvp.n").cast("long"))
+                .drop("_kvp")
+            )
         if algo == "xxdirect":
             return df.withColumn(
                 "_h", F.xxhash64(*[F.col(c) for c in cols])
