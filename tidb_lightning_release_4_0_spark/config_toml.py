@@ -53,11 +53,14 @@ _KNOWN: dict[str, set[str]] = {
         "log-level",
     },
     "checkpoint": {"enable", "schema", "driver", "dsn", "keep-after-success"},
-    # analyze-mode is a beyond-reference extension (auto = skip the
-    # ANALYZE row-count scan when the run already verified the count)
+    # analyze-mode and checksum-algo are beyond-reference extensions
+    # (auto = skip the ANALYZE row-count scan when the run already
+    # verified the count; checksum-algo selects xxdirect/hash60/
+    # crc64/kv_crc64[_v2] — the reference's checksum algorithm is
+    # fixed crc64 over TiKV KV bytes, which kv_crc64 reproduces)
     "post-restore": {
         "checksum", "compact", "level-1-compact", "analyze",
-        "analyze-mode",
+        "analyze-mode", "checksum-algo",
     },
     "black-white-list": {
         "do-dbs", "ignore-dbs", "do-tables", "ignore-tables",
@@ -225,6 +228,7 @@ def load_toml(path: str) -> Config:
             "compact": ("compact", bool),
             "analyze": ("analyze", bool),
             "analyze-mode": ("analyze_mode", str),
+            "checksum-algo": ("checksum_algo", str),
         }),
         **_pick(light, {"table-concurrency": ("table_concurrency", int)}),
     )
