@@ -86,6 +86,45 @@ def test_kv_checksum_int_pk(spark, version, algo):
     assert (got.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
 
 
+def test_kv_checksum_multi_engine_xor_merge(spark):
+    # several data files + a tiny batch_size force the ENGINE-grain
+    # delivery path: per-engine kv checksums must XOR-merge to the
+    # same total the single-shot path computes
+    ddl = "CREATE TABLE t (id BIGINT PRIMARY KEY, name VARCHAR(16))"
+    d = os.path.join(ROOT, "multi")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    with open(os.path.join(d, "kv-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE kv;")
+    with open(os.path.join(d, "kv.t-schema.sql"), "w") as f:
+        f.write(ddl)
+    rows = [(i, f"name{i}") for i in range(1, 13)]
+    for part in range(4):
+        with open(os.path.join(d, f"kv.t.{part:04d}.csv"), "w") as f:
+            for i, n in rows[part * 3: part * 3 + 3]:
+                f.write(f"{i},{n}\n")
+    sink = os.path.join(ROOT, "sink_multi")
+    shutil.rmtree(sink, ignore_errors=True)
+    cfg = Config(
+        mydumper=MydumperConfig(source_dir=d, batch_size=8),
+        backend="parquet",
+        target_dir=sink,
+        on_duplicate="physical",
+        checkpoint_enable=False,
+        checksum=True,
+        checksum_algo="kv_crc64",
+    )
+    summary = RestoreController(spark, cfg).run()
+    assert summary.ok, summary.report()
+    res = summary.tables["kv.t"]
+    expect = 0
+    for i, n in rows:
+        k, v = encode_record(1, i, [2], [n], 1)
+        expect ^= crc64_bytes(k + v)
+    assert res.checksum.total_kvs == 12
+    assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect
+
+
 def test_kv_checksum_rowid_handle(spark):
     # no integer PK -> _tidb_rowid handle; all DDL columns (ids 1,2)
     # are in the value
