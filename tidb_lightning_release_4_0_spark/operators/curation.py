@@ -1518,11 +1518,22 @@ def dsir_weights(
         .agg(F.sum(F.col("n") * F.col("delta")).alias("_w"))
     )
     docs = df.select(F.col(id_col).alias("doc_id"))
+    # round the EXACT decimal sum to 4 first, THEN cast to double:
+    # rounding after the double cast diverges between engines on
+    # half-way values (Spark's round(double) goes through the
+    # shortest decimal string; DuckDB rounds the binary value — at a
+    # tiny corpus a weight like 7.92885 rounds 7.9289 vs 7.9288).
+    # Residual caveat: the per-bucket ln() deltas round to 9 decimals
+    # in double space, so a corpus whose delta lands within ~5e-10 of
+    # a 9th-decimal boundary can still differ by 1e-9 upstream —
+    # possible at degenerate corpus sizes, unobserved at sf >= 0.01.
     return docs.join(scored, "doc_id", "left").select(
         "doc_id",
         F.round(
-            F.coalesce(F.col("_w").cast("double"), F.lit(0.0)), 4
-        ).alias("weight"),
+            F.coalesce(F.col("_w"), F.lit(0).cast("decimal(20,9)")), 4
+        )
+        .cast("double")
+        .alias("weight"),
     )
 
 
@@ -1591,7 +1602,7 @@ scored AS (
   FROM doc_b JOIN deltas USING (b) GROUP BY doc_id
 )
 SELECT t.{id_col} AS doc_id,
-       round(coalesce(cast(_w AS DOUBLE), 0.0), 4) AS weight
+       cast(round(coalesce(_w, 0), 4) AS DOUBLE) AS weight
 FROM {table} t LEFT JOIN scored ON t.{id_col} = scored.doc_id
 """
 
