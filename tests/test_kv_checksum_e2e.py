@@ -86,6 +86,27 @@ def test_kv_checksum_int_pk(spark, version, algo):
     assert (got.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
 
 
+def test_kv_checksum_decimal_column(spark):
+    # DECIMAL(15,2) rides the myDecimal binary layout end to end
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        DecimalDatum,
+    )
+
+    ddl = "CREATE TABLE t (id BIGINT PRIMARY KEY, price DECIMAL(15,2))"
+    csv = "1,0.01\n2,-12345.67\n3,\\N\n4,999.00\n"
+    res = _run(
+        spark, "dec_v1", _dump("dec_v1", ddl, csv), "kv_crc64"
+    )
+    rows = [(1, "0.01"), (2, "-12345.67"), (3, None), (4, "999.00")]
+    expect = 0
+    for i, p in rows:
+        v = None if p is None else DecimalDatum(p, 15, 2)
+        k, val = encode_record(1, i, [2], [v], 1)
+        expect ^= crc64_bytes(k + val)
+    assert res.checksum.total_kvs == 4
+    assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect
+
+
 def test_kv_checksum_multi_engine_xor_merge(spark):
     # several data files + a tiny batch_size force the ENGINE-grain
     # delivery path: per-engine kv checksums must XOR-merge to the

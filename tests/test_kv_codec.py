@@ -93,6 +93,40 @@ def test_kv_checksum_golden():
     assert total == 4850203904608948940
 
 
+def test_mydecimal_manual_golden():
+    # the MySQL internals manual's published example: DECIMAL(14,4)
+    # 1234567890.1234 -> 81 0D FB 38 D2 04 D2 (and the negation is
+    # the bytewise inverse)
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_decimal_datum,
+        encode_mydecimal,
+    )
+
+    gold = bytes([0x81, 0x0D, 0xFB, 0x38, 0xD2, 0x04, 0xD2])
+    assert encode_mydecimal("1234567890.1234", 14, 4) == gold
+    assert encode_mydecimal("-1234567890.1234", 14, 4) == bytes(
+        b ^ 0xFF for b in gold
+    )
+    # TiDB datum wrapper: [flag 6, precision, frac, bin]
+    assert encode_decimal_datum("1234567890.1234", 14, 4) == (
+        bytes([0x6, 14, 4]) + gold
+    )
+
+
+def test_mydecimal_order_and_layout():
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_mydecimal,
+    )
+
+    # memcmp order == numeric order within one (precision, frac)
+    vals = ["-99999.99", "-1.01", "-0.01", "0.00", "0.01", "1.50",
+            "99999.99"]
+    encs = [encode_mydecimal(v, 15, 2) for v in vals]
+    assert encs == sorted(encs)
+    # fixed layout: same byte length for every value of the type
+    assert len({len(e) for e in encs}) == 1
+
+
 def test_pack_datetime_roundtrip_fields():
     p = pack_datetime(dt.datetime(2009, 2, 13, 23, 31, 33))
     assert p & 0xFFFFFF == 0  # no microseconds

@@ -17,15 +17,19 @@ Everything here is derived from PUBLIC formats:
   sql2kv_test.go:159;
 - packed datetimes follow the MySQL binary datetime layout
   (((year*13+month)<<5 | day) << 17 | hour<<12 | minute<<6 |
-  second, all shifted left 24 for the microsecond field).
+  second, all shifted left 24 for the microsecond field);
+- DECIMAL values use the MySQL myDecimal binary layout (the MySQL
+  internals manual's memcmp-able format: 9 decimal digits per
+  4-byte big-endian word, partial groups in dig2bytes sizes, first
+  byte's MSB flipped, all bytes inverted for negatives), golden
+  -tested against the manual's published DECIMAL(14,4) example and
+  ordering-property-tested. TiDB's datum wrapper prepends
+  [decimalFlag, precision, frac].
 
 Scope (documented): the DATA row KV. Secondary-index KVs are built
 by TiDB's table layer in the reference and have no byte fixtures in
 this repo's pinned release; the index analog here remains the T8
-sorted index projection. DECIMAL columns use the MySQL myDecimal
-binary layout, which is out of scope for the dumps this engine
-ships (they use DOUBLE); encoding one raises NotImplementedError
-rather than producing non-parity bytes.
+sorted index projection.
 """
 
 from __future__ import annotations
@@ -93,6 +97,76 @@ def pack_datetime(dt: _dt.datetime) -> int:
     return ((ymd << 17) | hms) << 24 | dt.microsecond
 
 
+# bytes needed for a partial group of n leading/trailing decimal
+# digits (MySQL myDecimal dig2bytes)
+_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+DECIMAL_FLAG = 0x6
+
+
+def encode_mydecimal(v, precision: int, frac: int) -> bytes:
+    """MySQL myDecimal binary (memcmp-able): the integer part is
+    laid out as [partial leading group][9-digit groups], the
+    fraction as [9-digit groups][partial trailing group], each full
+    group a 4-byte big-endian word and partials in _DIG2BYTES sizes;
+    the layout is FIXED by (precision, frac) — leading zeros
+    included. First byte's MSB flips; a negative value inverts every
+    byte. Golden: DECIMAL(14,4) 1234567890.1234 ->
+    81 0D FB 38 D2 04 D2 (MySQL internals manual example)."""
+    import decimal as _decimal
+
+    d = _decimal.Decimal(v)
+    neg = d < 0
+    # normalize to exactly `frac` fractional digits (the cast layer
+    # already delivered the column-typed value; quantize is exact)
+    q = abs(d).quantize(
+        _decimal.Decimal(1).scaleb(-frac), rounding=_decimal.ROUND_HALF_UP
+    )
+    digits = format(q, "f")
+    if "." in digits:
+        intg_s, frac_s = digits.split(".")
+    else:
+        intg_s, frac_s = digits, ""
+    frac_s = frac_s.ljust(frac, "0")[:frac]
+    intg = precision - frac
+    if len(intg_s) > intg:
+        raise ValueError(
+            f"decimal {v} overflows DECIMAL({precision},{frac})"
+        )
+    intg_s = intg_s.rjust(intg, "0")
+
+    out = bytearray()
+    lead = intg % 9
+    pos = 0
+    if lead:
+        out += int(intg_s[:lead] or "0").to_bytes(_DIG2BYTES[lead], "big")
+        pos = lead
+    while pos < intg:
+        out += int(intg_s[pos: pos + 9]).to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    while pos + 9 <= frac:
+        out += int(frac_s[pos: pos + 9]).to_bytes(4, "big")
+        pos += 9
+    tail = frac - pos
+    if tail:
+        out += int(frac_s[pos:] or "0").to_bytes(_DIG2BYTES[tail], "big")
+    if not out:  # DECIMAL(0,0) degenerate
+        out = bytearray([0])
+    out[0] ^= 0x80
+    if neg:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    return bytes(out)
+
+
+def encode_decimal_datum(v, precision: int, frac: int) -> bytes:
+    """TiDB codec.EncodeDecimal: [flag, precision u8, frac u8,
+    myDecimal binary]."""
+    return bytes([DECIMAL_FLAG, precision, frac]) + encode_mydecimal(
+        v, precision, frac
+    )
+
+
 def record_key(table_id: int, handle: int) -> bytes:
     """tablecodec record key: t{tid}_r{handle}."""
     return (
@@ -101,10 +175,22 @@ def record_key(table_id: int, handle: int) -> bytes:
     )
 
 
+class DecimalDatum:
+    """A decimal value bound to its column's (precision, frac) — the
+    myDecimal layout is fixed by the column type, not the value."""
+
+    __slots__ = ("v", "precision", "frac")
+
+    def __init__(self, v, precision: int, frac: int):
+        self.v, self.precision, self.frac = v, precision, frac
+
+
 def _encode_datum_v1(v) -> bytes:
     """One flagged datum, row-VALUE encoding (codec.EncodeValue)."""
     if v is None:
         return bytes([NIL_FLAG])
+    if isinstance(v, DecimalDatum):
+        return encode_decimal_datum(v.v, v.precision, v.frac)
     if isinstance(v, bool):
         v = int(v)
     if isinstance(v, int):
@@ -161,6 +247,12 @@ def _v2_uint_bytes(v: int) -> bytes:
 
 
 def _encode_cell_v2(v) -> bytes:
+    if isinstance(v, DecimalDatum):
+        # the design doc keeps EncodeDecimal's payload (precision,
+        # frac, myDecimal binary) minus the flag byte
+        return bytes([v.precision, v.frac]) + encode_mydecimal(
+            v.v, v.precision, v.frac
+        )
     if isinstance(v, bool):
         v = int(v)
     if isinstance(v, int):
@@ -283,9 +375,11 @@ def kv_hash_columns(
             return lambda v: int(bool(v))
         if name == "binary":
             return lambda v: bytes(v)
+        if name == "decimal":
+            p, s = dt.precision, dt.scale
+            return lambda v: DecimalDatum(v, p, s)
         raise NotImplementedError(
-            f"kv_crc64 checksum: unsupported Spark type {name} "
-            "(DECIMAL/myDecimal is deliberately out of scope)"
+            f"kv_crc64 checksum: unsupported Spark type {name}"
         )
 
     coercers = [_coercer(df.schema[c].dataType) for c in cols]
