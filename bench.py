@@ -476,37 +476,65 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v > 0), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_plus_ingest_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
-                "reps": REPS,
-                # reps for the two GRADED lineitem configs only; all
-                # other ingest metrics use "reps"
-                "ingest_headline_reps": IREPS,
-                "sf": float(sf),
-                "ingest_mib_per_sec": ingest_mibs,
-                "ingest_4x_mib_per_sec": ingest_4x_mibs,
-                "ingest_writephase_mib_per_sec": writephase_mibs,
-                "ingest_split1file_mib_per_sec": split1_mibs,
-                "ingest_jsonl_mib_per_sec": jsonl_mibs,
-                # best-of-reps variants: run-level ambient noise on a
-                # shared host swings the median ~1.6x between
-                # back-to-back runs of identical code (observed
-                # 16.5-26.9 MiB/s write-phase across 5 runs, r5);
-                # min-of-reps is the standard interference control
-                "ingest_mib_per_sec_best": ingest_mibs_best,
-                "ingest_4x_mib_per_sec_best": ingest_4x_mibs_best,
-                "ingest_writephase_mib_per_sec_best": writephase_mibs_best,
-                "ingest_split1file_mib_per_sec_best": split1_mibs_best,
-                "ingest_jsonl_mib_per_sec_best": jsonl_mibs_best,
-            }
+    detail = {
+        "metric": "headline_queries_plus_ingest_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_min": timings_min,
+        "reps": REPS,
+        # reps for the two GRADED lineitem configs only; all
+        # other ingest metrics use "reps"
+        "ingest_headline_reps": IREPS,
+        "sf": float(sf),
+        "ingest_mib_per_sec": ingest_mibs,
+        "ingest_4x_mib_per_sec": ingest_4x_mibs,
+        "ingest_writephase_mib_per_sec": writephase_mibs,
+        "ingest_split1file_mib_per_sec": split1_mibs,
+        "ingest_jsonl_mib_per_sec": jsonl_mibs,
+        # best-of-reps variants: run-level ambient noise on a
+        # shared host swings the median ~1.6x between
+        # back-to-back runs of identical code (observed
+        # 16.5-26.9 MiB/s write-phase across 5 runs, r5);
+        # min-of-reps is the standard interference control
+        "ingest_mib_per_sec_best": ingest_mibs_best,
+        "ingest_4x_mib_per_sec_best": ingest_4x_mibs_best,
+        "ingest_writephase_mib_per_sec_best": writephase_mibs_best,
+        "ingest_split1file_mib_per_sec_best": split1_mibs_best,
+        "ingest_jsonl_mib_per_sec_best": jsonl_mibs_best,
+    }
+    # Full detail goes to a sidecar file; stdout carries ONE compact
+    # JSON line that must fit inside the driver's 2000-char stdout
+    # tail (BENCH_r5/r6 recorded "parsed": null because the verbose
+    # line overflowed the tail and lost its opening brace).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    line_fields = {
+        k: detail[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "ingest_mib_per_sec", "ingest_4x_mib_per_sec",
+            "ingest_writephase_mib_per_sec",
+            "ingest_split1file_mib_per_sec", "ingest_jsonl_mib_per_sec",
         )
-    )
+    }
+    line = json.dumps(line_fields, separators=(",", ":"))
+    if len(line) > 1900:  # trim per-query precision until it fits
+        line_fields["queries"] = {
+            k: round(v, 2) for k, v in timings.items()
+        }
+        line = json.dumps(line_fields, separators=(",", ":"))
+    while len(line) > 1900 and line_fields["queries"]:
+        # last resort: drop the cheapest queries from the stdout line
+        # (they stay in bench_detail.json); keeps the graded ingest
+        # metrics and the expensive queries parseable
+        drop = min(line_fields["queries"], key=line_fields["queries"].get)
+        del line_fields["queries"][drop]
+        line = json.dumps(line_fields, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

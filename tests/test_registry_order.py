@@ -7,16 +7,68 @@ makes that a loud local failure. Update deliberately when rotating
 """
 
 from tidb_lightning_release_4_0_spark.registry import (
-    _R6_PREFIX,
+    _R7_PREFIX,
     build_queries,
 )
 
-# Round-6 rotation (docs/ROTATION.md): 37 never-attested entries,
-# the 2 r05 hash-fix re-attestations, then 11 oldest-attested.
-DRIVER_SAMPLED_50 = ['orc_roundtrip', 'bm25_topdocs', 'kmeans_embeddings', 'dedup_apply_semantic', 'pagerank_events', 'weighted_sample_docs', 'mixture_temperature', 'dsir_select_docs', 'c4_line_filter_docs', 'simhash_dup_pairs', 'dedup_apply_simhash', 'bigram_lm_score', 'strip_boilerplate_docs', 'char_entropy_docs', 'winnow_fingerprints', 'winnow_candidates', 'jaccard_join_docs', 'dedup_apply_winnow', 'resume_split_jsonl', 'cohort_retention', 'funnel_events', 'rfm_segments', 'bpe_merges', 'anomaly_days', 'nfc_normalize_docs', 'triangles_dupgraph', 'bpe_encode_docs', 'zipf_alpha_docs', 'embedding_covariance', 'pca_embeddings', 'hybrid_rrf_docs', 'market_basket', 'readability_docs', 'clustering_coeff', 'benford_prices', 'fuzzy_match_parts', 'mutual_info_events', 'promo_share_lineitem', 'priority_lines', 'top_terms', 'percentiles_lineitem', 'sessionize_events', 'salted_agg_lineitem', 'chunk_plan', 'asof_join_orders', 'range_join_events', 'click_purchase_attribution', 'hll_distinct_parts', 'hll_users_by_event', 'cms_term_counts']
+# Round-7 rotation (docs/ROTATION.md): the 50 entries whose latest
+# green driver attestation is oldest — 1 from r03 + 49 of the r04
+# cohort (by name; `window_running_total` rolls to round 8).
+DRIVER_SAMPLED_50 = [
+    "hist_quantiles_price",
+    "alloc_base_orders",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_q64",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "ann_topk_pq_q64",
+    "anti_join_customers",
+    "checksum_crc64_lineitem",
+    "checksum_lineitem",
+    "checksum_orders",
+    "dedup_apply_exact",
+    "dedup_apply_minhash",
+    "dedup_apply_spans",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_xx",
+    "default_fill_customer",
+    "dup_ignore_events",
+    "dup_replace_events",
+    "duplicate_spans",
+    "embedding_dups",
+    "enum_cast_events",
+    "events_tumbling_window",
+    "filtered_revenue",
+    "gopher_repetition",
+    "index_checksum_orders",
+    "json_extract_events",
+    "jsonl_roundtrip",
+    "minhash_signatures",
+    "multimodal_features",
+    "mysql_cast_tinyint",
+    "ngram_jaccard",
+    "pricing_summary",
+    "random_project",
+    "rollup_orders",
+    "router_merge_orders",
+    "rowid_dense_orders",
+    "semi_join_suppliers",
+    "simhash",
+    "split_csv_rowids",
+    "text_stats",
+    "top_orders_by_revenue",
+    "topk_parts",
+    "uint64_decimal",
+    "window_rank_customers",
+]
 
 
 def test_registry_first_50_pinned():
     assert list(build_queries())[:50] == DRIVER_SAMPLED_50
-    assert _R6_PREFIX == DRIVER_SAMPLED_50
+    assert _R7_PREFIX == DRIVER_SAMPLED_50
     assert len(set(DRIVER_SAMPLED_50)) == 50

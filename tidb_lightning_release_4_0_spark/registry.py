@@ -2856,72 +2856,76 @@ def q_c4_line_filter_docs(spark, sf_dir):
 
 
 # The driver CORRECTNESS snapshot samples the FIRST 50 entries of
-# build_queries() in insertion order. This prefix makes the round-6
-# sample explicit: the 37 entries never attested in any r01–r05
-# snapshot (docs/ROTATION.md), then the 2 entries whose r05 rows were
-# red (hash fixes this round — they must re-attest green), then the
-# 11 oldest-attested entries. Future rotations edit THIS list (and
+# build_queries() in insertion order. Round-7 rotation
+# (docs/ROTATION.md): every registry entry is attested as of r06, so
+# freshness now drives the prefix — these are the 50 entries whose
+# LATEST green driver row is oldest (the r3/r4 cohort: 1 entry last
+# attested in r03 + 49 of the 50-entry r04 cohort, ordered by
+# (latest-round, name); the one r04 leftover, `window_running_total`,
+# rolls to round 8). Entries added
+# in round 7+ join the FRONT. Future rotations edit THIS list (and
 # the pin in tests/test_registry_order.py), nothing else.
-_R6_PREFIX = [
-    # -- never driver-attested (r01–r05) --
-    "orc_roundtrip",
-    "bm25_topdocs",
-    "kmeans_embeddings",
-    "dedup_apply_semantic",
-    "pagerank_events",
-    "weighted_sample_docs",
-    "mixture_temperature",
-    "dsir_select_docs",
-    "c4_line_filter_docs",
-    "simhash_dup_pairs",
-    "dedup_apply_simhash",
-    "bigram_lm_score",
-    "strip_boilerplate_docs",
-    "char_entropy_docs",
-    "winnow_fingerprints",
-    "winnow_candidates",
-    "jaccard_join_docs",
-    "dedup_apply_winnow",
-    "resume_split_jsonl",
-    "cohort_retention",
-    "funnel_events",
-    "rfm_segments",
-    "bpe_merges",
-    "anomaly_days",
-    "nfc_normalize_docs",
-    "triangles_dupgraph",
-    "bpe_encode_docs",
-    "zipf_alpha_docs",
-    "embedding_covariance",
-    "pca_embeddings",
-    "hybrid_rrf_docs",
-    "market_basket",
-    "readability_docs",
-    "clustering_coeff",
-    "benford_prices",
-    "fuzzy_match_parts",
-    "mutual_info_events",
-    # -- red in r05, fixed this round: re-attest green --
-    "promo_share_lineitem",
-    "priority_lines",
-    # -- oldest-attested backfill --
-    "top_terms",
-    "percentiles_lineitem",
-    "sessionize_events",
-    "salted_agg_lineitem",
-    "chunk_plan",
-    "asof_join_orders",
-    "range_join_events",
-    "click_purchase_attribution",
-    "hll_distinct_parts",
-    "hll_users_by_event",
-    "cms_term_counts",
+_R7_PREFIX = [
+    # -- new in round 7 (first driver attestation) --
+    # (none yet; new entries this round are inserted here)
+    # -- last attested r03 --
+    "hist_quantiles_price",
+    # -- last attested r04, by name --
+    "alloc_base_orders",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_q64",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "ann_topk_pq_q64",
+    "anti_join_customers",
+    "checksum_crc64_lineitem",
+    "checksum_lineitem",
+    "checksum_orders",
+    "dedup_apply_exact",
+    "dedup_apply_minhash",
+    "dedup_apply_spans",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_xx",
+    "default_fill_customer",
+    "dup_ignore_events",
+    "dup_replace_events",
+    "duplicate_spans",
+    "embedding_dups",
+    "enum_cast_events",
+    "events_tumbling_window",
+    "filtered_revenue",
+    "gopher_repetition",
+    "index_checksum_orders",
+    "json_extract_events",
+    "jsonl_roundtrip",
+    "minhash_signatures",
+    "multimodal_features",
+    "mysql_cast_tinyint",
+    "ngram_jaccard",
+    "pricing_summary",
+    "random_project",
+    "rollup_orders",
+    "router_merge_orders",
+    "rowid_dense_orders",
+    "semi_join_suppliers",
+    "simhash",
+    "split_csv_rowids",
+    "text_stats",
+    "top_orders_by_revenue",
+    "topk_parts",
+    "uint64_decimal",
+    "window_rank_customers",
 ]
 
 
 def build_queries():
     base = _build_queries_unordered()
-    head = {k: base[k] for k in _R6_PREFIX}
+    head = {k: base[k] for k in _R7_PREFIX}
     return {**head, **{k: v for k, v in base.items() if k not in head}}
 
 
@@ -3079,15 +3083,24 @@ def _build_queries_unordered():
     }
 
 
+# pca twin cache: the generated twin does a parquet scan + moment-sum
+# eigensolve per build; memoized per sf_dir so repeated
+# build_oracle_sql() calls (tests, sweeps) don't rescan the corpus
+_PCA_TWIN_CACHE: dict = {}
+
+
 def build_oracle_sql():
-    tq = X.token_count_sql_duckdb("text")
     oracles = _build_oracle_sql_static()
     # pca_embeddings: the projection twin is generated from the same
     # parquet (deterministic eigensolve over DuckDB-computed moment
     # sums — see similarity.pca_project_sql_duckdb). Generated here,
     # not a static string; omitted (rows-only fallback) if the
     # testdata parquet is absent in this environment.
-    pca = S.pca_project_sql_duckdb(_ORACLE_SF_DIR, dim=64, k=2)
+    if _ORACLE_SF_DIR not in _PCA_TWIN_CACHE:
+        _PCA_TWIN_CACHE[_ORACLE_SF_DIR] = S.pca_project_sql_duckdb(
+            _ORACLE_SF_DIR, dim=64, k=2
+        )
+    pca = _PCA_TWIN_CACHE[_ORACLE_SF_DIR]
     if pca is not None:
         oracles["pca_embeddings"] = pca
     return oracles
