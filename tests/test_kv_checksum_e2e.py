@@ -146,6 +146,48 @@ def test_kv_checksum_multi_engine_xor_merge(spark):
     assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect
 
 
+def test_kv_hash_columns_bigint_above_2_53_with_nulls(spark):
+    # A BIGINT batch containing a NULL used to reach the kernel as
+    # float64 (Arrow -> pandas widening), silently rounding values
+    # >= 2**53; integers now travel as strings, so the encode is
+    # lossless at every magnitude
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+
+    big = (1 << 53) + 1  # not representable in float64
+    bigger = (1 << 62) + 3
+    rows = [(1, big), (2, None), (3, bigger)]
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    pair = kv_hash_columns(df, ["v"], "id", col_ids=[2])
+    got = (
+        df.withColumn("_p", pair)
+        .select(F.sum(F.col("_p.n")).alias("n"))
+        .collect()[0]["n"]
+    )
+    crcs = [
+        r["h"] & 0xFFFFFFFFFFFFFFFF
+        for r in df.withColumn("_p", pair)
+        .select(F.col("_p.h").alias("h"))
+        .orderBy("h")
+        .collect()
+    ]
+    expect_crcs, expect_n = [], 0
+    for i, v in rows:
+        k, val = encode_record(1, i, [2], [v], 1)
+        expect_crcs.append(crc64_bytes(k + val))
+        expect_n += len(k) + len(val)
+    assert got == expect_n
+    assert sorted(crcs) == sorted(expect_crcs)
+    # the float64 trip would have encoded 2**53 instead of 2**53+1:
+    # prove the expected bytes distinguish them
+    k_exact, v_exact = encode_record(1, 1, [2], [big], 1)
+    k_round, v_round = encode_record(1, 1, [2], [int(float(big))], 1)
+    assert v_exact != v_round
+
+
 def test_kv_checksum_rowid_handle(spark):
     # no integer PK -> _tidb_rowid handle; all DDL columns (ids 1,2)
     # are in the value

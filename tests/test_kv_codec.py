@@ -77,6 +77,41 @@ def test_null_and_multi_column_shapes():
     assert v2[6] == 1 and v2[7] == 2  # notnull id 1, null id 2
 
 
+def test_can_skip_null_default_rule():
+    # tables.CanSkip rule 2 (sql2kv.go:202 -> tbl.AddRecord): a NULL
+    # datum in a column whose default is NULL vanishes from the
+    # encoded value entirely
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        apply_can_skip,
+    )
+
+    # default: every column's default is NULL -> all NULLs dropped
+    assert apply_can_skip([1, 2, 3], [None, "x", None]) == ([2], ["x"])
+    # column 3 has a non-NULL default -> its NULL datum is KEPT
+    assert apply_can_skip(
+        [1, 2, 3], [None, "x", None], default_null_ids={1}
+    ) == ([2, 3], ["x", None])
+    # encode_record applies the rule before encoding (v1)
+    _, v = encode_record(1, 7, [2, 3], [None, 5], 1)
+    assert v == bytes([0x8, 0x6, 0x8, 0xA])  # only column 3 remains
+    # v2: the skipped column is absent from the null-id section too
+    _, v2 = encode_record(1, 7, [2, 3], [None, 5], 2)
+    assert v2[2:6] == bytes([0x1, 0x0, 0x0, 0x0])  # 1 notnull, 0 null
+    # with a non-NULL default the NULL datum lands in the null section
+    _, v2k = encode_record(1, 7, [2, 3], [None, 5], 2,
+                           default_null_ids=frozenset())
+    assert v2k[2:6] == bytes([0x1, 0x0, 0x1, 0x0])  # 1 notnull, 1 null
+
+
+def test_empty_row_encodes_single_nilflag():
+    # TiDB EncodeOldRow: "We could not set nil value into kv" — an
+    # empty datum list emits one NilFlag byte, hit by PK-only tables
+    # (the PK lives in the key) and by all-NULL rows under CanSkip
+    assert encode_row_v1([], []) == bytes([0x0])
+    _, v = encode_record(42, 9, [2], [None], 1)
+    assert v == bytes([0x0])
+
+
 def test_kv_checksum_golden():
     # verification/checksum_test.go:52-72: crc64-ECMA(key || val) per
     # pair, XOR across pairs

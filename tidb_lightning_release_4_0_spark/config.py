@@ -176,9 +176,10 @@ class Config:
     # canonical serialization (hash60 = ANSI-oracle-portable), crc64
     # (bit-compatible with the reference's crc64-ecma, Arrow kernel),
     # or kv_crc64 / kv_crc64_v2 — FULL reference parity: rows encoded
-    # into the exact TiKV record KV bytes (row format v1/v2,
-    # functions/kv_codec.py, golden-tested against the reference's
-    # sql2kv fixtures) then crc64-ECMA per pair, XOR-merged, exactly
+    # into the exact TiKV record KV bytes (row format v1/v2 with the
+    # tables.CanSkip NULL-default rule, functions/kv_codec.py,
+    # golden-tested against the reference's sql2kv fixtures) then
+    # crc64-ECMA per pair, XOR-merged, exactly
     # verification/checksum.go:47-75. Slow-exact path.
     checksum_algo: str = "xxdirect"
     analyze: bool = True

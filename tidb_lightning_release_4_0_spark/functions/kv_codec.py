@@ -216,14 +216,17 @@ def _encode_datum_v1(v) -> bytes:
 
 
 def encode_row_v1(col_ids: list[int], values: list) -> bytes:
-    """Old row format: [varint colID, flagged datum]*; an all-NULL /
-    zero-column row encodes as varint 0 (codec.EncodeRow parity)."""
+    """Old row format: [varint colID, flagged datum]*; a zero-column
+    row encodes as a single NilFlag byte — TiDB's EncodeOldRow ends
+    with `if len(values) == 0 { return append(valBuf, codec.NilFlag) }`
+    ("We could not set nil value into kv"), hit by any PK-only table
+    once the CanSkip rule drops every value column."""
     out = bytearray()
     for cid, v in zip(col_ids, values):
         out += bytes([VARINT_FLAG]) + encode_varint(cid)
         out += _encode_datum_v1(v)
     if not out:
-        return bytes([VARINT_FLAG]) + encode_varint(0)
+        return bytes([NIL_FLAG])
     return bytes(out)
 
 
@@ -311,14 +314,46 @@ def encode_row_v2(col_ids: list[int], values: list) -> bytes:
     return bytes(out)
 
 
+def apply_can_skip(
+    col_ids: list[int],
+    values: list,
+    default_null_ids=None,
+) -> tuple[list[int], list]:
+    """tables.CanSkip rule 2, applied by the reference's encode path
+    (sql2kv.go:202 -> tbl.AddRecord -> tables.CanSkip): a column whose
+    value is NULL *and* whose default value is NULL is dropped from
+    the encoded row value entirely (rule 1 — the PK-handle column —
+    is honored by callers keeping the handle out of the value
+    columns; rule 3, virtual generated columns, has no analog here).
+
+    ``default_null_ids``: the column ids whose DDL default is NULL —
+    i.e. no DEFAULT clause or an explicit DEFAULT NULL (MySQL's
+    default for a nullable column; CURRENT_TIMESTAMP and literal
+    defaults are non-NULL). ``None`` means "every column" — the
+    common no-DEFAULT-anywhere case."""
+    out_ids: list[int] = []
+    out_vals: list = []
+    for cid, v in zip(col_ids, values):
+        if v is None and (
+            default_null_ids is None or cid in default_null_ids
+        ):
+            continue
+        out_ids.append(cid)
+        out_vals.append(v)
+    return out_ids, out_vals
+
+
 def encode_record(
     table_id: int,
     handle: int,
     col_ids: list[int],
     values: list,
     row_format_version: int = 1,
+    default_null_ids=None,
 ) -> tuple[bytes, bytes]:
-    """One data-row KV pair, reference-parity bytes."""
+    """One data-row KV pair, reference-parity bytes (AddRecord path:
+    CanSkip-filter the value columns, then EncodeOldRow / row v2)."""
+    col_ids, values = apply_can_skip(col_ids, values, default_null_ids)
     key = record_key(table_id, handle)
     if row_format_version == 2:
         return key, encode_row_v2(col_ids, values)
@@ -332,6 +367,7 @@ def kv_hash_columns(
     col_ids: list[int] | None = None,
     table_id: int = 1,
     row_format_version: int = 1,
+    default_null_ids=None,
 ):
     """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
     row, the crc64-ECMA of the reference-parity KV bytes (key ||
@@ -339,7 +375,9 @@ def kv_hash_columns(
     instead of the canonical-string twin. Column ids are DDL
     position + 1, the ids TiDB assigns a freshly created table; the
     handle is the single-int PK or ``_tidb_rowid``, exactly
-    PKIsHandle semantics.
+    PKIsHandle semantics. ``default_null_ids`` threads the DDL
+    default info for the CanSkip rule (see ``apply_can_skip``;
+    ``None`` = every column's default is NULL, the no-DEFAULT case).
 
     Arrow-batched pandas UDF with a per-row Python encode — the
     deliberate slow-exact path (the vectorized xxdirect mode is the
@@ -353,10 +391,26 @@ def kv_hash_columns(
 
     if col_ids is None:
         col_ids = list(range(1, len(cols) + 1))
+    if default_null_ids is not None:
+        default_null_ids = frozenset(default_null_ids)
 
-    # coerce by the SPARK column type, not the pandas dtype: Arrow ->
-    # pandas widens a nullable INT column to float64 (10 -> 10.0),
-    # which would silently encode as a float datum and break parity
+    # Integer columns travel as STRINGS through the Arrow batch:
+    # Arrow -> pandas widens a nullable int64 column to float64, and
+    # any value >= 2**53 in a batch that contains a NULL would be
+    # silently rounded by that float64 trip — wrong KV bytes with no
+    # error. A decimal-string parse is lossless at every magnitude
+    # (this is the deliberate slow-exact path; the vectorized kernel
+    # reads the Arrow buffers directly instead).
+    def _proj(c):
+        if df.schema[c].dataType.typeName() in (
+            "byte", "short", "integer", "long",
+        ):
+            return F.col(c).cast("string")
+        return F.col(c)
+
+    # coerce by the SPARK column type, not the pandas dtype (the
+    # string cast above makes int columns exact; the rest are
+    # type-tagged so a float64-widened batch can't change semantics)
     def _coercer(dt):
         name = dt.typeName()
         if name in ("byte", "short", "integer", "long"):
@@ -408,7 +462,8 @@ def kv_hash_columns(
             handle = int(row[0])
             vals = [_py(v, c) for v, c in zip(row[1:], coercers)]
             k, v = encode_record(
-                table_id, handle, col_ids, vals, row_format_version
+                table_id, handle, col_ids, vals, row_format_version,
+                default_null_ids,
             )
             crc = crc64_bytes(k + v)
             # reinterpret the uint64 as int64 for Spark's LongType
@@ -418,5 +473,6 @@ def kv_hash_columns(
 
     # one struct Column; the caller materializes it ONCE and projects
     # the two fields (field-extracting the UDF expression twice could
-    # evaluate the kernel twice)
-    return _kernel(F.struct(F.col(handle_col), *[F.col(c) for c in cols]))
+    # evaluate the kernel twice). The handle stays typed (a PK/rowid
+    # is never NULL, so its int64 batch never widens to float64).
+    return _kernel(F.struct(F.col(handle_col), *[_proj(c) for c in cols]))

@@ -1824,12 +1824,31 @@ class RestoreController:
             value_cols = [
                 c for c in cols if c != handle and c != ROWID_COL
             ]
+            # CanSkip rule 2 (tables.CanSkip via sql2kv.go:202's
+            # AddRecord): NULL datums in columns whose DDL default is
+            # NULL (no DEFAULT clause / DEFAULT NULL) are dropped from
+            # the encoded value. CURRENT_TIMESTAMP and literal
+            # defaults are non-NULL, so those columns keep their NULL
+            # datums in the encoding.
+            if schema is not None:
+                default_null_ids = frozenset(
+                    ddl_ids[c.name]
+                    for c in schema.columns
+                    if c.name in ddl_ids
+                    and not (
+                        c.has_default
+                        and (c.default is not None or c.default_current_ts)
+                    )
+                )
+            else:
+                default_null_ids = None  # no DDL: every default NULL
             pair = kv_hash_columns(
                 df,
                 value_cols,
                 handle,
                 col_ids=[ddl_ids[c] for c in value_cols],
                 row_format_version=2 if algo.endswith("v2") else 1,
+                default_null_ids=default_null_ids,
             )
             return (
                 df.withColumn("_kvp", pair)
