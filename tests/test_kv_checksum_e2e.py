@@ -146,6 +146,51 @@ def test_kv_checksum_multi_engine_xor_merge(spark):
     assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect
 
 
+@pytest.mark.parametrize("version,algo", [(1, "kv_crc64"), (2, "kv_crc64_v2")])
+def test_kv_checksum_multi_index(spark, version, algo):
+    # the reference's tbl_multi_index shape (mydump/examples): int-PK
+    # handle + a non-unique KEY + a UNIQUE KEY. The kv checksum must
+    # cover the index KVs too (ClassifyAndAppend feeds BOTH the data
+    # and index checksums, sql2kv.go:218-239), so total_kvs = 3x rows
+    # and the crc is sensitive to index columns and handles.
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_table_kvs,
+    )
+
+    ddl = (
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, i INT, s VARCHAR(32), "
+        "KEY i_idx (i), UNIQUE KEY s_idx (s))"
+    )
+    rows = [(1, 10, "aa"), (2, None, "bb"), (3, 10, None)]
+    NUL = "\\N"
+    csv = "".join(
+        f"{h},{NUL if i is None else i},{NUL if s is None else s}\n"
+        for h, i, s in rows
+    )
+    tag = f"mi_v{version}"
+    res = _run(spark, tag, _dump(tag, ddl, csv), algo)
+
+    expect_crc, expect_bytes, expect_kvs = 0, 0, 0
+    for h, i, s in rows:
+        for k, v in encode_table_kvs(
+            1, h, [2, 3], [i, s], version,
+            indexes=[(1, [0], False), (2, [1], True)],
+        ):
+            expect_crc ^= crc64_bytes(k + v)
+            expect_bytes += len(k) + len(v)
+            expect_kvs += 1
+    got = res.checksum
+    assert got.total_kvs == expect_kvs == 3 * len(rows)
+    assert got.total_bytes == expect_bytes
+    assert (got.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
+
+    # index-sensitivity: flip one indexed value, same data column set
+    tag2 = f"mi_v{version}_flip"
+    csv2 = csv.replace("1,10,aa", "1,11,aa")
+    res2 = _run(spark, tag2, _dump(tag2, ddl, csv2), algo)
+    assert res2.checksum.crc_xor != got.crc_xor
+
+
 def test_kv_hash_columns_bigint_above_2_53_with_nulls(spark):
     # A BIGINT batch containing a NULL used to reach the kernel as
     # float64 (Arrow -> pandas widening), silently rounding values

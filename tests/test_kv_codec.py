@@ -162,6 +162,110 @@ def test_mydecimal_order_and_layout():
     assert len({len(e) for e in encs}) == 1
 
 
+def test_encode_bytes_comparable_group_shapes():
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_bytes_comparable,
+    )
+
+    # format-derived goldens (codec/bytes.go EncodeBytes): pad to 8,
+    # marker = 0xFF - pad_count; a full group is followed by an
+    # all-padding terminator group with marker 0xF7
+    assert encode_bytes_comparable(b"") == b"\x00" * 8 + b"\xf7"
+    assert encode_bytes_comparable(b"hello") == (
+        b"hello\x00\x00\x00" + bytes([0xFF - 3])
+    )
+    assert encode_bytes_comparable(b"12345678") == (
+        b"12345678\xff" + b"\x00" * 8 + b"\xf7"
+    )
+    assert encode_bytes_comparable(b"123456789") == (
+        b"12345678\xff" + b"9" + b"\x00" * 7 + bytes([0xFF - 7])
+    )
+
+
+def test_encode_key_datum_order_preserving():
+    import random
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_key_datum,
+    )
+
+    rnd = random.Random(7)
+    ints = sorted(rnd.randrange(-(2**63), 2**63) for _ in range(50))
+    encs = [encode_key_datum(v) for v in ints]
+    assert encs == sorted(encs)
+    strs = sorted(
+        "".join(rnd.choice("ab\x00ZZ") for _ in range(rnd.randrange(0, 20)))
+        for _ in range(50)
+    )
+    encs = [encode_key_datum(s) for s in strs]
+    assert encs == sorted(encs)
+    # no encoded string is a strict prefix of another (self-terminating
+    # groups): required for multi-column key comparability
+    for i, a in enumerate(encs):
+        for b in encs[i + 1:]:
+            assert a == b or not b.startswith(a) or len(a) == len(b)
+    floats = sorted(
+        [-1e300, -2.5, -0.0, 0.0, 1e-9, 2.5, 1e300]
+    )
+    encs = [encode_key_datum(f) for f in floats]
+    assert sorted(encs) == encs
+
+
+def test_index_key_and_value_layout():
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_index_record,
+        index_key,
+    )
+
+    # non-unique: handle appended to the key, value is the byte '0'
+    k, v = encode_index_record(1, 2, ["ab"], 9, unique=False)
+    assert k[:1] == b"t" and k[9:11] == b"_i"
+    assert k[11:19] == bytes([0x80, 0, 0, 0, 0, 0, 0, 2])  # index id
+    assert k[19] == 0x1  # bytesFlag
+    # trailing handle: intFlag + comparable 9
+    assert k[-9:] == bytes([0x3, 0x80, 0, 0, 0, 0, 0, 0, 9])
+    assert v == b"0"
+
+    # unique, no NULL -> distinct: no handle in key, value = BE handle
+    k2, v2 = encode_index_record(1, 2, ["ab"], 9, unique=True)
+    assert k2 == k[:-9]
+    assert v2 == (9).to_bytes(8, "big", signed=True)
+    # negative handles encode two's-complement
+    _, vneg = encode_index_record(1, 2, ["ab"], -3, unique=True)
+    assert vneg == (-3).to_bytes(8, "big", signed=True)
+
+    # unique with a NULL datum -> NOT distinct: handle in key, '0' val
+    k3, distinct = index_key(1, 2, [None], 9, unique=True)
+    assert not distinct
+    assert k3[19] == 0x0  # NilFlag datum
+    assert k3[-9:] == k[-9:]
+
+
+def test_encode_table_kvs_classify_shape():
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_table_kvs,
+    )
+
+    # one data KV + one per index; data keys carry '_r', index '_i'
+    # (exactly what ClassifyAndAppend splits on, sql2kv.go:218-239)
+    pairs = encode_table_kvs(
+        5, 1, [2, 3], ["x", 7], 1,
+        indexes=[(1, [0], False), (2, [1, -1], True)],
+    )
+    assert len(pairs) == 3
+    assert pairs[0][0][9:11] == b"_r"
+    assert pairs[1][0][9:11] == b"_i" and pairs[2][0][9:11] == b"_i"
+    # the unique index (no NULLs) stores the handle as its value
+    assert pairs[2][1] == (1).to_bytes(8, "big", signed=True)
+    # index KVs are handle-sensitive: same row, different handle
+    pairs2 = encode_table_kvs(
+        5, 2, [2, 3], ["x", 7], 1,
+        indexes=[(1, [0], False), (2, [1, -1], True)],
+    )
+    assert pairs[1][0] != pairs2[1][0]  # non-unique key embeds handle
+    assert pairs[2][1] != pairs2[2][1]  # unique value embeds handle
+
+
 def test_pack_datetime_roundtrip_fields():
     p = pack_datetime(dt.datetime(2009, 2, 13, 23, 31, 33))
     assert p & 0xFFFFFF == 0  # no microseconds

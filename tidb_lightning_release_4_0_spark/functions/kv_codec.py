@@ -26,10 +26,26 @@ Everything here is derived from PUBLIC formats:
   ordering-property-tested. TiDB's datum wrapper prepends
   [decimalFlag, precision, frac].
 
-Scope (documented): the DATA row KV. Secondary-index KVs are built
-by TiDB's table layer in the reference and have no byte fixtures in
-this repo's pinned release; the index analog here remains the T8
-sorted index projection.
+Index KVs (the other half of sql2kv.go:218-239's classification) use
+the public tablecodec index layout, matching the table layer the
+reference vendors (go.mod pins a 2021-08 tidb snapshot):
+
+- index key: `t` + comparable-int64 table id + `_i` +
+  comparable-int64 index id + codec.EncodeKey of each indexed datum
+  (memory-comparable "key" encodings: EncodeBytes group-of-8 for
+  strings/bytes, flagged comparable ints/floats, NilFlag for NULL),
+  then — for non-distinct entries (non-unique index, or a unique
+  index entry containing NULL) — the int handle, EncodeKey-style;
+- index value: the "old" (no restore-data, int-handle, local) layout:
+  8-byte big-endian handle for distinct unique entries, the literal
+  byte '0' for non-distinct ones (tables/index.go Create).
+
+The reference's pinned release carries no index-KV byte fixtures, so
+index parity is pinned by format-derived goldens (EncodeBytes group
+shapes, flag bytes) plus ordering/e2e property tests instead.
+Documented limitations: index-column prefix lengths
+(TruncateIndexValuesIfNeeded) and unsigned-BIGINT index columns
+(KindUint64 key datums) are not modeled.
 """
 
 from __future__ import annotations
@@ -314,6 +330,134 @@ def encode_row_v2(col_ids: list[int], values: list) -> bytes:
     return bytes(out)
 
 
+def encode_bytes_comparable(data: bytes) -> bytes:
+    """codec.EncodeBytes: memory-comparable byte-string encoding.
+    Groups of 8 bytes, each zero-padded to 8 and followed by a marker
+    byte 0xFF - pad_count; a full trailing group is followed by an
+    all-padding group with marker 0xF7, so every encoding is
+    self-terminating and prefix-comparable."""
+    out = bytearray()
+    n = len(data)
+    idx = 0
+    while idx <= n:
+        remain = n - idx
+        if remain >= 8:
+            out += data[idx: idx + 8]
+            pad = 0
+        else:
+            out += data[idx:]
+            pad = 8 - remain
+            out += b"\x00" * pad
+        out.append(0xFF - pad)
+        idx += 8
+    return bytes(out)
+
+
+def encode_key_datum(v) -> bytes:
+    """One flagged datum, memory-comparable KEY encoding
+    (codec.EncodeKey) — what index keys are built from. Differs from
+    the row-value encoding: ints are 8-byte comparable (not varint)
+    and strings/bytes use the group-of-8 EncodeBytes layout (not
+    compact length-prefixed)."""
+    if v is None:
+        return bytes([NIL_FLAG])
+    if isinstance(v, DecimalDatum):
+        # EncodeDecimal is already memory-comparable; same bytes in
+        # key and value positions
+        return encode_decimal_datum(v.v, v.precision, v.frac)
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, int):
+        return bytes([INT_FLAG]) + encode_int_comparable(v)
+    if isinstance(v, float):
+        return bytes([FLOAT_FLAG]) + encode_float_comparable(v)
+    if isinstance(v, str):
+        return bytes([BYTES_FLAG]) + encode_bytes_comparable(
+            v.encode("utf-8")
+        )
+    if isinstance(v, (bytes, bytearray)):
+        return bytes([BYTES_FLAG]) + encode_bytes_comparable(bytes(v))
+    if isinstance(v, _dt.datetime):
+        # KindMysqlTime rides the unsigned comparable path in keys
+        return bytes([UINT_FLAG]) + struct.pack(">Q", pack_datetime(v))
+    if isinstance(v, _dt.date):
+        return bytes([UINT_FLAG]) + struct.pack(
+            ">Q", pack_datetime(_dt.datetime(v.year, v.month, v.day))
+        )
+    raise NotImplementedError(
+        f"kv_codec key: unsupported datum type {type(v).__name__}"
+    )
+
+
+def index_key(
+    table_id: int,
+    index_id: int,
+    values: list,
+    handle: int,
+    unique: bool,
+) -> tuple[bytes, bool]:
+    """tablecodec.GenIndexKey: t{tid}_i{iid}{EncodeKey(values)}
+    [{EncodeKey(handle)}]. A unique index entry is "distinct" only
+    when no indexed datum is NULL; non-distinct entries append the
+    int handle to keep keys unique. Returns (key, distinct)."""
+    distinct = unique and all(v is not None for v in values)
+    key = bytearray()
+    key += b"t" + encode_int_comparable(table_id) + b"_i"
+    key += encode_int_comparable(index_id)
+    for v in values:
+        key += encode_key_datum(v)
+    if not distinct:
+        key += bytes([INT_FLAG]) + encode_int_comparable(handle)
+    return bytes(key), distinct
+
+
+def encode_index_record(
+    table_id: int,
+    index_id: int,
+    values: list,
+    handle: int,
+    unique: bool,
+) -> tuple[bytes, bytes]:
+    """One index KV pair (tables/index.go Create, old int-handle
+    layout): distinct unique entries store the 8-byte big-endian
+    handle; everything else stores the single byte '0'."""
+    key, distinct = index_key(table_id, index_id, values, handle, unique)
+    if distinct:
+        val = struct.pack(">q", handle)
+    else:
+        val = b"0"
+    return key, val
+
+
+def encode_table_kvs(
+    table_id: int,
+    handle: int,
+    col_ids: list[int],
+    values: list,
+    row_format_version: int = 1,
+    default_null_ids=None,
+    indexes=None,
+) -> list[tuple[bytes, bytes]]:
+    """Every KV pair the reference's encoder emits for one row: the
+    data-row KV plus one KV per secondary index (sql2kv.go:202's
+    AddRecord writes both into the captured transaction; T8 then
+    classifies them by the 'r'/'i' key byte). ``indexes`` is a list
+    of (index_id, [positions into ``values`` or -1 for the handle],
+    unique)."""
+    pairs = [
+        encode_record(
+            table_id, handle, col_ids, values, row_format_version,
+            default_null_ids,
+        )
+    ]
+    for iid, positions, unique in indexes or ():
+        ivals = [handle if p < 0 else values[p] for p in positions]
+        pairs.append(
+            encode_index_record(table_id, iid, ivals, handle, unique)
+        )
+    return pairs
+
+
 def apply_can_skip(
     col_ids: list[int],
     values: list,
@@ -368,16 +512,22 @@ def kv_hash_columns(
     table_id: int = 1,
     row_format_version: int = 1,
     default_null_ids=None,
+    indexes=None,
 ):
     """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
-    row, the crc64-ECMA of the reference-parity KV bytes (key ||
-    value) and their byte length — C1 with TRUE kv-level parity
-    instead of the canonical-string twin. Column ids are DDL
-    position + 1, the ids TiDB assigns a freshly created table; the
-    handle is the single-int PK or ``_tidb_rowid``, exactly
-    PKIsHandle semantics. ``default_null_ids`` threads the DDL
-    default info for the CanSkip rule (see ``apply_can_skip``;
-    ``None`` = every column's default is NULL, the no-DEFAULT case).
+    row, the XOR of crc64-ECMA over every reference-parity KV pair
+    the row produces (the data-row KV and, when ``indexes`` is
+    given, one KV per secondary index) and their total byte length —
+    C1 with TRUE kv-level parity instead of the canonical-string
+    twin, covering the same pairs the reference's data+index engines
+    checksum. Column ids are DDL position + 1, the ids TiDB assigns
+    a freshly created table; the handle is the single-int PK or
+    ``_tidb_rowid``, exactly PKIsHandle semantics.
+    ``default_null_ids`` threads the DDL default info for the
+    CanSkip rule (see ``apply_can_skip``; ``None`` = every column's
+    default is NULL, the no-DEFAULT case). ``indexes`` is a list of
+    (index_id, [column names], unique) — names resolve against
+    ``cols`` or the handle column.
 
     Arrow-batched pandas UDF with a per-row Python encode — the
     deliberate slow-exact path (the vectorized xxdirect mode is the
@@ -393,6 +543,16 @@ def kv_hash_columns(
         col_ids = list(range(1, len(cols) + 1))
     if default_null_ids is not None:
         default_null_ids = frozenset(default_null_ids)
+    # resolve index column names to positions once: -1 = the handle
+    pos_of = {c: i for i, c in enumerate(cols)}
+    idx_specs = [
+        (
+            iid,
+            [-1 if c == handle_col else pos_of[c] for c in icols],
+            bool(unique),
+        )
+        for iid, icols, unique in (indexes or ())
+    ]
 
     # Integer columns travel as STRINGS through the Arrow batch:
     # Arrow -> pandas widens a nullable int64 column to float64, and
@@ -461,14 +621,16 @@ def kv_hash_columns(
         for row in batch.itertuples(index=False, name=None):
             handle = int(row[0])
             vals = [_py(v, c) for v, c in zip(row[1:], coercers)]
-            k, v = encode_record(
+            crc, n = 0, 0
+            for k, v in encode_table_kvs(
                 table_id, handle, col_ids, vals, row_format_version,
-                default_null_ids,
-            )
-            crc = crc64_bytes(k + v)
+                default_null_ids, idx_specs,
+            ):
+                crc ^= crc64_bytes(k + v)
+                n += len(k) + len(v)
             # reinterpret the uint64 as int64 for Spark's LongType
             hs.append(crc - (1 << 64) if crc >= (1 << 63) else crc)
-            ns.append(len(k) + len(v))
+            ns.append(n)
         return pd.DataFrame({"h": hs, "n": ns})
 
     # one struct Column; the caller materializes it ONCE and projects

@@ -1042,7 +1042,11 @@ class RestoreController:
             )
             res = self.sink.write(df, name)
         local = (
-            Checksum(m["crc_xor"] or 0, m["total_bytes"], m["total_kvs"])
+            Checksum(
+                m["crc_xor"] or 0,
+                m["total_bytes"],
+                m["total_kvs"] * self._kv_mult(schema),
+            )
             if self.cfg.checksum
             else None
         )
@@ -1122,7 +1126,7 @@ class RestoreController:
                 ck = Checksum(
                     int(m["crc_xor"] or 0),
                     int(m["total_bytes"]),
-                    int(m["total_kvs"]),
+                    int(m["total_kvs"]) * self._kv_mult(schema),
                 )
                 rec.update(
                     crc_xor=ck.crc_xor,
@@ -1352,7 +1356,7 @@ class RestoreController:
                 ck = Checksum(
                     int(m["crc_xor"] or 0),
                     int(m["total_bytes"]),
-                    int(m["total_kvs"]),
+                    int(m["total_kvs"]) * self._kv_mult(schema),
                 )
                 rec.update(
                     crc_xor=ck.crc_xor,
@@ -1652,7 +1656,7 @@ class RestoreController:
                         remote = Checksum(
                             row["crc_xor"] or 0,
                             row["total_bytes"],
-                            row["total_kvs"],
+                            row["total_kvs"] * self._kv_mult(schema),
                         )
                         if remote != expected_ck:
                             raise ValueError(
@@ -1775,6 +1779,36 @@ class RestoreController:
                 delivered.select(*cols, *extra), name, ix.name, cols
             )
 
+    def _kv_index_specs(self, schema: TableSchema | None):
+        """The secondary indexes the kv_crc64 encode emits a KV for,
+        as (index_id, columns, unique): every DDL index except a
+        PK-is-handle primary (which lives in the record key and
+        consumes no index id). Ids are 1-based in DDL order, exactly
+        how TiDB allocates them at CREATE TABLE; a non-int-handle
+        PRIMARY KEY is a unique index like the reference's
+        non-clustered tables."""
+        if schema is None:
+            return []
+        specs = []
+        iid = 0
+        for ix in schema.indexes:
+            if ix.primary and schema.has_int_pk:
+                continue
+            iid += 1
+            specs.append((iid, list(ix.columns), ix.unique or ix.primary))
+        return specs
+
+    def _kv_mult(self, schema: TableSchema | None) -> int:
+        """KV pairs per row: 1 data KV + one per emitted index KV.
+        The reference's total_kvs counts every pair across the data
+        and index engines (ClassifyAndAppend updates both checksums,
+        sql2kv.go:218-239), while the pipeline's count(*) aggregate
+        counts rows — this is the bridge."""
+        algo = getattr(self.cfg, "checksum_algo", "xxdirect")
+        if algo in ("kv_crc64", "kv_crc64_v2"):
+            return 1 + len(self._kv_index_specs(schema))
+        return 1
+
     def _with_row_hash(
         self, df: DataFrame, cols: list[str], schema: TableSchema | None = None
     ) -> DataFrame:
@@ -1792,11 +1826,16 @@ class RestoreController:
           crc64 is bit-compatible with the reference
           (verification/checksum.go:37).
         - ``kv_crc64`` / ``kv_crc64_v2``: FULL reference parity — the
-          row is encoded into the exact TiKV record KV bytes (row
-          format v1 / v2, functions/kv_codec.py, golden-tested
-          against sql2kv_test.go fixtures) and each pair hashed with
-          crc64-ECMA like verification/checksum.go:47-75. The
-          slow-exact path (per-row Python encode over Arrow batches).
+          row is encoded into the exact TiKV KV bytes: the record KV
+          (row format v1 / v2 with the tables.CanSkip NULL-default
+          rule, functions/kv_codec.py, golden-tested against
+          sql2kv_test.go fixtures) plus one index KV per DDL
+          secondary index (tablecodec index keys, '0'/handle
+          values), each pair hashed with crc64-ECMA like
+          verification/checksum.go:47-75 — the same pair set the
+          reference's data+index engines checksum
+          (sql2kv.go:218-239). The slow-exact path (per-row Python
+          encode over Arrow batches).
         """
         algo = getattr(self.cfg, "checksum_algo", "xxdirect")
         if algo in ("kv_crc64", "kv_crc64_v2"):
@@ -1849,6 +1888,7 @@ class RestoreController:
                 col_ids=[ddl_ids[c] for c in value_cols],
                 row_format_version=2 if algo.endswith("v2") else 1,
                 default_null_ids=default_null_ids,
+                indexes=self._kv_index_specs(schema),
             )
             return (
                 df.withColumn("_kvp", pair)
