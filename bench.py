@@ -401,6 +401,42 @@ def main() -> None:
     except Exception as e:  # bench must still emit its JSON line
         print(f"ingest bench failed: {e}", file=sys.stderr)
         timings.setdefault("ingest_csv_lineitem", -1.0)
+    # reference-parity KV checksum (numpy kernel): crc64-ECMA over the
+    # exact TiKV record+index KV bytes of lineitem (2 secondary
+    # indexes), XOR-merged — the C1 aggregate at full parity
+    try:
+        from pyspark.sql import functions as F
+
+        from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+            kv_hash_columns,
+        )
+        from tidb_lightning_release_4_0_spark.sources.testdata import (
+            load_table,
+        )
+
+        li = load_table(spark, SF_DIR, "lineitem").repartition(CPUS)
+        li = li.withColumn(
+            "_rid", F.monotonically_increasing_id() + 1
+        )
+        kv_cols = [c for c in li.columns if c != "_rid"]
+        kv_idx = [
+            (1, ["l_partkey"], False),
+            (2, ["l_orderkey", "l_linenumber"], True),
+        ]
+
+        def _kv_checksum():
+            pair = kv_hash_columns(li, kv_cols, "_rid", indexes=kv_idx)
+            li.select(pair.alias("p")).agg(
+                F.bit_xor("p.h"), F.sum("p.n"), F.count(F.lit(1))
+            ).collect()
+
+        _kv_checksum()  # warm-up (kernel import + plan shape)
+        ts = _reps(_kv_checksum)
+        timings["kv_crc64_checksum_lineitem"] = _med(ts)
+        timings_min["kv_crc64_checksum_lineitem"] = round(min(ts), 3)
+    except Exception as e:
+        print(f"# kv checksum bench skipped: {e}", file=sys.stderr)
+
     for name in bench_queries:
         ts = _reps(lambda: queries[name](spark, SF_DIR).count())
         timings[name] = _med(ts)

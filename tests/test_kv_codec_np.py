@@ -1,0 +1,119 @@
+"""The vectorized KV kernel (kv_codec_np) must be byte-identical with
+the scalar oracle (kv_codec): identical per-row (crc, nbytes) on a
+type matrix covering every vectorized family plus the object
+fallbacks, with NULLs, extreme magnitudes, unicode, and index KVs.
+"""
+
+import datetime as dt
+from decimal import Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+    kv_hash_columns,
+)
+
+
+def _rows():
+    return [
+        # handle, big, f, s, ts, dec, b
+        (1, (1 << 53) + 1, 1.5, "alice", dt.datetime(2009, 2, 14, 7, 31, 30), Decimal("0.01"), True),
+        (2, None, -2.25, "", dt.datetime(1999, 12, 31, 23, 59, 59, 999999), Decimal("-12345.67"), False),
+        (3, -(1 << 62) - 7, None, "héllo wörld \x00 snowman ☃", None, None, None),
+        (4, 0, -0.0, None, dt.datetime(1970, 1, 1, 0, 0, 0), Decimal("999.00"), True),
+        (5, (1 << 63) - 1, 1e300, "x" * 300, dt.datetime(2038, 1, 19, 3, 14, 7), Decimal("0.00"), False),
+        (6, -(1 << 63), -1e-300, "12345678", dt.datetime(1899, 6, 3, 12, 0, 1), Decimal("-0.01"), None),
+        (7, 42, float("inf"), "tab\tnl\n", dt.datetime(2020, 2, 29, 23, 59, 59, 1), Decimal("1.23"), True),
+    ]
+
+
+SCHEMA = (
+    "h BIGINT, big BIGINT, f DOUBLE, s STRING, ts TIMESTAMP, "
+    "dec DECIMAL(15,2), b BOOLEAN"
+)
+COLS = ["big", "f", "s", "ts", "dec", "b"]
+IDX = [(1, ["big"], False), (2, ["s"], True), (3, ["ts", "h"], False)]
+
+
+def _collect(df, pair):
+    return {
+        r["h"]: (r["ph"], r["pn"])
+        for r in df.withColumn("_p", pair)
+        .select("h", F.col("_p.h").alias("ph"), F.col("_p.n").alias("pn"))
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("indexes", [None, IDX])
+@pytest.mark.parametrize("dnull", [None, frozenset({2, 4})])
+def test_numpy_kernel_matches_scalar_oracle(spark, indexes, dnull):
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    kw = dict(
+        col_ids=[2, 3, 4, 5, 6, 7],
+        table_id=9,
+        default_null_ids=dnull,
+        indexes=indexes,
+    )
+    got_py = _collect(
+        df, kv_hash_columns(df, COLS, "h", kernel="python", **kw)
+    )
+    got_np = _collect(
+        df, kv_hash_columns(df, COLS, "h", kernel="numpy", **kw)
+    )
+    assert got_np == got_py
+
+
+def test_numpy_kernel_randomized(spark):
+    rng = np.random.default_rng(11)
+    n = 2000
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i + 1,
+                None if rng.random() < 0.1 else int(
+                    rng.integers(-(2**63), 2**63 - 1)
+                ),
+                None if rng.random() < 0.1 else float(
+                    rng.normal() * 10.0 ** float(rng.integers(-200, 200))
+                ),
+                None if rng.random() < 0.1 else "".join(
+                    chr(rng.integers(1, 0x2FFF))
+                    for _ in range(rng.integers(0, 40))
+                ),
+                None if rng.random() < 0.1 else dt.datetime(
+                    int(rng.integers(1, 9999)),
+                    int(rng.integers(1, 13)),
+                    int(rng.integers(1, 29)),
+                    int(rng.integers(0, 24)),
+                    int(rng.integers(0, 60)),
+                    int(rng.integers(0, 60)),
+                    int(rng.integers(0, 1_000_000)),
+                ),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "h BIGINT, big BIGINT, f DOUBLE, s STRING, ts TIMESTAMP"
+    ).repartition(4)
+    cols = ["big", "f", "s", "ts"]
+    idx = [(1, ["s", "big"], True), (2, ["ts"], False)]
+    got_py = _collect(
+        df, kv_hash_columns(df, cols, "h", kernel="python", indexes=idx)
+    )
+    got_np = _collect(
+        df, kv_hash_columns(df, cols, "h", kernel="numpy", indexes=idx)
+    )
+    assert got_np == got_py
+
+
+def test_auto_kernel_v2_falls_back(spark):
+    df = spark.createDataFrame([(1, 2)], "h BIGINT, v BIGINT")
+    # auto resolves v2 to the scalar kernel rather than erroring
+    pair = kv_hash_columns(df, ["v"], "h", row_format_version=2)
+    assert df.withColumn("_p", pair).count() == 1
+    with pytest.raises(ValueError):
+        kv_hash_columns(
+            df, ["v"], "h", row_format_version=2, kernel="numpy"
+        )

@@ -80,6 +80,24 @@ def crc64_batch(values: list[bytes | None]) -> np.ndarray:
     for i, v in enumerate(values):
         if v:
             buf[i, : len(v)] = np.frombuffer(v, dtype=np.uint8)
+    crc = crc64_matrix(buf, lens)
+    none_mask = np.array([v is None for v in values])
+    crc[none_mask] = 0
+    return crc.view(np.int64)
+
+
+def crc64_matrix(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """CRC-64/XZ of each row of a zero-padded (n, pad8) uint8 matrix,
+    where row i's message is buf[i, :lens[i]]. Returns uint64 crcs.
+    The vectorized core shared by crc64_batch and the numpy KV
+    checksum kernel (kv_codec_np)."""
+    n = len(lens)
+    if buf.shape[1] % 8:  # pad to a whole number of u64 words
+        buf = np.ascontiguousarray(
+            np.pad(buf, ((0, 0), (0, 8 - buf.shape[1] % 8)))
+        )
+    if not buf.flags["C_CONTIGUOUS"]:
+        buf = np.ascontiguousarray(buf)
     words = buf.view("<u8")  # (n, pad//8) little-endian words
     crc = np.full(n, 0xFFFFFFFFFFFFFFFF, dtype=np.uint64)
     nwords = lens // 8
@@ -109,9 +127,7 @@ def crc64_batch(values: list[bytes | None]) -> np.ndarray:
         c = crc[act]
         crc[act] = _T0[((c ^ b) & mask).astype(np.int64)] ^ (c >> eight)
     crc ^= np.uint64(0xFFFFFFFFFFFFFFFF)
-    none_mask = np.array([v is None for v in values])
-    crc[none_mask] = 0
-    return crc.view(np.int64)
+    return crc
 
 
 def crc64_bytes(data: bytes) -> int:

@@ -513,6 +513,7 @@ def kv_hash_columns(
     row_format_version: int = 1,
     default_null_ids=None,
     indexes=None,
+    kernel: str = "auto",
 ):
     """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
     row, the XOR of crc64-ECMA over every reference-parity KV pair
@@ -529,10 +530,13 @@ def kv_hash_columns(
     (index_id, [column names], unique) — names resolve against
     ``cols`` or the handle column.
 
-    Arrow-batched pandas UDF with a per-row Python encode — the
-    deliberate slow-exact path (the vectorized xxdirect mode is the
-    100 TB default); scale-shape: embarrassingly parallel map, no
-    shuffle, no collect."""
+    ``kernel`` picks the encode implementation: ``"numpy"`` is the
+    per-column vectorized kernel (kv_codec_np — byte-identical,
+    property-tested against the scalar oracle), ``"python"`` the
+    per-row scalar encode, ``"auto"`` (default) numpy for row format
+    v1 and scalar for v2 (whose per-row null re-sorting has no fixed
+    column layout to vectorize). Scale-shape: embarrassingly
+    parallel Arrow-batched map, no shuffle, no collect."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -543,6 +547,67 @@ def kv_hash_columns(
         col_ids = list(range(1, len(cols) + 1))
     if default_null_ids is not None:
         default_null_ids = frozenset(default_null_ids)
+    if kernel == "auto":
+        kernel = "numpy" if row_format_version == 1 else "python"
+    if kernel == "numpy" and row_format_version != 1:
+        raise ValueError("the numpy kv kernel only encodes row format v1")
+
+    if kernel == "numpy":
+        from . import kv_codec_np as KNP
+
+        dtypes = [df.schema[c].dataType for c in cols]
+        out_type = T.StructType(
+            [
+                T.StructField("h", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        # the kernel addresses the handle by its struct field name
+        idx_specs_named = [
+            (
+                iid,
+                ["__h" if c == handle_col else c for c in icols],
+                bool(u),
+            )
+            for iid, icols, u in (indexes or ())
+        ]
+
+        def _placeholder(dt):
+            name = dt.typeName()
+            if name in ("byte", "short", "integer", "long"):
+                return F.lit(0).cast(dt)
+            if name in ("float", "double"):
+                return F.lit(0.0).cast(dt)
+            if name == "boolean":
+                return F.lit(False)
+            return None  # object-dtype columns keep their Nones
+
+        fields = [F.col(handle_col).alias("__h")]
+        for i, c in enumerate(cols):
+            sdt = df.schema[c].dataType
+            if sdt.typeName() in ("timestamp", "timestamp_ntz"):
+                # wall-clock micros as BIGINT (session tz is UTC):
+                # pandas' ns-range Timestamp cannot carry years past
+                # 2262, and the int64 stays exact at every magnitude
+                v = F.coalesce(
+                    F.unix_micros(F.col(c).cast("timestamp")), F.lit(0)
+                )
+            else:
+                ph = _placeholder(sdt)
+                v = F.coalesce(F.col(c), ph) if ph is not None else F.col(c)
+            fields.append(v.alias(f"__v_{i}"))
+            fields.append(F.col(c).isNull().alias(f"__null_{i}"))
+
+        @pandas_udf(out_type)
+        def _np_kernel(batch: pd.Series) -> pd.Series:
+            h, nb = KNP.kv_pairs_crc_np(
+                batch, list(cols), dtypes, "__h", list(col_ids),
+                table_id, default_null_ids, idx_specs_named,
+            )
+            return pd.DataFrame({"h": h, "n": nb})
+
+        return _np_kernel(F.struct(*fields))
+
     # resolve index column names to positions once: -1 = the handle
     pos_of = {c: i for i, c in enumerate(cols)}
     idx_specs = [
@@ -562,10 +627,15 @@ def kv_hash_columns(
     # (this is the deliberate slow-exact path; the vectorized kernel
     # reads the Arrow buffers directly instead).
     def _proj(c):
-        if df.schema[c].dataType.typeName() in (
-            "byte", "short", "integer", "long",
-        ):
+        name = df.schema[c].dataType.typeName()
+        if name in ("byte", "short", "integer", "long"):
             return F.col(c).cast("string")
+        if name in ("timestamp", "timestamp_ntz"):
+            # wall-clock micros (session tz is UTC), as a string for
+            # the same losslessness reason as ints — and because
+            # pandas' ns-range Timestamp cannot carry MySQL's full
+            # DATETIME range (years past 2262)
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("string")
         return F.col(c)
 
     # coerce by the SPARK column type, not the pandas dtype (the
@@ -579,9 +649,11 @@ def kv_hash_columns(
             return lambda v: float(v)
         if name == "string":
             return lambda v: str(v)
-        if name == "timestamp":
-            return lambda v: (
-                v.to_pydatetime() if isinstance(v, pd.Timestamp) else v
+        if name in ("timestamp", "timestamp_ntz"):
+            # the projection shipped unix-micros; rebuild the wall
+            # clock with exact integer arithmetic
+            return lambda v: _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                microseconds=int(v)
             )
         if name == "date":
             return lambda v: v

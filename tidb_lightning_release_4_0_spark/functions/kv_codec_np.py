@@ -1,0 +1,394 @@
+"""Vectorized (numpy) twin of the kv_codec encoders: the fast path
+for the ``kv_crc64`` checksum mode.
+
+Same bytes as the scalar functions in ``kv_codec`` (which remain the
+property-test oracle), assembled per COLUMN instead of per row: each
+column encodes into an (n_rows, width) byte-fragment matrix with
+per-row lengths, fragments are scattered into one zero-padded row
+matrix per KV pair, and ``hashing.crc64_matrix`` folds each pair in
+O(max_len/8) vectorized steps. Per-row Python survives only in the
+utf-8 encode of string cells and in the object fallback for exotic
+datum types (DECIMAL / DATE), and only for those columns.
+
+Scope: row-format v1 (the default). v2 rows fall back to the scalar
+kernel in ``kv_codec.kv_hash_columns`` — its per-row null/not-null
+re-sorting has no fixed column layout to vectorize over.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import kv_codec as KC
+from .hashing import crc64_matrix
+
+_M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_SIGN = np.uint64(0x8000000000000000)
+_U1 = np.uint64(1)
+_U7 = np.uint64(7)
+_U8 = np.uint64(8)
+
+
+def _be8(u: np.ndarray) -> np.ndarray:
+    """(n,) uint64 -> (n, 8) big-endian bytes."""
+    return u.astype(">u8").view(np.uint8).reshape(-1, 8)
+
+
+def _bitlen(z: np.ndarray) -> np.ndarray:
+    """Vectorized bit length of uint64 (0 -> 0)."""
+    z = z.copy()
+    bl = np.zeros(len(z), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = z >= (_U1 << np.uint64(s))
+        bl[m] += s
+        z[m] >>= np.uint64(s)
+    bl += (z > 0).astype(np.int64)
+    return bl
+
+
+def _uvarint_frag(z: np.ndarray, valid: np.ndarray):
+    """(n,) uint64 -> LEB128 fragment (mat (n, w), lens)."""
+    nb = np.maximum((_bitlen(z) + 6) // 7, 1)
+    w = int(nb[valid].max()) if valid.any() else 1
+    ks = np.arange(w, dtype=np.uint64)
+    mat = (
+        (z[:, None] >> (_U7 * ks[None, :])) & np.uint64(0x7F)
+    ).astype(np.uint8)
+    more = ks[None, :].astype(np.int64) < (nb[:, None] - 1)
+    mat |= more.astype(np.uint8) << 7
+    return mat, np.where(valid, nb, 0)
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    u = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.int64).view(np.uint64)
+    sign = np.where(v < 0, _M64, np.uint64(0))
+    return ((u << _U1) & _M64) ^ sign
+
+
+def _packed_datetime_us(us: np.ndarray) -> np.ndarray:
+    """int64 epoch-microseconds -> MySQL packed datetime uint64
+    (kv_codec.pack_datetime, vectorized via the civil-date algo)."""
+    day_us = np.int64(86_400_000_000)
+    days = np.floor_divide(us, day_us)
+    rem = us - days * day_us
+    # days-since-epoch -> (y, m, d), Gregorian, vectorized
+    z = days + 719468
+    era = np.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 - 12 * (mp // 10)
+    y = y + (mp // 10)
+    h = rem // 3_600_000_000
+    rem -= h * 3_600_000_000
+    mi = rem // 60_000_000
+    rem -= mi * 60_000_000
+    s = rem // 1_000_000
+    micro = rem - s * 1_000_000
+    ymd = ((y * 13 + m) << 5) | d
+    hms = (h << 12) | (mi << 6) | s
+    return ((((ymd << 17) | hms) << 24) | micro).astype(np.int64).view(
+        np.uint64
+    )
+
+
+def _const_frag(n: int, data: bytes):
+    mat = np.broadcast_to(
+        np.frombuffer(data, np.uint8)[None, :], (n, len(data))
+    )
+    return mat, np.full(n, len(data), np.int64)
+
+
+def _flat_strings(series, mask: np.ndarray):
+    """Object series of str/bytes -> (flat uint8, offsets, lens)."""
+    vals = series.to_numpy(dtype=object)
+    bs = [
+        b""
+        if mask[i]
+        else (v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
+        for i, v in enumerate(vals)
+    ]
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    flat = np.frombuffer(b"".join(bs) + b"\x00" * 8, np.uint8)
+    offs = np.zeros(len(bs), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return flat, offs, lens
+
+
+def _gather(flat: np.ndarray, offs: np.ndarray, lens: np.ndarray):
+    """Flat source bytes -> padded (n, max_len) fragment matrix."""
+    w = int(lens.max()) if len(lens) and lens.max() > 0 else 0
+    if w == 0:
+        return np.zeros((len(lens), 0), np.uint8), lens
+    cols = np.arange(w)
+    m = cols[None, :] < lens[:, None]
+    idx = np.where(m, offs[:, None] + cols[None, :], 0)
+    return np.where(m, flat[idx], 0).astype(np.uint8), lens
+
+
+def _concat_frags(parts):
+    """Concatenate sub-fragments [(mat, lens), ...] row-wise into one
+    fragment (variable-width pieces packed per row)."""
+    n = len(parts[0][1])
+    total = parts[0][1].copy()
+    for _, plens in parts[1:]:
+        total = total + plens
+    w = int(total.max()) if n else 0
+    out = np.zeros((n, max(w, 1)), np.uint8)
+    cum = np.zeros(n, np.int64)
+    rows = np.arange(n)
+    for mat, lens in parts:
+        pw = mat.shape[1]
+        if pw == 0:
+            continue
+        cols = np.arange(pw)
+        m = cols[None, :] < lens[:, None]
+        pos = cum[:, None] + cols[None, :]
+        rows2d = np.broadcast_to(rows[:, None], (n, pw))
+        out[rows2d[m], pos[m]] = mat[m]
+        cum += lens
+    return out, cum
+
+
+def _object_frag(series, mask: np.ndarray, encode_fn):
+    """Fallback: per-row Python encode of one column's datums."""
+    vals = series.to_numpy(dtype=object)
+    bs = [b"" if mask[i] else encode_fn(v) for i, v in enumerate(vals)]
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    flat = np.frombuffer(b"".join(bs) + b"\x00" * 8, np.uint8)
+    offs = np.zeros(len(bs), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return _gather(flat, offs, lens)
+
+
+def _coerce_decimal(dt):
+    p, s = dt.precision, dt.scale
+    return lambda v: KC.DecimalDatum(v, p, s)
+
+
+def _value_datum_frag(series, mask, dt_name, dt):
+    """One column's v1 row-VALUE datum fragment (flag + payload) for
+    the non-null rows; lens are 0 on null rows (the caller overlays
+    NilFlag / CanSkip)."""
+    n = len(mask)
+    valid = ~mask
+    if dt_name in ("byte", "short", "integer", "long", "boolean"):
+        v = series.to_numpy(np.int64, na_value=0)
+        mat, lens = _uvarint_frag(_zigzag(v), valid)
+        return _concat_frags([_const_frag(n, b"\x08"), (mat, lens)]), valid
+    if dt_name in ("float", "double"):
+        f = series.to_numpy(np.float64, na_value=0.0)
+        u = f.view(np.uint64)
+        comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
+        frag = (_be8(comp), np.where(valid, 8, 0))
+        return _concat_frags([_const_frag(n, b"\x05"), frag]), valid
+    if dt_name in ("string", "binary"):
+        flat, offs, lens = _flat_strings(series, mask)
+        head = _uvarint_frag(_zigzag(lens), valid)
+        body = _gather(flat, offs, np.where(valid, lens, 0))
+        return (
+            _concat_frags([_const_frag(n, b"\x02"), head, body]),
+            valid,
+        )
+    if dt_name in ("timestamp", "timestamp_ntz"):
+        # the projection shipped unix-micros as BIGINT
+        us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
+        mat, lens = _uvarint_frag(_packed_datetime_us(us), valid)
+        return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
+    # object fallback (DECIMAL, DATE, anything else): scalar oracle
+    if dt_name == "decimal":
+        coerce = _coerce_decimal(dt)
+        enc = lambda v: KC._encode_datum_v1(coerce(v))  # noqa: E731
+    else:
+        enc = KC._encode_datum_v1
+    return _object_frag(series, mask, enc), valid
+
+
+def _key_datum_frag(series, mask, dt_name, dt):
+    """One column's memory-comparable KEY datum fragment (EncodeKey),
+    NULLs encoded as NilFlag (index keys keep NULL datums)."""
+    n = len(mask)
+    valid = ~mask
+    nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
+
+    def _with_nil(mat, lens):
+        # overlay the NilFlag byte for null rows
+        full, flens = _concat_frags([(mat, lens)])
+        out_w = max(full.shape[1], 1)
+        if full.shape[1] < out_w:
+            full = np.pad(full, ((0, 0), (0, out_w - full.shape[1])))
+        full[~valid, 0] = 0x00
+        return full, np.where(valid, flens, 1)
+
+    if dt_name in ("byte", "short", "integer", "long", "boolean"):
+        v = series.to_numpy(np.int64, na_value=0)
+        comp = v.view(np.uint64) ^ _SIGN
+        mat, lens = _concat_frags(
+            [_const_frag(n, b"\x03"), (_be8(comp), np.where(valid, 8, 0))]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
+    if dt_name in ("float", "double"):
+        f = series.to_numpy(np.float64, na_value=0.0)
+        u = f.view(np.uint64)
+        comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
+        mat, lens = _concat_frags(
+            [_const_frag(n, b"\x05"), (_be8(comp), np.where(valid, 8, 0))]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
+    if dt_name in ("timestamp", "timestamp_ntz"):
+        us = series.to_numpy(np.int64, na_value=0)
+        packed = _packed_datetime_us(np.where(valid, us, 0))
+        mat, lens = _concat_frags(
+            [_const_frag(n, b"\x04"), (_be8(packed), np.where(valid, 8, 0))]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
+    if dt_name in ("string", "binary"):
+        flat, offs, lens = _flat_strings(series, mask)
+        mat, glens = _group8_frag(flat, offs, np.where(valid, lens, 0), valid)
+        full, flens = _concat_frags(
+            [_const_frag(n, b"\x01"), (mat, glens)]
+        )
+        return _with_nil(full, np.where(valid, flens, 0))
+    if dt_name == "decimal":
+        coerce = _coerce_decimal(dt)
+        enc = lambda v: KC.encode_key_datum(coerce(v))  # noqa: E731
+    else:
+        enc = KC.encode_key_datum
+    mat, lens = _object_frag(series, mask, enc)
+    return _with_nil(mat, np.where(valid, lens, 0))
+
+
+def _group8_frag(flat, offs, lens, valid):
+    """codec.EncodeBytes group-of-8 layout, vectorized: output length
+    is (len//8 + 1) * 9; position p holds source byte 8*(p//9)+(p%9)
+    (zero-padded) or the group marker 0xFF - pad at p%9 == 8."""
+    n = len(lens)
+    out_lens = np.where(valid, (lens // 8 + 1) * 9, 0)
+    w = int(out_lens.max()) if n and out_lens.max() > 0 else 0
+    if w == 0:
+        return np.zeros((n, 0), np.uint8), out_lens
+    p = np.arange(w)
+    g = p // 9
+    r = p % 9
+    src_idx = 8 * g[None, :] + r[None, :]
+    in_src = (r[None, :] < 8) & (src_idx < lens[:, None])
+    idx = np.where(in_src, offs[:, None] + src_idx, 0)
+    mat = np.where(in_src, flat[idx], 0).astype(np.uint8)
+    remain = lens[:, None] - 8 * g[None, :]
+    pad = np.clip(8 - remain, 0, 8)
+    is_marker = r[None, :] == 8
+    mat = np.where(is_marker, (0xFF - pad).astype(np.uint8), mat)
+    inside = p[None, :] < out_lens[:, None]
+    mat = np.where(inside, mat, 0)
+    return mat, out_lens
+
+
+def kv_pairs_crc_np(
+    pdf,
+    cols: list[str],
+    dtypes: list,
+    handle_name: str,
+    col_ids: list[int],
+    table_id: int,
+    default_null_ids,
+    idx_specs,
+):
+    """The batch kernel: pandas DataFrame (handle + per-column value
+    and _isnull_ fields) -> (h int64 xor-of-pair-crcs, n total bytes)
+    per row, byte-identical with kv_codec.encode_table_kvs."""
+    n = len(pdf)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    handles = pdf[handle_name].to_numpy(np.int64)
+    masks = {
+        c: pdf[f"__null_{i}"].to_numpy(bool) for i, c in enumerate(cols)
+    }
+
+    # ---- data-row KV ----
+    key_prefix = b"t" + KC.encode_int_comparable(table_id) + b"_r"
+    hcomp = handles.view(np.uint64) ^ _SIGN
+    key_frag = _concat_frags(
+        [_const_frag(n, key_prefix), (_be8(hcomp), np.full(n, 8, np.int64))]
+    )
+    frags = [key_frag]
+    vlen = np.zeros(n, np.int64)
+    for i, c in enumerate(cols):
+        cid = col_ids[i]
+        dt = dtypes[i]
+        dt_name = dt.typeName()
+        prefix = bytes([KC.VARINT_FLAG]) + KC.encode_varint(cid)
+        (dmat, dlens), valid = _value_datum_frag(
+            pdf[f"__v_{i}"], masks[c], dt_name, dt
+        )
+        skip = default_null_ids is None or cid in default_null_ids
+        full, flens = _concat_frags(
+            [_const_frag(n, prefix), (dmat, dlens)]
+        )
+        nulls = ~valid
+        if skip:
+            flens = np.where(nulls, 0, flens)
+        else:
+            p = len(prefix)
+            if full.shape[1] <= p:
+                full = np.pad(full, ((0, 0), (0, p + 1 - full.shape[1])))
+            full[nulls, p] = 0x00
+            flens = np.where(nulls, p + 1, flens)
+        frags.append((full, flens))
+        vlen += flens
+    # empty value -> single NilFlag (EncodeOldRow's empty sentinel)
+    frags.append(
+        (np.zeros((n, 1), np.uint8), (vlen == 0).astype(np.int64))
+    )
+    buf, lens = _concat_frags(frags)
+    crc = crc64_matrix(buf, lens)
+    nbytes = lens.copy()
+
+    # ---- index KVs ----
+    pos_of = {c: i for i, c in enumerate(cols)}
+    for iid, icols, unique in idx_specs or ():
+        iprefix = (
+            b"t" + KC.encode_int_comparable(table_id) + b"_i"
+            + KC.encode_int_comparable(iid)
+        )
+        parts = [_const_frag(n, iprefix)]
+        distinct = np.full(n, bool(unique))
+        for c in icols:
+            if c == handle_name:
+                comp = handles.view(np.uint64) ^ _SIGN
+                parts.append(
+                    _concat_frags(
+                        [
+                            _const_frag(n, b"\x03"),
+                            (_be8(comp), np.full(n, 8, np.int64)),
+                        ]
+                    )
+                )
+                continue
+            i = pos_of[c]
+            dt = dtypes[i]
+            mat, lens_k = _key_datum_frag(
+                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt
+            )
+            parts.append((mat, lens_k))
+            distinct &= ~masks[c]
+        # non-distinct entries append the int handle to the key
+        hmat, _hl = _concat_frags(
+            [
+                _const_frag(n, b"\x03"),
+                (_be8(handles.view(np.uint64) ^ _SIGN),
+                 np.full(n, 8, np.int64)),
+            ]
+        )
+        parts.append((hmat, np.where(distinct, 0, 9)))
+        # value: BE8 handle when distinct, '0' otherwise
+        vmat = np.full((n, 8), 0, np.uint8)
+        vmat[:, :] = handles.astype(">i8").view(np.uint8).reshape(n, 8)
+        vmat[~distinct, 0] = 0x30
+        parts.append((vmat, np.where(distinct, 8, 1)))
+        ibuf, ilens = _concat_frags(parts)
+        crc ^= crc64_matrix(ibuf, ilens)
+        nbytes += ilens
+    return crc.view(np.int64), nbytes
