@@ -15,11 +15,11 @@ explicitly to observe the mismatch instead.
 
 Round-6 provenance: this sweep found the dsir_select_docs half-way
 rounding flip (round-after-double-cast) that all sf0.01 checks
-missed. Known accepted residual at sf0.001: dsir_select_docs can
-still differ by one 4th-decimal ulp when a per-bucket ln() delta
-lands within ~5e-10 of its 9th-decimal rounding boundary
-(curation.py::dsir_weights notes) — everything else is clean:
-149 swept, zero errors, zero other mismatches.
+missed. Round 7 closed the remaining residual: the per-bucket delta
+is now quantized via floor(x*1e9 + 0.5) into int64 units (floor on a
+binary double is bit-deterministic across engines, unlike
+round(double, 9)) and the final 4-decimal round runs in exact
+integer space — zero accepted residuals remain at any swept scale.
 """
 
 from __future__ import annotations

@@ -139,15 +139,29 @@ def checksum(df: DataFrame, cols: list[str] | None = None, algo: str = "hash60")
     return Checksum(row["crc_xor"], row["total_bytes"], row["total_kvs"])
 
 
-def checksum_oracle_sql(table: str, cols: list[tuple[str, str]]) -> str:
-    """ANSI/DuckDB SQL computing the identical hash60 checksum triple."""
+def checksum_oracle_sql(
+    table: str,
+    cols: list[tuple[str, str]],
+    algo: str = "hash60",
+    where: str = "",
+) -> str:
+    """ANSI/DuckDB SQL computing the identical checksum triple.
+    ``algo="crc64"`` uses the pure-SQL CRC-64/XZ twin
+    (hashing.crc64_duckdb), byte-identical with the Arrow kernel, so
+    even the reference-polynomial mode is hash-checkable."""
     canon = canonical_duckdb_row(cols)
-    h = hash60_duckdb("c._canon")
+    if algo == "crc64":
+        from .hashing import crc64_duckdb
+
+        h = crc64_duckdb("c._canon")
+    else:
+        h = hash60_duckdb("c._canon")
+    pred = f" WHERE {where}" if where else ""
     return (
         f"SELECT bit_xor({h}) AS crc_xor, "
         f"sum(length(c._canon))::BIGINT AS total_bytes, "
         f"count(*) AS total_kvs "
-        f"FROM (SELECT {canon} AS _canon FROM {table}) c"
+        f"FROM (SELECT {canon} AS _canon FROM {table}{pred}) c"
     )
 
 

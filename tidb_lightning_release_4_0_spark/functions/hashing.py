@@ -208,6 +208,224 @@ def hash60_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5(cast({expr} as varchar)),1,15))::BIGINT)"
 
 
+def crc64_duckdb(expr: str) -> str:
+    """DuckDB fragment computing the crc64 column function's value —
+    CRC-64/XZ of the utf-8 bytes, reinterpreted as a SIGNED BIGINT —
+    bit-identical with ``crc64``/``crc64_bytes``. A byte-wise
+    table-driven fold: the 256-entry lookup table rides along as a
+    list literal and ``list_reduce`` chains the per-byte step
+    (same let-binding construction as ``xxhash64_duckdb``)."""
+    table = "[" + ",".join(
+        f"{int(v)}::UBIGINT" for v in _T0
+    ) + "]"
+    step = (
+        "xor(__t[((xor(__a, __x) & 255)::INT) + 1], __a >> 8)"
+    )
+    bytes_list = (
+        "list_transform(range(0, __n), "
+        "__k -> ('0x' || substr(__hx, 2*__k+1, 2))::UBIGINT)"
+    )
+    fold = (
+        f"list_reduce(list_prepend(18446744073709551615::UBIGINT, "
+        f"{bytes_list}), (__a, __x) -> {step})"
+    )
+    out = _xx_let(
+        "__u", f"xor({fold}, 18446744073709551615::UBIGINT)",
+        "(__u::HUGEINT - CASE WHEN __u >= 9223372036854775808::UBIGINT"
+        f" THEN {_XX_M} ELSE 0::HUGEINT END)::BIGINT",
+    )
+    return _xx_let(
+        "__t", table,
+        _xx_let(
+            "__hx", f"hex(encode({expr}))",
+            _xx_let("__n", f"octet_length(encode({expr}))", out),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 as a pure DuckDB SQL expression: lets the oracle reproduce
+# Spark's PRODUCTION hash family (F.xxhash64 = XXH64 over the utf-8
+# bytes, seed 42) bit-for-bit, so xxhash64-based operators get a real
+# hash-checked twin instead of a rows-only fallback.
+#
+# Construction notes: DuckDB's UBIGINT << raises on overflow, so
+# left shifts/rotates ride HUGEINT multiply-mod-2^64; 64x64 multiply
+# splits into 32-bit halves (HUGEINT is 128-bit signed — a full
+# 64x64 product would overflow it); a single-element list_transform
+# acts as a let-binding so the byte-hex source string is computed
+# once per sub-expression instead of once per reference. The whole
+# thing is one scalar expression (no subqueries), so it composes
+# inside list_transform lambdas like the md5-based hash60 does.
+# ---------------------------------------------------------------------------
+
+_XX_M = "18446744073709551616::HUGEINT"  # 2^64
+_XX_P1 = "11400714785074694791::UBIGINT"
+_XX_P2 = "14029467366897019727::UBIGINT"
+_XX_P3 = "1609587929392839161::UBIGINT"
+_XX_P4 = "9650029242287828579::UBIGINT"
+_XX_P5 = "2870177450012600261::UBIGINT"
+
+
+def _xx_let(name: str, value: str, body: str) -> str:
+    return f"list_transform([{value}], {name} -> {body})[1]"
+
+
+def _xx_add(a: str, b: str) -> str:
+    return f"((({a})::HUGEINT + ({b})::HUGEINT) % {_XX_M})::UBIGINT"
+
+
+def _xx_sub(a: str, b: str) -> str:
+    return (
+        f"((({a})::HUGEINT - ({b})::HUGEINT + {_XX_M}) % {_XX_M})::UBIGINT"
+    )
+
+
+def _xx_mul(a: str, b: str) -> str:
+    return _xx_let("__ma", a, _xx_let("__mb", b, (
+        "(((__ma & 4294967295)::HUGEINT * (__mb & 4294967295)::HUGEINT"
+        " + ((((__ma >> 32)::HUGEINT * (__mb & 4294967295)::HUGEINT"
+        "     + (__ma & 4294967295)::HUGEINT * (__mb >> 32)::HUGEINT)"
+        "    % 4294967296::HUGEINT) * 4294967296::HUGEINT))"
+        f" % {_XX_M})::UBIGINT"
+    )))
+
+
+def _xx_rotl(x: str, r: int) -> str:
+    return _xx_let("__r", x, (
+        f"(((__r::HUGEINT * {1 << r}::HUGEINT) % {_XX_M})::UBIGINT"
+        f" | (__r >> {64 - r}))"
+    ))
+
+
+def _xx_byte(off: str) -> str:
+    return f"('0x' || substr(__hx, 2*({off})+1, 2))::UBIGINT"
+
+
+def _xx_word(off: str, nbytes: int) -> str:
+    # little-endian word: reversed byte order parsed as one hex literal
+    parts = " || ".join(
+        f"substr(__hx, 2*(({off})+{b})+1, 2)"
+        for b in range(nbytes - 1, -1, -1)
+    )
+    return f"('0x' || {parts})::UBIGINT"
+
+
+def _xx_round(acc: str, lane: str) -> str:
+    return _xx_mul(
+        _xx_rotl(_xx_add(acc, _xx_mul(lane, _XX_P2)), 31), _XX_P1
+    )
+
+
+def _xx_merge(h: str, v: str) -> str:
+    return _xx_add(
+        _xx_mul(f"xor({h}, {_xx_round('0::UBIGINT', v)})", _XX_P1), _XX_P4
+    )
+
+
+def _xx_reduce(init: str, elems: str, step: str) -> str:
+    # step uses __a (acc) and __x (element); prepend carries the init
+    # through (list_reduce has no init parameter and rejects empties)
+    return (
+        f"list_reduce(list_prepend({init}, {elems}), (__a, __x) -> {step})"
+    )
+
+
+def xxhash64_duckdb(expr: str, seed: int = 42) -> str:
+    """DuckDB fragment computing Spark's xxhash64({expr}) — XXH64 of
+    the utf-8 bytes with seed 42 — as a SIGNED BIGINT, bit-identical
+    with ``F.xxhash64`` on a string column. Validated against the
+    reference XXH64 vectors and Spark itself in
+    tests/test_xxhash64_duckdb.py."""
+    sd = f"{seed}::UBIGINT"
+
+    def lane(i: int, init: str) -> str:
+        elems = (
+            "list_transform(range(0, __n // 32), "
+            f"__k -> {_xx_word(f'32*__k + {8 * i}', 8)})"
+        )
+        return _xx_reduce(init, elems, _xx_round("__a", "__x"))
+
+    big = _xx_let(
+        "__v1", lane(0, _xx_add(_xx_add(sd, _XX_P1), _XX_P2)),
+        _xx_let(
+            "__v2", lane(1, _xx_add(sd, _XX_P2)),
+            _xx_let(
+                "__v3", lane(2, sd),
+                _xx_let(
+                    "__v4", lane(3, _xx_sub(sd, _XX_P1)),
+                    _xx_merge(_xx_merge(_xx_merge(_xx_merge(
+                        _xx_add(
+                            _xx_add(
+                                _xx_rotl("__v1", 1), _xx_rotl("__v2", 7)
+                            ),
+                            _xx_add(
+                                _xx_rotl("__v3", 12), _xx_rotl("__v4", 18)
+                            ),
+                        ),
+                        "__v1"), "__v2"), "__v3"), "__v4"),
+                ),
+            ),
+        ),
+    )
+    h = f"CASE WHEN __n >= 32 THEN {big} ELSE {_xx_add(sd, _XX_P5)} END"
+    h = _xx_add(h, "__n::UBIGINT")
+    tail8 = (
+        "list_transform(range(0, (__n - (__n // 32) * 32) // 8), "
+        f"__k -> {_xx_word('(__n // 32) * 32 + 8*__k', 8)})"
+    )
+    h = _xx_reduce(
+        h, tail8,
+        _xx_add(
+            _xx_mul(
+                _xx_rotl(
+                    f"xor(__a, {_xx_round('0::UBIGINT', '__x')})", 27
+                ),
+                _XX_P1,
+            ),
+            _XX_P4,
+        ),
+    )
+    h = _xx_let(
+        "__h8", h,
+        "CASE WHEN __n - (__n // 8) * 8 >= 4 THEN "
+        + _xx_add(
+            _xx_mul(
+                _xx_rotl(
+                    f"xor(__h8, {_xx_mul(_xx_word('(__n // 8) * 8', 4), _XX_P1)})",
+                    23,
+                ),
+                _XX_P2,
+            ),
+            _XX_P3,
+        )
+        + " ELSE __h8 END",
+    )
+    tailb = (
+        "list_transform(range(0, __n - (__n // 4) * 4), "
+        f"__k -> {_xx_byte('(__n // 4) * 4 + __k')})"
+    )
+    h = _xx_reduce(
+        h, tailb,
+        _xx_mul(
+            _xx_rotl(f"xor(__a, {_xx_mul('__x', _XX_P5)})", 11), _XX_P1
+        ),
+    )
+    h = _xx_let("__z1", h, _xx_mul("xor(__z1, __z1 >> 33)", _XX_P2))
+    h = _xx_let("__z2", h, _xx_mul("xor(__z2, __z2 >> 29)", _XX_P3))
+    h = _xx_let("__z3", h, "xor(__z3, __z3 >> 32)")
+    # reinterpret the uint64 as Spark's signed int64
+    h = _xx_let(
+        "__u", h,
+        "(__u::HUGEINT - CASE WHEN __u >= 9223372036854775808::UBIGINT"
+        f" THEN {_XX_M} ELSE 0::HUGEINT END)::BIGINT",
+    )
+    return _xx_let(
+        "__hx", f"hex(encode({expr}))",
+        _xx_let("__n", f"octet_length(encode({expr}))", h),
+    )
+
+
 def hash60_seeded(col: Column | str, seed: int) -> Column:
     """Seeded variant used to derive the MinHash function family."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1444,11 +1444,16 @@ def dsir_weights(
     Output: (doc_id, weight DOUBLE rounded to 4). Documents with no
     grams get weight 0.
 
-    Engine-exactness: each bucket's log-ratio delta is rounded to 9
-    decimals and cast to DECIMAL before the per-doc multiply-sum, so
-    the aggregation is exact integer*decimal arithmetic — associative
-    and therefore partition-order-independent (a raw float sum of
-    hundreds of ln terms would drift between engines).
+    Engine-exactness: each bucket's log-ratio delta is quantized to
+    an INTEGER count of 1e-9 units via floor(x*1e9 + 0.5) — floor on
+    a binary double is bit-deterministic across engines, unlike
+    round(double, 9), whose Spark implementation rounds the shortest
+    decimal string while DuckDB rounds the binary value (a half-way
+    delta flipped the 4th decimal at degenerate corpus sizes). The
+    per-doc multiply-sum and the final 4-decimal half-away-from-zero
+    round then run in exact int64 arithmetic — associative and
+    partition-order-independent. Bound: per-doc |sum| < 2^63 units
+    of 1e-9, i.e. ~4e8 grams per document at the max |ln ratio|.
 
     Scale shape (100 TB): the corpus is tokenized ONCE into a gram
     stream; bucket histograms are two fixed-size (n_buckets-row)
@@ -1496,44 +1501,46 @@ def dsir_weights(
     every = Window.partitionBy()
     tr = F.sum("cr").over(every)
     tt = F.sum("ct").over(every)
-    delta = (
-        F.round(
-            F.log(
-                (F.col("ct") + 1.0)
-                / (tt + F.lit(float(n_buckets)))
+    delta_i = (
+        F.floor(
+            (
+                F.log(
+                    (F.col("ct") + 1.0)
+                    / (tt + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("cr") + 1.0)
+                    / (tr + F.lit(float(n_buckets)))
+                )
             )
-            - F.log(
-                (F.col("cr") + 1.0)
-                / (tr + F.lit(float(n_buckets)))
-            ),
-            9,
+            * F.lit(1e9)
+            + F.lit(0.5)
         )
-        .cast("decimal(20,9)")
-        .alias("delta")
+        .cast("long")
+        .alias("delta_i")
     )
-    deltas = table.select("b", delta)
+    deltas = table.select("b", delta_i)
     scored = (
         doc_b.join(F.broadcast(deltas), "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("delta")).alias("_w"))
+        .agg(F.sum(F.col("n") * F.col("delta_i")).alias("_wi"))
     )
     docs = df.select(F.col(id_col).alias("doc_id"))
-    # round the EXACT decimal sum to 4 first, THEN cast to double:
-    # rounding after the double cast diverges between engines on
-    # half-way values (Spark's round(double) goes through the
-    # shortest decimal string; DuckDB rounds the binary value — at a
-    # tiny corpus a weight like 7.92885 rounds 7.9289 vs 7.9288).
-    # Residual caveat: the per-bucket ln() deltas round to 9 decimals
-    # in double space, so a corpus whose delta lands within ~5e-10 of
-    # a 9th-decimal boundary can still differ by 1e-9 upstream —
-    # possible at degenerate corpus sizes, unobserved at sf >= 0.01.
-    return docs.join(scored, "doc_id", "left").select(
-        "doc_id",
-        F.round(
-            F.coalesce(F.col("_w"), F.lit(0).cast("decimal(20,9)")), 4
+    # final 4-decimal round in exact int64 space (half away from
+    # zero), then ONE exact double division by 1e4 — no double-space
+    # rounding anywhere, so the twin agrees at every corpus size
+    return (
+        docs.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_wi"), F.lit(0)).cast("long").alias("_wi"),
         )
-        .cast("double")
-        .alias("weight"),
+        .selectExpr(
+            "doc_id",
+            "cast(CASE WHEN _wi >= 0 THEN (_wi + 50000) div 100000 "
+            "ELSE -((-_wi + 50000) div 100000) END AS DOUBLE) / 10000.0"
+            " AS weight",
+        )
     )
 
 
@@ -1564,7 +1571,7 @@ def dsir_weights_sql_duckdb(
 ) -> str:
     """DuckDB twin of dsir_weights where the target sample is
     ``SELECT * FROM table WHERE target_pred``. Identical hashing,
-    smoothing, 9-decimal delta rounding and decimal aggregation."""
+    smoothing, floor-quantized 1e-9 deltas and int64 aggregation."""
     h = hash60_duckdb("g")
     return f"""
 WITH grams AS ({_dsir_grams_sql_duckdb(table, text_col, id_col)}),
@@ -1591,19 +1598,25 @@ tbl AS (
 ),
 deltas AS (
   SELECT b,
-         cast(round(
-           ln((ct + 1.0) / (sum(ct) OVER () + {float(n_buckets)!r}))
-           - ln((cr + 1.0) / (sum(cr) OVER () + {float(n_buckets)!r})),
-           9) AS DECIMAL(20,9)) AS delta
+         cast(floor(
+           (ln((ct + 1.0) / (sum(ct) OVER () + {float(n_buckets)!r}))
+            - ln((cr + 1.0) / (sum(cr) OVER () + {float(n_buckets)!r})))
+           * 1e9 + 0.5) AS BIGINT) AS delta_i
   FROM tbl
 ),
 scored AS (
-  SELECT doc_id, sum(n * delta) AS _w
+  SELECT doc_id, cast(sum(n * delta_i) AS BIGINT) AS _wi
   FROM doc_b JOIN deltas USING (b) GROUP BY doc_id
+),
+wi AS (
+  SELECT t.{id_col} AS doc_id, coalesce(_wi, 0) AS _wi
+  FROM {table} t LEFT JOIN scored ON t.{id_col} = scored.doc_id
 )
-SELECT t.{id_col} AS doc_id,
-       cast(round(coalesce(_w, 0), 4) AS DOUBLE) AS weight
-FROM {table} t LEFT JOIN scored ON t.{id_col} = scored.doc_id
+SELECT doc_id,
+       cast(CASE WHEN _wi >= 0 THEN (_wi + 50000) // 100000
+                 ELSE -((-_wi + 50000) // 100000) END AS DOUBLE)
+       / 10000.0 AS weight
+FROM wi
 """
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.exprs import let
-from ..functions.hashing import hash60, hash60_duckdb
+from ..functions.hashing import hash60, hash60_duckdb, xxhash64_duckdb
 from .partitioning import spread_small_input as _spread
 
 # ---------------------------------------------------------------------------
@@ -164,16 +164,23 @@ def minhash_signature(
     )
 
 
-def minhash_signature_sql_duckdb(expr: str, num_hashes: int = 16) -> str:
+def minhash_signature_sql_duckdb(
+    expr: str, num_hashes: int = 16, hash_fn: str = "hash60"
+) -> str:
     sh = word_shingles_sql_duckdb(expr)
-    h = hash60_duckdb("s")
+    if hash_fn == "xxhash64":
+        # Spark side is F.pmod(F.xxhash64(s), P): signed hash, pmod
+        xx = xxhash64_duckdb("s")
+        base = f"((({xx}) % {_MH_PRIME} + {_MH_PRIME}) % {_MH_PRIME})"
+    else:
+        base = f"({hash60_duckdb('s')}) % {_MH_PRIME}"
     mins = ", ".join(
         f"list_min(list_transform(__h, h -> (h * {_mh_a(i)} + {_mh_b(i)}) % {_MH_PRIME}))"
         for i in range(num_hashes)
     )
     return (
         f"(SELECT [{mins}] FROM (SELECT list_transform(__sh, "
-        f"s -> ({h}) % {_MH_PRIME}) AS __h "
+        f"s -> {base}) AS __h "
         f"FROM (SELECT {sh} AS __sh) __t0) __t)"
     )
 
@@ -316,13 +323,19 @@ def minhash_lsh_pairs_oracle_sql(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int = 200,
+    hash_fn: str = "hash60",
 ) -> str:
     rpb = num_hashes // bands
-    sig = minhash_signature_sql_duckdb("text", num_hashes)
-    band_key = hash60_duckdb(
+    sig = minhash_signature_sql_duckdb("text", num_hashes, hash_fn)
+    joined = (
         f"array_to_string(list_transform("
         f"_sig[t.b*{rpb}+1 : t.b*{rpb}+{rpb}], "
         f"x -> cast(x as varchar)), ',')"
+    )
+    band_key = (
+        xxhash64_duckdb(joined)
+        if hash_fn == "xxhash64"
+        else hash60_duckdb(joined)
     )
     band_list = ",".join(str(b) for b in range(bands))
     return f"""

@@ -388,11 +388,11 @@ def q_dedup_minhash(spark, sf_dir):
 def q_dedup_minhash_xx(spark, sf_dir):
     """MinHash-LSH with the PRODUCTION hash (xxhash64: one JVM
     intrinsic per shingle, zero md5 in the plan — docs/SCALE.md's
-    recommended default for non-oracle runs; hash60/md5 exists only
-    so the DuckDB oracle can reproduce signatures). Rows-only check:
-    DuckDB has no xxhash64, and the candidate SET depends on the
-    hash family — dedup_minhash is the oracle-verified twin of the
-    identical plan shape."""
+    recommended default). Hash-checked since round 7: the oracle
+    reproduces Spark's xxhash64 bit-for-bit as a pure DuckDB SQL
+    expression (hashing.xxhash64_duckdb), so the candidate set and
+    signatures are verified under the production hash family, not
+    just the md5-portable hash60 twin."""
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.2,
         hash_fn="xxhash64",
@@ -1124,9 +1124,17 @@ def q_ann_topk_ivfpq(spark, sf_dir):
 
 def q_checksum_crc64_lineitem(spark, sf_dir):
     """C1 with the reference's exact crc64-ecma polynomial
-    (verification/checksum.go:37; Arrow kernel — rows-only since
-    DuckDB has no crc64)."""
-    return checksum_df(_t(spark, sf_dir, "lineitem").limit(2000), algo="crc64")
+    (verification/checksum.go:37; Arrow kernel). Hash-checked since
+    round 7: the oracle computes the same CRC-64/XZ as a pure DuckDB
+    SQL fold (hashing.crc64_duckdb). The subset filter is a
+    deterministic modulo (the old limit(2000) had no defined row
+    set, which is also why it could never have a value twin)."""
+    return checksum_df(
+        _t(spark, sf_dir, "lineitem").filter(
+            (F.col("l_orderkey") % 37) == 3
+        ),
+        algo="crc64",
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -3115,6 +3123,10 @@ def _build_oracle_sql_static():
     tq = X.token_count_sql_duckdb("text")
     return {
         "checksum_lineitem": checksum_oracle_sql("lineitem", LINEITEM_TYPES),
+        "checksum_crc64_lineitem": checksum_oracle_sql(
+            "lineitem", LINEITEM_TYPES, algo="crc64",
+            where="l_orderkey % 37 = 3",
+        ),
         "checksum_orders": checksum_oracle_sql("orders", ORDERS_TYPES),
         "index_checksum_orders": checksum_oracle_sql(
             "orders", [("o_custkey", "BIGINT"), ("o_orderkey", "BIGINT")]
@@ -3260,6 +3272,9 @@ def _build_oracle_sql_static():
         """,
         "dedup_minhash": D.minhash_lsh_pairs_oracle_sql(
             "documents", threshold=0.2
+        ),
+        "dedup_minhash_xx": D.minhash_lsh_pairs_oracle_sql(
+            "documents", threshold=0.2, hash_fn="xxhash64"
         ),
         "simhash": (
             f"SELECT doc_id, {D.simhash_sql_duckdb('text')} AS simhash "
