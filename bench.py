@@ -437,8 +437,18 @@ def main() -> None:
     except Exception as e:
         print(f"# kv checksum bench skipped: {e}", file=sys.stderr)
 
+    # the ANN family gets the 5-rep treatment too: r6 recorded
+    # +14..79% swings on UNCHANGED code paths (ann50k_pq_q64 4.6s vs
+    # 2.6s in r5) — the highest-variance queries in the suite, so
+    # medians over 3 reps could not separate box noise from
+    # regression (VERDICT r6 "what's wrong" #1)
+    _HIGH_VARIANCE = {
+        "ann_topk_ivfpq", "ann_topk_pq", "ann_topk_pq_q64",
+        "ann_topk_ivfpq_q64",
+    }
     for name in bench_queries:
-        ts = _reps(lambda: queries[name](spark, SF_DIR).count())
+        rep = _ireps if name in _HIGH_VARIANCE else _reps
+        ts = rep(lambda: queries[name](spark, SF_DIR).count())
         timings[name] = _med(ts)
         timings_min[name] = round(min(ts), 3)
 
@@ -487,14 +497,14 @@ def main() -> None:
         SIM.ann_topk_pq(
             ann_q.limit(3), ann_corpus.limit(1000), k=5, encode="numpy"
         ).count()
-        ts = _reps(
+        ts = _ireps(
             lambda: SIM.ann_topk_pq(
                 ann_q, ann_corpus, k=5, encode="numpy"
             ).count()
         )
         timings["ann50k_pq_q64"] = _med(ts)
         timings_min["ann50k_pq_q64"] = round(min(ts), 3)
-        ts = _reps(
+        ts = _ireps(
             lambda: SIM.ann_topk_ivfpq(
                 ann_q,
                 ann_corpus,
