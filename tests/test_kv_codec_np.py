@@ -46,15 +46,17 @@ def _collect(df, pair):
     }
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize("indexes", [None, IDX])
 @pytest.mark.parametrize("dnull", [None, frozenset({2, 4})])
-def test_numpy_kernel_matches_scalar_oracle(spark, indexes, dnull):
+def test_numpy_kernel_matches_scalar_oracle(spark, version, indexes, dnull):
     df = spark.createDataFrame(_rows(), SCHEMA)
     kw = dict(
         col_ids=[2, 3, 4, 5, 6, 7],
         table_id=9,
         default_null_ids=dnull,
         indexes=indexes,
+        row_format_version=version,
     )
     got_py = _collect(
         df, kv_hash_columns(df, COLS, "h", kernel="python", **kw)
@@ -65,7 +67,31 @@ def test_numpy_kernel_matches_scalar_oracle(spark, indexes, dnull):
     assert got_np == got_py
 
 
-def test_numpy_kernel_randomized(spark):
+@pytest.mark.parametrize("version", [1, 2])
+def test_numpy_kernel_v2_big_layout_rows(spark, version):
+    # mixed batch: one row's payload exceeds the u16 offset range
+    # (per-row big layout), one row hits a column id > 255, the rest
+    # stay small — every combination must match the scalar oracle
+    rows = [
+        (1, "x" * 70000, 5),   # big by total size
+        (2, "small", None),    # small
+        (3, None, 7),          # small, NULL string
+        (4, "y" * 65536, None),  # big, NULL int
+    ]
+    df = spark.createDataFrame(rows, "h BIGINT, s STRING, v BIGINT")
+    for ids in ([2, 3], [300, 301]):
+        kw = dict(col_ids=ids, row_format_version=version)
+        got_py = _collect(
+            df, kv_hash_columns(df, ["s", "v"], "h", kernel="python", **kw)
+        )
+        got_np = _collect(
+            df, kv_hash_columns(df, ["s", "v"], "h", kernel="numpy", **kw)
+        )
+        assert got_np == got_py, (version, ids)
+
+
+@pytest.mark.parametrize("version", [1, 2])
+def test_numpy_kernel_randomized(spark, version):
     rng = np.random.default_rng(11)
     n = 2000
     rows = []
@@ -100,20 +126,11 @@ def test_numpy_kernel_randomized(spark):
     cols = ["big", "f", "s", "ts"]
     idx = [(1, ["s", "big"], True), (2, ["ts"], False)]
     got_py = _collect(
-        df, kv_hash_columns(df, cols, "h", kernel="python", indexes=idx)
+        df, kv_hash_columns(df, cols, "h", kernel="python", indexes=idx,
+                            row_format_version=version)
     )
     got_np = _collect(
-        df, kv_hash_columns(df, cols, "h", kernel="numpy", indexes=idx)
+        df, kv_hash_columns(df, cols, "h", kernel="numpy", indexes=idx,
+                            row_format_version=version)
     )
     assert got_np == got_py
-
-
-def test_auto_kernel_v2_falls_back(spark):
-    df = spark.createDataFrame([(1, 2)], "h BIGINT, v BIGINT")
-    # auto resolves v2 to the scalar kernel rather than erroring
-    pair = kv_hash_columns(df, ["v"], "h", row_format_version=2)
-    assert df.withColumn("_p", pair).count() == 1
-    with pytest.raises(ValueError):
-        kv_hash_columns(
-            df, ["v"], "h", row_format_version=2, kernel="numpy"
-        )

@@ -530,13 +530,12 @@ def kv_hash_columns(
     (index_id, [column names], unique) — names resolve against
     ``cols`` or the handle column.
 
-    ``kernel`` picks the encode implementation: ``"numpy"`` is the
-    per-column vectorized kernel (kv_codec_np — byte-identical,
+    ``kernel`` picks the encode implementation: ``"numpy"``
+    (= ``"auto"``, the default) is the per-column vectorized kernel
+    (kv_codec_np — byte-identical for both row formats,
     property-tested against the scalar oracle), ``"python"`` the
-    per-row scalar encode, ``"auto"`` (default) numpy for row format
-    v1 and scalar for v2 (whose per-row null re-sorting has no fixed
-    column layout to vectorize). Scale-shape: embarrassingly
-    parallel Arrow-batched map, no shuffle, no collect."""
+    per-row scalar encode. Scale-shape: embarrassingly parallel
+    Arrow-batched map, no shuffle, no collect."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
@@ -548,9 +547,7 @@ def kv_hash_columns(
     if default_null_ids is not None:
         default_null_ids = frozenset(default_null_ids)
     if kernel == "auto":
-        kernel = "numpy" if row_format_version == 1 else "python"
-    if kernel == "numpy" and row_format_version != 1:
-        raise ValueError("the numpy kv kernel only encodes row format v1")
+        kernel = "numpy"
 
     if kernel == "numpy":
         from . import kv_codec_np as KNP
@@ -603,6 +600,7 @@ def kv_hash_columns(
             h, nb = KNP.kv_pairs_crc_np(
                 batch, list(cols), dtypes, "__h", list(col_ids),
                 table_id, default_null_ids, idx_specs_named,
+                row_format_version,
             )
             return pd.DataFrame({"h": h, "n": nb})
 

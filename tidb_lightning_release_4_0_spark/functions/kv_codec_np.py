@@ -10,9 +10,17 @@ O(max_len/8) vectorized steps. Per-row Python survives only in the
 utf-8 encode of string cells and in the object fallback for exotic
 datum types (DECIMAL / DATE), and only for those columns.
 
-Scope: row-format v1 (the default). v2 rows fall back to the scalar
-kernel in ``kv_codec.kv_hash_columns`` — its per-row null/not-null
-re-sorting has no fixed column layout to vectorize over.
+Covers BOTH row formats: v1's [colID, flagged datum] pairs and v2's
+sectioned layout (version/flag, u16 counts, ascending not-null /
+null column ids, cell end-offsets, cell payloads — small AND big
+variants). v2's per-row null re-sorting vectorizes because the
+column id order is fixed: each column contributes conditional
+fragments (id byte when not-null, null-id byte when null-with-
+default, offset when not-null) whose per-row lengths the fragment
+scatter already handles; the big layout rides the same fragments by
+emitting little-endian u32 ids/offsets and taking a per-row prefix
+(1-or-4 / 2-or-4 bytes — an LE u32 of a small value starts with its
+LE u8/u16 bytes).
 """
 
 from __future__ import annotations
@@ -286,6 +294,118 @@ def _group8_frag(flat, offs, lens, valid):
     return mat, out_lens
 
 
+def _v2_int_lens(v: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    lens = np.full(len(v), 8, np.int64)
+    lens[(v >= -(1 << 31)) & (v < (1 << 31))] = 4
+    lens[(v >= -(1 << 15)) & (v < (1 << 15))] = 2
+    lens[(v >= -(1 << 7)) & (v < (1 << 7))] = 1
+    return np.where(valid, lens, 0)
+
+
+def _v2_uint_lens(u: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    lens = np.full(len(u), 8, np.int64)
+    lens[u < (1 << 32)] = 4
+    lens[u < (1 << 16)] = 2
+    lens[u < (1 << 8)] = 1
+    return np.where(valid, lens, 0)
+
+
+def _cell_v2_frag(series, mask, dt_name, dt):
+    """One column's row-format-v2 CELL payload (kv_codec
+    _encode_cell_v2): smallest little-endian ints, comparable floats,
+    raw bytes — lens 0 on null rows (nulls live in the id sections,
+    not the payload)."""
+    n = len(mask)
+    valid = ~mask
+    if dt_name in ("byte", "short", "integer", "long", "boolean"):
+        v = series.to_numpy(np.int64, na_value=0)
+        mat = v.astype("<i8").view(np.uint8).reshape(n, 8)
+        return (mat, _v2_int_lens(np.where(valid, v, 0), valid)), valid
+    if dt_name in ("float", "double"):
+        f = series.to_numpy(np.float64, na_value=0.0)
+        u = f.view(np.uint64)
+        comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
+        return (_be8(comp), np.where(valid, 8, 0)), valid
+    if dt_name in ("string", "binary"):
+        flat, offs, lens = _flat_strings(series, mask)
+        return _gather(flat, offs, np.where(valid, lens, 0)), valid
+    if dt_name in ("timestamp", "timestamp_ntz"):
+        us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
+        packed = _packed_datetime_us(us)
+        mat = packed.astype("<u8").view(np.uint8).reshape(n, 8)
+        return (mat, _v2_uint_lens(packed, valid)), valid
+    if dt_name == "decimal":
+        coerce = _coerce_decimal(dt)
+        enc = lambda v: KC._encode_cell_v2(coerce(v))  # noqa: E731
+    else:
+        enc = KC._encode_cell_v2
+    return _object_frag(series, mask, enc), valid
+
+
+def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks):
+    """The row-format-v2 VALUE as a fragment list (kv_codec
+    encode_row_v2 semantics incl. CanSkip): columns walk in
+    ascending-id order so the conditional per-column fragments land
+    exactly where the sorted id/offset sections expect them."""
+    n = len(pdf)
+    order = sorted(range(len(cols)), key=lambda i: col_ids[i])
+    cells, valids, keeps = [], [], []
+    for i in order:
+        c = cols[i]
+        dt = dtypes[i]
+        (mat, lens), valid = _cell_v2_frag(
+            pdf[f"__v_{i}"], masks[c], dt.typeName(), dt
+        )
+        skip = default_null_ids is None or col_ids[i] in default_null_ids
+        keep_null = (~valid) & (not skip)
+        cells.append((mat, lens))
+        valids.append(valid)
+        keeps.append(keep_null)
+    nn = np.sum(valids, axis=0).astype(np.int64)
+    nu = np.sum(keeps, axis=0).astype(np.int64)
+    total = np.sum([lens for _, lens in cells], axis=0).astype(np.int64)
+    # per-row layout choice: big when any included id > 255 or the
+    # payload exceeds the u16 offset range (encode_row_v2 parity)
+    maxcid = np.zeros(n, np.int64)
+    for j, i in enumerate(order):
+        inc = valids[j] | keeps[j]
+        maxcid = np.maximum(maxcid, np.where(inc, col_ids[i], 0))
+    big = (total > 0xFFFF) | (maxcid > 0xFF)
+    idw = np.where(big, 4, 1)
+    offw = np.where(big, 4, 2)
+
+    frags = []
+    head = np.zeros((n, 2), np.uint8)
+    head[:, 0] = 0x80
+    head[:, 1] = big.astype(np.uint8)
+    frags.append((head, np.full(n, 2, np.int64)))
+    frags.append(
+        (nn.astype("<u2").view(np.uint8).reshape(n, 2),
+         np.full(n, 2, np.int64))
+    )
+    frags.append(
+        (nu.astype("<u2").view(np.uint8).reshape(n, 2),
+         np.full(n, 2, np.int64))
+    )
+    for j, i in enumerate(order):
+        cid_mat = np.full(n, col_ids[i], np.int64).astype(
+            "<u4"
+        ).view(np.uint8).reshape(n, 4)
+        frags.append((cid_mat, np.where(valids[j], idw, 0)))
+    for j, i in enumerate(order):
+        cid_mat = np.full(n, col_ids[i], np.int64).astype(
+            "<u4"
+        ).view(np.uint8).reshape(n, 4)
+        frags.append((cid_mat, np.where(keeps[j], idw, 0)))
+    run = np.zeros(n, np.int64)
+    for j in range(len(order)):
+        run = run + cells[j][1]
+        off_mat = run.astype("<u4").view(np.uint8).reshape(n, 4)
+        frags.append((off_mat, np.where(valids[j], offw, 0)))
+    frags.extend(cells)
+    return frags
+
+
 def kv_pairs_crc_np(
     pdf,
     cols: list[str],
@@ -295,6 +415,7 @@ def kv_pairs_crc_np(
     table_id: int,
     default_null_ids,
     idx_specs,
+    row_format_version: int = 1,
 ):
     """The batch kernel: pandas DataFrame (handle + per-column value
     and _isnull_ fields) -> (h int64 xor-of-pair-crcs, n total bytes)
@@ -314,34 +435,43 @@ def kv_pairs_crc_np(
         [_const_frag(n, key_prefix), (_be8(hcomp), np.full(n, 8, np.int64))]
     )
     frags = [key_frag]
-    vlen = np.zeros(n, np.int64)
-    for i, c in enumerate(cols):
-        cid = col_ids[i]
-        dt = dtypes[i]
-        dt_name = dt.typeName()
-        prefix = bytes([KC.VARINT_FLAG]) + KC.encode_varint(cid)
-        (dmat, dlens), valid = _value_datum_frag(
-            pdf[f"__v_{i}"], masks[c], dt_name, dt
+    if row_format_version == 2:
+        frags.extend(
+            _v2_value_frags(
+                pdf, cols, dtypes, col_ids, default_null_ids, masks
+            )
         )
-        skip = default_null_ids is None or cid in default_null_ids
-        full, flens = _concat_frags(
-            [_const_frag(n, prefix), (dmat, dlens)]
+    else:
+        vlen = np.zeros(n, np.int64)
+        for i, c in enumerate(cols):
+            cid = col_ids[i]
+            dt = dtypes[i]
+            dt_name = dt.typeName()
+            prefix = bytes([KC.VARINT_FLAG]) + KC.encode_varint(cid)
+            (dmat, dlens), valid = _value_datum_frag(
+                pdf[f"__v_{i}"], masks[c], dt_name, dt
+            )
+            skip = default_null_ids is None or cid in default_null_ids
+            full, flens = _concat_frags(
+                [_const_frag(n, prefix), (dmat, dlens)]
+            )
+            nulls = ~valid
+            if skip:
+                flens = np.where(nulls, 0, flens)
+            else:
+                p = len(prefix)
+                if full.shape[1] <= p:
+                    full = np.pad(
+                        full, ((0, 0), (0, p + 1 - full.shape[1]))
+                    )
+                full[nulls, p] = 0x00
+                flens = np.where(nulls, p + 1, flens)
+            frags.append((full, flens))
+            vlen += flens
+        # empty value -> single NilFlag (EncodeOldRow's empty sentinel)
+        frags.append(
+            (np.zeros((n, 1), np.uint8), (vlen == 0).astype(np.int64))
         )
-        nulls = ~valid
-        if skip:
-            flens = np.where(nulls, 0, flens)
-        else:
-            p = len(prefix)
-            if full.shape[1] <= p:
-                full = np.pad(full, ((0, 0), (0, p + 1 - full.shape[1])))
-            full[nulls, p] = 0x00
-            flens = np.where(nulls, p + 1, flens)
-        frags.append((full, flens))
-        vlen += flens
-    # empty value -> single NilFlag (EncodeOldRow's empty sentinel)
-    frags.append(
-        (np.zeros((n, 1), np.uint8), (vlen == 0).astype(np.int64))
-    )
     buf, lens = _concat_frags(frags)
     crc = crc64_matrix(buf, lens)
     nbytes = lens.copy()
