@@ -1,0 +1,86 @@
+"""The DuckDB-SQL KV encoder (kv_codec_duckdb) is a SECOND,
+shared-nothing implementation of the TiKV byte layouts — these tests
+pin it against the Python codec on a crafted matrix so the
+kv_crc64_orders registry twin rests on two independently-derived
+encoders.
+"""
+
+import datetime as dt
+
+import duckdb
+
+from tidb_lightning_release_4_0_spark.functions.hashing import crc64_bytes
+from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+    encode_table_kvs,
+)
+from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+    kv_checksum_sql_duckdb,
+)
+
+ROWS = [
+    (1, 100, "alice", dt.datetime(2009, 2, 14, 7, 31, 30)),
+    (2, None, "", dt.datetime(1999, 12, 31, 23, 59, 59, 999999)),
+    (3, -(1 << 62), None, None),
+    (4, (1 << 62) + 7, "héllo ☃ wörld beyond eight bytes",
+     dt.datetime(1970, 1, 1)),
+    (5, 0, "12345678", dt.datetime(9999, 12, 31, 23, 59, 59)),
+    (-6, 127, "x", dt.datetime(2020, 2, 29, 12, 0, 0, 1)),
+    (7, (1 << 63) - 1, "exactly16bytes__", dt.datetime(1899, 6, 3)),
+    (8, -(1 << 63), None, dt.datetime(2262, 4, 12)),  # past pandas ns
+]
+
+IDX_PY = [(1, [0], False), (2, [1], True), (3, [2, -1], False)]
+IDX_SQL = [
+    (1, [("v", "BIGINT")], False),
+    (2, [("s", "VARCHAR")], True),
+    (3, [("ts", "TIMESTAMP"), ("h", "BIGINT")], False),
+]
+
+
+def _python_triple(default_null_ids):
+    crc, nbytes, kvs = 0, 0, 0
+    for h, v, s, ts in ROWS:
+        rc = 0
+        for k, val in encode_table_kvs(
+            9, h, [2, 3, 4], [v, s, ts], 1,
+            default_null_ids=default_null_ids, indexes=IDX_PY,
+        ):
+            rc ^= crc64_bytes(k + val)
+            nbytes += len(k) + len(val)
+            kvs += 1
+        crc ^= rc
+    return crc, nbytes, kvs
+
+
+def _sql_triple(value_cols):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (h BIGINT, v BIGINT, s VARCHAR, ts TIMESTAMP)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", ROWS)
+    sql = kv_checksum_sql_duckdb("t", "h", value_cols, IDX_SQL, table_id=9)
+    r = con.sql(sql).fetchall()[0]
+    return int(r[0]) & (2**64 - 1), int(r[1]), int(r[2])
+
+
+def test_sql_encoder_matches_python_codec_canskip_mixed():
+    # column 3 (the string) keeps NULLs (has a default); 2/4 skip
+    expect = _python_triple(frozenset({2, 4}))
+    got = _sql_triple(
+        [
+            ("v", "BIGINT", 2, True),
+            ("s", "VARCHAR", 3, False),
+            ("ts", "TIMESTAMP", 4, True),
+        ]
+    )
+    assert got == expect
+
+
+def test_sql_encoder_matches_python_codec_all_default_null():
+    expect = _python_triple(None)
+    got = _sql_triple(
+        [
+            ("v", "BIGINT", 2, True),
+            ("s", "VARCHAR", 3, True),
+            ("ts", "TIMESTAMP", 4, True),
+        ]
+    )
+    assert got == expect

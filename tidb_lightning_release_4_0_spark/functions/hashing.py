@@ -208,13 +208,10 @@ def hash60_duckdb(expr: str) -> str:
     return f"(('0x' || substr(md5(cast({expr} as varchar)),1,15))::BIGINT)"
 
 
-def crc64_duckdb(expr: str) -> str:
-    """DuckDB fragment computing the crc64 column function's value —
-    CRC-64/XZ of the utf-8 bytes, reinterpreted as a SIGNED BIGINT —
-    bit-identical with ``crc64``/``crc64_bytes``. A byte-wise
-    table-driven fold: the 256-entry lookup table rides along as a
-    list literal and ``list_reduce`` chains the per-byte step
-    (same let-binding construction as ``xxhash64_duckdb``)."""
+def _crc64_hex_fold() -> str:
+    """The CRC-64/XZ fold over __hx (a hex string) and __n (its byte
+    count), both expected let-bound by the caller; returns a SIGNED
+    BIGINT expression (int64-reinterpreted like the crc64 column)."""
     table = "[" + ",".join(
         f"{int(v)}::UBIGINT" for v in _T0
     ) + "]"
@@ -234,12 +231,32 @@ def crc64_duckdb(expr: str) -> str:
         "(__u::HUGEINT - CASE WHEN __u >= 9223372036854775808::UBIGINT"
         f" THEN {_XX_M} ELSE 0::HUGEINT END)::BIGINT",
     )
+    return _xx_let("__t", table, out)
+
+
+def crc64_duckdb(expr: str) -> str:
+    """DuckDB fragment computing the crc64 column function's value —
+    CRC-64/XZ of the utf-8 bytes, reinterpreted as a SIGNED BIGINT —
+    bit-identical with ``crc64``/``crc64_bytes``. A byte-wise
+    table-driven fold: the 256-entry lookup table rides along as a
+    list literal and ``list_reduce`` chains the per-byte step
+    (same let-binding construction as ``xxhash64_duckdb``)."""
     return _xx_let(
-        "__t", table,
+        "__hx", f"hex(encode({expr}))",
         _xx_let(
-            "__hx", f"hex(encode({expr}))",
-            _xx_let("__n", f"octet_length(encode({expr}))", out),
+            "__n", f"octet_length(encode({expr}))", _crc64_hex_fold()
         ),
+    )
+
+
+def crc64_hex_duckdb(hex_expr: str) -> str:
+    """CRC-64/XZ of ARBITRARY bytes given as an (uppercase or
+    lowercase) hex string — lets SQL-composed binary layouts (e.g.
+    the independently-encoded TiKV KV bytes of the kv_crc64 twin) be
+    checksummed without a BLOB type in the expression path."""
+    return _xx_let(
+        "__hx", hex_expr,
+        _xx_let("__n", "length(__hx) // 2", _crc64_hex_fold()),
     )
 
 

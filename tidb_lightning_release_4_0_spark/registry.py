@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions import kv_codec_duckdb as KVD
 from .functions.checksum import checksum_df, checksum_oracle_sql
 from .operators import curation as CU
 from .operators import dedup as D
@@ -1119,6 +1120,48 @@ def q_ann_topk_ivfpq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ann_topk_ivfpq(
         emb.filter(F.col("vec_id") < 3), emb, k=5, n_cells=8, n_probe=2
+    )
+
+
+def q_kv_crc64_orders(spark, sf_dir):
+    """TRUE KV-byte parity, independently attested: the kv_crc64
+    checksum triple (record KV + 3 index KVs per row: non-unique,
+    unique, composite-with-handle) over orders' int/string/datetime
+    columns, computed by the vectorized Python codec
+    (functions/kv_codec_np) — while the oracle re-derives the SAME
+    BYTES with a second, shared-nothing encoder written in pure
+    DuckDB SQL (functions/kv_codec_duckdb: hex-text varints, packed
+    datetimes, EncodeBytes groups, CanSkip, both index value
+    layouts, CRC-64/XZ fold). A codec bug on either side flips the
+    crc — this closes the 'both e2e sides use the same Python codec'
+    observation from the round-6 ADVICE."""
+    from .functions.kv_codec import kv_hash_columns
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderdate"]
+    pair = kv_hash_columns(
+        o,
+        cols,
+        "o_orderkey",
+        col_ids=[2, 3, 5],
+        table_id=11,
+        # o_orderstatus carries a DEFAULT in this scenario -> its
+        # NULLs would encode explicitly; the int/date columns follow
+        # the common no-DEFAULT CanSkip rule
+        default_null_ids=frozenset({2, 5}),
+        indexes=[
+            (1, ["o_custkey"], False),
+            (2, ["o_orderstatus"], True),
+            (3, ["o_orderdate", "o_orderkey"], False),
+        ],
+    )
+    return (
+        o.withColumn("_p", pair)
+        .agg(
+            F.bit_xor(F.col("_p.h")).alias("crc_xor"),
+            F.sum(F.col("_p.n")).cast("long").alias("total_bytes"),
+            (F.count(F.lit(1)) * 4).cast("long").alias("total_kvs"),
+        )
     )
 
 
@@ -2874,8 +2917,9 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # in round 7+ join the FRONT. Future rotations edit THIS list (and
 # the pin in tests/test_registry_order.py), nothing else.
 _R7_PREFIX = [
-    # -- new in round 7 (first driver attestation) --
-    # (none yet; new entries this round are inserted here)
+    # -- new in round 7 (first driver attestation): KV-byte parity
+    # attested by a shared-nothing DuckDB SQL encoder --
+    "kv_crc64_orders",
     # -- last attested r03 --
     "hist_quantiles_price",
     # -- last attested r04, by name --
@@ -2927,7 +2971,8 @@ _R7_PREFIX = [
     "top_orders_by_revenue",
     "topk_parts",
     "uint64_decimal",
-    "window_rank_customers",
+    # (window_rank_customers dropped to the pool: the new
+    # kv_crc64_orders entry takes the 50th slot per ROTATION.md)
 ]
 
 
@@ -3037,6 +3082,7 @@ def _build_queries_unordered():
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
+        "kv_crc64_orders": q_kv_crc64_orders,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
@@ -3126,6 +3172,22 @@ def _build_oracle_sql_static():
         "checksum_crc64_lineitem": checksum_oracle_sql(
             "lineitem", LINEITEM_TYPES, algo="crc64",
             where="l_orderkey % 37 = 3",
+        ),
+        "kv_crc64_orders": KVD.kv_checksum_sql_duckdb(
+            "orders",
+            "o_orderkey",
+            [
+                ("o_custkey", "BIGINT", 2, True),
+                ("o_orderstatus", "VARCHAR", 3, False),
+                ("o_orderdate", "TIMESTAMP", 5, True),
+            ],
+            [
+                (1, [("o_custkey", "BIGINT")], False),
+                (2, [("o_orderstatus", "VARCHAR")], True),
+                (3, [("o_orderdate", "TIMESTAMP"),
+                     ("o_orderkey", "BIGINT")], False),
+            ],
+            table_id=11,
         ),
         "checksum_orders": checksum_oracle_sql("orders", ORDERS_TYPES),
         "index_checksum_orders": checksum_oracle_sql(
