@@ -191,6 +191,39 @@ def test_kv_checksum_multi_index(spark, version, algo):
     assert res2.checksum.crc_xor != got.crc_xor
 
 
+def test_kv_checksum_prefix_index(spark):
+    # `KEY s_pre (s(4))`: the index KV encodes only the leading 4
+    # CHARACTERS (TruncateIndexValue), threaded from the parsed DDL
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_table_kvs,
+    )
+
+    ddl = (
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, s VARCHAR(32), "
+        "KEY s_pre (s(4)))"
+    )
+    rows = [(1, "ab"), (2, "abcdef"), (3, "héllo wörld"), (4, None)]
+    NUL = "\\N"
+    csv = "".join(f"{h},{NUL if s is None else s}\n" for h, s in rows)
+    res = _run(spark, "pfx", _dump("pfx", ddl, csv), "kv_crc64")
+    expect_crc = 0
+    for h, s in rows:
+        for k, v in encode_table_kvs(
+            1, h, [2], [s], 1, indexes=[(1, [(0, 4)], False)]
+        ):
+            expect_crc ^= crc64_bytes(k + v)
+    assert res.checksum.total_kvs == 2 * len(rows)
+    assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
+    # truncation is live: an untruncated encode gives a DIFFERENT crc
+    full_crc = 0
+    for h, s in rows:
+        for k, v in encode_table_kvs(
+            1, h, [2], [s], 1, indexes=[(1, [0], False)]
+        ):
+            full_crc ^= crc64_bytes(k + v)
+    assert full_crc != expect_crc
+
+
 def test_kv_hash_columns_bigint_above_2_53_with_nulls(spark):
     # A BIGINT batch containing a NULL used to reach the kernel as
     # float64 (Arrow -> pandas widening), silently rounding values

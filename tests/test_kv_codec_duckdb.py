@@ -29,11 +29,18 @@ ROWS = [
     (8, -(1 << 63), None, dt.datetime(2262, 4, 12)),  # past pandas ns
 ]
 
-IDX_PY = [(1, [0], False), (2, [1], True), (3, [2, -1], False)]
+IDX_PY = [
+    (1, [0], False),
+    (2, [1], True),
+    (3, [2, -1], False),
+    # prefix index: only the first 4 CHARACTERS of the string
+    (4, [(1, 4)], False),
+]
 IDX_SQL = [
     (1, [("v", "BIGINT")], False),
     (2, [("s", "VARCHAR")], True),
     (3, [("ts", "TIMESTAMP"), ("h", "BIGINT")], False),
+    (4, [("s", "VARCHAR", 4)], False),
 ]
 
 

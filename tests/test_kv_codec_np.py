@@ -34,7 +34,13 @@ SCHEMA = (
     "dec DECIMAL(15,2), b BOOLEAN"
 )
 COLS = ["big", "f", "s", "ts", "dec", "b"]
-IDX = [(1, ["big"], False), (2, ["s"], True), (3, ["ts", "h"], False)]
+IDX = [
+    (1, ["big"], False),
+    (2, ["s"], True),
+    (3, ["ts", "h"], False),
+    # prefix index: first 5 CHARACTERS of the (multibyte) string
+    (4, [("s", 5)], False),
+]
 
 
 def _collect(df, pair):

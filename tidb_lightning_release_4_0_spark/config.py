@@ -182,6 +182,12 @@ class Config:
     # crc64-ECMA per pair, XOR-merged, exactly
     # verification/checksum.go:47-75. Slow-exact path.
     checksum_algo: str = "xxdirect"
+    # kv_crc64 modes: per-table TiKV table ids for the record/index
+    # keys (the reference reads them from the target cluster's
+    # schema; supply real ids here for ADMIN CHECKSUM comparability).
+    # Unmapped tables encode as table id 1 — self-consistent for the
+    # pipeline's own observe-vs-read-back verification.
+    kv_table_ids: dict = field(default_factory=dict)
     analyze: bool = True
     # How C5 computes catalog statistics. "full" always runs
     # ANALYZE ... COMPUTE STATISTICS (a row-count scan of the

@@ -42,10 +42,12 @@ reference vendors (go.mod pins a 2021-08 tidb snapshot):
 
 The reference's pinned release carries no index-KV byte fixtures, so
 index parity is pinned by format-derived goldens (EncodeBytes group
-shapes, flag bytes) plus ordering/e2e property tests instead.
-Documented limitations: index-column prefix lengths
-(TruncateIndexValuesIfNeeded) and unsigned-BIGINT index columns
-(KindUint64 key datums) are not modeled.
+shapes, flag bytes), ordering/e2e property tests, AND an independent
+pure-DuckDB-SQL encoder of the same layouts (kv_codec_duckdb — the
+kv_crc64_orders twin). Prefix indexes (`KEY k (col(10))`) truncate
+the indexed datum to N characters like TruncateIndexValue.
+Documented limitation: unsigned-BIGINT index columns (KindUint64
+key datums) are not modeled.
 """
 
 from __future__ import annotations
@@ -429,6 +431,20 @@ def encode_index_record(
     return key, val
 
 
+def truncate_index_datum(v, prefix_len):
+    """TiDB TruncateIndexValue: a prefix index (`KEY k (col(10))`)
+    indexes only the leading ``prefix_len`` CHARACTERS of a utf8
+    string (BYTES of a binary column) — applied to the datum before
+    the key encode."""
+    if prefix_len is None or v is None:
+        return v
+    if isinstance(v, str):
+        return v[:prefix_len]
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)[:prefix_len]
+    return v
+
+
 def encode_table_kvs(
     table_id: int,
     handle: int,
@@ -442,8 +458,9 @@ def encode_table_kvs(
     data-row KV plus one KV per secondary index (sql2kv.go:202's
     AddRecord writes both into the captured transaction; T8 then
     classifies them by the 'r'/'i' key byte). ``indexes`` is a list
-    of (index_id, [positions into ``values`` or -1 for the handle],
-    unique)."""
+    of (index_id, [position entries], unique) where a position entry
+    is an int index into ``values`` (-1 for the handle) or an
+    (int, prefix_len) pair for prefix-index columns."""
     pairs = [
         encode_record(
             table_id, handle, col_ids, values, row_format_version,
@@ -451,7 +468,13 @@ def encode_table_kvs(
         )
     ]
     for iid, positions, unique in indexes or ():
-        ivals = [handle if p < 0 else values[p] for p in positions]
+        ivals = []
+        for p in positions:
+            plen = None
+            if isinstance(p, tuple):
+                p, plen = p
+            v = handle if p < 0 else values[p]
+            ivals.append(truncate_index_datum(v, plen))
         pairs.append(
             encode_index_record(table_id, iid, ivals, handle, unique)
         )
@@ -527,8 +550,10 @@ def kv_hash_columns(
     ``default_null_ids`` threads the DDL default info for the
     CanSkip rule (see ``apply_can_skip``; ``None`` = every column's
     default is NULL, the no-DEFAULT case). ``indexes`` is a list of
-    (index_id, [column names], unique) — names resolve against
-    ``cols`` or the handle column.
+    (index_id, [column entries], unique) — an entry is a column name
+    (resolving against ``cols`` or the handle column) or a
+    (name, prefix_len) pair for prefix-index columns
+    (TruncateIndexValue semantics).
 
     ``kernel`` picks the encode implementation: ``"numpy"``
     (= ``"auto"``, the default) is the per-column vectorized kernel
@@ -559,15 +584,19 @@ def kv_hash_columns(
                 T.StructField("n", T.LongType()),
             ]
         )
-        # the kernel addresses the handle by its struct field name
-        idx_specs_named = [
-            (
-                iid,
-                ["__h" if c == handle_col else c for c in icols],
-                bool(u),
-            )
-            for iid, icols, u in (indexes or ())
-        ]
+        # the kernel addresses the handle by its struct field name;
+        # entries normalize to (name, prefix_len) pairs
+        idx_specs_named = []
+        for iid, icols, u in indexes or ():
+            ents = []
+            for c in icols:
+                plen = None
+                if isinstance(c, tuple):
+                    c, plen = c
+                ents.append(
+                    ("__h" if c == handle_col else c, plen)
+                )
+            idx_specs_named.append((iid, ents, bool(u)))
 
         def _placeholder(dt):
             name = dt.typeName()
@@ -606,16 +635,19 @@ def kv_hash_columns(
 
         return _np_kernel(F.struct(*fields))
 
-    # resolve index column names to positions once: -1 = the handle
+    # resolve index column names to positions once: -1 = the handle;
+    # (name, prefix_len) entries carry the truncation through
     pos_of = {c: i for i, c in enumerate(cols)}
-    idx_specs = [
-        (
-            iid,
-            [-1 if c == handle_col else pos_of[c] for c in icols],
-            bool(unique),
-        )
-        for iid, icols, unique in (indexes or ())
-    ]
+    idx_specs = []
+    for iid, icols, unique in indexes or ():
+        poss = []
+        for c in icols:
+            plen = None
+            if isinstance(c, tuple):
+                c, plen = c
+            p = -1 if c == handle_col else pos_of[c]
+            poss.append((p, plen) if plen is not None else p)
+        idx_specs.append((iid, poss, bool(unique)))
 
     # Integer columns travel as STRINGS through the Arrow batch:
     # Arrow -> pandas widens a nullable int64 column to float64, and

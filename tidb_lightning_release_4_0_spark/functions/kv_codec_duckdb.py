@@ -125,10 +125,14 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
     )
 
 
-def key_datum_hex(col: str, duck_type: str) -> str:
+def key_datum_hex(col: str, duck_type: str, prefix_len=None) -> str:
     """One memory-comparable EncodeKey datum as hex (index keys);
-    NULL encodes the NilFlag byte."""
+    NULL encodes the NilFlag byte. ``prefix_len`` mirrors
+    TruncateIndexValue for prefix indexes (substr is char-based in
+    DuckDB, matching TiDB's utf8 rune truncation)."""
     t = duck_type.upper()
+    if prefix_len is not None and t in ("VARCHAR", "TEXT"):
+        col = f"substr({col}, 1, {int(prefix_len)})"
     if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT"):
         body = "'03' || " + hex16_comparable(col)
     elif t in ("VARCHAR", "TEXT"):
@@ -175,8 +179,9 @@ def kv_checksum_sql_duckdb(
     pipeline's kv_hash_columns + bit_xor/sum/count.
 
     value_cols: (name, duck_type, col_id, default_is_null).
-    indexes: (index_id, [(name, duck_type)], unique) — the handle
-    column may appear among the index columns."""
+    indexes: (index_id, [(name, duck_type) or (name, duck_type,
+    prefix_len)], unique) — the handle column may appear among the
+    index columns."""
     tid_hex = hex16_comparable(str(table_id))
     rec_key = f"('74' || {tid_hex} || '5f72' || " + hex16_comparable(
         handle_col
@@ -191,11 +196,14 @@ def kv_checksum_sql_duckdb(
     )
     pair_hexes = [f"({rec_key} || {rec_val})"]
     for iid, icols, unique in indexes:
+        icols = [
+            (e[0], e[1], e[2] if len(e) > 2 else None) for e in icols
+        ]
         ikey_datums = " || ".join(
-            key_datum_hex(c, t) for c, t in icols
+            key_datum_hex(c, t, pl) for c, t, pl in icols
         )
         distinct_pred = (
-            " AND ".join(f"{c} IS NOT NULL" for c, _ in icols)
+            " AND ".join(f"{c} IS NOT NULL" for c, _, _ in icols)
             if unique
             else "FALSE"
         )

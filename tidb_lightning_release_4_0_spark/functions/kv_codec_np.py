@@ -110,15 +110,33 @@ def _const_frag(n: int, data: bytes):
     return mat, np.full(n, len(data), np.int64)
 
 
-def _flat_strings(series, mask: np.ndarray):
-    """Object series of str/bytes -> (flat uint8, offsets, lens)."""
+def _flat_strings(series, mask: np.ndarray, trunc: int | None = None):
+    """Object series of str/bytes -> (flat uint8, offsets, lens);
+    ``trunc`` applies TruncateIndexValue prefix-index truncation
+    (characters for str, bytes for binary) before the utf-8 encode."""
     vals = series.to_numpy(dtype=object)
-    bs = [
-        b""
-        if mask[i]
-        else (v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8"))
-        for i, v in enumerate(vals)
-    ]
+    if trunc is None:
+        bs = [
+            b""
+            if mask[i]
+            else (
+                v
+                if isinstance(v, (bytes, bytearray))
+                else str(v).encode("utf-8")
+            )
+            for i, v in enumerate(vals)
+        ]
+    else:
+        bs = [
+            b""
+            if mask[i]
+            else (
+                bytes(v)[:trunc]
+                if isinstance(v, (bytes, bytearray))
+                else str(v)[:trunc].encode("utf-8")
+            )
+            for i, v in enumerate(vals)
+        ]
     lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
     flat = np.frombuffer(b"".join(bs) + b"\x00" * 8, np.uint8)
     offs = np.zeros(len(bs), np.int64)
@@ -215,9 +233,10 @@ def _value_datum_frag(series, mask, dt_name, dt):
     return _object_frag(series, mask, enc), valid
 
 
-def _key_datum_frag(series, mask, dt_name, dt):
+def _key_datum_frag(series, mask, dt_name, dt, trunc: int | None = None):
     """One column's memory-comparable KEY datum fragment (EncodeKey),
-    NULLs encoded as NilFlag (index keys keep NULL datums)."""
+    NULLs encoded as NilFlag (index keys keep NULL datums); ``trunc``
+    is the prefix-index truncation for string/binary columns."""
     n = len(mask)
     valid = ~mask
     nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
@@ -254,7 +273,7 @@ def _key_datum_frag(series, mask, dt_name, dt):
         )
         return _with_nil(mat, np.where(valid, lens, 0))
     if dt_name in ("string", "binary"):
-        flat, offs, lens = _flat_strings(series, mask)
+        flat, offs, lens = _flat_strings(series, mask, trunc)
         mat, glens = _group8_frag(flat, offs, np.where(valid, lens, 0), valid)
         full, flens = _concat_frags(
             [_const_frag(n, b"\x01"), (mat, glens)]
@@ -485,7 +504,8 @@ def kv_pairs_crc_np(
         )
         parts = [_const_frag(n, iprefix)]
         distinct = np.full(n, bool(unique))
-        for c in icols:
+        for ent in icols:
+            c, plen = ent if isinstance(ent, tuple) else (ent, None)
             if c == handle_name:
                 comp = handles.view(np.uint64) ^ _SIGN
                 parts.append(
@@ -500,7 +520,7 @@ def kv_pairs_crc_np(
             i = pos_of[c]
             dt = dtypes[i]
             mat, lens_k = _key_datum_frag(
-                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt
+                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen
             )
             parts.append((mat, lens_k))
             distinct &= ~masks[c]

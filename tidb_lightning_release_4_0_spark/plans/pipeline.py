@@ -1795,7 +1795,11 @@ class RestoreController:
             if ix.primary and schema.has_int_pk:
                 continue
             iid += 1
-            specs.append((iid, list(ix.columns), ix.unique or ix.primary))
+            ents = [
+                (c, pl) if (pl := ix.prefix_len(i)) is not None else c
+                for i, c in enumerate(ix.columns)
+            ]
+            specs.append((iid, ents, ix.unique or ix.primary))
         return specs
 
     def _kv_mult(self, schema: TableSchema | None) -> int:
@@ -1881,11 +1885,21 @@ class RestoreController:
                 )
             else:
                 default_null_ids = None  # no DDL: every default NULL
+            # the reference reads real table ids from the target
+            # cluster; here an explicit per-table mapping (for
+            # ADMIN CHECKSUM comparability against a live TiDB) can
+            # be supplied via cfg.kv_table_ids, defaulting to 1
+            tid = 1
+            if schema is not None:
+                tid = getattr(self.cfg, "kv_table_ids", {}).get(
+                    schema.name, 1
+                )
             pair = kv_hash_columns(
                 df,
                 value_cols,
                 handle,
                 col_ids=[ddl_ids[c] for c in value_cols],
+                table_id=tid,
                 row_format_version=2 if algo.endswith("v2") else 1,
                 default_null_ids=default_null_ids,
                 indexes=self._kv_index_specs(schema),

@@ -126,6 +126,14 @@ class IndexSpec:
     columns: list[str]
     unique: bool = False
     primary: bool = False
+    # per-column prefix lengths (`KEY k (col(10))`): None = whole
+    # column; parallel to `columns`. TiDB truncates utf8 index
+    # datums to this many CHARACTERS (TruncateIndexValue), which the
+    # KV-parity checksum mirrors.
+    prefix_lens: list = field(default_factory=list)
+
+    def prefix_len(self, i: int):
+        return self.prefix_lens[i] if i < len(self.prefix_lens) else None
 
 
 @dataclass
@@ -441,17 +449,25 @@ def _parse_index(item: str) -> IndexSpec | None:
     start, end = item.find("("), item.rfind(")")
     if start < 0 or end <= start:
         return None
+    raw_cols = _split_top_level(item[start + 1 : end])
     cols = [
         # strip prefix lengths like `col`(10) and sort order
         _unquote_ident(re.sub(r"\(\d+\)|\s+(asc|desc)$", "", c.strip(), flags=re.I))
-        for c in _split_top_level(item[start + 1 : end])
+        for c in raw_cols
+    ]
+    prefix_lens = [
+        (int(m.group(1)) if (m := re.search(r"\((\d+)\)", c)) else None)
+        for c in raw_cols
     ]
     nm = re.match(
         r"(?:unique\s+)?(?:key|index)\s+(`[^`]+`|[A-Za-z_][A-Za-z0-9_$]*)",
         item.strip(), re.I,
     )
     name = "PRIMARY" if primary else (_unquote_ident(nm.group(1)) if nm else "")
-    return IndexSpec(name=name, columns=cols, unique=unique, primary=primary)
+    return IndexSpec(
+        name=name, columns=cols, unique=unique, primary=primary,
+        prefix_lens=prefix_lens,
+    )
 
 
 def load_table_schema(path: str, character_set: str = "auto") -> TableSchema:
