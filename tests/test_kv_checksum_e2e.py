@@ -191,6 +191,46 @@ def test_kv_checksum_multi_index(spark, version, algo):
     assert res2.checksum.crc_xor != got.crc_xor
 
 
+def test_kv_checksum_table_ids(spark):
+    # cfg.kv_table_ids threads a real TiKV table id into the
+    # record/index keys (bare or db-qualified names); odd row count
+    # because the XOR-of-CRC combine is GF(2)-linear — with an even
+    # number of same-length rows a shared key-byte change cancels
+    # (a property of the reference's checksum too)
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_table_kvs,
+    )
+
+    ddl = "CREATE TABLE t (id BIGINT PRIMARY KEY, s VARCHAR(8))"
+    csv = "1,a\n2,b\n3,c\n"
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    seen = {}
+    for tag, ids, tid in (
+        ("tid_d", {}, 1),
+        ("tid_b", {"t": 42}, 42),
+        ("tid_q", {"kv.t": 43}, 43),
+    ):
+        dump = _dump(tag, ddl, csv)
+        sink = os.path.join(ROOT, f"sink_{tag}")
+        shutil.rmtree(sink, ignore_errors=True)
+        cfg = Config(
+            mydumper=MydumperConfig(source_dir=dump),
+            backend="parquet", target_dir=sink,
+            on_duplicate="physical", checkpoint_enable=False,
+            checksum=True, checksum_algo="kv_crc64", kv_table_ids=ids,
+        )
+        summary = RestoreController(spark, cfg).run()
+        assert summary.ok, summary.report()
+        got = summary.tables["kv.t"].checksum.crc_xor & 0xFFFFFFFFFFFFFFFF
+        exp = 0
+        for h, v in rows:
+            for k, val in encode_table_kvs(tid, h, [2], [v], 1):
+                exp ^= crc64_bytes(k + val)
+        assert got == exp, (tag, got, exp)
+        seen[tid] = got
+    assert len(set(seen.values())) == 3  # the id genuinely flows
+
+
 def test_kv_checksum_prefix_index(spark):
     # `KEY s_pre (s(4))`: the index KV encodes only the leading 4
     # CHARACTERS (TruncateIndexValue), threaded from the parsed DDL

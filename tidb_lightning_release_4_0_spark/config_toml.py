@@ -60,7 +60,7 @@ _KNOWN: dict[str, set[str]] = {
     # fixed crc64 over TiKV KV bytes, which kv_crc64 reproduces)
     "post-restore": {
         "checksum", "compact", "level-1-compact", "analyze",
-        "analyze-mode", "checksum-algo",
+        "analyze-mode", "checksum-algo", "kv-table-ids",
     },
     "black-white-list": {
         "do-dbs", "ignore-dbs", "do-tables", "ignore-tables",
@@ -229,6 +229,8 @@ def load_toml(path: str) -> Config:
             "analyze": ("analyze", bool),
             "analyze-mode": ("analyze_mode", str),
             "checksum-algo": ("checksum_algo", str),
+            # table name -> TiKV table id for the kv_crc64 modes
+            "kv-table-ids": ("kv_table_ids", dict),
         }),
         **_pick(light, {"table-concurrency": ("table_concurrency", int)}),
     )

@@ -1891,8 +1891,15 @@ class RestoreController:
             # be supplied via cfg.kv_table_ids, defaulting to 1
             tid = 1
             if schema is not None:
-                tid = getattr(self.cfg, "kv_table_ids", {}).get(
-                    schema.name, 1
+                ids = getattr(self.cfg, "kv_table_ids", {}) or {}
+                # keys may be bare table names or db-qualified
+                tid = ids.get(schema.name) or next(
+                    (
+                        v
+                        for k, v in ids.items()
+                        if k.endswith("." + schema.name)
+                    ),
+                    1,
                 )
             pair = kv_hash_columns(
                 df,
