@@ -191,6 +191,38 @@ def test_kv_checksum_multi_index(spark, version, algo):
     assert res2.checksum.crc_xor != got.crc_xor
 
 
+@pytest.mark.parametrize("version,algo", [(1, "kv_crc64"), (2, "kv_crc64_v2")])
+def test_kv_checksum_uint64_column(spark, version, algo):
+    # BIGINT UNSIGNED rides Spark as DECIMAL(20,0) (SURVEY §1.2) but
+    # must encode as KindUint64 — incl. the reference's
+    # various_types round-trip value 18446744073709551614
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        Uint64Datum,
+        encode_table_kvs,
+    )
+
+    ddl = (
+        "CREATE TABLE t (id BIGINT PRIMARY KEY, u BIGINT UNSIGNED, "
+        "KEY u_idx (u))"
+    )
+    rows = [(1, 18446744073709551614), (2, 0), (3, None), (4, 12345)]
+    NUL = "\\N"
+    csv = "".join(
+        f"{h},{NUL if u is None else u}\n" for h, u in rows
+    )
+    tag = f"u64_v{version}"
+    res = _run(spark, tag, _dump(tag, ddl, csv), algo)
+    expect_crc = 0
+    for h, u in rows:
+        v = None if u is None else Uint64Datum(u)
+        for k, val in encode_table_kvs(
+            1, h, [2], [v], version, indexes=[(1, [0], False)]
+        ):
+            expect_crc ^= crc64_bytes(k + val)
+    assert res.checksum.total_kvs == 2 * len(rows)
+    assert (res.checksum.crc_xor & 0xFFFFFFFFFFFFFFFF) == expect_crc
+
+
 def test_kv_checksum_table_ids(spark):
     # cfg.kv_table_ids threads a real TiKV table id into the
     # record/index keys (bare or db-qualified names); odd row count

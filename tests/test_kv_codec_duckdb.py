@@ -81,6 +81,39 @@ def test_sql_encoder_matches_python_codec_canskip_mixed():
     assert got == expect
 
 
+def test_sql_encoder_uint64_kind():
+    # BIGINT UNSIGNED (DECIMAL(20,0) engine-side) encodes as
+    # KindUint64: uvarint row values, uintFlag + BE keys — incl. the
+    # reference's various_types round-trip value 2^64 - 2
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        Uint64Datum,
+    )
+
+    rows = [(1, 18446744073709551614), (2, 0), (3, None), (4, 777)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (h BIGINT, u DECIMAL(20,0))")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = kv_checksum_sql_duckdb(
+        "t", "h", [("u", "UINT64", 2, True)],
+        [(1, [("u", "UINT64")], False), (2, [("u", "UINT64")], True)],
+        table_id=9,
+    )
+    got = con.sql(sql).fetchall()[0]
+    crc, nbytes = 0, 0
+    for h, u in rows:
+        v = None if u is None else Uint64Datum(u)
+        rc = 0
+        for k, val in encode_table_kvs(
+            9, h, [2], [v], 1,
+            indexes=[(1, [0], False), (2, [0], True)],
+        ):
+            rc ^= crc64_bytes(k + val)
+            nbytes += len(k) + len(val)
+        crc ^= rc
+    assert (int(got[0]) & (2**64 - 1)) == crc
+    assert int(got[1]) == nbytes
+
+
 def test_sql_encoder_matches_python_codec_all_default_null():
     expect = _python_triple(None)
     got = _sql_triple(

@@ -45,9 +45,10 @@ index parity is pinned by format-derived goldens (EncodeBytes group
 shapes, flag bytes), ordering/e2e property tests, AND an independent
 pure-DuckDB-SQL encoder of the same layouts (kv_codec_duckdb — the
 kv_crc64_orders twin). Prefix indexes (`KEY k (col(10))`) truncate
-the indexed datum to N characters like TruncateIndexValue.
-Documented limitation: unsigned-BIGINT index columns (KindUint64
-key datums) are not modeled.
+the indexed datum to N characters like TruncateIndexValue, and
+BIGINT UNSIGNED columns encode as KindUint64 datums (uvarint row
+values, uintFlag + big-endian keys) even though Spark carries them
+as DecimalType(20,0).
 """
 
 from __future__ import annotations
@@ -203,10 +204,25 @@ class DecimalDatum:
         self.v, self.precision, self.frac = v, precision, frac
 
 
+class Uint64Datum:
+    """KindUint64: a BIGINT UNSIGNED value (rides Spark as
+    DecimalType(20,0) — SURVEY §1.2 — but encodes as TiDB's unsigned
+    kind: uvarint in row values, uintFlag + big-endian in keys)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = int(v)
+        if not (0 <= self.v < (1 << 64)):
+            raise ValueError(f"uint64 out of range: {v}")
+
+
 def _encode_datum_v1(v) -> bytes:
     """One flagged datum, row-VALUE encoding (codec.EncodeValue)."""
     if v is None:
         return bytes([NIL_FLAG])
+    if isinstance(v, Uint64Datum):
+        return bytes([UVARINT_FLAG]) + encode_uvarint(v.v)
     if isinstance(v, DecimalDatum):
         return encode_decimal_datum(v.v, v.precision, v.frac)
     if isinstance(v, bool):
@@ -268,6 +284,8 @@ def _v2_uint_bytes(v: int) -> bytes:
 
 
 def _encode_cell_v2(v) -> bytes:
+    if isinstance(v, Uint64Datum):
+        return _v2_uint_bytes(v.v)
     if isinstance(v, DecimalDatum):
         # the design doc keeps EncodeDecimal's payload (precision,
         # frac, myDecimal binary) minus the flag byte
@@ -363,6 +381,8 @@ def encode_key_datum(v) -> bytes:
     compact length-prefixed)."""
     if v is None:
         return bytes([NIL_FLAG])
+    if isinstance(v, Uint64Datum):
+        return bytes([UINT_FLAG]) + struct.pack(">Q", v.v)
     if isinstance(v, DecimalDatum):
         # EncodeDecimal is already memory-comparable; same bytes in
         # key and value positions
@@ -537,6 +557,7 @@ def kv_hash_columns(
     default_null_ids=None,
     indexes=None,
     kernel: str = "auto",
+    uint64_cols=None,
 ):
     """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
     row, the XOR of crc64-ECMA over every reference-parity KV pair
@@ -553,7 +574,10 @@ def kv_hash_columns(
     (index_id, [column entries], unique) — an entry is a column name
     (resolving against ``cols`` or the handle column) or a
     (name, prefix_len) pair for prefix-index columns
-    (TruncateIndexValue semantics).
+    (TruncateIndexValue semantics). ``uint64_cols`` names columns
+    that are BIGINT UNSIGNED in the DDL: they arrive Spark-side as
+    DecimalType(20,0) (SURVEY §1.2) but must encode as KindUint64
+    datums.
 
     ``kernel`` picks the encode implementation: ``"numpy"``
     (= ``"auto"``, the default) is the per-column vectorized kernel
@@ -571,6 +595,7 @@ def kv_hash_columns(
         col_ids = list(range(1, len(cols) + 1))
     if default_null_ids is not None:
         default_null_ids = frozenset(default_null_ids)
+    uint64_cols = frozenset(uint64_cols or ())
     if kernel == "auto":
         kernel = "numpy"
 
@@ -578,6 +603,7 @@ def kv_hash_columns(
         from . import kv_codec_np as KNP
 
         dtypes = [df.schema[c].dataType for c in cols]
+        u64_flags = [c in uint64_cols for c in cols]
         out_type = T.StructType(
             [
                 T.StructField("h", T.LongType()),
@@ -629,7 +655,7 @@ def kv_hash_columns(
             h, nb = KNP.kv_pairs_crc_np(
                 batch, list(cols), dtypes, "__h", list(col_ids),
                 table_id, default_null_ids, idx_specs_named,
-                row_format_version,
+                row_format_version, u64_flags,
             )
             return pd.DataFrame({"h": h, "n": nb})
 
@@ -698,7 +724,10 @@ def kv_hash_columns(
             f"kv_crc64 checksum: unsupported Spark type {name}"
         )
 
-    coercers = [_coercer(df.schema[c].dataType) for c in cols]
+    coercers = [
+        (Uint64Datum if c in uint64_cols else _coercer(df.schema[c].dataType))
+        for c in cols
+    ]
 
     def _py(v, coerce):
         if v is None or v is pd.NaT or (isinstance(v, float) and v != v):

@@ -101,6 +101,9 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
     t = duck_type.upper()
     if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT"):
         body = "'08' || " + varint_hex(col)
+    elif t == "UINT64":
+        # KindUint64 (BIGINT UNSIGNED, DECIMAL(20,0) in the engines)
+        body = "'09' || " + uvarint_hex(f"({col})::UBIGINT")
     elif t in ("VARCHAR", "TEXT"):
         # compact bytes: zigzag-varint of the byte length (zigzag of
         # a non-negative n is 2n — fed pre-doubled to the plain
@@ -135,6 +138,12 @@ def key_datum_hex(col: str, duck_type: str, prefix_len=None) -> str:
         col = f"substr({col}, 1, {int(prefix_len)})"
     if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT"):
         body = "'03' || " + hex16_comparable(col)
+    elif t == "UINT64":
+        body = (
+            "'04' || lpad(hex((("
+            + col
+            + ")::HUGEINT)), 16, '0')"
+        )
     elif t in ("VARCHAR", "TEXT"):
         # EncodeBytes group-of-8: emit ceil((n+1)/8) groups, each 8
         # source/pad bytes + a marker 0xFF - pad

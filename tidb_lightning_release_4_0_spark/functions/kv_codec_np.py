@@ -195,12 +195,16 @@ def _coerce_decimal(dt):
     return lambda v: KC.DecimalDatum(v, p, s)
 
 
-def _value_datum_frag(series, mask, dt_name, dt):
+def _value_datum_frag(series, mask, dt_name, dt, u64=False):
     """One column's v1 row-VALUE datum fragment (flag + payload) for
     the non-null rows; lens are 0 on null rows (the caller overlays
-    NilFlag / CanSkip)."""
+    NilFlag / CanSkip). ``u64`` marks BIGINT UNSIGNED columns
+    (decimal-typed Spark-side, KindUint64 in the encoding)."""
     n = len(mask)
     valid = ~mask
+    if u64:
+        enc = lambda v: KC._encode_datum_v1(KC.Uint64Datum(v))  # noqa: E731
+        return _object_frag(series, mask, enc), valid
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
         v = series.to_numpy(np.int64, na_value=0)
         mat, lens = _uvarint_frag(_zigzag(v), valid)
@@ -233,10 +237,11 @@ def _value_datum_frag(series, mask, dt_name, dt):
     return _object_frag(series, mask, enc), valid
 
 
-def _key_datum_frag(series, mask, dt_name, dt, trunc: int | None = None):
+def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False):
     """One column's memory-comparable KEY datum fragment (EncodeKey),
     NULLs encoded as NilFlag (index keys keep NULL datums); ``trunc``
-    is the prefix-index truncation for string/binary columns."""
+    is the prefix-index truncation for string/binary columns,
+    ``u64`` the BIGINT UNSIGNED marker."""
     n = len(mask)
     valid = ~mask
     nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
@@ -250,6 +255,10 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc: int | None = None):
         full[~valid, 0] = 0x00
         return full, np.where(valid, flens, 1)
 
+    if u64:
+        enc = lambda v: KC.encode_key_datum(KC.Uint64Datum(v))  # noqa: E731
+        mat, lens = _object_frag(series, mask, enc)
+        return _with_nil(mat, np.where(valid, lens, 0))
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
         v = series.to_numpy(np.int64, na_value=0)
         comp = v.view(np.uint64) ^ _SIGN
@@ -329,13 +338,16 @@ def _v2_uint_lens(u: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.where(valid, lens, 0)
 
 
-def _cell_v2_frag(series, mask, dt_name, dt):
+def _cell_v2_frag(series, mask, dt_name, dt, u64=False):
     """One column's row-format-v2 CELL payload (kv_codec
     _encode_cell_v2): smallest little-endian ints, comparable floats,
     raw bytes — lens 0 on null rows (nulls live in the id sections,
     not the payload)."""
     n = len(mask)
     valid = ~mask
+    if u64:
+        enc = lambda v: KC._encode_cell_v2(KC.Uint64Datum(v))  # noqa: E731
+        return _object_frag(series, mask, enc), valid
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
         v = series.to_numpy(np.int64, na_value=0)
         mat = v.astype("<i8").view(np.uint8).reshape(n, 8)
@@ -361,7 +373,8 @@ def _cell_v2_frag(series, mask, dt_name, dt):
     return _object_frag(series, mask, enc), valid
 
 
-def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks):
+def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
+                    u64_flags=None):
     """The row-format-v2 VALUE as a fragment list (kv_codec
     encode_row_v2 semantics incl. CanSkip): columns walk in
     ascending-id order so the conditional per-column fragments land
@@ -373,7 +386,8 @@ def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks):
         c = cols[i]
         dt = dtypes[i]
         (mat, lens), valid = _cell_v2_frag(
-            pdf[f"__v_{i}"], masks[c], dt.typeName(), dt
+            pdf[f"__v_{i}"], masks[c], dt.typeName(), dt,
+            bool(u64_flags and u64_flags[i]),
         )
         skip = default_null_ids is None or col_ids[i] in default_null_ids
         keep_null = (~valid) & (not skip)
@@ -435,6 +449,7 @@ def kv_pairs_crc_np(
     default_null_ids,
     idx_specs,
     row_format_version: int = 1,
+    u64_flags=None,
 ):
     """The batch kernel: pandas DataFrame (handle + per-column value
     and _isnull_ fields) -> (h int64 xor-of-pair-crcs, n total bytes)
@@ -457,7 +472,8 @@ def kv_pairs_crc_np(
     if row_format_version == 2:
         frags.extend(
             _v2_value_frags(
-                pdf, cols, dtypes, col_ids, default_null_ids, masks
+                pdf, cols, dtypes, col_ids, default_null_ids, masks,
+                u64_flags,
             )
         )
     else:
@@ -468,7 +484,8 @@ def kv_pairs_crc_np(
             dt_name = dt.typeName()
             prefix = bytes([KC.VARINT_FLAG]) + KC.encode_varint(cid)
             (dmat, dlens), valid = _value_datum_frag(
-                pdf[f"__v_{i}"], masks[c], dt_name, dt
+                pdf[f"__v_{i}"], masks[c], dt_name, dt,
+                bool(u64_flags and u64_flags[i]),
             )
             skip = default_null_ids is None or cid in default_null_ids
             full, flens = _concat_frags(
@@ -520,7 +537,8 @@ def kv_pairs_crc_np(
             i = pos_of[c]
             dt = dtypes[i]
             mat, lens_k = _key_datum_frag(
-                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen
+                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen,
+                bool(u64_flags and u64_flags[i]),
             )
             parts.append((mat, lens_k))
             distinct &= ~masks[c]

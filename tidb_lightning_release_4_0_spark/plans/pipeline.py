@@ -1901,6 +1901,17 @@ class RestoreController:
                     ),
                     1,
                 )
+            # BIGINT UNSIGNED columns ride Spark as DecimalType(20,0)
+            # but encode as KindUint64 datums
+            uint64_cols = (
+                frozenset(
+                    c.name
+                    for c in schema.columns
+                    if c.unsigned and c.mysql_type == "bigint"
+                )
+                if schema is not None
+                else frozenset()
+            )
             pair = kv_hash_columns(
                 df,
                 value_cols,
@@ -1910,6 +1921,7 @@ class RestoreController:
                 row_format_version=2 if algo.endswith("v2") else 1,
                 default_null_ids=default_null_ids,
                 indexes=self._kv_index_specs(schema),
+                uint64_cols=uint64_cols,
             )
             return (
                 df.withColumn("_kvp", pair)
