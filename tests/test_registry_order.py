@@ -11,13 +11,15 @@ from tidb_lightning_release_4_0_spark.registry import (
     build_queries,
 )
 
-# Round-7 rotation (docs/ROTATION.md): the new kv_crc64_orders entry
-# (KV-byte parity vs a shared-nothing SQL encoder) leads, then the
-# entries whose latest green driver attestation is oldest — 1 from
-# r03 + 48 of the r04 cohort (by name; `window_rank_customers` and
+# Round-7 rotation (docs/ROTATION.md): the new kv_crc64_orders
+# (KV-byte parity vs a shared-nothing SQL encoder) and
+# corpus_diff_docs entries lead, then the entries whose latest green
+# driver attestation is oldest — 1 from r03 + 47 of the r04 cohort
+# (by name; `uint64_decimal`, `window_rank_customers` and
 # `window_running_total` roll to round 8).
 DRIVER_SAMPLED_50 = [
     "kv_crc64_orders",
+    "corpus_diff_docs",
     "hist_quantiles_price",
     "alloc_base_orders",
     "ann_recall_ivf",
@@ -66,7 +68,6 @@ DRIVER_SAMPLED_50 = [
     "text_stats",
     "top_orders_by_revenue",
     "topk_parts",
-    "uint64_decimal",
 ]
 
 

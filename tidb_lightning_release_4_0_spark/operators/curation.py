@@ -2172,3 +2172,66 @@ SELECT degs.node, degree,
        ELSE 0.0 END, 6) AS cc
 FROM degs LEFT JOIN tri ON degs.node = tri.node
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus version diff (dataset versioning)
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: per document id, whether the new corpus
+    version ADDED / REMOVED / CHANGED / kept it UNCHANGED relative to
+    the old one — the audit a training-data pipeline runs between
+    corpus snapshots before re-tokenizing (what changed, and how
+    much, decides whether downstream caches are still valid).
+
+    Output: (doc_id, status STRING) for every id present in either
+    version.
+
+    Scale shape (100 TB): each side reduces to (id, content-hash)
+    BEFORE the full outer join, so the one shuffle carries two longs
+    per document, never text; the join keys are ids (unique per
+    side), so no skew. The portable hash60 keeps the twin
+    engine-exact."""
+    oh = old.select(
+        F.col(id_col).alias("doc_id"),
+        hash60(F.col(text_col)).alias("_ho"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("doc_id"),
+        hash60(F.col(text_col)).alias("_hn"),
+    )
+    return oh.join(nh, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") == F.col("_hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+def corpus_diff_sql_duckdb(
+    old_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of corpus_diff (identical hash + status ladder)."""
+    h = hash60_duckdb(text_col)
+    return f"""
+WITH oh AS (SELECT {id_col} AS doc_id, {h} AS _ho FROM ({old_sql})),
+nh AS (SELECT {id_col} AS doc_id, {h} AS _hn FROM ({new_sql}))
+SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+       CASE WHEN _ho IS NULL THEN 'added'
+            WHEN _hn IS NULL THEN 'removed'
+            WHEN _ho = _hn THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+"""

@@ -1123,6 +1123,38 @@ def q_ann_topk_ivfpq(spark, sf_dir):
     )
 
 
+def q_corpus_diff_docs(spark, sf_dir):
+    """Dataset-version diff (curation.py::corpus_diff): documents vs
+    a deterministically perturbed next version (drop doc_id%17==3,
+    append ' v2' to doc_id%13==2, add doc_id%29==5 under shifted
+    ids) -> per-doc added/removed/changed/unchanged. One (id, hash)
+    shuffle; text never moves."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 5).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return CU.corpus_diff(docs, new.unionByName(added))
+
+
+_CORPUS_DIFF_NEW_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END AS text
+FROM documents WHERE doc_id % 17 <> 3
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text FROM documents
+WHERE doc_id % 29 = 5
+"""
+
+
 def q_kv_crc64_orders(spark, sf_dir):
     """TRUE KV-byte parity, independently attested: the kv_crc64
     checksum triple (record KV + 3 index KVs per row: non-unique,
@@ -2918,8 +2950,10 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # the pin in tests/test_registry_order.py), nothing else.
 _R7_PREFIX = [
     # -- new in round 7 (first driver attestation): KV-byte parity
-    # attested by a shared-nothing DuckDB SQL encoder --
+    # attested by a shared-nothing DuckDB SQL encoder, and the
+    # dataset-version diff --
     "kv_crc64_orders",
+    "corpus_diff_docs",
     # -- last attested r03 --
     "hist_quantiles_price",
     # -- last attested r04, by name --
@@ -2970,9 +3004,9 @@ _R7_PREFIX = [
     "text_stats",
     "top_orders_by_revenue",
     "topk_parts",
-    "uint64_decimal",
-    # (window_rank_customers dropped to the pool: the new
-    # kv_crc64_orders entry takes the 50th slot per ROTATION.md)
+    # (uint64_decimal and window_rank_customers dropped to the pool:
+    # the new kv_crc64_orders + corpus_diff_docs entries take the
+    # lead slots per ROTATION.md)
 ]
 
 
@@ -3083,6 +3117,7 @@ def _build_queries_unordered():
         "orc_roundtrip": q_orc_roundtrip,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "kv_crc64_orders": q_kv_crc64_orders,
+        "corpus_diff_docs": q_corpus_diff_docs,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
@@ -3172,6 +3207,9 @@ def _build_oracle_sql_static():
         "checksum_crc64_lineitem": checksum_oracle_sql(
             "lineitem", LINEITEM_TYPES, algo="crc64",
             where="l_orderkey % 37 = 3",
+        ),
+        "corpus_diff_docs": CU.corpus_diff_sql_duckdb(
+            "SELECT doc_id, text FROM documents", _CORPUS_DIFF_NEW_SQL
         ),
         "kv_crc64_orders": KVD.kv_checksum_sql_duckdb(
             "orders",
