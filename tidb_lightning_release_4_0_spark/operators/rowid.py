@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 ROWID = "_row_id"
 
@@ -282,9 +283,15 @@ def _file_base_rowids(
         )
         if cache is not None:
             cache[key] = bmap
+    # a caller that already materialized _fname at SCAN time (the
+    # split-path window fallback — input_file_name() is only defined
+    # inside the file-scan stage, not above the window's shuffle)
+    # keeps its column; otherwise evaluate it here, in the scan stage
+    d = df if "_fname" in df.columns else df.withColumn(
+        "_fname", F.input_file_name()
+    )
     return (
-        df.withColumn("_fname", F.input_file_name())
-        .withColumn("_local", in_file_index)
+        d.withColumn("_local", in_file_index)
         .join(F.broadcast(bmap), "_fname", "left")
         .withColumn(
             ROWID,
@@ -377,41 +384,70 @@ def assign_rowid_by_file_split(
     AllocBase/max-rowid behaves the same. ``bases`` must come from
     file_row_bases_split with the same split_bytes.
 
-    Preconditions: one block per task (the session's huge
+    Fast path precondition: one block per task (the session's huge
     openCostInBytes makes every split its own FilePartition) and an
     uncompressed, splittable read (multiLine=false). ``block_start``
     comes from input_file_block_start(), so the data plane needs NO
-    extra job or scan — the 100 TB path for one giant CSV."""
-    # The one-block-per-task precondition is load-bearing, not
-    # advisory: with a small openCostInBytes Spark PACKS several
-    # splits into one FilePartition, monotonically_increasing_id
-    # keeps counting across the packed blocks, and a block's ids can
-    # overrun its reservation into the next file's range. Enforce it
-    # at plan time instead of trusting the docstring.
+    extra job or scan — the 100 TB path for one giant CSV.
+
+    Session portability: when the session is NOT configured for
+    one-block-per-task (openCostInBytes < maxPartitionBytes — Spark
+    then PACKS several splits into one FilePartition and
+    monotonically_increasing_id keeps counting across the packed
+    blocks), the operator self-heals instead of raising: the in-block
+    index comes from a window partitioned by (file, block_start)
+    ordered by the mono id, which is exact under ANY packing. That
+    fallback costs one shuffle of (ids + projected columns); the
+    zero-shuffle fast path stays the default under tlr4s.session."""
     spark = df.sparkSession
     try:
         oc = spark.conf.get("spark.sql.files.openCostInBytes")
         mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     except Exception:  # pragma: no cover - conf always readable
         oc = mpb = None
-    if oc is not None and mpb is not None:
-        if _conf_bytes(oc) < _conf_bytes(mpb):
-            raise ValueError(
-                "assign_rowid_by_file_split requires one split per "
-                "FilePartition: set spark.sql.files.openCostInBytes "
-                ">= spark.sql.files.maxPartitionBytes (the session "
-                f"helper tlr4s.session does this; got openCost={oc}, "
-                f"maxPartitionBytes={mpb})"
-            )
-    local = F.monotonically_increasing_id().bitwiseAND(
-        F.lit(_PARTITION_CAPACITY - 1)
+    one_block_per_task = not (
+        oc is not None
+        and mpb is not None
+        and _conf_bytes(oc) < _conf_bytes(mpb)
     )
-    block_off = F.expr("input_file_block_start()")
-    chunk_base = (
-        F.floor(block_off / F.lit(max(int(divisor), 1)))
-        + F.floor(block_off / F.lit(max(int(split_bytes), 1)))
+    if one_block_per_task:
+        # fast path: each byte-range block is its own task, so the low
+        # bits of the mono id ARE the in-block row index — no shuffle.
+        local = F.monotonically_increasing_id().bitwiseAND(
+            F.lit(_PARTITION_CAPACITY - 1)
+        )
+        block_off = F.expr("input_file_block_start()")
+        chunk_base = (
+            F.floor(block_off / F.lit(max(int(divisor), 1)))
+            + F.floor(block_off / F.lit(max(int(split_bytes), 1)))
+        ).cast("long")
+        return _file_base_rowids(df, bases, chunk_base + local)
+    # portability fallback: blocks are packed into shared tasks;
+    # derive an EXACT per-block index by windowing on the block
+    # identity. The mono id is monotone within a task (and hence
+    # within each packed block), so ordering by it preserves in-block
+    # physical row order. ALL file-context expressions must be
+    # materialized at SCAN time: above the window's shuffle,
+    # input_file_name()/input_file_block_start() have no file context
+    # and silently return constants.
+    d = (
+        df.withColumn("_fname", F.input_file_name())
+        .withColumn("_boff", F.expr("input_file_block_start()"))
+        .withColumn("_mono", F.monotonically_increasing_id())
+    )
+    local = (
+        F.row_number().over(
+            Window.partitionBy("_fname", "_boff").orderBy("_mono")
+        )
+        - F.lit(1)
     ).cast("long")
-    return _file_base_rowids(df, bases, chunk_base + local)
+    chunk_base = (
+        F.floor(F.col("_boff") / F.lit(max(int(divisor), 1)))
+        + F.floor(F.col("_boff") / F.lit(max(int(split_bytes), 1)))
+    ).cast("long")
+    return _file_base_rowids(d, bases, chunk_base + local).drop(
+        "_boff", "_mono"
+    )
 
 
 def assign_rowid_dense(
