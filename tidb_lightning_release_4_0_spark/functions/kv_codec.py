@@ -72,6 +72,8 @@ UINT_FLAG = 0x4
 FLOAT_FLAG = 0x5
 VARINT_FLAG = 0x8
 UVARINT_FLAG = 0x9
+DURATION_FLAG = 0x7
+JSON_FLAG = 0x0A
 
 
 def encode_int_comparable(v: int) -> bytes:
@@ -217,12 +219,328 @@ class Uint64Datum:
             raise ValueError(f"uint64 out of range: {v}")
 
 
+class EnumDatum:
+    """KindMysqlEnum: the 1-based ordinal (0 = the invalid/empty
+    value). Encodes as an unsigned int in every position — uvarint in
+    row values, uintFlag + big-endian in keys, smallest-LE uint in
+    row-format-v2 cells (codec.go's KindMysqlEnum case routes through
+    encodeUnsignedInt; the SQL-text backend prints the same uint64,
+    lightning/backend/tidb.go:152-156)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = int(v)
+        if not (0 <= self.v < (1 << 64)):
+            raise ValueError(f"enum ordinal out of range: {v}")
+
+
+class SetDatum:
+    """KindMysqlSet: the member bitmask (bit i = DDL member i),
+    unsigned-int encoded exactly like EnumDatum."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = int(v)
+        if not (0 <= self.v < (1 << 64)):
+            raise ValueError(f"set bitmask out of range: {v}")
+
+
+class BitDatum:
+    """KindMysqlBit / KindBinaryLiteral: BinaryLiteral.ToInt —
+    unsigned-int encoded like EnumDatum (codec.go's
+    KindMysqlBit/KindBinaryLiteral case)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        if isinstance(v, (bytes, bytearray)):
+            v = int.from_bytes(bytes(v), "big")
+        self.v = int(v)
+        if not (0 <= self.v < (1 << 64)):
+            raise ValueError(f"bit literal out of range: {v}")
+
+
+class DurationDatum:
+    """KindMysqlDuration: a MySQL TIME value as signed NANOSECONDS
+    (types.Duration wraps time.Duration). Encodes with durationFlag +
+    comparable int64 in BOTH key and value positions (codec.go writes
+    EncodeInt unconditionally for durations), smallest-LE signed int
+    in v2 cells."""
+
+    __slots__ = ("ns",)
+
+    def __init__(self, ns):
+        self.ns = int(ns)
+
+
+class JsonDatum:
+    """KindMysqlJSON: the TiDB binary-JSON representation
+    (types/json binary format, itself the public MySQL 5.7 binary
+    JSON layout with u32 counts/offsets): a type-code byte plus the
+    binary value. Encodes as jsonFlag + TypeCode + Value in both key
+    and value positions; v2 cells drop the flag."""
+
+    __slots__ = ("type_code", "value")
+
+    def __init__(self, type_code: int, value: bytes):
+        self.type_code, self.value = int(type_code), bytes(value)
+
+    @classmethod
+    def from_value(cls, obj) -> "JsonDatum":
+        return cls(*json_binary(obj))
+
+    @classmethod
+    def from_text(cls, text: str) -> "JsonDatum":
+        import json as _json
+
+        return cls.from_value(_json.loads(text))
+
+
+# --- binary JSON (MySQL 5.7 / TiDB types/json layout) -----------------
+
+JSON_TYPE_OBJECT = 0x01
+JSON_TYPE_ARRAY = 0x03
+JSON_TYPE_LITERAL = 0x04
+JSON_TYPE_INT64 = 0x09
+JSON_TYPE_UINT64 = 0x0A
+JSON_TYPE_FLOAT64 = 0x0B
+JSON_TYPE_STRING = 0x0C
+JSON_LITERAL_NIL = 0x00
+JSON_LITERAL_TRUE = 0x01
+JSON_LITERAL_FALSE = 0x02
+
+_JSON_HEADER = 8  # u32 element count + u32 total size
+_JSON_KEY_ENTRY = 6  # u32 key offset + u16 key length
+_JSON_VAL_ENTRY = 5  # u8 type code + u32 inline-literal-or-offset
+
+
+def json_binary(obj) -> tuple[int, bytes]:
+    """Python value -> (type_code, binary value), the TiDB
+    CreateBinary normalization: ints that fit int64 are Int64 (larger
+    non-negatives Uint64), floats Float64, strings uvarint-length-
+    prefixed, object keys sorted BYTEWISE (TiDB's objectSearchKey
+    binary-searches with bytes.Compare, so creation sorts the same
+    way — a deliberate, documented TiDB deviation from MySQL's
+    length-first key order). Arrays/objects use the u32 "large"
+    layout with only literals inlined in value entries."""
+    if obj is None:
+        return JSON_TYPE_LITERAL, bytes([JSON_LITERAL_NIL])
+    if isinstance(obj, bool):
+        return JSON_TYPE_LITERAL, bytes(
+            [JSON_LITERAL_TRUE if obj else JSON_LITERAL_FALSE]
+        )
+    if isinstance(obj, int):
+        if -(1 << 63) <= obj < (1 << 63):
+            return JSON_TYPE_INT64, struct.pack("<q", obj)
+        if obj < (1 << 64):
+            return JSON_TYPE_UINT64, struct.pack("<Q", obj)
+        raise ValueError(f"JSON integer out of 64-bit range: {obj}")
+    if isinstance(obj, float):
+        return JSON_TYPE_FLOAT64, struct.pack("<d", obj)
+    if isinstance(obj, str):
+        b = obj.encode("utf-8")
+        return JSON_TYPE_STRING, encode_uvarint(len(b)) + b
+    if isinstance(obj, (list, tuple)):
+        elems = [json_binary(x) for x in obj]
+        n = len(elems)
+        buf = bytearray(_JSON_HEADER + n * _JSON_VAL_ENTRY)
+        total = len(buf) + sum(
+            len(v) for tc, v in elems if tc != JSON_TYPE_LITERAL
+        )
+        struct.pack_into("<II", buf, 0, n, total)
+        for i, (tc, v) in enumerate(elems):
+            _json_put_val_entry(buf, _JSON_HEADER + i * _JSON_VAL_ENTRY, tc, v)
+        return JSON_TYPE_ARRAY, bytes(buf)
+    if isinstance(obj, dict):
+        items = sorted(
+            ((str(k).encode("utf-8"), json_binary(v)) for k, v in obj.items()),
+            key=lambda kv: kv[0],
+        )
+        n = len(items)
+        entries = _JSON_HEADER + n * (_JSON_KEY_ENTRY + _JSON_VAL_ENTRY)
+        buf = bytearray(entries)
+        total = (
+            entries
+            + sum(len(k) for k, _ in items)
+            + sum(len(v) for _, (tc, v) in items if tc != JSON_TYPE_LITERAL)
+        )
+        struct.pack_into("<II", buf, 0, n, total)
+        for i, (k, _) in enumerate(items):
+            struct.pack_into(
+                "<IH", buf, _JSON_HEADER + i * _JSON_KEY_ENTRY, len(buf), len(k)
+            )
+            buf += k
+        for i, (_, (tc, v)) in enumerate(items):
+            _json_put_val_entry(
+                buf,
+                _JSON_HEADER + n * _JSON_KEY_ENTRY + i * _JSON_VAL_ENTRY,
+                tc,
+                v,
+            )
+        return JSON_TYPE_OBJECT, bytes(buf)
+    raise NotImplementedError(
+        f"json_binary: unsupported python type {type(obj).__name__}"
+    )
+
+
+def _json_put_val_entry(buf: bytearray, off: int, tc: int, v: bytes) -> None:
+    """TiDB appendBinaryValElem: a literal inlines its byte in the
+    offset slot (remaining 3 bytes zero); everything else records the
+    absolute offset of its payload, appended at the tail."""
+    buf[off] = tc
+    if tc == JSON_TYPE_LITERAL:
+        buf[off + 1] = v[0]
+        return
+    struct.pack_into("<I", buf, off + 1, len(buf))
+    buf += v
+
+
+def json_binary_decode(type_code: int, value: bytes):
+    """Inverse of json_binary (test oracle: encode-decode roundtrip
+    pins the layout from both directions)."""
+    if type_code == JSON_TYPE_LITERAL:
+        return {
+            JSON_LITERAL_NIL: None,
+            JSON_LITERAL_TRUE: True,
+            JSON_LITERAL_FALSE: False,
+        }[value[0]]
+    if type_code == JSON_TYPE_INT64:
+        return struct.unpack_from("<q", value)[0]
+    if type_code == JSON_TYPE_UINT64:
+        return struct.unpack_from("<Q", value)[0]
+    if type_code == JSON_TYPE_FLOAT64:
+        return struct.unpack_from("<d", value)[0]
+    if type_code == JSON_TYPE_STRING:
+        ln, shift, pos = 0, 0, 0
+        while True:
+            byte = value[pos]
+            ln |= (byte & 0x7F) << shift
+            pos += 1
+            if byte < 0x80:
+                break
+            shift += 7
+        return value[pos: pos + ln].decode("utf-8")
+
+    def _elem(off: int):
+        tc = value[off]
+        if tc == JSON_TYPE_LITERAL:
+            return json_binary_decode(tc, value[off + 1: off + 2])
+        voff = struct.unpack_from("<I", value, off + 1)[0]
+        return json_binary_decode(tc, value[voff:])
+
+    n = struct.unpack_from("<I", value, 0)[0]
+    if type_code == JSON_TYPE_ARRAY:
+        return [_elem(_JSON_HEADER + i * _JSON_VAL_ENTRY) for i in range(n)]
+    if type_code == JSON_TYPE_OBJECT:
+        out = {}
+        for i in range(n):
+            koff, klen = struct.unpack_from(
+                "<IH", value, _JSON_HEADER + i * _JSON_KEY_ENTRY
+            )
+            key = value[koff: koff + klen].decode("utf-8")
+            out[key] = _elem(
+                _JSON_HEADER + n * _JSON_KEY_ENTRY + i * _JSON_VAL_ENTRY
+            )
+        return out
+    raise ValueError(f"unknown JSON type code {type_code:#x}")
+
+
+# --- MySQL-kind coercion helpers (cast layer -> datum) -----------------
+
+
+def enum_ordinal(v, members) -> int:
+    """types.ParseEnum: name match (exact, then case-insensitive —
+    MySQL ci collation), else a numeric string is the ordinal itself;
+    '' is the invalid/empty element (ordinal 0)."""
+    s = str(v)
+    try:
+        return list(members).index(s) + 1
+    except ValueError:
+        pass
+    low = s.lower()
+    for i, m in enumerate(members):
+        if m.lower() == low:
+            return i + 1
+    if s == "":
+        return 0
+    if s.isdigit() and 0 <= int(s) <= len(members):
+        return int(s)
+    raise ValueError(f"enum value {v!r} not in {list(members)[:8]}…")
+
+
+def set_bitmask(v, members) -> int:
+    """types.ParseSet: comma-joined member names -> OR of member
+    bits (bit i = DDL member i); '' = 0."""
+    s = str(v)
+    if s == "":
+        return 0
+    mask = 0
+    low = [m.lower() for m in members]
+    for part in s.split(","):
+        try:
+            i = list(members).index(part)
+        except ValueError:
+            i = low.index(part.lower())  # raises on genuine miss
+        mask |= 1 << i
+    return mask
+
+
+def parse_duration_ns(v) -> int:
+    """MySQL TIME text ([-]HH:MM:SS[.ffffff], hours may exceed 23) ->
+    signed nanoseconds."""
+    s = str(v).strip()
+    neg = s.startswith("-")
+    if neg:
+        s = s[1:]
+    frac = 0
+    if "." in s:
+        s, fs = s.split(".", 1)
+        frac = int(fs.ljust(9, "0")[:9])
+    parts = [int(p) for p in s.split(":")]
+    while len(parts) < 3:
+        parts.insert(0, 0)
+    h, m, sec = parts
+    ns = ((h * 3600 + m * 60 + sec) * 1_000_000_000) + frac
+    return -ns if neg else ns
+
+
+def mysql_kind_wrapper(spec):
+    """A per-column coercion callable for kv_hash_columns'
+    ``mysql_kinds``: spec is ("enum", members) / ("set", members) /
+    ("bit",) / ("json",) / ("time",). Applied to the non-null Spark
+    value before datum encode — mirroring the KindMysqlX datums the
+    reference's cast layer hands its encoder."""
+    kind = spec[0]
+    if kind == "enum":
+        members = tuple(spec[1])
+        return lambda v: EnumDatum(enum_ordinal(v, members))
+    if kind == "set":
+        members = tuple(spec[1])
+        return lambda v: SetDatum(set_bitmask(v, members))
+    if kind == "bit":
+        return lambda v: BitDatum(v)
+    if kind == "json":
+        return lambda v: (
+            JsonDatum.from_text(v) if isinstance(v, str)
+            else JsonDatum.from_value(v)
+        )
+    if kind == "time":
+        return lambda v: DurationDatum(parse_duration_ns(v))
+    raise ValueError(f"unknown mysql kind {kind!r}")
+
+
 def _encode_datum_v1(v) -> bytes:
     """One flagged datum, row-VALUE encoding (codec.EncodeValue)."""
     if v is None:
         return bytes([NIL_FLAG])
-    if isinstance(v, Uint64Datum):
+    if isinstance(v, (Uint64Datum, EnumDatum, SetDatum, BitDatum)):
         return bytes([UVARINT_FLAG]) + encode_uvarint(v.v)
+    if isinstance(v, DurationDatum):
+        return bytes([DURATION_FLAG]) + encode_int_comparable(v.ns)
+    if isinstance(v, JsonDatum):
+        return bytes([JSON_FLAG, v.type_code]) + v.value
     if isinstance(v, DecimalDatum):
         return encode_decimal_datum(v.v, v.precision, v.frac)
     if isinstance(v, bool):
@@ -245,7 +563,8 @@ def _encode_datum_v1(v) -> bytes:
         )
     raise NotImplementedError(
         f"kv_codec v1: unsupported datum type {type(v).__name__} "
-        "(DECIMAL/myDecimal is deliberately out of scope)"
+        "(supported kinds: NULL/int/uint64/decimal/float/str/bytes/"
+        "datetime/date/enum/set/bit/duration/json)"
     )
 
 
@@ -284,8 +603,12 @@ def _v2_uint_bytes(v: int) -> bytes:
 
 
 def _encode_cell_v2(v) -> bytes:
-    if isinstance(v, Uint64Datum):
+    if isinstance(v, (Uint64Datum, EnumDatum, SetDatum, BitDatum)):
         return _v2_uint_bytes(v.v)
+    if isinstance(v, DurationDatum):
+        return _v2_int_bytes(v.ns)
+    if isinstance(v, JsonDatum):
+        return bytes([v.type_code]) + v.value
     if isinstance(v, DecimalDatum):
         # the design doc keeps EncodeDecimal's payload (precision,
         # frac, myDecimal binary) minus the flag byte
@@ -381,8 +704,15 @@ def encode_key_datum(v) -> bytes:
     compact length-prefixed)."""
     if v is None:
         return bytes([NIL_FLAG])
-    if isinstance(v, Uint64Datum):
+    if isinstance(v, (Uint64Datum, EnumDatum, SetDatum, BitDatum)):
         return bytes([UINT_FLAG]) + struct.pack(">Q", v.v)
+    if isinstance(v, DurationDatum):
+        return bytes([DURATION_FLAG]) + encode_int_comparable(v.ns)
+    if isinstance(v, JsonDatum):
+        # TiDB encodes JSON datums in keys with the same jsonFlag
+        # layout (JSON columns are not directly indexable in this
+        # era, but the codec path exists)
+        return bytes([JSON_FLAG, v.type_code]) + v.value
     if isinstance(v, DecimalDatum):
         # EncodeDecimal is already memory-comparable; same bytes in
         # key and value positions
@@ -558,6 +888,7 @@ def kv_hash_columns(
     indexes=None,
     kernel: str = "auto",
     uint64_cols=None,
+    mysql_kinds=None,
 ):
     """Struct Column {h, n} for the ``kv_crc64`` checksum modes: per
     row, the XOR of crc64-ECMA over every reference-parity KV pair
@@ -577,7 +908,13 @@ def kv_hash_columns(
     (TruncateIndexValue semantics). ``uint64_cols`` names columns
     that are BIGINT UNSIGNED in the DDL: they arrive Spark-side as
     DecimalType(20,0) (SURVEY §1.2) but must encode as KindUint64
-    datums.
+    datums. ``mysql_kinds`` maps a column name to a MySQL-kind spec
+    (("enum", members) / ("set", members) / ("bit",) / ("json",) /
+    ("time",) — see mysql_kind_wrapper): those Spark-string/long
+    values coerce to KindMysqlEnum/Set/Bit/JSON/Duration datums
+    before encode, matching the reference's cast layer
+    (lightning/backend/tidb.go:152-188's kind cases; the kv path
+    encodes the same kinds through codec.EncodeValue).
 
     ``kernel`` picks the encode implementation: ``"numpy"``
     (= ``"auto"``, the default) is the per-column vectorized kernel
@@ -596,6 +933,11 @@ def kv_hash_columns(
     if default_null_ids is not None:
         default_null_ids = frozenset(default_null_ids)
     uint64_cols = frozenset(uint64_cols or ())
+    mysql_kinds = dict(mysql_kinds or {})
+    wraps = [
+        mysql_kind_wrapper(mysql_kinds[c]) if c in mysql_kinds else None
+        for c in cols
+    ]
     if kernel == "auto":
         kernel = "numpy"
 
@@ -655,7 +997,7 @@ def kv_hash_columns(
             h, nb = KNP.kv_pairs_crc_np(
                 batch, list(cols), dtypes, "__h", list(col_ids),
                 table_id, default_null_ids, idx_specs_named,
-                row_format_version, u64_flags,
+                row_format_version, u64_flags, wraps,
             )
             return pd.DataFrame({"h": h, "n": nb})
 
@@ -725,12 +1067,22 @@ def kv_hash_columns(
         )
 
     coercers = [
-        (Uint64Datum if c in uint64_cols else _coercer(df.schema[c].dataType))
-        for c in cols
+        (
+            wraps[i]
+            if wraps[i] is not None
+            else Uint64Datum
+            if c in uint64_cols
+            else _coercer(df.schema[c].dataType)
+        )
+        for i, c in enumerate(cols)
     ]
 
-    def _py(v, coerce):
-        if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+    # NULLness comes from an EXPLICIT Spark isNull flag shipped next
+    # to each value — pandas-level NaN sniffing would conflate a
+    # genuine NaN double with NULL (the numpy kernel keys off the
+    # same flag, so both kernels encode NaN as a FLOAT datum)
+    def _py(v, isnull, coerce):
+        if isnull or v is None or v is pd.NaT:
             return None
         if hasattr(v, "item") and not isinstance(v, pd.Timestamp):
             v = v.item()
@@ -749,9 +1101,13 @@ def kv_hash_columns(
     @pandas_udf(out_type)
     def _kernel(batch: pd.Series) -> pd.Series:
         hs, ns = [], []
+        ncols = len(coercers)
         for row in batch.itertuples(index=False, name=None):
             handle = int(row[0])
-            vals = [_py(v, c) for v, c in zip(row[1:], coercers)]
+            vals = [
+                _py(row[1 + i], bool(row[1 + ncols + i]), coercers[i])
+                for i in range(ncols)
+            ]
             crc, n = 0, 0
             for k, v in encode_table_kvs(
                 table_id, handle, col_ids, vals, row_format_version,
@@ -768,4 +1124,13 @@ def kv_hash_columns(
     # the two fields (field-extracting the UDF expression twice could
     # evaluate the kernel twice). The handle stays typed (a PK/rowid
     # is never NULL, so its int64 batch never widens to float64).
-    return _kernel(F.struct(F.col(handle_col), *[_proj(c) for c in cols]))
+    return _kernel(
+        F.struct(
+            F.col(handle_col),
+            *[_proj(c).alias(f"__pv_{i}") for i, c in enumerate(cols)],
+            *[
+                F.col(c).isNull().alias(f"__pn_{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+    )

@@ -8,7 +8,8 @@ per-row lengths, fragments are scattered into one zero-padded row
 matrix per KV pair, and ``hashing.crc64_matrix`` folds each pair in
 O(max_len/8) vectorized steps. Per-row Python survives only in the
 utf-8 encode of string cells and in the object fallback for exotic
-datum types (DECIMAL / DATE), and only for those columns.
+datum types (DECIMAL / DATE / the MySQL kinds ENUM / SET / BIT /
+JSON / TIME), and only for those columns.
 
 Covers BOTH row formats: v1's [colID, flagged datum] pairs and v2's
 sectioned layout (version/flag, u16 counts, ascending not-null /
@@ -195,13 +196,18 @@ def _coerce_decimal(dt):
     return lambda v: KC.DecimalDatum(v, p, s)
 
 
-def _value_datum_frag(series, mask, dt_name, dt, u64=False):
+def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
     """One column's v1 row-VALUE datum fragment (flag + payload) for
     the non-null rows; lens are 0 on null rows (the caller overlays
     NilFlag / CanSkip). ``u64`` marks BIGINT UNSIGNED columns
-    (decimal-typed Spark-side, KindUint64 in the encoding)."""
+    (decimal-typed Spark-side, KindUint64 in the encoding); ``wrap``
+    is the MySQL-kind coercion (enum/set/bit/json/time) — those
+    columns take the scalar-oracle object path."""
     n = len(mask)
     valid = ~mask
+    if wrap is not None:
+        enc = lambda v: KC._encode_datum_v1(wrap(v))  # noqa: E731
+        return _object_frag(series, mask, enc), valid
     if u64:
         enc = lambda v: KC._encode_datum_v1(KC.Uint64Datum(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
@@ -210,7 +216,11 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False):
         mat, lens = _uvarint_frag(_zigzag(v), valid)
         return _concat_frags([_const_frag(n, b"\x08"), (mat, lens)]), valid
     if dt_name in ("float", "double"):
-        f = series.to_numpy(np.float64, na_value=0.0)
+        # no na_value: NULLs were coalesced to 0.0 SPARK-side, so any
+        # NaN here is a genuine NaN double and must encode as one
+        # (na_value would silently replace it - pandas counts NaN
+        # as NA)
+        f = series.to_numpy(np.float64)
         u = f.view(np.uint64)
         comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
         frag = (_be8(comp), np.where(valid, 8, 0))
@@ -237,11 +247,14 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False):
     return _object_frag(series, mask, enc), valid
 
 
-def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False):
+def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
+                    wrap=None):
     """One column's memory-comparable KEY datum fragment (EncodeKey),
     NULLs encoded as NilFlag (index keys keep NULL datums); ``trunc``
     is the prefix-index truncation for string/binary columns,
-    ``u64`` the BIGINT UNSIGNED marker."""
+    ``u64`` the BIGINT UNSIGNED marker, ``wrap`` the MySQL-kind
+    coercion (prefix truncation doesn't apply to wrapped kinds —
+    prefix indexes exist only on string/binary columns)."""
     n = len(mask)
     valid = ~mask
     nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
@@ -255,6 +268,10 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False):
         full[~valid, 0] = 0x00
         return full, np.where(valid, flens, 1)
 
+    if wrap is not None:
+        enc = lambda v: KC.encode_key_datum(wrap(v))  # noqa: E731
+        mat, lens = _object_frag(series, mask, enc)
+        return _with_nil(mat, np.where(valid, lens, 0))
     if u64:
         enc = lambda v: KC.encode_key_datum(KC.Uint64Datum(v))  # noqa: E731
         mat, lens = _object_frag(series, mask, enc)
@@ -267,7 +284,11 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False):
         )
         return _with_nil(mat, np.where(valid, lens, 0))
     if dt_name in ("float", "double"):
-        f = series.to_numpy(np.float64, na_value=0.0)
+        # no na_value: NULLs were coalesced to 0.0 SPARK-side, so any
+        # NaN here is a genuine NaN double and must encode as one
+        # (na_value would silently replace it - pandas counts NaN
+        # as NA)
+        f = series.to_numpy(np.float64)
         u = f.view(np.uint64)
         comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
         mat, lens = _concat_frags(
@@ -338,13 +359,16 @@ def _v2_uint_lens(u: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.where(valid, lens, 0)
 
 
-def _cell_v2_frag(series, mask, dt_name, dt, u64=False):
+def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
     """One column's row-format-v2 CELL payload (kv_codec
     _encode_cell_v2): smallest little-endian ints, comparable floats,
     raw bytes — lens 0 on null rows (nulls live in the id sections,
     not the payload)."""
     n = len(mask)
     valid = ~mask
+    if wrap is not None:
+        enc = lambda v: KC._encode_cell_v2(wrap(v))  # noqa: E731
+        return _object_frag(series, mask, enc), valid
     if u64:
         enc = lambda v: KC._encode_cell_v2(KC.Uint64Datum(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
@@ -353,7 +377,11 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False):
         mat = v.astype("<i8").view(np.uint8).reshape(n, 8)
         return (mat, _v2_int_lens(np.where(valid, v, 0), valid)), valid
     if dt_name in ("float", "double"):
-        f = series.to_numpy(np.float64, na_value=0.0)
+        # no na_value: NULLs were coalesced to 0.0 SPARK-side, so any
+        # NaN here is a genuine NaN double and must encode as one
+        # (na_value would silently replace it - pandas counts NaN
+        # as NA)
+        f = series.to_numpy(np.float64)
         u = f.view(np.uint64)
         comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
         return (_be8(comp), np.where(valid, 8, 0)), valid
@@ -374,7 +402,7 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False):
 
 
 def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
-                    u64_flags=None):
+                    u64_flags=None, wraps=None):
     """The row-format-v2 VALUE as a fragment list (kv_codec
     encode_row_v2 semantics incl. CanSkip): columns walk in
     ascending-id order so the conditional per-column fragments land
@@ -388,6 +416,7 @@ def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
         (mat, lens), valid = _cell_v2_frag(
             pdf[f"__v_{i}"], masks[c], dt.typeName(), dt,
             bool(u64_flags and u64_flags[i]),
+            wraps[i] if wraps else None,
         )
         skip = default_null_ids is None or col_ids[i] in default_null_ids
         keep_null = (~valid) & (not skip)
@@ -450,6 +479,7 @@ def kv_pairs_crc_np(
     idx_specs,
     row_format_version: int = 1,
     u64_flags=None,
+    wraps=None,
 ):
     """The batch kernel: pandas DataFrame (handle + per-column value
     and _isnull_ fields) -> (h int64 xor-of-pair-crcs, n total bytes)
@@ -473,7 +503,7 @@ def kv_pairs_crc_np(
         frags.extend(
             _v2_value_frags(
                 pdf, cols, dtypes, col_ids, default_null_ids, masks,
-                u64_flags,
+                u64_flags, wraps,
             )
         )
     else:
@@ -486,6 +516,7 @@ def kv_pairs_crc_np(
             (dmat, dlens), valid = _value_datum_frag(
                 pdf[f"__v_{i}"], masks[c], dt_name, dt,
                 bool(u64_flags and u64_flags[i]),
+                wraps[i] if wraps else None,
             )
             skip = default_null_ids is None or cid in default_null_ids
             full, flens = _concat_frags(
@@ -539,6 +570,7 @@ def kv_pairs_crc_np(
             mat, lens_k = _key_datum_frag(
                 pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen,
                 bool(u64_flags and u64_flags[i]),
+                wraps[i] if wraps else None,
             )
             parts.append((mat, lens_k))
             distinct &= ~masks[c]

@@ -962,6 +962,15 @@ class RestoreController:
         while not self.pauser.wait(timeout=0.2):
             self._check_cancelled()
 
+    # Byte-semantics version per checksum algo: bump when an algo's
+    # bytes change without a rename (r7 added index KVs + CanSkip +
+    # the NilFlag empty row to kv_crc64/kv_crc64_v2; r8 added the
+    # ENUM/SET/BIT/JSON/TIME datum kinds — a type previously
+    # rejected, so r8 values where r7 produced any are identical, but
+    # the version records the contract). Algos not listed are
+    # version None (stable since introduction).
+    _CHECKSUM_CODEC_VERSION = {"kv_crc64": 2, "kv_crc64_v2": 2}
+
     # -- delivered-table checksum sidecar (incremental C2/C3) ---------
     # The reference compares the run's local checksum with ADMIN
     # CHECKSUM over the live table (restore.go:971-1010); for
@@ -994,6 +1003,14 @@ class RestoreController:
                 d = json.load(f)
             if d.get("algo") != self.cfg.checksum_algo:
                 return None
+            # byte-semantics version: a sidecar persisted by an older
+            # codec (e.g. pre-index-KV kv_crc64 bytes under the same
+            # algo name) must read as "unknown prior", not as a value
+            # the next incremental run fails verification against
+            if d.get("codec_version") != self._CHECKSUM_CODEC_VERSION.get(
+                self.cfg.checksum_algo
+            ):
+                return None
             return Checksum(
                 int(d["crc_xor"]),
                 int(d["total_bytes"]),
@@ -1011,6 +1028,9 @@ class RestoreController:
             json.dump(
                 {
                     "algo": self.cfg.checksum_algo,
+                    "codec_version": self._CHECKSUM_CODEC_VERSION.get(
+                        self.cfg.checksum_algo
+                    ),
                     "crc_xor": ck.crc_xor,
                     "total_bytes": ck.total_bytes,
                     "total_kvs": ck.total_kvs,
@@ -1912,6 +1932,23 @@ class RestoreController:
                 if schema is not None
                 else frozenset()
             )
+            # ENUM/SET/BIT/JSON/TIME columns ride Spark as strings
+            # (longs for BIT) but encode as their KindMysqlX datums —
+            # the kinds the reference's cast layer hands its encoder
+            # (tests/various_types covers all of them)
+            mysql_kinds = {}
+            if schema is not None:
+                for c in schema.columns:
+                    if c.mysql_type in ("enum", "set"):
+                        mysql_kinds[c.name] = (
+                            c.mysql_type, tuple(c.enum_members),
+                        )
+                    elif c.mysql_type == "bit":
+                        mysql_kinds[c.name] = ("bit",)
+                    elif c.mysql_type == "json":
+                        mysql_kinds[c.name] = ("json",)
+                    elif c.mysql_type == "time":
+                        mysql_kinds[c.name] = ("time",)
             pair = kv_hash_columns(
                 df,
                 value_cols,
@@ -1922,6 +1959,7 @@ class RestoreController:
                 default_null_ids=default_null_ids,
                 indexes=self._kv_index_specs(schema),
                 uint64_cols=uint64_cols,
+                mysql_kinds=mysql_kinds,
             )
             return (
                 df.withColumn("_kvp", pair)

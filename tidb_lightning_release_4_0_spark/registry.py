@@ -1139,8 +1139,11 @@ def q_corpus_diff_docs(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # added docs live OUTSIDE the id domain (negative mirror): a
+    # fixed positive offset would collide with real doc_ids once the
+    # corpus reaches the offset, silently fanning out the diff join
     added = docs.filter(F.col("doc_id") % 29 == 5).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     return CU.corpus_diff(docs, new.unionByName(added))
 
@@ -1150,7 +1153,7 @@ SELECT doc_id,
        CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END AS text
 FROM documents WHERE doc_id % 17 <> 3
 UNION ALL
-SELECT doc_id + 1000000 AS doc_id, text FROM documents
+SELECT -doc_id - 1 AS doc_id, text FROM documents
 WHERE doc_id % 29 = 5
 """
 
