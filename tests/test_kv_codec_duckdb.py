@@ -124,3 +124,113 @@ def test_sql_encoder_matches_python_codec_all_default_null():
         ]
     )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# round 8: row-format v2 + DOUBLE in the SQL twin
+# ---------------------------------------------------------------------------
+
+ROWS_F = [
+    (1, 100, "alice", dt.datetime(2009, 2, 14, 7, 31, 30), 2.5),
+    (2, None, "", dt.datetime(1999, 12, 31, 23, 59, 59, 999999), -1e308),
+    (3, -(1 << 62), None, None, None),
+    (4, (1 << 62) + 7, "héllo ☃", dt.datetime(1970, 1, 1), 5e-324),
+    (5, 0, "12345678", dt.datetime(9999, 12, 31, 23, 59, 59), 0.0),
+    (-6, 127, "x", dt.datetime(2020, 2, 29, 12, 0, 0, 1), -0.0),
+    (7, 300, "y", dt.datetime(2000, 1, 1), 3.141592653589793),
+    (8, -129, "zz", dt.datetime(2262, 4, 12), 2.0**-1022),
+]
+IDX_F_PY = [(1, [0], False), (2, [3], True), (3, [2, -1], False)]
+IDX_F_SQL = [
+    (1, [("v", "BIGINT")], False),
+    (2, [("f", "DOUBLE")], True),
+    (3, [("ts", "TIMESTAMP"), ("h", "BIGINT")], False),
+]
+VC_F_SQL = [
+    ("v", "BIGINT", 2, True),
+    ("s", "VARCHAR", 3, False),
+    ("ts", "TIMESTAMP", 4, True),
+    ("f", "DOUBLE", 5, True),
+]
+
+
+def _float_matrix_triples(rfv):
+    crc, nbytes, kvs = 0, 0, 0
+    for h, v, s, ts, f in ROWS_F:
+        for k, val in encode_table_kvs(
+            9, h, [2, 3, 4, 5], [v, s, ts, f], rfv,
+            default_null_ids=frozenset({2, 4, 5}), indexes=IDX_F_PY,
+        ):
+            crc ^= crc64_bytes(k + val)
+            nbytes += len(k) + len(val)
+            kvs += 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (h BIGINT, v BIGINT, s VARCHAR, ts TIMESTAMP,"
+        " f DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?)", ROWS_F)
+    sql = kv_checksum_sql_duckdb(
+        "t", "h", VC_F_SQL, IDX_F_SQL, table_id=9,
+        row_format_version=rfv,
+    )
+    g = con.sql(sql).fetchall()[0]
+    return (crc, nbytes, kvs), (
+        int(g[0]) & (2**64 - 1), int(g[1]), int(g[2])
+    )
+
+
+def test_sql_encoder_v1_with_doubles():
+    expect, got = _float_matrix_triples(1)
+    assert got == expect
+
+
+def test_sql_encoder_row_format_v2():
+    """v2 sectioned layout end to end: counts, id sections (incl. a
+    kept NULL — the string has a default), end offsets, smallest-int
+    cells, comparable doubles in value AND key positions."""
+    expect, got = _float_matrix_triples(2)
+    assert got == expect
+
+
+def test_sql_float_bits_sweep():
+    """Pure-SQL IEEE-754 bits are byte-exact against the Python
+    encoder across normals, subnormals, the denormal minimum, binade
+    boundaries, ±0, ±inf and canonical NaN."""
+    import math
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_float_comparable,
+    )
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+        float_comparable_hex16,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 2.5, -2.5, 1e308, -1e308, 5e-324,
+        -5e-324, 2.2250738585072014e-308, 1.7976931348623157e308,
+        0.1, -0.1, 123456.789e-30, float("inf"), float("-inf"),
+        float("nan"), 2.0**52, 2.0**52 + 1, 2.0**-1022,
+        (2.0**-1022) * 0.5, 3.141592653589793, 2.0**1023, 2.0**-1074,
+        1.5e-310,  # mid-subnormal
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        lit = repr(v) if math.isfinite(v) else f"'{v}'::DOUBLE"
+        got = con.execute(
+            f"select {float_comparable_hex16(lit)}"
+        ).fetchone()[0]
+        assert got.lower() == encode_float_comparable(v).hex(), v
+
+
+def test_sql_v2_small_layout_guards():
+    import pytest
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+        record_value_v2_hex,
+    )
+
+    with pytest.raises(AssertionError):
+        record_value_v2_hex([("a", "BIGINT", 3, True), ("b", "BIGINT", 2, True)])
+    with pytest.raises(AssertionError):
+        record_value_v2_hex([("a", "BIGINT", 300, True)])

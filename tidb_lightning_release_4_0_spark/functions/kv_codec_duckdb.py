@@ -12,12 +12,20 @@ record/index keys, packed datetimes, the CanSkip rule) sharing no
 code or language with ``kv_codec``/``kv_codec_np``, so a registry
 entry comparing the two attests the byte layout itself.
 
-Scope (deliberate): BIGINT/INT, VARCHAR and DATETIME datums in the
-row-format-v1 value — enough to cover keys, varints, compact bytes,
-packed datetimes, the CanSkip rule, and both index value layouts.
-DOUBLE is excluded because DuckDB SQL has no access to IEEE-754 bits
-(no float-to-bits function); the Python-side property tests cover
-floats instead.
+Scope: BIGINT/INT, VARCHAR, DATETIME and (since round 8) DOUBLE
+datums, in BOTH row-format versions — v1's [colID, flagged datum]
+pairs and v2's sectioned small layout (version/flag, u16 counts,
+ascending not-null/null ids, u16 end offsets, cells). DOUBLE gets
+its IEEE-754 bits from pure SQL arithmetic (corrected floor(log2) +
+exact power-of-two rescaling; see float_bits_hugeint) — closing the
+round-7 note that v2 and floats were attested only by Python-side
+fixtures. The v2 builder emits the SMALL layout (ids <= 255 and
+value size <= 65535 — asserted at SQL-generation time for ids; the
+big layout stays covered by the Python property tests).
+
+NaN doubles encode as the canonical quiet NaN (0x7ff8…) — the bit
+pattern Spark/Arrow carry; non-canonical NaN payloads would diverge
+(documented, not reachable from the parquet fixtures).
 """
 
 from __future__ import annotations
@@ -93,6 +101,71 @@ def packed_datetime_expr(ts_expr: str) -> str:
     )
 
 
+_SIGN64 = "9223372036854775808::HUGEINT"  # 2^63
+_EXP_INF = "9218868437227405312::HUGEINT"  # 0x7ff0... (inf, +sign below)
+_NAN_BITS = "9221120237041090560::HUGEINT"  # 0x7ff8... canonical qNaN
+_2P52 = "4503599627370496::HUGEINT"
+
+
+def float_bits_hugeint(col: str) -> str:
+    """IEEE-754 binary64 bits of a DOUBLE column as a HUGEINT
+    expression, pure SQL. Exponent: floor(log2(|v|)) corrected by one
+    exact rescale check (log2 is approximate only at binade
+    boundaries). Mantissa: (frac-1)*2^52 where frac = |v| scaled by
+    an EXACT power of two (two half-power steps keep pow() finite
+    across the full exponent range); subnormals scale |v| by 2^1074
+    the same way. Every arithmetic step is exact in binary64, so the
+    bits are exact — not approximated."""
+    scale = (
+        "(__m * pow(2.0, (-__e0) // 2))"
+        " * pow(2.0, (-__e0) - ((-__e0) // 2))"
+    )
+    mag_bits = _xx_let(
+        "__m", f"abs({col})",
+        _xx_let(
+            "__e0", f"floor(log2(abs({col})))::BIGINT",
+            _xx_let(
+                "__f0", scale,
+                _xx_let(
+                    "__e",
+                    "CASE WHEN __f0 >= 2 THEN __e0 + 1 "
+                    "WHEN __f0 < 1 THEN __e0 - 1 ELSE __e0 END",
+                    _xx_let(
+                        "__f",
+                        "CASE WHEN __f0 >= 2 THEN __f0 / 2 "
+                        "WHEN __f0 < 1 THEN __f0 * 2 ELSE __f0 END",
+                        "CASE WHEN __e < -1022 THEN "
+                        "((__m * pow(2.0, 537)) * pow(2.0, 537))::HUGEINT "
+                        f"ELSE (__e + 1023)::HUGEINT * {_2P52}"
+                        f" + ((__f - 1) * 4503599627370496.0)::HUGEINT END",
+                    ),
+                ),
+            ),
+        ),
+    )
+    sign = f"CASE WHEN signbit({col}) THEN {_SIGN64} ELSE 0::HUGEINT END"
+    return (
+        f"(CASE WHEN isnan({col}) THEN {_NAN_BITS} "
+        f"WHEN isinf({col}) THEN ({sign}) + {_EXP_INF} "
+        f"WHEN {col} = 0 THEN ({sign}) "
+        f"ELSE ({sign}) + ({mag_bits}) END)"
+    )
+
+
+def float_comparable_hex16(col: str) -> str:
+    """16 hex chars: codec.EncodeFloat's memory-comparable double
+    (bits | signbit for v >= 0, ~bits otherwise; NaN rides the invert
+    branch like the Python/Go kernels, where NaN >= 0 is false)."""
+    comp = _xx_let(
+        "__fb", float_bits_hugeint(col),
+        f"CASE WHEN isnan({col}) OR NOT ({col} >= 0) "
+        f"THEN (18446744073709551615::HUGEINT - __fb) "
+        f"ELSE __fb + (CASE WHEN __fb >= {_SIGN64} THEN 0::HUGEINT "
+        f"ELSE {_SIGN64} END) END",
+    )
+    return f"lpad(hex({comp}), 16, '0')"
+
+
 def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
     """One v1 row-value entry ([varint colID][flagged datum]) as hex;
     NULL follows the CanSkip rule (empty hex when the column's
@@ -117,6 +190,8 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
         )
     elif t in ("TIMESTAMP", "DATETIME"):
         body = "'09' || " + uvarint_hex(packed_datetime_expr(col))
+    elif t in ("DOUBLE", "FLOAT8", "REAL"):
+        body = "'05' || " + float_comparable_hex16(col)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported type {duck_type}"
@@ -168,11 +243,131 @@ def key_datum_hex(col: str, duck_type: str, prefix_len=None) -> str:
             + packed_datetime_expr(col)
             + "::HUGEINT), 16, '0')"
         )
+    elif t in ("DOUBLE", "FLOAT8", "REAL"):
+        body = "'05' || " + float_comparable_hex16(col)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported index type {duck_type}"
         )
     return f"CASE WHEN {col} IS NULL THEN '00' ELSE ({body}) END"
+
+
+def _le_hex_from_be16(be16_expr: str, w_expr: str) -> str:
+    """First ``w`` little-endian bytes of a 16-hex big-endian u64, as
+    hex text (byte k from the LSB sits at BE position 15-2k)."""
+    return _xx_let(
+        "__hx16", be16_expr,
+        _xx_let(
+            "__wd", w_expr,
+            "array_to_string(list_transform(range(0, __wd), "
+            "__k -> substr(__hx16, 15 - 2*__k, 2)), '')",
+        ),
+    )
+
+
+def _u16le_hex(n_expr: str) -> str:
+    return f"printf('%02x%02x', ({n_expr}) % 256, ({n_expr}) // 256)"
+
+
+def cell_v2_hex(col: str, duck_type: str) -> str:
+    """One row-format-v2 CELL payload as hex (kv_codec
+    _encode_cell_v2): smallest little-endian signed/unsigned ints,
+    comparable big-endian doubles, raw utf-8 bytes, packed-datetime
+    uints. NULL handling (id sections, not cells) is the caller's."""
+    t = duck_type.upper()
+    if t in ("BIGINT", "INTEGER", "INT", "SMALLINT", "TINYINT"):
+        u = f"((({col})::HUGEINT + {_M64}) % {_M64})"
+        w = (
+            f"CASE WHEN {col} >= -128 AND {col} < 128 THEN 1 "
+            f"WHEN {col} >= -32768 AND {col} < 32768 THEN 2 "
+            f"WHEN {col} >= -2147483648 AND {col} < 2147483648 THEN 4 "
+            "ELSE 8 END"
+        )
+        return _le_hex_from_be16(f"lpad(hex({u}), 16, '0')", w)
+    if t == "UINT64":
+        u = f"(({col})::HUGEINT)"
+        w = (
+            f"CASE WHEN {u} < 256 THEN 1 WHEN {u} < 65536 THEN 2 "
+            f"WHEN {u} < 4294967296 THEN 4 ELSE 8 END"
+        )
+        return _le_hex_from_be16(f"lpad(hex({u}), 16, '0')", w)
+    if t in ("VARCHAR", "TEXT"):
+        return f"hex(encode({col}))"
+    if t in ("TIMESTAMP", "DATETIME"):
+        return _xx_let(
+            "__pd", f"{packed_datetime_expr(col)}::HUGEINT",
+            _le_hex_from_be16(
+                "lpad(hex(__pd), 16, '0')",
+                "CASE WHEN __pd < 256 THEN 1 WHEN __pd < 65536 THEN 2 "
+                "WHEN __pd < 4294967296 THEN 4 ELSE 8 END",
+            ),
+        )
+    if t in ("DOUBLE", "FLOAT8", "REAL"):
+        # v2 keeps codec.EncodeFloat's comparable big-endian bytes
+        return float_comparable_hex16(col)
+    raise NotImplementedError(
+        f"kv duckdb twin: unsupported v2 cell type {duck_type}"
+    )
+
+
+def record_value_v2_hex(
+    value_cols: list[tuple[str, str, int, bool]],
+) -> str:
+    """The row-format-v2 VALUE as hex (kv_codec encode_row_v2, SMALL
+    layout): '80' flag byte, u16 LE not-null/null counts, ascending
+    not-null then null column ids (CanSkip drops NULLs whose default
+    is NULL entirely), u16 LE end offsets per not-null cell, cells.
+    value_cols must come ordered by ascending column id (TiDB's ids
+    are DDL-positional, so this is the natural order) with every id
+    <= 255 — asserted here; the big layout (u32 ids/offsets) stays on
+    the Python side."""
+    cids = [cid for _, _, cid, _ in value_cols]
+    assert cids == sorted(cids), "value_cols must be id-ascending"
+    assert all(c <= 0xFF for c in cids), "small layout needs ids <= 255"
+    n = len(value_cols)
+    # per-column cell hex lets: __vc0.., '' when NULL
+    cells = [
+        f"CASE WHEN {c} IS NULL THEN '' ELSE ({cell_v2_hex(c, t)}) END"
+        for c, t, _, _ in value_cols
+    ]
+    nn = " + ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END"
+        for c, _, _, _ in value_cols
+    )
+    nu = " + ".join(
+        "0"
+        if default_null
+        else f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END"
+        for c, _, _, default_null in value_cols
+    )
+    ids_nn = " || ".join(
+        f"CASE WHEN {c} IS NOT NULL THEN '{cid:02x}' ELSE '' END"
+        for c, _, cid, _ in value_cols
+    )
+    ids_null = " || ".join(
+        "''"
+        if default_null
+        else f"CASE WHEN {c} IS NULL THEN '{cid:02x}' ELSE '' END"
+        for c, _, cid, default_null in value_cols
+    )
+    # end offsets: cumulative not-null cell byte lengths, in id order
+    offs = []
+    for i, (c, _, _, _) in enumerate(value_cols):
+        cum = " + ".join(f"length(__vc{j}) // 2" for j in range(i + 1))
+        offs.append(
+            f"CASE WHEN {c} IS NOT NULL THEN {_u16le_hex(f'({cum})')} "
+            "ELSE '' END"
+        )
+    body = (
+        f"'8000' || {_u16le_hex(f'({nn})')} || {_u16le_hex(f'({nu})')}"
+        f" || {ids_nn} || {ids_null} || "
+        + " || ".join(offs)
+        + " || "
+        + " || ".join(f"__vc{i}" for i in range(n))
+    )
+    for i in range(n - 1, -1, -1):
+        body = _xx_let(f"__vc{i}", cells[i], body)
+    return f"({body})"
 
 
 def kv_checksum_sql_duckdb(
@@ -181,6 +376,7 @@ def kv_checksum_sql_duckdb(
     value_cols: list[tuple[str, str, int, bool]],
     indexes: list[tuple[int, list[tuple[str, str]], bool]],
     table_id: int = 1,
+    row_format_version: int = 1,
 ) -> str:
     """The full kv_crc64 twin for one table: per row, the record KV
     hex plus one index KV hex per index spec, each CRC-64/XZ-folded;
@@ -195,14 +391,17 @@ def kv_checksum_sql_duckdb(
     rec_key = f"('74' || {tid_hex} || '5f72' || " + hex16_comparable(
         handle_col
     ) + ")"
-    value_parts = " || ".join(
-        datum_hex(c, t, cid, dn) for c, t, cid, dn in value_cols
-    )
-    # EncodeOldRow empty sentinel: all columns skipped -> one NilFlag
-    rec_val = _xx_let(
-        "__rv", f"({value_parts})",
-        "CASE WHEN length(__rv) = 0 THEN '00' ELSE __rv END",
-    )
+    if row_format_version == 2:
+        rec_val = record_value_v2_hex(value_cols)
+    else:
+        value_parts = " || ".join(
+            datum_hex(c, t, cid, dn) for c, t, cid, dn in value_cols
+        )
+        # EncodeOldRow empty sentinel: all columns skipped -> NilFlag
+        rec_val = _xx_let(
+            "__rv", f"({value_parts})",
+            "CASE WHEN length(__rv) = 0 THEN '00' ELSE __rv END",
+        )
     pair_hexes = [f"({rec_key} || {rec_val})"]
     for iid, icols, unique in indexes:
         icols = [

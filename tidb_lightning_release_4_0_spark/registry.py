@@ -1200,6 +1200,46 @@ def q_kv_crc64_orders(spark, sf_dir):
     )
 
 
+def q_kv_crc64_orders_v2(spark, sf_dir):
+    """Row-format-v2 + DOUBLE KV-byte parity, independently attested
+    (round-8 directive #4: 'both v2 attesters are Python'). Same
+    shape as kv_crc64_orders but the record value uses the v2
+    sectioned layout (version/flag, u16 counts, ascending
+    not-null/null ids, end offsets, cells) and the column set adds
+    o_totalprice DOUBLE — in the value AND in an index key — so the
+    oracle's pure-SQL IEEE-754 bits path (kv_codec_duckdb.
+    float_bits_hugeint: corrected floor-log2 exponent, exact
+    power-of-two rescale) attests codec.EncodeFloat bytes too."""
+    from .functions.kv_codec import kv_hash_columns
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    pair = kv_hash_columns(
+        o,
+        cols,
+        "o_orderkey",
+        col_ids=[2, 3, 4, 5],
+        table_id=12,
+        row_format_version=2,
+        # o_orderstatus carries a DEFAULT -> its NULLs stay in the v2
+        # null-id section; the rest CanSkip-drop
+        default_null_ids=frozenset({2, 4, 5}),
+        indexes=[
+            (1, ["o_custkey"], False),
+            (2, ["o_totalprice"], True),
+            (3, ["o_orderdate", "o_orderkey"], False),
+        ],
+    )
+    return (
+        o.withColumn("_p", pair)
+        .agg(
+            F.bit_xor(F.col("_p.h")).alias("crc_xor"),
+            F.sum(F.col("_p.n")).cast("long").alias("total_bytes"),
+            (F.count(F.lit(1)) * 4).cast("long").alias("total_kvs"),
+        )
+    )
+
+
 def q_checksum_crc64_lineitem(spark, sf_dir):
     """C1 with the reference's exact crc64-ecma polynomial
     (verification/checksum.go:37; Arrow kernel). Hash-checked since
@@ -3120,6 +3160,7 @@ def _build_queries_unordered():
         "orc_roundtrip": q_orc_roundtrip,
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "kv_crc64_orders": q_kv_crc64_orders,
+        "kv_crc64_orders_v2": q_kv_crc64_orders_v2,
         "corpus_diff_docs": q_corpus_diff_docs,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -3229,6 +3270,24 @@ def _build_oracle_sql_static():
                      ("o_orderkey", "BIGINT")], False),
             ],
             table_id=11,
+        ),
+        "kv_crc64_orders_v2": KVD.kv_checksum_sql_duckdb(
+            "orders",
+            "o_orderkey",
+            [
+                ("o_custkey", "BIGINT", 2, True),
+                ("o_orderstatus", "VARCHAR", 3, False),
+                ("o_totalprice", "DOUBLE", 4, True),
+                ("o_orderdate", "TIMESTAMP", 5, True),
+            ],
+            [
+                (1, [("o_custkey", "BIGINT")], False),
+                (2, [("o_totalprice", "DOUBLE")], True),
+                (3, [("o_orderdate", "TIMESTAMP"),
+                     ("o_orderkey", "BIGINT")], False),
+            ],
+            table_id=12,
+            row_format_version=2,
         ),
         "checksum_orders": checksum_oracle_sql("orders", ORDERS_TYPES),
         "index_checksum_orders": checksum_oracle_sql(
