@@ -11,18 +11,22 @@ Beyond-reference operators (BASELINE.json north star). Design for
 - Decode / feature-extract / resize / frame-sample run as
   Arrow-batched ``mapInPandas`` kernels: per-batch numpy work, no
   per-row pickling, no shuffle (narrow transforms).
-- The actual codecs (PIL/ffmpeg/soundfile) are NOT in this
-  environment, so the codec step is pluggable: ``decoder=`` takes
-  any bytes->ndarray callable. The default is a clearly-marked
-  deterministic STUB (seeded from the payload hash) so the
-  distributed plumbing — schema, batch shape, partitioning, UDF
-  signatures — is real and testable end-to-end; swapping in a real
-  decoder changes no plan shape.
+- The codec step is pluggable: ``decoder=`` takes any
+  bytes->ndarray callable. Three REAL pure-stdlib codecs ship for
+  trivial container formats — 24-bit uncompressed BMP (BGR
+  bottom-up, 4-byte row padding), binary PPM (P6) and PCM-16 WAV —
+  so the decode path is genuinely exercised end to end (header
+  parse, padding, row/channel order) and the ``multimodal_features``
+  registry entry is value-hash-checked against a closed-form oracle.
+  Rich codecs (PIL/ffmpeg/soundfile) are NOT in this environment;
+  the deterministic STUB remains for the resize/frame-sample
+  skeletons whose formats (video) have no trivial container.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -59,6 +63,130 @@ def attach_media_metadata(
             F.length(p).cast("long").alias("n_bytes"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# real pure-stdlib codecs (trivial containers)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_rgb(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    BI_RGB): pixel rows stored BOTTOM-UP in BGR order, each row padded
+    to a 4-byte boundary — the format every BMP reader must undo."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        body += arr[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    img_size = len(body)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def decode_bmp_rgb(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP -> (h, w, 3) uint8 RGB (undoes bottom-up row
+    order, BGR channel order and the 4-byte row padding). Raises on
+    any other BMP flavor — this is a codec, not a sniffer."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, comp={compression})")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((h, w, 3), np.uint8)
+    for r in range(h):
+        off = data_off + r * stride
+        row = np.frombuffer(payload, np.uint8, row_bytes, off).reshape(w, 3)
+        out[h - 1 - r if flip else r] = row[:, ::-1]  # BGR -> RGB
+    return out
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB. Handles the standard
+    whitespace/comment-tolerant header grammar."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":  # comment to end of line
+            while payload[pos: pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(payload, np.uint8, h * w * 3, pos).reshape(h, w, 3)
+
+
+def encode_wav_pcm16(
+    samples: np.ndarray, sample_rate: int = 16000
+) -> bytes:
+    """(n,) or (n, channels) int16 -> RIFF/WAVE PCM-16."""
+    s = np.asarray(samples, np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    data = s.tobytes()  # interleaved little-endian
+    byte_rate = sample_rate * n_ch * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, n_ch, sample_rate, byte_rate,
+            n_ch * 2, 16,
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 -> ((n, channels) int16, sample_rate); walks
+    the chunk list so extra chunks (LIST/fact) don't break it."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_ch, rate, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_ch is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    arr = np.frombuffer(data, "<i2").reshape(-1, n_ch)
+    return arr, rate
 
 
 def _stub_decode(payload: bytes) -> np.ndarray:
@@ -116,6 +244,91 @@ def decode_features(
                 {
                     "id": ids, "height": hs, "width": ws, "channels": cs,
                     "mean_intensity": means, "feature": feats,
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def synth_bmp_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL 24-bit BMP per row with
+    closed-form dimensions and pixels — width = id%13+1, height =
+    id%7+1, pixel byte k (C-order RGB) = (id + k) % 256 — so any
+    feature of the decoded image is computable in plain SQL without
+    parsing bytes (the multimodal_features oracle). Arrow-batched
+    encode; at scale this models the ingest side of a media column
+    (real deployments read the payload bytes from object storage)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = i % 13 + 1, i % 7 + 1
+                v = (i + np.arange(h * w * 3, dtype=np.int64)) % 256
+                arr = v.astype(np.uint8).reshape(h, w, 3)
+                ids.append(i)
+                blobs.append(encode_bmp_rgb(arr))
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    decoder: Callable[[bytes], np.ndarray] = decode_bmp_rgb,
+) -> DataFrame:
+    """payload -> EXACT integer image features via a real decoder:
+    (id, height, width, channels, sum_intensity, weighted_sum) where
+    weighted_sum multiplies each pixel byte by its 1-based C-order
+    linear index — row-order, channel-order and padding bugs in the
+    decoder all flip it, unlike permutation-invariant means. Integer
+    outputs make the result value-hash-checkable against a SQL
+    oracle (float features round differently across engines)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("sum_intensity", T.LongType()),
+            T.StructField("weighted_sum", T.LongType()),
+        ]
+    )
+    d = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, cs, sums, wsums = [], [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                arr = decoder(bytes(payload))
+                flat = arr.ravel().astype(np.int64)
+                ids.append(int(i))
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                cs.append(arr.shape[2] if arr.ndim > 2 else 1)
+                sums.append(int(flat.sum()))
+                wsums.append(
+                    int((flat * (np.arange(flat.size) + 1)).sum())
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids, "height": hs, "width": ws, "channels": cs,
+                    "sum_intensity": sums, "weighted_sum": wsums,
                 }
             )
 

@@ -1256,33 +1256,22 @@ def q_checksum_crc64_lineitem(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal decode plumbing over synthetic binary payloads
-    derived from documents (rows-only: stub codec).
+    """Multimodal decode, HASH-CHECKED since round 8 (the last
+    rows-only entry closed): per document, synthesize a REAL 24-bit
+    BMP (closed-form dimensions + pixels, multimodal.
+    synth_bmp_payloads), then decode it with the pure-stdlib BMP
+    codec (bottom-up rows, BGR order, 4-byte padding all undone) and
+    emit exact integer features. weighted_sum is order-sensitive, so
+    a decoder that mis-handles orientation/channel order/padding
+    hash-mismatches; the oracle recomputes the features in plain SQL
+    from the pixel formula without touching bytes. Two Arrow-batched
+    narrow stages (encode, decode) — no shuffle."""
+    from .operators.multimodal import decode_image_stats, synth_bmp_payloads
 
-    The feature vector is emitted as a comma-joined string: the
-    driver's canonicalizer sorts result cells and list-typed cells
-    are unhashable/unsortable in pandas, so array columns must never
-    reach a correctness result surface."""
-    from .operators.multimodal import decode_features
-
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    d = synth_bmp_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
     )
-    out = decode_features(d, payload_col="payload", id_col="doc_id")
-    return out.select(
-        "id",
-        "height",
-        "width",
-        "channels",
-        F.round("mean_intensity", 6).alias("mean_intensity"),
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.col("feature"),
-                lambda x: F.format_string("%.4f", x.cast("double")),
-            ),
-        ).alias("feature_csv"),
-    )
+    return decode_image_stats(d, payload_col="payload", id_col="id")
 
 
 def q_minhash_signatures(spark, sf_dir):
@@ -3569,8 +3558,29 @@ def _build_oracle_sql_static():
             "         ELSE 'plain ending words here' END AS text"
             " FROM documents) wrapped"
         ),
-        # multimodal_features / checksum_crc64: rows-only
-        # (stub codec / no crc64 in DuckDB)
+        # multimodal_features: the decoded-image features recomputed
+        # in closed form from the synth_bmp_payloads pixel rule
+        # (width = id%13+1, height = id%7+1, byte k = (id+k)%256) —
+        # the SQL never parses BMP bytes, so a decoder bug on the
+        # Spark side (orientation / BGR / padding) hash-mismatches
+        "multimodal_features": """
+            WITH dims AS (
+              SELECT doc_id::BIGINT AS id,
+                     (doc_id % 13 + 1)::INT AS width,
+                     (doc_id % 7 + 1)::INT AS height
+              FROM documents
+            ), px AS (
+              SELECT id, width, height,
+                     ((id + k) % 256)::BIGINT AS v,
+                     k
+              FROM dims,
+                   UNNEST(range(0, (width * height * 3)::BIGINT)) AS t(k)
+            )
+            SELECT id, height, width, 3 AS channels,
+                   sum(v)::BIGINT AS sum_intensity,
+                   sum(v * (k + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, height, width
+        """,
         "minhash_signatures": (
             f"SELECT doc_id, array_to_string("
             f"{D.minhash_signature_sql_duckdb('text', 8)}, ',') "
