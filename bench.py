@@ -41,8 +41,23 @@ REPS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
 IREPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5")))
 
 
+# Ambient-load governance (round-8 directive #5): the 1-minute
+# loadavg sampled at process START — before our own Spark spins up —
+# is the contention indicator for the graded headline. Once the
+# bench is running, loadavg mostly measures our own executors, so
+# only the start sample distinguishes "this box was already busy"
+# from "this is our load". When the box is contended at start, the
+# graded ingest configs get extra reps (medians over more samples
+# absorb interference bursts); the flag + samples are reported in
+# the stdout line so a graded number can always be read against the
+# load it was measured under.
+_LOAD_START = os.getloadavg()
+CONTENDED = _LOAD_START[0] > CPUS / 4
+_IREPS_EFF = IREPS + (2 if CONTENDED else 0)
+
+
 def _ireps(fn) -> list[float]:
-    return [_timed(fn) for _ in range(IREPS)]
+    return [_timed(fn) for _ in range(_IREPS_EFF)]
 TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench")
 
 
@@ -437,6 +452,53 @@ def main() -> None:
     except Exception as e:
         print(f"# kv checksum bench skipped: {e}", file=sys.stderr)
 
+    # index-ENGINE checksum e2e on the reference's canonical dataset:
+    # restore the 10k-row tbl_multi_index example dump (no PK ->
+    # _tidb_rowid, uint kind, 2 secondary indexes) under the full
+    # data+index kv_crc64 — pins the T6+T8 path's latency in the
+    # bench record (round-8 directive #8); the triple itself is
+    # golden-pinned in tests/test_multi_index_examples.py
+    try:
+        from tidb_lightning_release_4_0_spark.config import (
+            Config as _Cfg,
+            MydumperConfig as _MCfg,
+        )
+        from tidb_lightning_release_4_0_spark.plans.pipeline import (
+            RestoreController as _RC,
+        )
+
+        ex = "/root/reference/lightning/mydump/examples"
+        mi_dump = os.path.join(TMP, "multi_index_dump")
+        if not os.path.isdir(mi_dump):
+            os.makedirs(mi_dump)
+            for f in (
+                "metadata",
+                "mocker_test-schema-create.sql",
+                "mocker_test.tbl_multi_index-schema.sql",
+                "mocker_test.tbl_multi_index.sql",
+            ):
+                shutil.copy(os.path.join(ex, f), mi_dump)
+        mi_sink = os.path.join(TMP, "multi_index_sink")
+        mi_cfg = _Cfg(
+            mydumper=_MCfg(source_dir=mi_dump),
+            backend="parquet", target_dir=mi_sink,
+            on_duplicate="physical", checkpoint_enable=False,
+            checksum=True, checksum_algo="kv_crc64",
+        )
+
+        def _mi_restore() -> None:
+            shutil.rmtree(mi_sink, ignore_errors=True)
+            s = _RC(spark, mi_cfg).run()
+            if not s.ok:
+                raise RuntimeError(s.report())
+
+        _mi_restore()  # warm-up
+        ts = _reps(_mi_restore)
+        timings["restore_multi_index_kv"] = _med(ts)
+        timings_min["restore_multi_index_kv"] = round(min(ts), 3)
+    except Exception as e:
+        print(f"# multi-index kv bench skipped: {e}", file=sys.stderr)
+
     # the ANN family gets the 5-rep treatment too: r6 recorded
     # +14..79% swings on UNCHANGED code paths (ann50k_pq_q64 4.6s vs
     # 2.6s in r5) — the highest-variance queries in the suite, so
@@ -530,8 +592,14 @@ def main() -> None:
         "queries_min": timings_min,
         "reps": REPS,
         # reps for the two GRADED lineitem configs only; all
-        # other ingest metrics use "reps"
-        "ingest_headline_reps": IREPS,
+        # other ingest metrics use "reps" (auto-raised by 2 when the
+        # box was contended at start)
+        "ingest_headline_reps": _IREPS_EFF,
+        # contention indicator: 1-min loadavg before our Spark
+        # started / at exit, and the derived flag (start > cpus/4)
+        "loadavg_start": round(_LOAD_START[0], 2),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "contended": CONTENDED,
         "sf": float(sf),
         "ingest_mib_per_sec": ingest_mibs,
         "ingest_4x_mib_per_sec": ingest_4x_mibs,
@@ -565,6 +633,8 @@ def main() -> None:
             "ingest_mib_per_sec", "ingest_4x_mib_per_sec",
             "ingest_writephase_mib_per_sec",
             "ingest_split1file_mib_per_sec", "ingest_jsonl_mib_per_sec",
+            "ingest_mib_per_sec_best",
+            "loadavg_start", "loadavg_end", "contended",
         )
     }
     line = json.dumps(line_fields, separators=(",", ":"))

@@ -1923,11 +1923,22 @@ class RestoreController:
                 )
             # BIGINT UNSIGNED columns ride Spark as DecimalType(20,0)
             # but encode as KindUint64 datums
+            # ANY unsigned integer column is a KindUint64 datum in
+            # TiDB (not just BIGINT UNSIGNED): `Age int(10) UNSIGNED`
+            # in the reference's own tbl_multi_index example encodes
+            # uvarint/uintFlag, never signed varint. Non-bigint
+            # unsigned columns ride Spark as the next-wider signed
+            # type, so their values are always in uint64 range.
             uint64_cols = (
                 frozenset(
                     c.name
                     for c in schema.columns
-                    if c.unsigned and c.mysql_type == "bigint"
+                    if c.unsigned
+                    and c.mysql_type
+                    in (
+                        "tinyint", "smallint", "mediumint",
+                        "int", "integer", "bigint",
+                    )
                 )
                 if schema is not None
                 else frozenset()

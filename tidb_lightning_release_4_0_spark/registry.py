@@ -2971,80 +2971,74 @@ def q_c4_line_filter_docs(spark, sf_dir):
 
 
 # The driver CORRECTNESS snapshot samples the FIRST 50 entries of
-# build_queries() in insertion order. Round-7 rotation
-# (docs/ROTATION.md): every registry entry is attested as of r06, so
-# freshness now drives the prefix — these are the 50 entries whose
-# LATEST green driver row is oldest (the r3/r4 cohort: 1 entry last
-# attested in r03 + 49 of the 50-entry r04 cohort, ordered by
-# (latest-round, name); the one r04 leftover, `window_running_total`,
-# rolls to round 8). Entries added
-# in round 7+ join the FRONT. Future rotations edit THIS list (and
-# the pin in tests/test_registry_order.py), nothing else.
-_R7_PREFIX = [
-    # -- new in round 7 (first driver attestation): KV-byte parity
-    # attested by a shared-nothing DuckDB SQL encoder, and the
-    # dataset-version diff --
-    "kv_crc64_orders",
-    "corpus_diff_docs",
-    # -- last attested r03 --
-    "hist_quantiles_price",
-    # -- last attested r04, by name --
-    "alloc_base_orders",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_q64",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "ann_topk_pq_q64",
-    "anti_join_customers",
-    "checksum_crc64_lineitem",
-    "checksum_lineitem",
-    "checksum_orders",
-    "dedup_apply_exact",
-    "dedup_apply_minhash",
-    "dedup_apply_spans",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_minhash_xx",
-    "default_fill_customer",
-    "dup_ignore_events",
-    "dup_replace_events",
-    "duplicate_spans",
-    "embedding_dups",
-    "enum_cast_events",
-    "events_tumbling_window",
-    "filtered_revenue",
-    "gopher_repetition",
-    "index_checksum_orders",
-    "json_extract_events",
-    "jsonl_roundtrip",
-    "minhash_signatures",
+# build_queries() in insertion order. Round-8 rotation
+# (docs/ROTATION.md): lead slots go to the entries that MUST attest
+# fresh this round — the new kv_crc64_orders_v2 (row-format-v2 +
+# DOUBLE bytes vs the pure-SQL twin), multimodal_features (rewritten
+# this round: real BMP decode, first-ever hash check) and
+# split_csv_rowids (the r7 driver red, fixed by the self-healing
+# rowid fallback) — then the oldest-attested cohort: the three r04
+# leftovers (uint64_decimal, window_rank_customers,
+# window_running_total) and the first 44 of the r05 cohort by name
+# (the rest of r05 rolls to round 9). Future rotations edit THIS
+# list (and the pin in tests/test_registry_order.py), nothing else.
+_R8_PREFIX = [
+    "kv_crc64_orders_v2",
     "multimodal_features",
-    "mysql_cast_tinyint",
-    "ngram_jaccard",
-    "pricing_summary",
-    "random_project",
-    "rollup_orders",
-    "router_merge_orders",
-    "rowid_dense_orders",
-    "semi_join_suppliers",
-    "simhash",
     "split_csv_rowids",
-    "text_stats",
-    "top_orders_by_revenue",
-    "topk_parts",
-    # (uint64_decimal and window_rank_customers dropped to the pool:
-    # the new kv_crc64_orders + corpus_diff_docs entries take the
-    # lead slots per ROTATION.md)
+    "uint64_decimal",
+    "window_rank_customers",
+    "window_running_total",
+    "bloom_prune_orders",
+    "bracket_revenue",
+    "cheapest_shipper",
+    "chunk_documents",
+    "cube_lineitem",
+    "curation_funnel",
+    "custdist_orders",
+    "decontaminate",
+    "dedup_apply_cluster",
+    "dedup_cluster",
+    "dedup_incremental",
+    "excess_shippers",
+    "hll_overlap_partkeys",
+    "hll_union_keys",
+    "idle_customers",
+    "important_parts",
+    "large_orders",
+    "lm_score",
+    "local_supplier_volume",
+    "market_share",
+    "media_metadata",
+    "mixture_sample",
+    "moving_avg_events",
+    "ntile_customers",
+    "order_priority_count",
+    "pack_sequences",
+    "part_supplier_variety",
+    "pii_scrub",
+    "pivot_events",
+    "profit_by_nation",
+    "provenance_filter",
+    "quality_filter",
+    "quantize_embeddings",
+    "repetition_stats",
+    "resume_split_csv",
+    "returned_items",
+    "salted_join_orders",
+    "sample_stratified",
+    "sample_stratified_hash",
+    "small_qty_revenue",
+    "string_agg_nations",
+    "strip_html",
+    "tfidf_terms",
+    "token_histogram",
 ]
 
 
 def build_queries():
     base = _build_queries_unordered()
-    head = {k: base[k] for k in _R7_PREFIX}
+    head = {k: base[k] for k in _R8_PREFIX}
     return {**head, **{k: v for k, v in base.items() if k not in head}}
 
 
