@@ -18,6 +18,7 @@ from tidb_lightning_release_4_0_spark.registry import (
 # cohort by name (the remaining r05 entries roll to round 9).
 DRIVER_SAMPLED_50 = [
     "kv_crc64_orders_v2",
+    "kv_crc64_events_kinds",
     "multimodal_features",
     "split_csv_rowids",
     "uint64_decimal",
@@ -66,7 +67,6 @@ DRIVER_SAMPLED_50 = [
     "string_agg_nations",
     "strip_html",
     "tfidf_terms",
-    "token_histogram",
 ]
 
 

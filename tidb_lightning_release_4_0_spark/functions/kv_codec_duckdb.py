@@ -166,6 +166,48 @@ def float_comparable_hex16(col: str) -> str:
     return f"lpad(hex({comp}), 16, '0')"
 
 
+def json_int_object_hex(key: str, n_expr: str) -> str:
+    """Flagged KindMysqlJSON datum hex for the one-int-key object
+    {key: n} — the shape of the testdata `props` column. The binary
+    JSON layout of a single-key object is CONSTANT except the int64
+    payload, so the whole datum is jsonFlag + TypeCodeObject + fixed
+    header/entries/key + little-endian n. Lets the twin attest the
+    binary-JSON bytes without a full JSON encoder in SQL."""
+    kb = key.encode("utf-8")
+    hdr = 8 + 6 + 5  # header + 1 key entry + 1 value entry
+    key_off, val_off = hdr, hdr + len(kb)
+    total = val_off + 8
+    fixed = (
+        "0a01"
+        + struct_hex_u32le(1)
+        + struct_hex_u32le(total)
+        + struct_hex_u32le(key_off)
+        + struct_hex_u16le(len(kb))
+        + "09"
+        + struct_hex_u32le(val_off)
+        + kb.hex()
+    )
+    u = f"((({n_expr})::HUGEINT + {_M64}) % {_M64})"
+    le8 = _xx_let(
+        "__hx16", f"lpad(hex({u}), 16, '0')",
+        "array_to_string(list_transform(range(0, 8), "
+        "__k -> substr(__hx16, 15 - 2*__k, 2)), '')",
+    )
+    return f"('{fixed}' || {le8})"
+
+
+def struct_hex_u32le(n: int) -> str:
+    import struct as _s
+
+    return _s.pack("<I", n).hex()
+
+
+def struct_hex_u16le(n: int) -> str:
+    import struct as _s
+
+    return _s.pack("<H", n).hex()
+
+
 def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
     """One v1 row-value entry ([varint colID][flagged datum]) as hex;
     NULL follows the CanSkip rule (empty hex when the column's
@@ -192,6 +234,11 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
         body = "'09' || " + uvarint_hex(packed_datetime_expr(col))
     elif t in ("DOUBLE", "FLOAT8", "REAL"):
         body = "'05' || " + float_comparable_hex16(col)
+    elif t == "RAWHEX":
+        # caller-supplied full flagged-datum hex (e.g. a fixed-shape
+        # binary JSON object via json_int_object_hex) — the column
+        # expression yields flag + payload directly
+        body = col
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported type {duck_type}"

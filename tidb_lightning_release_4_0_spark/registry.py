@@ -1240,6 +1240,65 @@ def q_kv_crc64_orders_v2(spark, sf_dir):
     )
 
 
+_EVENT_ENUM = ("click", "error", "purchase", "signup", "view")
+_EVENT_SET = ("x", "y", "z")
+
+
+def q_kv_crc64_events_kinds(spark, sf_dir):
+    """ENUM / SET / BIT / JSON datum kinds under the KV-parity
+    checksum, independently attested (round 8): events' event_type
+    rides as ENUM (ordinal uvarint; uintFlag keys), a synthesized
+    member-name string as SET (bitmask), user_id%256 as BIT, and the
+    one-int-key props object through the REAL binary-JSON encoder —
+    while the oracle re-derives the same bytes in pure SQL (CASE
+    ordinal maps, the modulo masks directly, and the fixed-shape
+    binary JSON via kv_codec_duckdb.json_int_object_hex). Covers the
+    exact kinds tests/various_types exercises in the reference."""
+    from .functions.kv_codec import kv_hash_columns
+
+    e = _t(spark, sf_dir, "events")
+    mask = F.col("user_id") % 8
+    d = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.concat_ws(
+            ",",
+            F.when(mask.bitwiseAND(F.lit(1)) != 0, F.lit("x")),
+            F.when(mask.bitwiseAND(F.lit(2)) != 0, F.lit("y")),
+            F.when(mask.bitwiseAND(F.lit(4)) != 0, F.lit("z")),
+        ).alias("e_set"),
+        (F.col("user_id") % 256).alias("e_bit"),
+        "props",
+    )
+    cols = ["user_id", "event_type", "e_set", "e_bit", "props"]
+    pair = kv_hash_columns(
+        d,
+        cols,
+        "event_id",
+        col_ids=[3, 4, 5, 6, 7],
+        table_id=13,
+        indexes=[
+            (1, ["event_type"], False),
+            (2, ["e_set", "e_bit"], True),
+        ],
+        mysql_kinds={
+            "event_type": ("enum", _EVENT_ENUM),
+            "e_set": ("set", _EVENT_SET),
+            "e_bit": ("bit",),
+            "props": ("json",),
+        },
+    )
+    return (
+        d.withColumn("_p", pair)
+        .agg(
+            F.bit_xor(F.col("_p.h")).alias("crc_xor"),
+            F.sum(F.col("_p.n")).cast("long").alias("total_bytes"),
+            (F.count(F.lit(1)) * 3).cast("long").alias("total_kvs"),
+        )
+    )
+
+
 def q_checksum_crc64_lineitem(spark, sf_dir):
     """C1 with the reference's exact crc64-ecma polynomial
     (verification/checksum.go:37; Arrow kernel). Hash-checked since
@@ -2984,6 +3043,7 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # list (and the pin in tests/test_registry_order.py), nothing else.
 _R8_PREFIX = [
     "kv_crc64_orders_v2",
+    "kv_crc64_events_kinds",
     "multimodal_features",
     "split_csv_rowids",
     "uint64_decimal",
@@ -3032,7 +3092,6 @@ _R8_PREFIX = [
     "string_agg_nations",
     "strip_html",
     "tfidf_terms",
-    "token_histogram",
 ]
 
 
@@ -3144,6 +3203,7 @@ def _build_queries_unordered():
         "checksum_crc64_lineitem": q_checksum_crc64_lineitem,
         "kv_crc64_orders": q_kv_crc64_orders,
         "kv_crc64_orders_v2": q_kv_crc64_orders_v2,
+        "kv_crc64_events_kinds": q_kv_crc64_events_kinds,
         "corpus_diff_docs": q_corpus_diff_docs,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -3253,6 +3313,31 @@ def _build_oracle_sql_static():
                      ("o_orderkey", "BIGINT")], False),
             ],
             table_id=11,
+        ),
+        "kv_crc64_events_kinds": KVD.kv_checksum_sql_duckdb(
+            """(SELECT event_id, user_id,
+                  CASE event_type
+                       WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                       WHEN 'view' THEN 5 END AS e_enum,
+                  user_id % 8 AS e_set,
+                  user_id % 256 AS e_bit,
+                  CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
+                              '') AS BIGINT) AS k
+               FROM events) ek""",
+            "event_id",
+            [
+                ("user_id", "BIGINT", 3, True),
+                ("e_enum", "UINT64", 4, True),
+                ("e_set", "UINT64", 5, True),
+                ("e_bit", "UINT64", 6, True),
+                (KVD.json_int_object_hex("k", "k"), "RAWHEX", 7, True),
+            ],
+            [
+                (1, [("e_enum", "UINT64")], False),
+                (2, [("e_set", "UINT64"), ("e_bit", "UINT64")], True),
+            ],
+            table_id=13,
         ),
         "kv_crc64_orders_v2": KVD.kv_checksum_sql_duckdb(
             "orders",
