@@ -234,3 +234,41 @@ def test_sql_v2_small_layout_guards():
         record_value_v2_hex([("a", "BIGINT", 3, True), ("b", "BIGINT", 2, True)])
     with pytest.raises(AssertionError):
         record_value_v2_hex([("a", "BIGINT", 300, True)])
+
+
+def test_sql_encoder_duration_kind():
+    """KindMysqlDuration (TIME columns): durationFlag + comparable
+    int64 nanoseconds in value and key positions — the SQL twin's
+    DURATION_NS type vs the Python DurationDatum."""
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        DurationDatum,
+        parse_duration_ns,
+    )
+
+    rows = [
+        (1, "01:02:03"),
+        (2, "-838:59:59"),
+        (3, None),
+        (4, "00:00:00.000001"),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (h BIGINT, ns BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(h, None if s is None else parse_duration_ns(s)) for h, s in rows],
+    )
+    sql = kv_checksum_sql_duckdb(
+        "t", "h", [("ns", "DURATION_NS", 2, True)],
+        [(1, [("ns", "DURATION_NS")], False)], table_id=9,
+    )
+    got = con.sql(sql).fetchall()[0]
+    crc, nbytes = 0, 0
+    for h, s in rows:
+        v = None if s is None else DurationDatum(parse_duration_ns(s))
+        for k, val in encode_table_kvs(
+            9, h, [2], [v], 1, indexes=[(1, [0], False)],
+        ):
+            crc ^= crc64_bytes(k + val)
+            nbytes += len(k) + len(val)
+    assert (int(got[0]) & (2**64 - 1)) == crc
+    assert int(got[1]) == nbytes

@@ -239,6 +239,11 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
         # binary JSON object via json_int_object_hex) — the column
         # expression yields flag + payload directly
         body = col
+    elif t == "DURATION_NS":
+        # KindMysqlDuration from a signed-nanoseconds BIGINT
+        # expression: durationFlag + comparable int64 (codec.go
+        # writes EncodeInt for durations in values AND keys)
+        body = "'07' || " + hex16_comparable(col)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported type {duck_type}"
@@ -292,6 +297,8 @@ def key_datum_hex(col: str, duck_type: str, prefix_len=None) -> str:
         )
     elif t in ("DOUBLE", "FLOAT8", "REAL"):
         body = "'05' || " + float_comparable_hex16(col)
+    elif t == "DURATION_NS":
+        body = "'07' || " + hex16_comparable(col)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported index type {duck_type}"
