@@ -334,9 +334,17 @@ def json_binary(obj) -> tuple[int, bytes]:
     if isinstance(obj, int):
         if -(1 << 63) <= obj < (1 << 63):
             return JSON_TYPE_INT64, struct.pack("<q", obj)
-        if obj < (1 << 64):
+        if (1 << 63) <= obj < (1 << 64):
             return JSON_TYPE_UINT64, struct.pack("<Q", obj)
-        raise ValueError(f"JSON integer out of 64-bit range: {obj}")
+        # beyond 64 bits: Go's json.Number falls back to Float64
+        # (strconv clamps the overflow to ±inf) — the various_types
+        # fixture carries 10^300-digit integers, so a hard error
+        # would reject a dump the reference's own tests load
+        try:
+            f = float(obj)
+        except OverflowError:
+            f = float("inf") if obj > 0 else float("-inf")
+        return JSON_TYPE_FLOAT64, struct.pack("<d", f)
     if isinstance(obj, float):
         return JSON_TYPE_FLOAT64, struct.pack("<d", obj)
     if isinstance(obj, str):

@@ -297,8 +297,41 @@ def mysql_cast(
                 lambda s: ~F.array_contains(low_members, F.lower(F.trim(s))),
             )
         ) == 0
+        # numeric input = the member BITMASK (MySQL casts ints to SET
+        # by bits; the reference's vt.enum-set fixture inserts the
+        # uint64 11937444798263156608). Up to 64 members, so split the
+        # Decimal(20,0) mask into two longs for the bit tests.
+        mask = F.trim(raw).try_cast(T.DecimalType(20, 0))
+        # both halves < 2^32, so the double-pow bit probe is exact
+        mask_lo = (mask % F.lit(4294967296)).cast("double")
+        # subtract the low half first: decimal division of an exact
+        # multiple is exact (a bare decimal cast would ROUND, not floor)
+        mask_hi = (
+            (mask - mask % F.lit(4294967296)) / F.lit(4294967296)
+        ).cast("double")
+        by_mask = F.concat_ws(
+            ",",
+            F.filter(
+                arr,
+                lambda m, i: (
+                    F.floor(
+                        F.when(i < 32, mask_lo).otherwise(mask_hi)
+                        / F.pow(
+                            F.lit(2.0),
+                            F.when(i < 32, i).otherwise(i - F.lit(32)),
+                        )
+                    )
+                    % 2
+                    == 1
+                ),
+            ),
+        )
+        # name match first (ParseSet tries names before numbers, so a
+        # member literally named "123" still wins), then the bitmask
         parsed = F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
-            F.when(valid, F.concat_ws(",", kept))
+            F.when(valid, F.concat_ws(",", kept)).when(
+                mask.isNotNull(), by_mask
+            )
         )
         if strict:
             parsed = _raise_if(parsed, raw, spec.name)

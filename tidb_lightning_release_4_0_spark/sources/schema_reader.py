@@ -398,6 +398,11 @@ def parse_create_table(sql: str) -> TableSchema:
             spec._inline_pk = True  # type: ignore[attr-defined]
             spec.nullable = False
             indexes.append(IndexSpec("PRIMARY", [name], True, True))
+        elif re.search(r"\bunique\b", attrs_low):
+            # inline UNIQUE column attribute creates a unique index
+            # (various_types' `enum ... NOT NULL UNIQUE`) — without it
+            # the KV-parity checksum misses that index's KVs
+            indexes.append(IndexSpec(name, [name], True, False))
         dm = re.search(
             r"\bdefault\s+('(?:[^'\\]|\\.|'')*'|\"(?:[^\"\\]|\\.|\"\")*\""
             r"|current_timestamp(?:\s*\(\d*\))?|[^\s,]+)",

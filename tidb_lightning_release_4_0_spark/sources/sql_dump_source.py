@@ -331,6 +331,14 @@ def _parse_tuples(
     rows: list[list[str | None]] = []
     row: list[str | None] = []
     depth = 0
+    # literal-wrapping expression calls (parser.go treats these as
+    # expressions around one literal): CONVERT('...' USING cs) in the
+    # reference's own vt.json fixture. A frame is [entry_depth,
+    # literal_appended]; inside it, exactly the FIRST literal token
+    # lands in the row and the function name / USING / charset words
+    # are consumed silently.
+    fn_stack: list[list] = []
+    pending_fn = False
     while pos < n:
         m = tok.match(text, pos)
         if not m:
@@ -350,10 +358,15 @@ def _parse_tuples(
             p = m.group("punct")
             if p == "(":
                 depth += 1
+                if pending_fn and depth >= 2:
+                    fn_stack.append([depth, False])
+                pending_fn = False
                 if depth == 1:
                     row = []
                 continue
             if p == ")":
+                if fn_stack and depth == fn_stack[-1][0]:
+                    fn_stack.pop()
                 depth -= 1
                 if depth == 0:
                     rows.append(row)
@@ -366,6 +379,14 @@ def _parse_tuples(
         if depth == 0:
             # junk between tuples (e.g. ON DUPLICATE KEY ...) — skip
             continue
+        # a CONVERT not directly followed by "(" was a plain word; the
+        # pending flag must not leak onto a later paren
+        was_pending, pending_fn = pending_fn, False
+        in_fn = bool(fn_stack)
+        if in_fn and kind in ("str", "num", "hex", "bin"):
+            if fn_stack[-1][1]:
+                continue  # only the first literal is the value
+            fn_stack[-1][1] = True
         # T1: literal typing (parser.go:442-493)
         if kind == "str":
             s = m.group("str")
@@ -374,7 +395,11 @@ def _parse_tuples(
             row.append(m.group("num"))
         elif kind == "word":
             w = m.group("word").upper()
-            if w == "NULL":
+            if in_fn:
+                continue  # USING / charset-name inside CONVERT(...)
+            if w == "CONVERT" and not was_pending:
+                pending_fn = True
+            elif w == "NULL":
                 row.append(None)
             elif w == "TRUE":
                 row.append("1")
