@@ -272,3 +272,124 @@ def test_sql_encoder_duration_kind():
             nbytes += len(k) + len(val)
     assert (int(got[0]) & (2**64 - 1)) == crc
     assert int(got[1]) == nbytes
+
+
+def test_sql_mydecimal_property_matrix():
+    """The pure-SQL myDecimal builder (mydecimal_hex) is bit-identical
+    to the Python encoder across a (precision, frac) matrix covering
+    every group shape: leading partials of 1..8 digits, multiple full
+    9-digit groups, full + partial fraction groups, frac-0 and
+    intg-0 ('0.xxx') layouts, negatives (whole-bytes-invert) and the
+    zero/extreme boundaries — plus the MySQL internals manual's own
+    golden, DECIMAL(14,4) 1234567890.1234 -> 81 0D FB 38 D2 04 D2."""
+    import decimal
+    import random
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_mydecimal,
+    )
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+        mydecimal_hex,
+    )
+
+    assert (
+        encode_mydecimal(decimal.Decimal("1234567890.1234"), 14, 4).hex()
+        == "810dfb38d204d2"
+    )
+
+    con = duckdb.connect()
+    rng = random.Random(8)
+    shapes = [
+        (12, 2), (14, 4), (25, 7), (20, 10), (5, 5), (9, 0),
+        (18, 0), (38, 18), (4, 2), (1, 0), (10, 9), (27, 0), (19, 19),
+    ]
+    for p, f in shapes:
+        intg = p - f
+        vals = []
+        for _ in range(15):
+            i = rng.randint(0, 10**intg - 1) if intg else 0
+            fr = rng.randint(0, 10**f - 1) if f else 0
+            s = f"{i}.{str(fr).zfill(f)}" if f else str(i)
+            if rng.random() < 0.5 and (i or fr):
+                s = "-" + s
+            vals.append(s)
+        hi = str(10**intg - 1) if intg else "0"
+        vals += ["0", hi, "-" + hi if hi != "0" else "0"]
+        for s in vals:
+            py = encode_mydecimal(decimal.Decimal(s), p, f).hex()
+            got = con.sql(
+                f"SELECT lower({mydecimal_hex('v', p, f)}) "
+                f"FROM (SELECT {s}::DECIMAL({p},{f}) AS v)"
+            ).fetchone()[0]
+            assert got == py, (p, f, s, py, got)
+
+
+def _decimal_rows():
+    import decimal
+
+    D = decimal.Decimal
+    return [
+        (1, D("1234.56"), D("-70.00"), D("123456789012345678.0000001")),
+        (2, D("0.01"), D("9999999999.99"), D("-1.5000000")),
+        (3, None, D("-0.01"), None),
+        (4, D("0.00"), D("0.00"), D("0.0000000")),
+        (5, D("9999999999.99"), D("-9999999999.99"),
+         D("-999999999999999999.9999999")),
+    ]
+
+
+def test_sql_encoder_decimal_kind_v1_and_v2():
+    """DECIMAL datums through the full twin, BOTH row formats: the
+    record value (v1 flagged datum / v2 cell = [prec, frac,
+    myDecimal]), a non-unique decimal index, a unique nullable
+    decimal index (distinct + NULL branches) and a composite key
+    with negative decimals — Python codec vs pure SQL."""
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        DecimalDatum,
+    )
+
+    rows = _decimal_rows()
+    idx_py = [(1, [2], False), (2, [0], True), (3, [1, -1], False)]
+    idx_sql = [
+        (1, [("c", "DECIMAL(25,7)")], False),
+        (2, [("a", "DECIMAL(12,2)")], True),
+        (3, [("b", "DECIMAL(12,2)"), ("h", "BIGINT")], False),
+    ]
+    value_cols = [
+        ("a", "DECIMAL(12,2)", 2, True),
+        ("b", "DECIMAL(12,2)", 3, False),
+        ("c", "DECIMAL(25,7)", 4, True),
+    ]
+
+    for ver in (1, 2):
+        crc, nbytes, kvs = 0, 0, 0
+        for h, a, b, c in rows:
+            rc = 0
+            vals = [
+                None if a is None else DecimalDatum(a, 12, 2),
+                None if b is None else DecimalDatum(b, 12, 2),
+                None if c is None else DecimalDatum(c, 25, 7),
+            ]
+            for k, val in encode_table_kvs(
+                15, h, [2, 3, 4], vals, ver,
+                default_null_ids=frozenset({2, 4}),
+                indexes=idx_py,
+            ):
+                rc ^= crc64_bytes(k + val)
+                nbytes += len(k) + len(val)
+                kvs += 1
+            crc ^= rc
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (h BIGINT, a DECIMAL(12,2), "
+            "b DECIMAL(12,2), c DECIMAL(25,7))"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+        sql = kv_checksum_sql_duckdb(
+            "t", "h", value_cols, idx_sql, table_id=15,
+            row_format_version=ver,
+        )
+        r = con.sql(sql).fetchall()[0]
+        got = (int(r[0]) & (2**64 - 1), int(r[1]), int(r[2]))
+        assert got == (crc, nbytes, kvs), (ver, got, (crc, nbytes, kvs))

@@ -11,12 +11,14 @@ from tidb_lightning_release_4_0_spark.registry import (
     build_queries,
 )
 
-# Round-8 rotation (docs/ROTATION.md): kv_crc64_orders_v2 (new),
+# Round-8 rotation (docs/ROTATION.md): kv_crc64_orders_dec (new:
+# myDecimal-binary KV parity vs the pure-SQL twin), kv_crc64_orders_v2 (new),
 # multimodal_features (rewritten: real BMP decode, first hash check)
 # and split_csv_rowids (the r7 red, re-attesting after the fix)
 # lead; then the three r04 leftovers and the first 44 of the r05
 # cohort by name (the remaining r05 entries roll to round 9).
 DRIVER_SAMPLED_50 = [
+    "kv_crc64_orders_dec",
     "kv_crc64_orders_v2",
     "kv_crc64_events_kinds",
     "multimodal_features",
@@ -66,7 +68,6 @@ DRIVER_SAMPLED_50 = [
     "small_qty_revenue",
     "string_agg_nations",
     "strip_html",
-    "tfidf_terms",
 ]
 
 

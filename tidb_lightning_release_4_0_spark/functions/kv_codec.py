@@ -138,10 +138,15 @@ def encode_mydecimal(v, precision: int, frac: int) -> bytes:
     d = _decimal.Decimal(v)
     neg = d < 0
     # normalize to exactly `frac` fractional digits (the cast layer
-    # already delivered the column-typed value; quantize is exact)
-    q = abs(d).quantize(
-        _decimal.Decimal(1).scaleb(-frac), rounding=_decimal.ROUND_HALF_UP
-    )
+    # already delivered the column-typed value; quantize is exact).
+    # MySQL decimals reach 65 digits — beyond the stdlib's default
+    # 28-digit context, so quantize under an explicit wide one
+    with _decimal.localcontext() as ctx:
+        ctx.prec = 65
+        q = abs(d).quantize(
+            _decimal.Decimal(1).scaleb(-frac),
+            rounding=_decimal.ROUND_HALF_UP,
+        )
     digits = format(q, "f")
     if "." in digits:
         intg_s, frac_s = digits.split(".")
@@ -149,6 +154,9 @@ def encode_mydecimal(v, precision: int, frac: int) -> bytes:
         intg_s, frac_s = digits, ""
     frac_s = frac_s.ljust(frac, "0")[:frac]
     intg = precision - frac
+    # a pure-fraction DECIMAL(p,p) formats as "0.xxx" — that integer
+    # "0" is a placeholder, not a significant digit
+    intg_s = intg_s.lstrip("0")
     if len(intg_s) > intg:
         raise ValueError(
             f"decimal {v} overflows DECIMAL({precision},{frac})"

@@ -12,8 +12,10 @@ record/index keys, packed datetimes, the CanSkip rule) sharing no
 code or language with ``kv_codec``/``kv_codec_np``, so a registry
 entry comparing the two attests the byte layout itself.
 
-Scope: BIGINT/INT, VARCHAR, DATETIME and (since round 8) DOUBLE
-datums, in BOTH row-format versions — v1's [colID, flagged datum]
+Scope: BIGINT/INT, VARCHAR, DATETIME, (since round 8) DOUBLE and
+DECIMAL (the MySQL myDecimal binary, exact — digits come from
+DuckDB's DECIMAL->VARCHAR rendering, no floating arithmetic) datums,
+in BOTH row-format versions — v1's [colID, flagged datum]
 pairs and v2's sectioned small layout (version/flag, u16 counts,
 ascending not-null/null ids, u16 end offsets, cells). DOUBLE gets
 its IEEE-754 bits from pure SQL arithmetic (corrected floor(log2) +
@@ -196,6 +198,96 @@ def json_int_object_hex(key: str, n_expr: str) -> str:
     return f"('{fixed}' || {le8})"
 
 
+import re as _re
+
+# bytes per partial group of n leading/trailing decimal digits — part
+# of the PUBLIC myDecimal format spec (MySQL internals manual
+# dig2bytes), re-stated here so the twin shares no code with kv_codec
+_DEC_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+_DECIMAL_RE = _re.compile(r"^DECIMAL\((\d+),\s*(\d+)\)$")
+
+
+def mydecimal_hex(col: str, precision: int, frac: int) -> str:
+    """MySQL myDecimal binary (the memcmp-able layout kv_codec.
+    encode_mydecimal produces) as hex text, pure SQL. The group
+    layout is FIXED by (precision, frac): a partial leading group of
+    intg%9 digits, intg//9 full 9-digit groups, frac//9 full groups,
+    a partial trailing group of frac%9 digits — each full group a
+    4-byte big-endian base-10^9 word, partials in dig2bytes sizes;
+    the first byte's MSB flips and a negative value inverts every
+    byte. Digits come from DuckDB's exact DECIMAL->VARCHAR rendering
+    (always full scale, never exponent notation), so no floating
+    arithmetic ever touches the value. Every group word is <
+    2^(8w-1), so the MSB flip is the addition of 0x80<<(8(w-1)) and
+    the byte-wise NOT of a w-byte word is (2^8w - 1) - word."""
+    intg = precision - frac
+    groups = []  # (source, 1-based digit start, ndigits, byte width)
+    pos = 1
+    lead = intg % 9
+    if lead:
+        groups.append(("__dip", pos, lead, _DEC_DIG2BYTES[lead]))
+        pos += lead
+    for _ in range(intg // 9):
+        groups.append(("__dip", pos, 9, 4))
+        pos += 9
+    pos = 1
+    for _ in range(frac // 9):
+        groups.append(("__dfp", pos, 9, 4))
+        pos += 9
+    tail = frac % 9
+    if tail:
+        groups.append(("__dfp", pos, tail, _DEC_DIG2BYTES[tail]))
+    assert groups, "DECIMAL(0,0) columns do not occur"
+    parts = []
+    for gi, (src, start, nd, w) in enumerate(groups):
+        v = f"substr({src}, {start}, {nd})::HUGEINT"
+        if gi == 0:
+            v = f"({v} + {0x80 << (8 * (w - 1))}::HUGEINT)"
+        mask = (1 << (8 * w)) - 1
+        v = f"(CASE WHEN __dng THEN {mask}::HUGEINT - {v} ELSE {v} END)"
+        parts.append(f"lpad(hex({v}), {2 * w}, '0')")
+    body = " || ".join(parts)
+    int_digits = (
+        "CASE WHEN strpos(__dst, '.') > 0 "
+        "THEN substr(__dst, 1, strpos(__dst, '.') - 1) ELSE __dst END"
+    )
+    frac_digits = (
+        "CASE WHEN strpos(__dst, '.') > 0 "
+        "THEN substr(__dst, strpos(__dst, '.') + 1) ELSE '' END"
+    )
+    return _xx_let(
+        "__dng", f"({col} < 0)",
+        _xx_let(
+            "__dst", f"CAST(abs({col}) AS VARCHAR)",
+            _xx_let(
+                "__dip", f"lpad({int_digits}, {max(intg, 1)}, '0')",
+                _xx_let(
+                    "__dfp", f"rpad({frac_digits}, {max(frac, 1)}, '0')",
+                    f"({body})",
+                ),
+            ),
+        ),
+    )
+
+
+def _decimal_prec_frac(duck_type: str) -> tuple[int, int] | None:
+    m = _DECIMAL_RE.match(duck_type.upper().replace(" ", ""))
+    if not m:
+        return None
+    return int(m.group(1)), int(m.group(2))
+
+
+def decimal_datum_payload_hex(col: str, precision: int, frac: int) -> str:
+    """codec.EncodeDecimal minus the flag byte: [precision u8,
+    frac u8, myDecimal binary] — shared by the v1 value datum, the
+    key datum (EncodeDecimal is memory-comparable, so key and value
+    bytes coincide) and the v2 cell."""
+    return (
+        f"'{precision:02x}{frac:02x}' || "
+        + mydecimal_hex(col, precision, frac)
+    )
+
+
 def struct_hex_u32le(n: int) -> str:
     import struct as _s
 
@@ -244,6 +336,8 @@ def datum_hex(col: str, duck_type: str, cid: int, skip_null: bool) -> str:
         # expression: durationFlag + comparable int64 (codec.go
         # writes EncodeInt for durations in values AND keys)
         body = "'07' || " + hex16_comparable(col)
+    elif (pf := _decimal_prec_frac(t)) is not None:
+        body = "'06' || " + decimal_datum_payload_hex(col, *pf)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported type {duck_type}"
@@ -299,6 +393,10 @@ def key_datum_hex(col: str, duck_type: str, prefix_len=None) -> str:
         body = "'05' || " + float_comparable_hex16(col)
     elif t == "DURATION_NS":
         body = "'07' || " + hex16_comparable(col)
+    elif (pf := _decimal_prec_frac(t)) is not None:
+        # EncodeDecimal is already memory-comparable — identical
+        # bytes in key and value positions (kv_codec encode_key_datum)
+        body = "'06' || " + decimal_datum_payload_hex(col, *pf)
     else:
         raise NotImplementedError(
             f"kv duckdb twin: unsupported index type {duck_type}"
@@ -359,6 +457,10 @@ def cell_v2_hex(col: str, duck_type: str) -> str:
     if t in ("DOUBLE", "FLOAT8", "REAL"):
         # v2 keeps codec.EncodeFloat's comparable big-endian bytes
         return float_comparable_hex16(col)
+    if (pf := _decimal_prec_frac(t)) is not None:
+        # the design doc keeps EncodeDecimal's payload (precision,
+        # frac, myDecimal binary) minus the flag byte
+        return f"({decimal_datum_payload_hex(col, *pf)})"
     raise NotImplementedError(
         f"kv duckdb twin: unsupported v2 cell type {duck_type}"
     )

@@ -1240,6 +1240,65 @@ def q_kv_crc64_orders_v2(spark, sf_dir):
     )
 
 
+def q_kv_crc64_orders_dec(spark, sf_dir):
+    """DECIMAL (myDecimal binary) KV-byte parity, independently
+    attested (round 8): five decimal shapes — a 2-frac money column,
+    a NEGATIVE delta (the whole-bytes-invert branch), a wide
+    DECIMAL(25,7) (two full 9-digit integer groups), a nullable
+    DECIMAL(20,10) (full + partial fraction groups; NilFlag default)
+    and a frac-0 DECIMAL(9,0) under CanSkip — in the record value
+    AND in index keys (non-unique, unique-with-NULLs, composite with
+    a negative decimal). The oracle re-derives the same bytes with
+    the pure-SQL myDecimal encoder (kv_codec_duckdb.mydecimal_hex:
+    digit groups from DuckDB's exact DECIMAL->VARCHAR rendering —
+    zero floating arithmetic on either side; every source expression
+    is integer-times-decimal-literal, exact in both engines)."""
+    from .functions.kv_codec import kv_hash_columns
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.expr("CAST(o_custkey * 0.01 AS DECIMAL(12,2))").alias("d_price"),
+        F.expr("CAST(o_custkey * 0.01 - 70 AS DECIMAL(12,2))").alias(
+            "d_delta"
+        ),
+        F.expr("CAST(o_orderkey * o_custkey AS DECIMAL(25,7))").alias(
+            "d_big"
+        ),
+        F.expr(
+            "CASE WHEN o_orderkey % 7 != 0 "
+            "THEN CAST(o_custkey * 0.0001 AS DECIMAL(20,10)) END"
+        ).alias("d_null"),
+        F.expr(
+            "CASE WHEN o_orderkey % 11 != 0 "
+            "THEN CAST(o_custkey AS DECIMAL(9,0)) END"
+        ).alias("d_skip"),
+    )
+    pair = kv_hash_columns(
+        d,
+        ["d_price", "d_delta", "d_big", "d_null", "d_skip"],
+        "o_orderkey",
+        col_ids=[2, 3, 4, 5, 6],
+        table_id=14,
+        # d_null carries a DEFAULT -> its NULLs encode NilFlag;
+        # d_skip follows the no-DEFAULT CanSkip drop
+        default_null_ids=frozenset({2, 3, 4, 6}),
+        indexes=[
+            (1, ["d_big"], False),
+            (2, ["d_null"], True),
+            (3, ["d_delta", "o_orderkey"], False),
+        ],
+    )
+    return (
+        d.withColumn("_p", pair)
+        .agg(
+            F.bit_xor(F.col("_p.h")).alias("crc_xor"),
+            F.sum(F.col("_p.n")).cast("long").alias("total_bytes"),
+            (F.count(F.lit(1)) * 4).cast("long").alias("total_kvs"),
+        )
+    )
+
+
 _EVENT_ENUM = ("click", "error", "purchase", "signup", "view")
 _EVENT_SET = ("x", "y", "z")
 
@@ -3041,7 +3100,11 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # window_running_total) and the first 44 of the r05 cohort by name
 # (the rest of r05 rolls to round 9). Future rotations edit THIS
 # list (and the pin in tests/test_registry_order.py), nothing else.
+# (Late round-8 addition: kv_crc64_orders_dec — myDecimal-binary KV
+# bytes vs the pure-SQL twin — takes the lead slot; the last r05
+# backfill entry, tfidf_terms, rolls to round 9 to keep 50.)
 _R8_PREFIX = [
+    "kv_crc64_orders_dec",
     "kv_crc64_orders_v2",
     "kv_crc64_events_kinds",
     "multimodal_features",
@@ -3091,7 +3154,6 @@ _R8_PREFIX = [
     "small_qty_revenue",
     "string_agg_nations",
     "strip_html",
-    "tfidf_terms",
 ]
 
 
@@ -3204,6 +3266,7 @@ def _build_queries_unordered():
         "kv_crc64_orders": q_kv_crc64_orders,
         "kv_crc64_orders_v2": q_kv_crc64_orders_v2,
         "kv_crc64_events_kinds": q_kv_crc64_events_kinds,
+        "kv_crc64_orders_dec": q_kv_crc64_orders_dec,
         "corpus_diff_docs": q_corpus_diff_docs,
         "multimodal_features": q_multimodal_features,
         "minhash_signatures": q_minhash_signatures,
@@ -3338,6 +3401,34 @@ def _build_oracle_sql_static():
                 (2, [("e_set", "UINT64"), ("e_bit", "UINT64")], True),
             ],
             table_id=13,
+        ),
+        "kv_crc64_orders_dec": KVD.kv_checksum_sql_duckdb(
+            """(SELECT o_orderkey,
+                  CAST(o_custkey * 0.01 AS DECIMAL(12,2)) AS d_price,
+                  CAST(o_custkey * 0.01 - 70 AS DECIMAL(12,2)) AS d_delta,
+                  CAST(o_orderkey * o_custkey AS DECIMAL(25,7)) AS d_big,
+                  CASE WHEN o_orderkey % 7 <> 0
+                       THEN CAST(o_custkey * 0.0001 AS DECIMAL(20,10))
+                  END AS d_null,
+                  CASE WHEN o_orderkey % 11 <> 0
+                       THEN CAST(o_custkey AS DECIMAL(9,0))
+                  END AS d_skip
+               FROM orders) od""",
+            "o_orderkey",
+            [
+                ("d_price", "DECIMAL(12,2)", 2, True),
+                ("d_delta", "DECIMAL(12,2)", 3, True),
+                ("d_big", "DECIMAL(25,7)", 4, True),
+                ("d_null", "DECIMAL(20,10)", 5, False),
+                ("d_skip", "DECIMAL(9,0)", 6, True),
+            ],
+            [
+                (1, [("d_big", "DECIMAL(25,7)")], False),
+                (2, [("d_null", "DECIMAL(20,10)")], True),
+                (3, [("d_delta", "DECIMAL(12,2)"),
+                     ("o_orderkey", "BIGINT")], False),
+            ],
+            table_id=14,
         ),
         "kv_crc64_orders_v2": KVD.kv_checksum_sql_duckdb(
             "orders",
