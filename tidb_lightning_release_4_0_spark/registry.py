@@ -1252,7 +1252,11 @@ def q_kv_crc64_orders_dec(spark, sf_dir):
     the pure-SQL myDecimal encoder (kv_codec_duckdb.mydecimal_hex:
     digit groups from DuckDB's exact DECIMAL->VARCHAR rendering —
     zero floating arithmetic on either side; every source expression
-    is integer-times-decimal-literal, exact in both engines)."""
+    is integer-times-decimal-literal, exact in both engines).
+    Reference parity: DECIMAL columns ride KindMysqlDecimal through
+    the kv path (lightning/backend/sql2kv.go:64); the byte layout is
+    TiDB codec.EncodeDecimal over the MySQL internals manual's
+    myDecimal binary (goldens in tests/test_kv_codec.py)."""
     from .functions.kv_codec import kv_hash_columns
 
     o = _t(spark, sf_dir, "orders")
