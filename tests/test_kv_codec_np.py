@@ -140,3 +140,58 @@ def test_numpy_kernel_randomized(spark, version):
                             row_format_version=version)
     )
     assert got_np == got_py
+
+
+def test_float32_columns_widen_exactly(spark):
+    """MySQL FLOAT rides KindFloat32 in the reference's kind table
+    (lightning/backend/sql2kv.go:59) but the TiDB codec stores every
+    float as the 8-byte comparable double — a float32 must widen
+    EXACTLY (value-preserving) before the bit twiddle. Pin the numpy
+    and python kernels to identical checksums on a FloatType column,
+    including values with no short decimal representation."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+
+    rows = [
+        Row(h=1, f=0.1),  # 0.1f widens to 0.10000000149011612
+        Row(h=2, f=-3.4e38),  # near float32 min
+        Row(h=3, f=1.17549435e-38),  # smallest normal float32
+        Row(h=4, f=None),
+        Row(h=5, f=0.0),
+    ]
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("f", T.FloatType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {}
+    for kernel in ("numpy", "python"):
+        pair = kv_hash_columns(
+            df, ["f"], "h", col_ids=[2], table_id=21,
+            indexes=[(1, ["f"], False)], kernel=kernel,
+        )
+        r = df.withColumn("_p", pair).agg(
+            F.bit_xor(F.col("_p.h")).alias("x"),
+            F.sum(F.col("_p.n")).alias("n"),
+        ).first()
+        out[kernel] = (r["x"], r["n"])
+    assert out["numpy"] == out["python"]
+
+    # the widened bytes equal the scalar encode of the exact
+    # float64 value of each float32
+    import struct
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_float_comparable,
+    )
+
+    w = struct.unpack(">f", struct.pack(">f", 0.1))[0]
+    assert w != 0.1  # genuinely a float32 value
+    assert encode_float_comparable(w) == encode_float_comparable(
+        0.10000000149011612
+    )

@@ -95,6 +95,7 @@ def test_rotation_lead_entries_under_driver_default_session(spark, sf_dir):
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
     for name in (
+        "kv_crc64_orders_dec",
         "kv_crc64_orders_v2",
         "kv_crc64_events_kinds",
         "multimodal_features",
