@@ -195,3 +195,63 @@ def test_float32_columns_widen_exactly(spark):
     assert encode_float_comparable(w) == encode_float_comparable(
         0.10000000149011612
     )
+
+
+def test_decimal_vectorized_path_matches_python_kernel(spark):
+    """DECIMAL columns with precision <= 18 now ship their unscaled
+    int64 and pack myDecimal groups in numpy — pin the vectorized
+    kernel to the scalar kernel on extreme values (max/min of
+    DECIMAL(18,4), negatives, NULLs, scale 0 and scale = precision),
+    in BOTH row formats, value and key positions, and confirm wide
+    decimals (> 18 digits) still ride the object fallback."""
+    from decimal import Decimal as D
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_np import (
+        decimal_ships_scaled,
+    )
+
+    assert decimal_ships_scaled(T.DecimalType(18, 4))
+    assert not decimal_ships_scaled(T.DecimalType(19, 4))
+
+    rows = [
+        Row(h=1, a=D("99999999999999.9999"), b=D("123456789"),
+            c=D("0.99999"), w=D("12345678901234567890.123")),
+        Row(h=2, a=D("-99999999999999.9999"), b=D("-1"),
+            c=D("-0.00001"), w=D("-0.001")),
+        Row(h=3, a=D("0.0000"), b=D("0"), c=D("0.00000"), w=D("0.000")),
+        Row(h=4, a=None, b=None, c=None, w=None),
+        Row(h=5, a=D("-0.0001"), b=D("999999999999999999"),
+            c=D("0.12345"), w=D("99999999999999999999999.999")),
+    ]
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("a", T.DecimalType(18, 4)),
+        T.StructField("b", T.DecimalType(18, 0)),
+        T.StructField("c", T.DecimalType(5, 5)),
+        T.StructField("w", T.DecimalType(26, 3)),  # object fallback
+    ])
+    df = spark.createDataFrame(rows, schema)
+    for ver in (1, 2):
+        out = {}
+        for kernel in ("numpy", "python"):
+            pair = kv_hash_columns(
+                df, ["a", "b", "c", "w"], "h", col_ids=[2, 3, 4, 5],
+                table_id=22, row_format_version=ver,
+                default_null_ids=frozenset({2, 4}),
+                indexes=[(1, ["a", "c"], False), (2, ["b"], True),
+                         (3, ["w"], False)],
+                kernel=kernel,
+            )
+            r = df.withColumn("_p", pair).agg(
+                F.bit_xor(F.col("_p.h")).alias("x"),
+                F.sum(F.col("_p.n")).alias("n"),
+            ).first()
+            out[kernel] = (r["x"], r["n"])
+        assert out["numpy"] == out["python"], (ver, out)

@@ -1002,6 +1002,20 @@ def kv_hash_columns(
                 v = F.coalesce(
                     F.unix_micros(F.col(c).cast("timestamp")), F.lit(0)
                 )
+            elif (
+                sdt.typeName() == "decimal"
+                and KNP.decimal_ships_scaled(sdt)
+                and c not in uint64_cols
+                and wraps[i] is None
+            ):
+                # the UNSCALED int64 (value * 10^scale — exact decimal
+                # arithmetic JVM-side, fits int64 for precision <= 18):
+                # the kernel packs the myDecimal digit groups from it
+                # with pure numpy instead of per-row Python
+                v = F.coalesce(
+                    (F.col(c) * F.lit(10**sdt.scale)).cast("long"),
+                    F.lit(0),
+                )
             else:
                 ph = _placeholder(sdt)
                 v = F.coalesce(F.col(c), ph) if ph is not None else F.col(c)

@@ -196,6 +196,58 @@ def _coerce_decimal(dt):
     return lambda v: KC.DecimalDatum(v, p, s)
 
 
+def decimal_ships_scaled(dt) -> bool:
+    """True when the projection ships this DECIMAL column as its
+    UNSCALED int64 (value * 10^scale, exact JVM-side for precision
+    <= 18) so the kernel can pack the myDecimal binary with pure
+    numpy. Wider decimals keep the object fallback (their unscaled
+    value exceeds int64)."""
+    return dt.precision <= 18
+
+
+def _mydecimal_mat(series, valid, p, s):
+    """Scaled-int64 series (value * 10^s) -> the myDecimal binary
+    (kv_codec.encode_mydecimal) as an (n, W) byte matrix + lens.
+    The layout is FIXED by (p, s), so W is constant: base-10^9 digit
+    groups big-endian (partial leading / full integer / full fraction
+    / partial trailing), first byte MSB-flipped, all bytes inverted
+    for negatives. Group words stay < 2^(8w-1), so the MSB flip is
+    an addition and byte-wise NOT of a w-byte word is (2^8w-1)-word."""
+    scaled = series.to_numpy(np.int64, na_value=0)
+    neg = scaled < 0
+    a = np.abs(scaled).astype(np.uint64)
+    ten_s = np.uint64(10**s)
+    ipart = (a // ten_s) if s else a
+    fpart = (a % ten_s) if s else np.zeros_like(a)
+    intg = p - s
+    segs = []  # ((n,) uint64 group words, byte width), layout order
+    lead = intg % 9
+    nig = intg // 9
+    if lead:
+        segs.append((ipart // np.uint64(10 ** (9 * nig)),
+                     KC._DIG2BYTES[lead]))
+    for k in range(nig - 1, -1, -1):
+        segs.append(((ipart // np.uint64(10 ** (9 * k)))
+                     % np.uint64(10**9), 4))
+    nfg = s // 9
+    tail = s % 9
+    for g in range(nfg):
+        segs.append(((fpart // np.uint64(10 ** (s - 9 * (g + 1))))
+                     % np.uint64(10**9), 4))
+    if tail:
+        segs.append((fpart % np.uint64(10**tail), KC._DIG2BYTES[tail]))
+    mats = []
+    for gi, (v, w) in enumerate(segs):
+        v = v.copy()
+        if gi == 0:
+            v += np.uint64(0x80 << (8 * (w - 1)))
+        mask_w = np.uint64((1 << (8 * w)) - 1)
+        v = np.where(neg, mask_w - v, v)
+        mats.append(_be8(v)[:, 8 - w:])
+    mat = np.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
+    return mat, np.where(valid, mat.shape[1], 0)
+
+
 def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
     """One column's v1 row-VALUE datum fragment (flag + payload) for
     the non-null rows; lens are 0 on null rows (the caller overlays
@@ -238,7 +290,14 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
         mat, lens = _uvarint_frag(_packed_datetime_us(us), valid)
         return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
-    # object fallback (DECIMAL, DATE, anything else): scalar oracle
+    if dt_name == "decimal" and decimal_ships_scaled(dt):
+        # [decimalFlag, precision u8, frac u8, myDecimal binary]
+        p, s = dt.precision, dt.scale
+        mat, lens = _mydecimal_mat(series, valid, p, s)
+        return _concat_frags(
+            [_const_frag(n, bytes([0x06, p, s])), (mat, lens)]
+        ), valid
+    # object fallback (wide DECIMAL, DATE, anything else): scalar oracle
     if dt_name == "decimal":
         coerce = _coerce_decimal(dt)
         enc = lambda v: KC._encode_datum_v1(coerce(v))  # noqa: E731
@@ -309,6 +368,14 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
             [_const_frag(n, b"\x01"), (mat, glens)]
         )
         return _with_nil(full, np.where(valid, flens, 0))
+    if dt_name == "decimal" and decimal_ships_scaled(dt):
+        # EncodeDecimal is memory-comparable: same bytes as the value
+        p, s = dt.precision, dt.scale
+        dmat, dlens = _mydecimal_mat(series, valid, p, s)
+        mat, lens = _concat_frags(
+            [_const_frag(n, bytes([0x06, p, s])), (dmat, dlens)]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
     if dt_name == "decimal":
         coerce = _coerce_decimal(dt)
         enc = lambda v: KC.encode_key_datum(coerce(v))  # noqa: E731
@@ -393,6 +460,15 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         packed = _packed_datetime_us(us)
         mat = packed.astype("<u8").view(np.uint8).reshape(n, 8)
         return (mat, _v2_uint_lens(packed, valid)), valid
+    if dt_name == "decimal" and decimal_ships_scaled(dt):
+        # v2 keeps EncodeDecimal's payload minus the flag byte;
+        # lens must be 0 on null rows (nulls live in the id sections)
+        p, s = dt.precision, dt.scale
+        dmat, dlens = _mydecimal_mat(series, valid, p, s)
+        cmat, clens = _concat_frags(
+            [_const_frag(n, bytes([p, s])), (dmat, dlens)]
+        )
+        return (cmat, np.where(valid, clens, 0)), valid
     if dt_name == "decimal":
         coerce = _coerce_decimal(dt)
         enc = lambda v: KC._encode_cell_v2(coerce(v))  # noqa: E731
