@@ -449,6 +449,33 @@ def main() -> None:
         ts = _reps(_kv_checksum)
         timings["kv_crc64_checksum_lineitem"] = _med(ts)
         timings_min["kv_crc64_checksum_lineitem"] = round(min(ts), 3)
+
+        # DECIMAL-heavy variant (real MySQL tables are decimal-heavy):
+        # four DECIMAL(18,2) value columns + a decimal index key ride
+        # the vectorized myDecimal packer (unscaled-int64 ship; the
+        # object fallback measured ~1.4x slower end-to-end on this
+        # exact shape, docs/BENCH_NOTES_r8.md)
+        dec = li.select(
+            "_rid",
+            F.col("l_quantity").cast("decimal(18,2)").alias("d1"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("d2"),
+            F.col("l_discount").cast("decimal(18,2)").alias("d3"),
+            F.col("l_tax").cast("decimal(18,2)").alias("d4"),
+        )
+
+        def _kv_checksum_dec():
+            pair = kv_hash_columns(
+                dec, ["d1", "d2", "d3", "d4"], "_rid",
+                indexes=[(1, ["d2"], False)],
+            )
+            dec.select(pair.alias("p")).agg(
+                F.bit_xor("p.h"), F.sum("p.n"), F.count(F.lit(1))
+            ).collect()
+
+        _kv_checksum_dec()  # warm-up
+        ts = _reps(_kv_checksum_dec)
+        timings["kv_crc64_checksum_decimal"] = _med(ts)
+        timings_min["kv_crc64_checksum_decimal"] = round(min(ts), 3)
     except Exception as e:
         print(f"# kv checksum bench skipped: {e}", file=sys.stderr)
 

@@ -11,18 +11,21 @@ from tidb_lightning_release_4_0_spark.registry import (
     build_queries,
 )
 
-# Round-8 rotation (docs/ROTATION.md): kv_crc64_orders_dec (new:
-# myDecimal-binary KV parity vs the pure-SQL twin), kv_crc64_orders_v2 (new),
-# multimodal_features (rewritten: real BMP decode, first hash check)
-# and split_csv_rowids (the r7 red, re-attesting after the fix)
-# lead; then the three r04 leftovers and the first 44 of the r05
-# cohort by name (the remaining r05 entries roll to round 9).
+# Round-8 rotation (docs/ROTATION.md): the lead block is
+# kv_crc64_orders_dec (new: myDecimal-binary KV parity vs the
+# pure-SQL twin), kv_crc64_orders_v2 + kv_crc64_events_kinds (new),
+# multimodal_features (rewritten: real BMP decode, first hash check),
+# split_csv_rowids (the r7 red, re-attesting after the fix) and
+# events_sliding_window (new: hopping-window streaming twin); then
+# the three r04 leftovers and the first 41 of the 48-entry r05
+# cohort by name (the remaining seven r05 entries roll to round 9).
 DRIVER_SAMPLED_50 = [
     "kv_crc64_orders_dec",
     "kv_crc64_orders_v2",
     "kv_crc64_events_kinds",
     "multimodal_features",
     "split_csv_rowids",
+    "events_sliding_window",
     "uint64_decimal",
     "window_rank_customers",
     "window_running_total",
@@ -67,7 +70,6 @@ DRIVER_SAMPLED_50 = [
     "sample_stratified_hash",
     "small_qty_revenue",
     "string_agg_nations",
-    "strip_html",
 ]
 
 

@@ -457,3 +457,49 @@ def test_ctl_engine_ops(spark):
     # bad spec
     out = ctl("import-engine", "--target-dir", tgt, "--engine", "nope")
     assert out.returncode == 1
+
+
+def test_streaming_sliding_counts_match_batch(spark, tables, sf_dir):
+    """Sliding (hopping) windows: the streaming aggregate over a
+    static source equals the batch twin (registry
+    events_sliding_window) on every emitted window — same
+    golden-equivalence strategy as the tumbling test."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_events_sliding_window,
+    )
+    from tidb_lightning_release_4_0_spark.streaming.events import (
+        sliding_counts,
+    )
+
+    src = _events_json_dir(spark, tables)
+    stream = stream_events(spark, src)
+    agg = sliding_counts(stream, window="1 hour", slide="30 minutes")
+    out_dir = os.path.join(TMP, "sink_sliding")
+    cp_dir = os.path.join(TMP, "cp_sliding")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(cp_dir, ignore_errors=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() > 0
+    batch = q_events_sliding_window(spark, sf_dir)
+    j = got.alias("g").join(
+        batch.alias("b"),
+        (F.col("g.window_start") == F.col("b.window_start"))
+        & (F.col("g.event_type") == F.col("b.event_type")),
+    )
+    mismatches = j.filter(
+        (F.col("g.n") != F.col("b.n"))
+        | (F.abs(F.col("g.sum_value") - F.col("b.sum_value")) > 1e-9)
+    ).count()
+    assert mismatches == 0
+    # every emitted (closed) window joins to a batch row
+    assert j.count() == got.count()

@@ -323,6 +323,35 @@ def q_events_tumbling_window(spark, sf_dir):
     )
 
 
+def q_events_sliding_window(spark, sf_dir):
+    """Sliding (hopping) 1-hour/30-minute window aggregate — the
+    batch twin of streaming/events.py::sliding_counts (equivalence
+    asserted in the streaming suite). Each event belongs to exactly
+    window/slide = 2 windows; the DuckDB oracle reproduces that by
+    unioning the two covering bucket starts per event. Scale shape:
+    one shuffle on (window_start, event_type); the overlap factor
+    multiplies rows into the aggregate, never the raw-event width."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_rollup_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
@@ -3101,18 +3130,21 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # split_csv_rowids (the r7 driver red, fixed by the self-healing
 # rowid fallback) — then the oldest-attested cohort: the three r04
 # leftovers (uint64_decimal, window_rank_customers,
-# window_running_total) and the first 44 of the r05 cohort by name
+# window_running_total) and the first 41 of the r05 cohort by name
 # (the rest of r05 rolls to round 9). Future rotations edit THIS
 # list (and the pin in tests/test_registry_order.py), nothing else.
-# (Late round-8 addition: kv_crc64_orders_dec — myDecimal-binary KV
-# bytes vs the pure-SQL twin — takes the lead slot; the last r05
-# backfill entry, tfidf_terms, rolls to round 9 to keep 50.)
+# (Late round-8 additions: kv_crc64_orders_dec — myDecimal-binary
+# KV bytes vs the pure-SQL twin — takes the front slot and
+# events_sliding_window joins the lead block; the last two r05
+# backfill entries, tfidf_terms and strip_html, roll to round 9 to
+# keep 50.)
 _R8_PREFIX = [
     "kv_crc64_orders_dec",
     "kv_crc64_orders_v2",
     "kv_crc64_events_kinds",
     "multimodal_features",
     "split_csv_rowids",
+    "events_sliding_window",
     "uint64_decimal",
     "window_rank_customers",
     "window_running_total",
@@ -3157,7 +3189,6 @@ _R8_PREFIX = [
     "sample_stratified_hash",
     "small_qty_revenue",
     "string_agg_nations",
-    "strip_html",
 ]
 
 
@@ -3238,6 +3269,7 @@ def _build_queries_unordered():
         "window_running_total": q_window_running_total,
         "window_rank_customers": q_window_rank_customers,
         "events_tumbling_window": q_events_tumbling_window,
+        "events_sliding_window": q_events_sliding_window,
         "rollup_orders": q_rollup_orders,
         "anti_join_customers": q_anti_join_customers,
         "semi_join_suppliers": q_semi_join_suppliers,
@@ -3562,6 +3594,20 @@ def _build_oracle_sql_static():
                    cast(row_number() OVER (PARTITION BY c_nationkey
                         ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rank
             FROM customer
+        """,
+        "events_sliding_window": """
+            SELECT w_start AS window_start, event_type,
+                   count(*) AS n,
+                   cast(sum(cast(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value
+            FROM (
+              SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - k.k * INTERVAL '30 minutes' AS w_start,
+                     event_type, value
+              FROM events,
+                   (SELECT 0 AS k UNION ALL SELECT 1) k
+            )
+            GROUP BY 1, 2
         """,
         "events_tumbling_window": """
             SELECT date_trunc('hour', ts) AS window_start, event_type,
