@@ -70,46 +70,32 @@ def test_split_csv_rowids_green_under_driver_default_session(spark, sf_dir):
     assert got == want
 
 
-def test_rotation_lead_entries_under_driver_default_session(spark, sf_dir):
-    """Every round-8 rotation LEAD entry (the ones that must attest
-    fresh at the driver) runs green on a session with STOCK Spark
-    file-split confs — the exact session-portability gap that turned
-    split_csv_rowids red in r7. Results are checked against the same
-    DuckDB oracles the driver uses."""
-    import duckdb
-
+def test_rotation_prefix_entries_under_driver_default_session(
+    spark, sf_dir
+):
+    """EVERY entry of the 50-slot driver CORRECTNESS prefix runs
+    green on a session with STOCK Spark file-split confs — the exact
+    session-portability gap that turned split_csv_rowids red in r7
+    (the repo session pins openCostInBytes to 1 TiB; the driver's
+    doesn't). Rows are checked against the same DuckDB oracles the
+    driver uses, so no prefix entry can reach the driver gate having
+    only ever run under the repo's tuned confs."""
+    from tests.oracle import compare
     from tidb_lightning_release_4_0_spark.registry import (
+        _R8_PREFIX,
         build_oracle_sql,
         build_queries,
     )
 
     ns = _driver_default_session(spark)
     qs, osql = build_queries(), build_oracle_sql()
-    con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
-        )
-    for name in (
-        "kv_crc64_orders_dec",
-        "kv_crc64_orders_v2",
-        "kv_crc64_events_kinds",
-        "multimodal_features",
-    ):
-        got = qs[name](ns, sf_dir).collect()
-        exp = con.sql(osql[name]).fetchall()
-        assert len(got) == len(exp) > 0, name
-        norm_got = sorted(
-            tuple(r[c] for c in sorted(r.asDict())) for r in got
-        )
-        cols = [d[0] for d in con.sql(osql[name]).description]
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        norm_exp = sorted(tuple(row[i] for i in order) for row in exp)
-        assert norm_got == norm_exp, name
+    failures = []
+    for name in _R8_PREFIX:
+        try:
+            compare(qs[name](ns, sf_dir), osql[name], sf_dir)
+        except Exception as e:  # noqa: BLE001 - collect all reds
+            failures.append(f"{name}: {e}")
+    assert not failures, failures
 
 
 def test_split_rowid_fallback_exact_when_blocks_are_packed(spark):
