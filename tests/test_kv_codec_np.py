@@ -198,12 +198,12 @@ def test_float32_columns_widen_exactly(spark):
 
 
 def test_decimal_vectorized_path_matches_python_kernel(spark):
-    """DECIMAL columns with precision <= 18 now ship their unscaled
-    int64 and pack myDecimal groups in numpy — pin the vectorized
-    kernel to the scalar kernel on extreme values (max/min of
-    DECIMAL(18,4), negatives, NULLs, scale 0 and scale = precision),
-    in BOTH row formats, value and key positions, and confirm wide
-    decimals (> 18 digits) still ride the object fallback."""
+    """DECIMAL columns ship vectorized at EVERY precision: <= 18 as
+    the unscaled int64, wider as a fixed-width sign+digits string —
+    pin the vectorized kernel to the scalar kernel on extreme values
+    (max/min of DECIMAL(18,4), negatives, NULLs, scale 0, scale =
+    precision, and DECIMAL(38,38)'s '0.' placeholder edge), in BOTH
+    row formats, value and key positions."""
     from decimal import Decimal as D
 
     from pyspark.sql import Row
@@ -222,31 +222,39 @@ def test_decimal_vectorized_path_matches_python_kernel(spark):
 
     rows = [
         Row(h=1, a=D("99999999999999.9999"), b=D("123456789"),
-            c=D("0.99999"), w=D("12345678901234567890.123")),
+            c=D("0.99999"), w=D("12345678901234567890.123"),
+            x=D("0.99999999999999999999999999999999999999")),
         Row(h=2, a=D("-99999999999999.9999"), b=D("-1"),
-            c=D("-0.00001"), w=D("-0.001")),
-        Row(h=3, a=D("0.0000"), b=D("0"), c=D("0.00000"), w=D("0.000")),
-        Row(h=4, a=None, b=None, c=None, w=None),
+            c=D("-0.00001"), w=D("-0.001"),
+            x=D("-0.00000000000000000000000000000000000001")),
+        Row(h=3, a=D("0.0000"), b=D("0"), c=D("0.00000"), w=D("0.000"),
+            x=D("0")),
+        Row(h=4, a=None, b=None, c=None, w=None, x=None),
         Row(h=5, a=D("-0.0001"), b=D("999999999999999999"),
-            c=D("0.12345"), w=D("99999999999999999999999.999")),
+            c=D("0.12345"), w=D("99999999999999999999999.999"),
+            x=D("-0.53564071041169732235747821274708349159")),
     ]
     schema = T.StructType([
         T.StructField("h", T.LongType()),
         T.StructField("a", T.DecimalType(18, 4)),
         T.StructField("b", T.DecimalType(18, 0)),
         T.StructField("c", T.DecimalType(5, 5)),
-        T.StructField("w", T.DecimalType(26, 3)),  # object fallback
+        T.StructField("w", T.DecimalType(26, 3)),  # wide: digits path
+        # pure-fraction max-width: the '0.' placeholder edge where a
+        # naive lpad would truncate the LAST digit
+        T.StructField("x", T.DecimalType(38, 38)),
     ])
     df = spark.createDataFrame(rows, schema)
     for ver in (1, 2):
         out = {}
         for kernel in ("numpy", "python"):
             pair = kv_hash_columns(
-                df, ["a", "b", "c", "w"], "h", col_ids=[2, 3, 4, 5],
+                df, ["a", "b", "c", "w", "x"], "h",
+                col_ids=[2, 3, 4, 5, 6],
                 table_id=22, row_format_version=ver,
-                default_null_ids=frozenset({2, 4}),
+                default_null_ids=frozenset({2, 4, 6}),
                 indexes=[(1, ["a", "c"], False), (2, ["b"], True),
-                         (3, ["w"], False)],
+                         (3, ["w", "x"], False)],
                 kernel=kernel,
             )
             r = df.withColumn("_p", pair).agg(
@@ -255,3 +263,63 @@ def test_decimal_vectorized_path_matches_python_kernel(spark):
             ).first()
             out[kernel] = (r["x"], r["n"])
         assert out["numpy"] == out["python"], (ver, out)
+
+
+def test_wide_decimal_digits_packer_property_matrix():
+    """The digit-string myDecimal packer (_mydecimal_mat_digits) is
+    bit-identical to the scalar encoder across wide (precision > 18)
+    shapes — multiple integer groups, full+partial fraction groups,
+    frac-0, intg-0 (the '0.' placeholder edge) and negatives — fed
+    the exact string contract the projection ships."""
+    import decimal
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_mydecimal,
+    )
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_np import (
+        _mydecimal_mat_digits,
+    )
+
+    rng = random.Random(5)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 80
+        for p, s in [
+            (19, 0), (20, 10), (25, 7), (38, 18), (38, 0),
+            (38, 38), (27, 9), (36, 35), (19, 19),
+        ]:
+            intg = p - s
+            vals = []
+            for _ in range(40):
+                i = rng.randint(0, 10**intg - 1) if intg else 0
+                f = rng.randint(0, 10**s - 1) if s else 0
+                d = decimal.Decimal(i)
+                if s:
+                    d += decimal.Decimal(f).scaleb(-s)
+                if rng.random() < 0.5:
+                    d = -d
+                vals.append(d)
+            vals.append(decimal.Decimal(0))
+            strs = []
+            for v in vals:
+                sign = "-" if v < 0 else "+"
+                q = (
+                    abs(v).quantize(decimal.Decimal(1).scaleb(-s))
+                    if s else abs(v)
+                )
+                digs = (
+                    format(q, "f").replace(".", "").lstrip("0")
+                    .rjust(p, "0")
+                )
+                assert len(digs) == p
+                strs.append(sign + digs)
+            ser = pd.Series(strs, dtype=object)
+            valid = np.ones(len(vals), bool)
+            mat, lens = _mydecimal_mat_digits(ser, valid, p, s)
+            for i, v in enumerate(vals):
+                exp = encode_mydecimal(v, p, s)
+                got = bytes(mat[i, : lens[i]])
+                assert got == exp, (p, s, v, exp.hex(), got.hex())

@@ -1004,18 +1004,48 @@ def kv_hash_columns(
                 )
             elif (
                 sdt.typeName() == "decimal"
-                and KNP.decimal_ships_scaled(sdt)
                 and c not in uint64_cols
                 and wraps[i] is None
             ):
-                # the UNSCALED int64 (value * 10^scale — exact decimal
-                # arithmetic JVM-side, fits int64 for precision <= 18):
-                # the kernel packs the myDecimal digit groups from it
-                # with pure numpy instead of per-row Python
-                v = F.coalesce(
-                    (F.col(c) * F.lit(10**sdt.scale)).cast("long"),
-                    F.lit(0),
-                )
+                if KNP.decimal_ships_scaled(sdt):
+                    # the UNSCALED int64 (value * 10^scale — exact
+                    # decimal arithmetic JVM-side, fits int64 for
+                    # precision <= 18): the kernel packs the myDecimal
+                    # digit groups from it with pure numpy
+                    v = F.coalesce(
+                        (F.col(c) * F.lit(10**sdt.scale)).cast("long"),
+                        F.lit(0),
+                    )
+                else:
+                    # precision > 18: a fixed-width '<sign><p digits>'
+                    # string, derived ONLY from the exact decimal ->
+                    # string rendering with string ops. abs() and
+                    # `col < 0` are both precision-LOSING on wide
+                    # decimals (they promote past 38 digits and
+                    # round: abs(…349159) -> …350000, and -1e-38 < 0
+                    # is false), so the sign comes from the rendered
+                    # '-' and the digits from dropping sign/dot and
+                    # leading zeros (a pure-fraction DECIMAL(p,p)
+                    # prints a placeholder '0.' whose extra char
+                    # would otherwise make lpad truncate the LAST
+                    # digit), then left-zero-pad to precision; the
+                    # kernel digit-matrixes it in one C pass
+                    p = sdt.precision
+                    s0 = F.col(c).cast("string")
+                    v = F.coalesce(
+                        F.concat(
+                            F.when(s0.startswith("-"), F.lit("-"))
+                            .otherwise(F.lit("+")),
+                            F.lpad(
+                                F.regexp_replace(
+                                    F.regexp_replace(s0, r"[-.]", ""),
+                                    r"^0+", "",
+                                ),
+                                p, "0",
+                            ),
+                        ),
+                        F.lit("+" + "0" * p),
+                    )
             else:
                 ph = _placeholder(sdt)
                 v = F.coalesce(F.col(c), ph) if ph is not None else F.col(c)

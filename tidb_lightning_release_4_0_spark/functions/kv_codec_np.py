@@ -191,18 +191,23 @@ def _object_frag(series, mask: np.ndarray, encode_fn):
     return _gather(flat, offs, lens)
 
 
-def _coerce_decimal(dt):
-    p, s = dt.precision, dt.scale
-    return lambda v: KC.DecimalDatum(v, p, s)
-
-
 def decimal_ships_scaled(dt) -> bool:
     """True when the projection ships this DECIMAL column as its
     UNSCALED int64 (value * 10^scale, exact JVM-side for precision
     <= 18) so the kernel can pack the myDecimal binary with pure
-    numpy. Wider decimals keep the object fallback (their unscaled
-    value exceeds int64)."""
+    numpy. Wider decimals ship a sign + zero-padded digit string
+    instead (decimal_ships_digits)."""
     return dt.precision <= 18
+
+
+def decimal_ships_digits(dt) -> bool:
+    """True when the projection ships this DECIMAL column as a
+    fixed-width '<sign><p digits>' string (the unscaled value exceeds
+    int64): sign char then the dot-free, left-zero-padded digits —
+    still exact (decimal->string is exact JVM-side) and still
+    vectorized (the kernel converts the fixed-width strings to a
+    digit matrix in one C-level pass, no per-row Python)."""
+    return dt.precision > 18
 
 
 def _mydecimal_mat(series, valid, p, s):
@@ -236,9 +241,16 @@ def _mydecimal_mat(series, valid, p, s):
                      % np.uint64(10**9), 4))
     if tail:
         segs.append((fpart % np.uint64(10**tail), KC._DIG2BYTES[tail]))
+    return _mydecimal_pack(segs, neg, valid)
+
+
+def _mydecimal_pack(segs, neg, valid):
+    """Shared packing tail: [(group words, byte width)] in layout
+    order -> (n, W) big-endian bytes with the first byte's MSB flip
+    and the negative whole-bytes invert."""
     mats = []
     for gi, (v, w) in enumerate(segs):
-        v = v.copy()
+        v = v.astype(np.uint64, copy=True)
         if gi == 0:
             v += np.uint64(0x80 << (8 * (w - 1)))
         mask_w = np.uint64((1 << (8 * w)) - 1)
@@ -246,6 +258,49 @@ def _mydecimal_mat(series, valid, p, s):
         mats.append(_be8(v)[:, 8 - w:])
     mat = np.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
     return mat, np.where(valid, mat.shape[1], 0)
+
+
+def _mydecimal_mat_digits(series, valid, p, s):
+    """Wide-decimal (precision > 18) variant: the projection ships a
+    fixed-width '<sign><p digits>' string per value (dot-free,
+    left-zero-padded, '+000…0' on NULL rows); one C-level conversion
+    yields a digit matrix and each myDecimal group word is a small
+    base-10 dot product over its <= 9 digit columns — no per-row
+    Python at any precision."""
+    n = len(valid)
+    buf = series.to_numpy(dtype=f"S{p + 1}")
+    mat = np.frombuffer(
+        buf.tobytes(), np.uint8
+    ).reshape(n, p + 1)
+    neg = mat[:, 0] == ord("-")
+    digits = (mat[:, 1:].astype(np.int64) - ord("0")).clip(0, 9)
+    intg = p - s
+
+    def group(lo, hi):
+        nd = hi - lo
+        pw = np.array([10 ** (nd - 1 - j) for j in range(nd)], np.int64)
+        return (digits[:, lo:hi] * pw[None, :]).sum(axis=1).astype(
+            np.uint64
+        )
+
+    segs = []
+    lead = intg % 9
+    nig = intg // 9
+    pos = 0
+    if lead:
+        segs.append((group(0, lead), KC._DIG2BYTES[lead]))
+        pos = lead
+    for _ in range(nig):
+        segs.append((group(pos, pos + 9), 4))
+        pos += 9
+    nfg = s // 9
+    tail = s % 9
+    for _ in range(nfg):
+        segs.append((group(pos, pos + 9), 4))
+        pos += 9
+    if tail:
+        segs.append((group(pos, pos + tail), KC._DIG2BYTES[tail]))
+    return _mydecimal_pack(segs, neg, valid)
 
 
 def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
@@ -290,20 +345,20 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
         mat, lens = _uvarint_frag(_packed_datetime_us(us), valid)
         return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
-    if dt_name == "decimal" and decimal_ships_scaled(dt):
-        # [decimalFlag, precision u8, frac u8, myDecimal binary]
+    if dt_name == "decimal":
+        # [decimalFlag, precision u8, frac u8, myDecimal binary];
+        # p <= 18 ships the unscaled int64, wider ships digit strings
         p, s = dt.precision, dt.scale
-        mat, lens = _mydecimal_mat(series, valid, p, s)
+        pack = (
+            _mydecimal_mat if decimal_ships_scaled(dt)
+            else _mydecimal_mat_digits
+        )
+        mat, lens = pack(series, valid, p, s)
         return _concat_frags(
             [_const_frag(n, bytes([0x06, p, s])), (mat, lens)]
         ), valid
-    # object fallback (wide DECIMAL, DATE, anything else): scalar oracle
-    if dt_name == "decimal":
-        coerce = _coerce_decimal(dt)
-        enc = lambda v: KC._encode_datum_v1(coerce(v))  # noqa: E731
-    else:
-        enc = KC._encode_datum_v1
-    return _object_frag(series, mask, enc), valid
+    # object fallback (DATE, anything else): scalar oracle
+    return _object_frag(series, mask, KC._encode_datum_v1), valid
 
 
 def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
@@ -368,20 +423,19 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
             [_const_frag(n, b"\x01"), (mat, glens)]
         )
         return _with_nil(full, np.where(valid, flens, 0))
-    if dt_name == "decimal" and decimal_ships_scaled(dt):
+    if dt_name == "decimal":
         # EncodeDecimal is memory-comparable: same bytes as the value
         p, s = dt.precision, dt.scale
-        dmat, dlens = _mydecimal_mat(series, valid, p, s)
+        pack = (
+            _mydecimal_mat if decimal_ships_scaled(dt)
+            else _mydecimal_mat_digits
+        )
+        dmat, dlens = pack(series, valid, p, s)
         mat, lens = _concat_frags(
             [_const_frag(n, bytes([0x06, p, s])), (dmat, dlens)]
         )
         return _with_nil(mat, np.where(valid, lens, 0))
-    if dt_name == "decimal":
-        coerce = _coerce_decimal(dt)
-        enc = lambda v: KC.encode_key_datum(coerce(v))  # noqa: E731
-    else:
-        enc = KC.encode_key_datum
-    mat, lens = _object_frag(series, mask, enc)
+    mat, lens = _object_frag(series, mask, KC.encode_key_datum)
     return _with_nil(mat, np.where(valid, lens, 0))
 
 
@@ -460,21 +514,20 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         packed = _packed_datetime_us(us)
         mat = packed.astype("<u8").view(np.uint8).reshape(n, 8)
         return (mat, _v2_uint_lens(packed, valid)), valid
-    if dt_name == "decimal" and decimal_ships_scaled(dt):
+    if dt_name == "decimal":
         # v2 keeps EncodeDecimal's payload minus the flag byte;
         # lens must be 0 on null rows (nulls live in the id sections)
         p, s = dt.precision, dt.scale
-        dmat, dlens = _mydecimal_mat(series, valid, p, s)
+        pack = (
+            _mydecimal_mat if decimal_ships_scaled(dt)
+            else _mydecimal_mat_digits
+        )
+        dmat, dlens = pack(series, valid, p, s)
         cmat, clens = _concat_frags(
             [_const_frag(n, bytes([p, s])), (dmat, dlens)]
         )
         return (cmat, np.where(valid, clens, 0)), valid
-    if dt_name == "decimal":
-        coerce = _coerce_decimal(dt)
-        enc = lambda v: KC._encode_cell_v2(coerce(v))  # noqa: E731
-    else:
-        enc = KC._encode_cell_v2
-    return _object_frag(series, mask, enc), valid
+    return _object_frag(series, mask, KC._encode_cell_v2), valid
 
 
 def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
