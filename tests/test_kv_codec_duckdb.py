@@ -393,3 +393,59 @@ def test_sql_encoder_decimal_kind_v1_and_v2():
         r = con.sql(sql).fetchall()[0]
         got = (int(r[0]) & (2**64 - 1), int(r[1]), int(r[2]))
         assert got == (crc, nbytes, kvs), (ver, got, (crc, nbytes, kvs))
+
+
+def test_sql_json_string_object_kind():
+    """Binary-JSON STRING values through the twin: the one-string-key
+    object {k: s} — TypeCodeString entries, LEB128 length (1- and
+    2-byte), unicode — byte-identical with the Python binary-JSON
+    encoder, standalone and through the full KV checksum."""
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        JsonDatum,
+        _encode_datum_v1,
+    )
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+        json_str_object_hex,
+    )
+
+    con = duckdb.connect()
+    cases = [
+        "", "x", "hello world", "héllo ☃ wörld",
+        "a" * 127, "b" * 128, "c" * 300, 'quote"back\\slash',
+    ]
+    for s in cases:
+        py = _encode_datum_v1(JsonDatum.from_value({"k": s})).hex()
+        got = con.sql(
+            f"SELECT lower({json_str_object_hex('k', 'v')}) "
+            "FROM (SELECT ? AS v)",
+            params=[s],
+        ).fetchone()[0]
+        assert got == py, s[:20]
+
+    # through the full twin: record KV with a JSON-string column
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        encode_table_kvs,
+    )
+
+    rows = [(i + 1, s) for i, s in enumerate(cases)]
+    crc, nbytes, kvs = 0, 0, 0
+    for h, s in rows:
+        for k, val in encode_table_kvs(
+            16, h, [2], [JsonDatum.from_value({"k": s})], 1,
+        ):
+            crc ^= crc64_bytes(k + val)
+            nbytes += len(k) + len(val)
+            kvs += 1
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE t (h BIGINT, s VARCHAR)")
+    con2.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    from tidb_lightning_release_4_0_spark.functions.kv_codec_duckdb import (
+        json_str_object_hex as jso,
+    )
+
+    sql = kv_checksum_sql_duckdb(
+        "t", "h", [(jso("k", "s"), "RAWHEX", 2, True)], [], table_id=16,
+    )
+    r = con2.sql(sql).fetchall()[0]
+    got = (int(r[0]) & (2**64 - 1), int(r[1]), int(r[2]))
+    assert got == (crc, nbytes, kvs)

@@ -28,6 +28,11 @@ big layout stays covered by the Python property tests).
 NaN doubles encode as the canonical quiet NaN (0x7ff8…) — the bit
 pattern Spark/Arrow carry; non-canonical NaN payloads would diverge
 (documented, not reachable from the parquet fixtures).
+
+Binary JSON covers the one-key object shapes the fixtures exercise —
+int values (json_int_object_hex) and variable-length string values
+(json_str_object_hex, LEB128 length + utf-8); deeper nesting stays
+attested by the Python encoder's decode-roundtrip property tests.
 """
 
 from __future__ import annotations
@@ -285,6 +290,47 @@ def decimal_datum_payload_hex(col: str, precision: int, frac: int) -> str:
     return (
         f"'{precision:02x}{frac:02x}' || "
         + mydecimal_hex(col, precision, frac)
+    )
+
+
+def json_str_object_hex(key: str, s_expr: str) -> str:
+    """Flagged KindMysqlJSON datum hex for the one-STRING-key object
+    {key: <s_expr>} — extends the twin's binary-JSON surface beyond
+    the fixed-shape int object: the value entry carries
+    TypeCodeString (0x0c) with a u32 offset, and the payload is the
+    LEB128 byte length followed by the utf-8 bytes, so the total
+    size varies per row and is computed in SQL."""
+    kb = key.encode("utf-8")
+    hdr = 8 + 6 + 5  # header + 1 key entry + 1 value entry
+    key_off, val_off = hdr, hdr + len(kb)
+    fixed = (
+        "0a01"
+        + struct_hex_u32le(1)
+    )
+    # total size = val_off + len(LEB128(n)) + n, little-endian u32
+    total = (
+        f"({val_off} + length(__jl) // 2 + __jn)"
+    )
+    tot_le = _xx_let(
+        "__t", f"{total}::HUGEINT",
+        "array_to_string(list_transform(range(0, 4), "
+        "__k -> printf('%02x', ((__t >> (8*__k)::INT) & 255)::BIGINT))"
+        ", '')",
+    )
+    tail = (
+        struct_hex_u32le(key_off)
+        + struct_hex_u16le(len(kb))
+        + "0c"
+        + struct_hex_u32le(val_off)
+        + kb.hex()
+    )
+    return _xx_let(
+        "__jn", f"octet_length(encode({s_expr}))::UBIGINT",
+        _xx_let(
+            "__jl", uvarint_hex("__jn"),
+            f"('{fixed}' || {tot_le} || '{tail}' || __jl"
+            f" || hex(encode({s_expr})))",
+        ),
     )
 
 
