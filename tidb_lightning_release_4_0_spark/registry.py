@@ -1341,11 +1341,13 @@ def q_kv_crc64_events_kinds(spark, sf_dir):
     checksum, independently attested (round 8): events' event_type
     rides as ENUM (ordinal uvarint; uintFlag keys), a synthesized
     member-name string as SET (bitmask), user_id%256 as BIT, and the
-    one-int-key props object through the REAL binary-JSON encoder —
-    while the oracle re-derives the same bytes in pure SQL (CASE
-    ordinal maps, the modulo masks directly, and the fixed-shape
-    binary JSON via kv_codec_duckdb.json_int_object_hex). Covers the
-    exact kinds tests/various_types exercises in the reference."""
+    one-int-key props object through the REAL binary-JSON encoder,
+    plus a one-STRING-key JSON object (TypeCodeString entry, LEB128
+    length) — while the oracle re-derives the same bytes in pure SQL
+    (CASE ordinal maps, the modulo masks directly, and the binary
+    JSON via kv_codec_duckdb.json_int_object_hex /
+    json_str_object_hex). Covers the exact kinds
+    tests/various_types exercises in the reference."""
     from .functions.kv_codec import kv_hash_columns
 
     e = _t(spark, sf_dir, "events")
@@ -1362,13 +1364,17 @@ def q_kv_crc64_events_kinds(spark, sf_dir):
         ).alias("e_set"),
         (F.col("user_id") % 256).alias("e_bit"),
         "props",
+        F.concat(
+            F.lit('{"s": "'), F.col("event_type"), F.lit('"}')
+        ).alias("props_s"),
     )
-    cols = ["user_id", "event_type", "e_set", "e_bit", "props"]
+    cols = ["user_id", "event_type", "e_set", "e_bit", "props",
+            "props_s"]
     pair = kv_hash_columns(
         d,
         cols,
         "event_id",
-        col_ids=[3, 4, 5, 6, 7],
+        col_ids=[3, 4, 5, 6, 7, 8],
         table_id=13,
         indexes=[
             (1, ["event_type"], False),
@@ -1379,6 +1385,7 @@ def q_kv_crc64_events_kinds(spark, sf_dir):
             "e_set": ("set", _EVENT_SET),
             "e_bit": ("bit",),
             "props": ("json",),
+            "props_s": ("json",),
         },
     )
     return (
@@ -3421,6 +3428,7 @@ def _build_oracle_sql_static():
                        WHEN 'view' THEN 5 END AS e_enum,
                   user_id % 8 AS e_set,
                   user_id % 256 AS e_bit,
+                  event_type,
                   CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1),
                               '') AS BIGINT) AS k
                FROM events) ek""",
@@ -3431,6 +3439,8 @@ def _build_oracle_sql_static():
                 ("e_set", "UINT64", 5, True),
                 ("e_bit", "UINT64", 6, True),
                 (KVD.json_int_object_hex("k", "k"), "RAWHEX", 7, True),
+                (KVD.json_str_object_hex("s", "event_type"),
+                 "RAWHEX", 8, True),
             ],
             [
                 (1, [("e_enum", "UINT64")], False),
