@@ -323,3 +323,50 @@ def test_wide_decimal_digits_packer_property_matrix():
                 exp = encode_mydecimal(v, p, s)
                 got = bytes(mat[i, : lens[i]])
                 assert got == exp, (p, s, v, exp.hex(), got.hex())
+
+
+def test_date_columns_vectorized_match_python_kernel(spark):
+    """DATE columns ship days-since-epoch and pack as their midnight
+    datetime in pure numpy — pin both kernels to identical checksums
+    across the MySQL DATE range (0001..9999, pre-1970 negatives,
+    NULLs), both row formats, value and key positions. Years past
+    2262 specifically exercise the no-pandas-Timestamp path."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+
+    rows = [
+        Row(h=1, d=dt.date(1996, 2, 29)),
+        Row(h=2, d=dt.date(1970, 1, 1)),
+        Row(h=3, d=dt.date(1899, 6, 3)),
+        Row(h=4, d=dt.date(9999, 12, 31)),  # past pandas ns range
+        Row(h=5, d=dt.date(1, 1, 1)),
+        Row(h=6, d=None),
+        Row(h=7, d=dt.date(2262, 4, 12)),
+    ]
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("d", T.DateType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    for ver in (1, 2):
+        out = {}
+        for kernel in ("numpy", "python"):
+            pair = kv_hash_columns(
+                df, ["d"], "h", col_ids=[2], table_id=24,
+                row_format_version=ver,
+                indexes=[(1, ["d"], False), (2, ["d", "h"], True)],
+                kernel=kernel,
+            )
+            r = df.withColumn("_p", pair).agg(
+                F.bit_xor(F.col("_p.h")).alias("x"),
+                F.sum(F.col("_p.n")).alias("n"),
+            ).first()
+            out[kernel] = (r["x"], r["n"])
+        assert out["numpy"] == out["python"], (ver, out)

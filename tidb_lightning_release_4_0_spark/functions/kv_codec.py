@@ -1002,6 +1002,17 @@ def kv_hash_columns(
                 v = F.coalesce(
                     F.unix_micros(F.col(c).cast("timestamp")), F.lit(0)
                 )
+            elif sdt.typeName() == "date":
+                # days-since-epoch as BIGINT: the kernel rebuilds the
+                # packed midnight datetime with the same civil-date
+                # arithmetic the timestamp path uses (pandas datetime
+                # conversion would hit the ns-range wall at year 2262)
+                v = F.coalesce(
+                    F.datediff(F.col(c), F.lit("1970-01-01")).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                )
             elif (
                 sdt.typeName() == "decimal"
                 and c not in uint64_cols

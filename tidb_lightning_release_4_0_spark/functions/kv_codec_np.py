@@ -7,11 +7,12 @@ column encodes into an (n_rows, width) byte-fragment matrix with
 per-row lengths, fragments are scattered into one zero-padded row
 matrix per KV pair, and ``hashing.crc64_matrix`` folds each pair in
 O(max_len/8) vectorized steps. Per-row Python survives only in the
-utf-8 encode of string cells and in the object fallback for exotic
-datum types (DATE / the MySQL kinds ENUM / SET / BIT / JSON / TIME),
-and only for those columns. DECIMAL is fully vectorized at every
-precision: <= 18 ships the unscaled int64, wider ships an exact
-sign+digits string the kernel digit-matrixes in one C pass.
+utf-8 encode of string cells and in the object fallback for the
+wrapped MySQL kinds (ENUM / SET / BIT / JSON / TIME), and only for
+those columns. DECIMAL is fully vectorized at every precision
+(<= 18 ships the unscaled int64, wider ships an exact sign+digits
+string the kernel digit-matrixes in one C pass) and DATE ships
+days-since-epoch, packing as its midnight datetime.
 
 Covers BOTH row formats: v1's [colID, flagged datum] pairs and v2's
 sectioned layout (version/flag, u16 counts, ascending not-null /
@@ -347,6 +348,14 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
         mat, lens = _uvarint_frag(_packed_datetime_us(us), valid)
         return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
+    if dt_name == "date":
+        # the projection shipped days-since-epoch; a DATE packs as
+        # its midnight datetime
+        d = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
+        mat, lens = _uvarint_frag(
+            _packed_datetime_us(d * np.int64(86_400_000_000)), valid
+        )
+        return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
     if dt_name == "decimal":
         # [decimalFlag, precision u8, frac u8, myDecimal binary];
         # p <= 18 ships the unscaled int64, wider ships digit strings
@@ -414,6 +423,15 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
     if dt_name in ("timestamp", "timestamp_ntz"):
         us = series.to_numpy(np.int64, na_value=0)
         packed = _packed_datetime_us(np.where(valid, us, 0))
+        mat, lens = _concat_frags(
+            [_const_frag(n, b"\x04"), (_be8(packed), np.where(valid, 8, 0))]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
+    if dt_name == "date":
+        d = series.to_numpy(np.int64, na_value=0)
+        packed = _packed_datetime_us(
+            np.where(valid, d, 0) * np.int64(86_400_000_000)
+        )
         mat, lens = _concat_frags(
             [_const_frag(n, b"\x04"), (_be8(packed), np.where(valid, 8, 0))]
         )
@@ -514,6 +532,11 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
     if dt_name in ("timestamp", "timestamp_ntz"):
         us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
         packed = _packed_datetime_us(us)
+        mat = packed.astype("<u8").view(np.uint8).reshape(n, 8)
+        return (mat, _v2_uint_lens(packed, valid)), valid
+    if dt_name == "date":
+        d = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
+        packed = _packed_datetime_us(d * np.int64(86_400_000_000))
         mat = packed.astype("<u8").view(np.uint8).reshape(n, 8)
         return (mat, _v2_uint_lens(packed, valid)), valid
     if dt_name == "decimal":
