@@ -404,3 +404,22 @@ def test_jaccard_join_pruned_scan_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     for l in [l for l in plan.splitlines() if "ReadSchema" in l]:
         assert "lang" not in l and "n_chars" not in l, l
+
+
+def test_sliding_window_single_shuffle_pruned_scan(spark, sf_dir):
+    """events_sliding_window: the hopping-window expand multiplies
+    rows into the aggregate but must NOT add shuffles — exactly one
+    Exchange (the partial->final hash aggregate), an Expand node for
+    the window/slide overlap, only (ts, event_type, value) read from
+    the scan, and no Python evaluation."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_events_sliding_window,
+    )
+
+    plan = _plan(q_events_sliding_window(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # AQE may show 1 reused
+    assert "Expand" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "props" not in read[0] and "user_id" not in read[0], read
