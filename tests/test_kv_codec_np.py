@@ -370,3 +370,56 @@ def test_date_columns_vectorized_match_python_kernel(spark):
             ).first()
             out[kernel] = (r["x"], r["n"])
         assert out["numpy"] == out["python"], (ver, out)
+
+
+def test_enum_bit_vectorized_match_python_kernel(spark):
+    """ENUM ordinals and integer BIT values now pre-resolve JVM-side
+    and ride the kernel's vectorized uint64 branch — pin both kernels
+    identical on exact / case-insensitive / empty / numeric-ordinal /
+    NULL enum forms (both row formats), and keep the STRICT contract:
+    an unknown member raises in both kernels."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("e", T.StringType()),
+        T.StructField("b", T.LongType()),
+    ])
+    rows = [
+        Row(h=1, e="click", b=5),
+        Row(h=2, e="CLICK", b=0),   # ci-collation match
+        Row(h=3, e="", b=255),      # invalid/empty element: ordinal 0
+        Row(h=4, e="3", b=None),    # numeric string IS the ordinal
+        Row(h=5, e=None, b=18),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    mk = {"e": ("enum", ("click", "error", "purchase")), "b": ("bit",)}
+    for ver in (1, 2):
+        out = {}
+        for kernel in ("numpy", "python"):
+            pair = kv_hash_columns(
+                df, ["e", "b"], "h", col_ids=[2, 3], table_id=25,
+                mysql_kinds=mk, indexes=[(1, ["e", "b"], True)],
+                row_format_version=ver, kernel=kernel,
+            )
+            r = df.withColumn("_p", pair).agg(
+                F.bit_xor("_p.h"), F.sum("_p.n")
+            ).first()
+            out[kernel] = tuple(r)
+        assert out["numpy"] == out["python"], (ver, out)
+
+    bad = spark.createDataFrame([Row(h=1, e="nope", b=1)], schema)
+    for kernel in ("numpy", "python"):
+        pair = kv_hash_columns(
+            bad, ["e", "b"], "h", col_ids=[2, 3], table_id=25,
+            mysql_kinds=mk, kernel=kernel,
+        )
+        with pytest.raises(Exception, match="enum value"):
+            bad.withColumn("_p", pair).collect()

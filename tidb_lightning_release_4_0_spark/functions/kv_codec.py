@@ -962,6 +962,38 @@ def kv_hash_columns(
 
         dtypes = [df.schema[c].dataType for c in cols]
         u64_flags = [c in uint64_cols for c in cols]
+        # ENUM ordinals and (integer-typed) BIT values pre-resolve
+        # JVM-side to int64 — EnumDatum/BitDatum encode exactly like
+        # Uint64Datum, so the kernel's vectorized uint64 branch takes
+        # over and the per-row wrapper drops. The strict parse
+        # contract survives: an enum member miss raises in the JVM
+        # expression exactly where the Python wrapper would.
+        wraps_np = list(wraps)
+        u64_np = list(u64_flags)
+
+        def _enum_ordinal_expr(c, members):
+            col = F.col(c)
+            expr = F.when(col.isNull(), F.lit(0))
+            for i, m in enumerate(members):  # exact scan first
+                expr = expr.when(col == F.lit(m), F.lit(i + 1))
+            low = F.lower(col)
+            for i, m in enumerate(members):  # then ci scan, in order
+                expr = expr.when(low == F.lit(m.lower()), F.lit(i + 1))
+            expr = expr.when(col == F.lit(""), F.lit(0))
+            # ASCII-digit string = the ordinal itself (types.ParseEnum)
+            expr = expr.when(
+                col.rlike("^[0-9]+$")
+                & (col.cast("long") <= F.lit(len(members))),
+                col.cast("long"),
+            )
+            return expr.otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("enum value "), col,
+                        F.lit(f" not in {list(members)[:8]}"),
+                    )
+                ).cast("long")
+            ).cast("long")
         out_type = T.StructType(
             [
                 T.StructField("h", T.LongType()),
@@ -995,6 +1027,24 @@ def kv_hash_columns(
         fields = [F.col(handle_col).alias("__h")]
         for i, c in enumerate(cols):
             sdt = df.schema[c].dataType
+            spec = mysql_kinds.get(c)
+            if spec is not None and spec[0] == "enum":
+                v = _enum_ordinal_expr(c, tuple(spec[1]))
+                u64_np[i], wraps_np[i] = True, None
+                fields.append(v.alias(f"__v_{i}"))
+                fields.append(F.col(c).isNull().alias(f"__null_{i}"))
+                continue
+            if (
+                spec is not None
+                and spec[0] == "bit"
+                and sdt.typeName()
+                in ("byte", "short", "integer", "long", "boolean")
+            ):
+                v = F.coalesce(F.col(c).cast("long"), F.lit(0))
+                u64_np[i], wraps_np[i] = True, None
+                fields.append(v.alias(f"__v_{i}"))
+                fields.append(F.col(c).isNull().alias(f"__null_{i}"))
+                continue
             if sdt.typeName() in ("timestamp", "timestamp_ntz"):
                 # wall-clock micros as BIGINT (session tz is UTC):
                 # pandas' ns-range Timestamp cannot carry years past
@@ -1068,7 +1118,7 @@ def kv_hash_columns(
             h, nb = KNP.kv_pairs_crc_np(
                 batch, list(cols), dtypes, "__h", list(col_ids),
                 table_id, default_null_ids, idx_specs_named,
-                row_format_version, u64_flags, wraps,
+                row_format_version, u64_np, wraps_np,
             )
             return pd.DataFrame({"h": h, "n": nb})
 

@@ -319,6 +319,15 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         enc = lambda v: KC._encode_datum_v1(wrap(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if u64:
+        if series.dtype.kind in "iu":
+            # the projection pre-resolved this column to an int64
+            # within uint64 range (ENUM ordinal / BIT value):
+            # uintFlag + plain uvarint, fully vectorized
+            u = series.to_numpy(np.int64, na_value=0).astype(np.uint64)
+            mat, lens = _uvarint_frag(u, valid)
+            return _concat_frags(
+                [_const_frag(n, b"\x09"), (mat, lens)]
+            ), valid
         enc = lambda v: KC._encode_datum_v1(KC.Uint64Datum(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
@@ -398,6 +407,13 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
         mat, lens = _object_frag(series, mask, enc)
         return _with_nil(mat, np.where(valid, lens, 0))
     if u64:
+        if series.dtype.kind in "iu":
+            u = series.to_numpy(np.int64, na_value=0).astype(np.uint64)
+            mat, lens = _concat_frags(
+                [_const_frag(n, b"\x04"),
+                 (_be8(u), np.where(valid, 8, 0))]
+            )
+            return _with_nil(mat, np.where(valid, lens, 0))
         enc = lambda v: KC.encode_key_datum(KC.Uint64Datum(v))  # noqa: E731
         mat, lens = _object_frag(series, mask, enc)
         return _with_nil(mat, np.where(valid, lens, 0))
@@ -511,6 +527,11 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
         enc = lambda v: KC._encode_cell_v2(wrap(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if u64:
+        if series.dtype.kind in "iu":
+            u = series.to_numpy(np.int64, na_value=0).astype(np.uint64)
+            u = np.where(valid, u, np.uint64(0))
+            mat = u.astype("<u8").view(np.uint8).reshape(n, 8)
+            return (mat, _v2_uint_lens(u, valid)), valid
         enc = lambda v: KC._encode_cell_v2(KC.Uint64Datum(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
