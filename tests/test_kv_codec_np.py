@@ -423,3 +423,55 @@ def test_enum_bit_vectorized_match_python_kernel(spark):
         )
         with pytest.raises(Exception, match="enum value"):
             bad.withColumn("_p", pair).collect()
+
+
+def test_set_vectorized_match_python_kernel(spark):
+    """SET bitmasks now resolve JVM-side (per-part CASE inside a
+    bitwise-OR aggregate, strict raise preserved) — pin both kernels
+    identical on single/multi/empty/NULL/ci/duplicate-member forms in
+    both row formats, and keep the raise on a genuine member miss."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+    )
+
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    rows = [
+        Row(h=1, s="x"),
+        Row(h=2, s="x,z"),
+        Row(h=3, s=""),        # empty set: mask 0
+        Row(h=4, s=None),
+        Row(h=5, s="X,Y"),     # ci-collation members
+        Row(h=6, s="z,z,x"),   # duplicate member ORs to one bit
+    ]
+    df = spark.createDataFrame(rows, schema)
+    mk = {"s": ("set", ("x", "y", "z"))}
+    for ver in (1, 2):
+        out = {}
+        for kernel in ("numpy", "python"):
+            pair = kv_hash_columns(
+                df, ["s"], "h", col_ids=[2], table_id=27,
+                mysql_kinds=mk, indexes=[(1, ["s"], False)],
+                row_format_version=ver, kernel=kernel,
+            )
+            r = df.withColumn("_p", pair).agg(
+                F.bit_xor("_p.h"), F.sum("_p.n")
+            ).first()
+            out[kernel] = tuple(r)
+        assert out["numpy"] == out["python"], (ver, out)
+
+    bad = spark.createDataFrame([Row(h=1, s="x,nope")], schema)
+    for kernel in ("numpy", "python"):
+        pair = kv_hash_columns(
+            bad, ["s"], "h", col_ids=[2], table_id=27,
+            mysql_kinds=mk, kernel=kernel,
+        )
+        with pytest.raises(Exception, match="nope"):
+            bad.withColumn("_p", pair).collect()

@@ -994,6 +994,44 @@ def kv_hash_columns(
                     )
                 ).cast("long")
             ).cast("long")
+
+        def _set_bitmask_expr(c, members):
+            col = F.col(c)
+
+            # one CASE per split part: exact member scan, then the
+            # ci scan, else raise — mirroring set_bitmask's |= loop
+            # (bitwise OR also collapses a repeated member to one bit)
+            def bit_of(p):
+                expr = None
+                for i, m in enumerate(members):
+                    cond = p == F.lit(m)
+                    expr = (
+                        F.when(cond, F.lit(1 << i))
+                        if expr is None
+                        else expr.when(cond, F.lit(1 << i))
+                    )
+                lp = F.lower(p)
+                for i, m in enumerate(members):
+                    expr = expr.when(lp == F.lit(m.lower()), F.lit(1 << i))
+                return expr.otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("set member "), p,
+                            F.lit(f" not in {list(members)[:8]}"),
+                        )
+                    ).cast("long")
+                )
+
+            mask = F.aggregate(
+                F.split(col, ","),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc.bitwiseOR(bit_of(p)),
+            )
+            return (
+                F.when(col.isNull() | (col == F.lit("")), F.lit(0))
+                .otherwise(mask)
+                .cast("long")
+            )
         out_type = T.StructType(
             [
                 T.StructField("h", T.LongType()),
@@ -1030,6 +1068,12 @@ def kv_hash_columns(
             spec = mysql_kinds.get(c)
             if spec is not None and spec[0] == "enum":
                 v = _enum_ordinal_expr(c, tuple(spec[1]))
+                u64_np[i], wraps_np[i] = True, None
+                fields.append(v.alias(f"__v_{i}"))
+                fields.append(F.col(c).isNull().alias(f"__null_{i}"))
+                continue
+            if spec is not None and spec[0] == "set":
+                v = _set_bitmask_expr(c, tuple(spec[1]))
                 u64_np[i], wraps_np[i] = True, None
                 fields.append(v.alias(f"__v_{i}"))
                 fields.append(F.col(c).isNull().alias(f"__null_{i}"))

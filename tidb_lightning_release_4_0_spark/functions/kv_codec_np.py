@@ -8,13 +8,14 @@ per-row lengths, fragments are scattered into one zero-padded row
 matrix per KV pair, and ``hashing.crc64_matrix`` folds each pair in
 O(max_len/8) vectorized steps. Per-row Python survives only in the
 utf-8 encode of string cells and in the object fallback for the
-remaining wrapped MySQL kinds (SET / JSON / TIME — their lenient
-parses and arbitrary nesting stay Python), and only for those
-columns. Everything else is vectorized: DECIMAL at every precision
-(<= 18 ships the unscaled int64, wider ships an exact sign+digits
-string the kernel digit-matrixes in one C pass), DATE ships
-days-since-epoch packing as its midnight datetime, and ENUM/BIT
-pre-resolve to uint64 JVM-side (with the strict raise preserved).
+remaining wrapped MySQL kinds (JSON / TIME — arbitrary nesting and
+signed-duration text stay Python), and only for those columns.
+Everything else is vectorized: DECIMAL at every precision (<= 18
+ships the unscaled int64, wider ships an exact sign+digits string
+the kernel digit-matrixes in one C pass), DATE ships
+days-since-epoch packing as its midnight datetime, and ENUM/SET/BIT
+pre-resolve to uint64 JVM-side (ordinal / bitwise-OR bitmask
+aggregate / int — each with the strict raise preserved).
 
 Covers BOTH row formats: v1's [colID, flagged datum] pairs and v2's
 sectioned layout (version/flag, u16 counts, ascending not-null /
