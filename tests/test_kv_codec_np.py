@@ -475,3 +475,48 @@ def test_set_vectorized_match_python_kernel(spark):
         )
         with pytest.raises(Exception, match="nope"):
             bad.withColumn("_p", pair).collect()
+
+
+def test_set_64_members_bit63(spark):
+    """MySQL SET maxes at 64 members; bit 63 exceeds Java's signed
+    long, so the JVM bitmask ships it as two's complement and the
+    kernel's uint64 view restores the bit pattern. This is the exact
+    shape of the reference's various_types enum-set fixture (64
+    'xNN' members), which errored at F.lit(1 << 63) before the fix —
+    pin both kernels identical including the top-bit member."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+        set_bitmask,
+    )
+
+    members = tuple(f"x{i:02d}" for i in range(64))
+    assert set_bitmask(members[63], members) == 1 << 63
+    rows = [
+        Row(h=1, s=members[63]),              # the overflow bit alone
+        Row(h=2, s=f"{members[0]},{members[63]}"),
+        Row(h=3, s=",".join(members)),        # all 64: mask 2^64-1
+        Row(h=4, s=""),
+    ]
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    mk = {"s": ("set", members)}
+    for ver in (1, 2):
+        out = {}
+        for kernel in ("numpy", "python"):
+            pair = kv_hash_columns(
+                df, ["s"], "h", col_ids=[2], table_id=28,
+                mysql_kinds=mk, indexes=[(1, ["s"], True)],
+                row_format_version=ver, kernel=kernel,
+            )
+            r = df.withColumn("_p", pair).agg(
+                F.bit_xor("_p.h"), F.sum("_p.n")
+            ).first()
+            out[kernel] = tuple(r)
+        assert out["numpy"] == out["python"], (ver, out)

@@ -1002,17 +1002,24 @@ def kv_hash_columns(
             # ci scan, else raise — mirroring set_bitmask's |= loop
             # (bitwise OR also collapses a repeated member to one bit)
             def bit_of(p):
+                # MySQL SET holds up to 64 members; bit 63 exceeds
+                # Java's signed long, so it ships as its two's
+                # complement (the kernel's uint64 view restores the
+                # bit pattern; long bitwiseOR is bit-exact either way)
+                def bit(i):
+                    return F.lit((1 << i) if i < 63 else -(1 << 63))
+
                 expr = None
                 for i, m in enumerate(members):
                     cond = p == F.lit(m)
                     expr = (
-                        F.when(cond, F.lit(1 << i))
+                        F.when(cond, bit(i))
                         if expr is None
-                        else expr.when(cond, F.lit(1 << i))
+                        else expr.when(cond, bit(i))
                     )
                 lp = F.lower(p)
                 for i, m in enumerate(members):
-                    expr = expr.when(lp == F.lit(m.lower()), F.lit(1 << i))
+                    expr = expr.when(lp == F.lit(m.lower()), bit(i))
                 return expr.otherwise(
                     F.raise_error(
                         F.concat(
