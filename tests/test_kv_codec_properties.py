@@ -121,3 +121,60 @@ def test_v1_deterministic_and_prefix_free_per_column():
     a = encode_row_v1([1, 2], ["x", 1])
     b = encode_row_v1([1], ["x"]) + encode_row_v1([2], [1])
     assert a == b
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.just(float("nan")),
+            st.just(float("inf")),
+            st.just(-0.0),
+            st.floats(allow_nan=False, width=64),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_nan_double_kernels_identical_property(vals):
+    """The r8 NaN fix, pinned as a property: a genuine NaN double in a
+    checksummed column must encode as a FLOAT datum (never conflated
+    with NULL — NULLness comes only from the explicit isnull flag),
+    and the vectorized kernel's double fragments must be byte-
+    identical with the scalar oracle for every double shape including
+    NaN / ±inf / -0.0, in value, key, and v2-cell positions."""
+    import numpy as np
+    import pandas as pd
+
+    from tidb_lightning_release_4_0_spark.functions import kv_codec as KC
+    from tidb_lightning_release_4_0_spark.functions import (
+        kv_codec_np as KNP,
+    )
+
+    mask = np.array([v is None for v in vals])
+    # the projection coalesces NULL doubles to 0.0 (NULLness rides the
+    # explicit flag); genuine NaNs pass through untouched
+    series = pd.Series(
+        [0.0 if v is None else v for v in vals], dtype=np.float64
+    )
+
+    (vmat, vlens), vvalid = KNP._value_datum_frag(
+        series, mask, "double", None
+    )
+    kmat, klens = KNP._key_datum_frag(series, mask, "double", None)
+    (cmat, clens), _ = KNP._cell_v2_frag(series, mask, "double", None)
+    for i, v in enumerate(vals):
+        if v is None:
+            # the caller overlays NilFlag/CanSkip off this flag
+            assert not vvalid[i]
+            assert klens[i] == 1 and kmat[i, 0] == 0x00  # NilFlag
+            assert clens[i] == 0
+            continue
+        assert vvalid[i]
+        want_v = KC._encode_datum_v1(v)
+        assert bytes(vmat[i, : vlens[i]]) == want_v
+        want_k = KC.encode_key_datum(v)
+        assert bytes(kmat[i, : klens[i]]) == want_k
+        want_c = KC._encode_cell_v2(v)
+        assert bytes(cmat[i, : clens[i]]) == want_c

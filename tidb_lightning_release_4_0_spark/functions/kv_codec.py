@@ -481,7 +481,10 @@ def enum_ordinal(v, members) -> int:
             return i + 1
     if s == "":
         return 0
-    if s.isdigit() and 0 <= int(s) <= len(members):
+    # ASCII digits only (Go strconv / the JVM twin reject Unicode
+    # digits like '３'), and >= 1: types.ParseEnumValue rejects a
+    # numeric 0 as out of range — '' is the only ordinal-0 spelling
+    if s.isascii() and s.isdigit() and 1 <= int(s) <= len(members):
         return int(s)
     raise ValueError(f"enum value {v!r} not in {list(members)[:8]}…")
 
@@ -538,13 +541,32 @@ def mysql_kind_wrapper(spec):
     if kind == "bit":
         return lambda v: BitDatum(v)
     if kind == "json":
-        return lambda v: (
-            JsonDatum.from_text(v) if isinstance(v, str)
-            else JsonDatum.from_value(v)
-        )
+        def _json_wrap(v):
+            return (
+                JsonDatum.from_text(v) if isinstance(v, str)
+                else JsonDatum.from_value(v)
+            )
+
+        # the vectorized kernel keys off this tag to route the column
+        # through its batch-amortized JSON encoder (one memoized pass
+        # per Arrow batch) instead of the generic per-row object path
+        _json_wrap.kind = "json"
+        return _json_wrap
     if kind == "time":
         return lambda v: DurationDatum(parse_duration_ns(v))
     raise ValueError(f"unknown mysql kind {kind!r}")
+
+
+def json_datum_bytes(v) -> bytes:
+    """One JSON value's [TypeCode, BinaryValue] bytes — the payload
+    shared by every encoding position (v1 values and keys prepend
+    jsonFlag; v2 cells take it verbatim). The batch kernel encodes
+    each distinct text once per Arrow batch through this."""
+    d = (
+        JsonDatum.from_text(v) if isinstance(v, str)
+        else JsonDatum.from_value(v)
+    )
+    return bytes([d.type_code]) + d.value
 
 
 def _encode_datum_v1(v) -> bytes:
@@ -970,6 +992,7 @@ def kv_hash_columns(
         # expression exactly where the Python wrapper would.
         wraps_np = list(wraps)
         u64_np = list(u64_flags)
+        dur_np = [False] * len(cols)
 
         def _enum_ordinal_expr(c, members):
             col = F.col(c)
@@ -980,9 +1003,13 @@ def kv_hash_columns(
             for i, m in enumerate(members):  # then ci scan, in order
                 expr = expr.when(low == F.lit(m.lower()), F.lit(i + 1))
             expr = expr.when(col == F.lit(""), F.lit(0))
-            # ASCII-digit string = the ordinal itself (types.ParseEnum)
+            # ASCII-digit string = the ordinal itself (types.ParseEnum);
+            # >= 1 like ParseEnumValue — a numeric '0' is out of range
+            # ('' is the only ordinal-0 spelling), matching the scalar
+            # kernel
             expr = expr.when(
                 col.rlike("^[0-9]+$")
+                & (col.cast("long") >= F.lit(1))
                 & (col.cast("long") <= F.lit(len(members))),
                 col.cast("long"),
             )
@@ -1039,6 +1066,52 @@ def kv_hash_columns(
                 .otherwise(mask)
                 .cast("long")
             )
+
+        def _duration_ns_expr(c):
+            # MySQL TIME text ([-]HH:MM:SS[.fffffffff], hours may
+            # exceed 23, seconds-only and MM:SS forms allowed) ->
+            # signed nanoseconds, JVM-side (parse_duration_ns twin).
+            # Non-numeric garbage casts to NULL, which the trailing
+            # raise turns into the same hard error the scalar parser
+            # throws.
+            col = F.col(c)
+            t = F.trim(col.cast("string"))
+            neg = t.startswith("-")
+            body = F.regexp_replace(t, "^-", "")
+            ip = F.substring_index(body, ".", 1)
+            fs = F.when(
+                body.contains("."), F.substring_index(body, ".", -1)
+            ).otherwise(F.lit("0"))
+            frac = F.substring(F.rpad(fs, 9, "0"), 1, 9).cast("long")
+            parts = F.split(ip, ":")
+            np_ = F.size(parts)
+            sec = F.element_at(parts, -1).cast("long")
+            mins = F.when(
+                np_ >= 2, F.element_at(parts, -2).cast("long")
+            ).otherwise(F.lit(0))
+            hrs = F.when(
+                np_ >= 3, F.element_at(parts, -3).cast("long")
+            ).otherwise(F.lit(0))
+            ns = (
+                (hrs * F.lit(3600) + mins * F.lit(60) + sec)
+                * F.lit(1_000_000_000)
+                + frac
+            )
+            signed = F.when(neg, -ns).otherwise(ns)
+            return (
+                F.when(col.isNull(), F.lit(0))
+                .otherwise(
+                    F.coalesce(
+                        signed,
+                        F.raise_error(
+                            F.concat(
+                                F.lit("bad TIME literal "), t
+                            )
+                        ).cast("long"),
+                    )
+                )
+                .cast("long")
+            )
         out_type = T.StructType(
             [
                 T.StructField("h", T.LongType()),
@@ -1093,6 +1166,16 @@ def kv_hash_columns(
             ):
                 v = F.coalesce(F.col(c).cast("long"), F.lit(0))
                 u64_np[i], wraps_np[i] = True, None
+                fields.append(v.alias(f"__v_{i}"))
+                fields.append(F.col(c).isNull().alias(f"__null_{i}"))
+                continue
+            if spec is not None and spec[0] == "time":
+                # TIME pre-parses to signed nanoseconds JVM-side;
+                # the kernel's vectorized duration branch (flag 0x07
+                # + comparable int64 / smallest-LE v2 cell) takes
+                # over and the per-row wrapper drops
+                v = _duration_ns_expr(c)
+                dur_np[i], wraps_np[i] = True, None
                 fields.append(v.alias(f"__v_{i}"))
                 fields.append(F.col(c).isNull().alias(f"__null_{i}"))
                 continue
@@ -1169,7 +1252,7 @@ def kv_hash_columns(
             h, nb = KNP.kv_pairs_crc_np(
                 batch, list(cols), dtypes, "__h", list(col_ids),
                 table_id, default_null_ids, idx_specs_named,
-                row_format_version, u64_np, wraps_np,
+                row_format_version, u64_np, wraps_np, dur_np,
             )
             return pd.DataFrame({"h": h, "n": nb})
 

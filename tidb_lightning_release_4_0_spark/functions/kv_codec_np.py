@@ -7,15 +7,18 @@ column encodes into an (n_rows, width) byte-fragment matrix with
 per-row lengths, fragments are scattered into one zero-padded row
 matrix per KV pair, and ``hashing.crc64_matrix`` folds each pair in
 O(max_len/8) vectorized steps. Per-row Python survives only in the
-utf-8 encode of string cells and in the object fallback for the
-remaining wrapped MySQL kinds (JSON / TIME — arbitrary nesting and
-signed-duration text stay Python), and only for those columns.
-Everything else is vectorized: DECIMAL at every precision (<= 18
-ships the unscaled int64, wider ships an exact sign+digits string
-the kernel digit-matrixes in one C pass), DATE ships
-days-since-epoch packing as its midnight datetime, and ENUM/SET/BIT
-pre-resolve to uint64 JVM-side (ordinal / bitwise-OR bitmask
-aggregate / int — each with the strict raise preserved).
+utf-8 encode of string cells and in the object fallback for JSON
+(arbitrary nesting stays Python, batch-amortized), and only for
+those columns. Everything else is vectorized: DECIMAL at every
+precision (<= 18 ships the unscaled int64, wider ships an exact
+sign+digits string the kernel digit-matrixes in one C pass — with a
+hard validity check so a broken rendering contract raises instead
+of corrupting), DATE ships days-since-epoch packing as its midnight
+datetime, ENUM/SET/BIT pre-resolve to uint64 JVM-side (ordinal /
+bitwise-OR bitmask aggregate / int — each with the strict raise
+preserved), and TIME pre-parses to signed nanoseconds JVM-side
+(durationFlag + comparable int64 keys/values, smallest-LE v2
+cells).
 
 Covers BOTH row formats: v1's [colID, flagged datum] pairs and v2's
 sectioned layout (version/flag, u16 counts, ascending not-null /
@@ -186,6 +189,37 @@ def _concat_frags(parts):
     return out, cum
 
 
+def _json_frag(series, mask: np.ndarray, with_flag: bool):
+    """Batch-amortized JSON column encode: each DISTINCT text in the
+    Arrow batch parses + binary-encodes exactly once (json columns
+    repeat heavily in practice — enum-ish props objects — and a
+    column indexed AND stored would otherwise encode twice per row);
+    the jsonFlag prefix is a constant concat. Arbitrary nesting keeps
+    the per-distinct-value encode in Python — the one remaining
+    non-vectorized datum kind — but the loop body is a dict hit for
+    every repeat."""
+    vals = series.to_numpy(dtype=object)
+    pre = b"\x0A" if with_flag else b""
+    cache: dict = {}
+    bs = [b""] * len(vals)
+    for i, v in enumerate(vals):
+        if mask[i]:
+            continue
+        if isinstance(v, str):
+            b = cache.get(v)
+            if b is None:
+                b = pre + KC.json_datum_bytes(v)
+                cache[v] = b
+        else:
+            b = pre + KC.json_datum_bytes(v)
+        bs[i] = b
+    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
+    flat = np.frombuffer(b"".join(bs) + b"\x00" * 8, np.uint8)
+    offs = np.zeros(len(bs), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return _gather(flat, offs, lens)
+
+
 def _object_frag(series, mask: np.ndarray, encode_fn):
     """Fallback: per-row Python encode of one column's datums."""
     vals = series.to_numpy(dtype=object)
@@ -274,12 +308,34 @@ def _mydecimal_mat_digits(series, valid, p, s):
     base-10 dot product over its <= 9 digit columns — no per-row
     Python at any precision."""
     n = len(valid)
-    buf = series.to_numpy(dtype=f"S{p + 1}")
-    mat = np.frombuffer(
+    # width p + 2 so an over-wide rendering leaves a nonzero byte in
+    # the sentinel column instead of being silently truncated
+    buf = series.to_numpy(dtype=f"S{p + 2}")
+    wide = np.frombuffer(
         buf.tobytes(), np.uint8
-    ).reshape(n, p + 1)
+    ).reshape(n, p + 2)
+    mat = wide[:, : p + 1]
     neg = mat[:, 0] == ord("-")
-    digits = (mat[:, 1:].astype(np.int64) - ord("0")).clip(0, 9)
+    digits = mat[:, 1:].astype(np.int64) - ord("0")
+    # the '<sign><p digits>' contract is load-bearing: any byte
+    # outside '0'..'9' in the digit region (e.g. a Spark build that
+    # renders wide decimals in scientific notation: '1E-38'), a sign
+    # char other than +/-, or a width != p+1 would otherwise encode
+    # WRONG KV bytes with no error — raise loudly instead
+    bad = valid & (
+        ((digits < 0) | (digits > 9)).any(axis=1)
+        | (~neg & (mat[:, 0] != ord("+")))
+        | (wide[:, p + 1] != 0)
+    )
+    if bad.any():
+        i = int(np.argmax(bad))
+        got = bytes(buf[i]).rstrip(b"\x00")
+        raise ValueError(
+            "wide-decimal projection violated the '<sign><p digits>' "
+            f"contract for DECIMAL({p},{s}): got {got!r} "
+            "(scientific notation or wrong width?)"
+        )
+    digits = np.where(valid[:, None], digits, 0)
     intg = p - s
 
     def group(lo, hi):
@@ -309,16 +365,27 @@ def _mydecimal_mat_digits(series, valid, p, s):
     return _mydecimal_pack(segs, neg, valid)
 
 
-def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
+def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
+                      dur=False):
     """One column's v1 row-VALUE datum fragment (flag + payload) for
     the non-null rows; lens are 0 on null rows (the caller overlays
     NilFlag / CanSkip). ``u64`` marks BIGINT UNSIGNED columns
-    (decimal-typed Spark-side, KindUint64 in the encoding); ``wrap``
-    is the MySQL-kind coercion (enum/set/bit/json/time) — those
-    columns take the scalar-oracle object path."""
+    (decimal-typed Spark-side, KindUint64 in the encoding); ``dur``
+    marks TIME columns pre-parsed JVM-side to signed nanoseconds
+    (KindMysqlDuration: durationFlag + comparable int64); ``wrap``
+    is the MySQL-kind coercion (json — the one remaining object-path
+    kind)."""
     n = len(mask)
     valid = ~mask
+    if dur:
+        ns = series.to_numpy(np.int64, na_value=0)
+        comp = ns.view(np.uint64) ^ _SIGN
+        return _concat_frags(
+            [_const_frag(n, b"\x07"), (_be8(comp), np.where(valid, 8, 0))]
+        ), valid
     if wrap is not None:
+        if getattr(wrap, "kind", None) == "json":
+            return _json_frag(series, mask, with_flag=True), valid
         enc = lambda v: KC._encode_datum_v1(wrap(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if u64:
@@ -385,13 +452,15 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None):
 
 
 def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
-                    wrap=None):
+                    wrap=None, dur=False):
     """One column's memory-comparable KEY datum fragment (EncodeKey),
     NULLs encoded as NilFlag (index keys keep NULL datums); ``trunc``
     is the prefix-index truncation for string/binary columns,
-    ``u64`` the BIGINT UNSIGNED marker, ``wrap`` the MySQL-kind
-    coercion (prefix truncation doesn't apply to wrapped kinds —
-    prefix indexes exist only on string/binary columns)."""
+    ``u64`` the BIGINT UNSIGNED marker, ``dur`` the TIME-as-
+    nanoseconds marker (codec.go writes durationFlag + EncodeInt in
+    key position too), ``wrap`` the MySQL-kind coercion (prefix
+    truncation doesn't apply to wrapped kinds — prefix indexes exist
+    only on string/binary columns)."""
     n = len(mask)
     valid = ~mask
     nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
@@ -405,9 +474,20 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
         full[~valid, 0] = 0x00
         return full, np.where(valid, flens, 1)
 
+    if dur:
+        ns = series.to_numpy(np.int64, na_value=0)
+        comp = ns.view(np.uint64) ^ _SIGN
+        mat, lens = _concat_frags(
+            [_const_frag(n, b"\x07"), (_be8(comp), np.where(valid, 8, 0))]
+        )
+        return _with_nil(mat, np.where(valid, lens, 0))
     if wrap is not None:
-        enc = lambda v: KC.encode_key_datum(wrap(v))  # noqa: E731
-        mat, lens = _object_frag(series, mask, enc)
+        if getattr(wrap, "kind", None) == "json":
+            # encode_key_datum writes the same jsonFlag layout
+            mat, lens = _json_frag(series, mask, with_flag=True)
+        else:
+            enc = lambda v: KC.encode_key_datum(wrap(v))  # noqa: E731
+            mat, lens = _object_frag(series, mask, enc)
         return _with_nil(mat, np.where(valid, lens, 0))
     if u64:
         if series.dtype.kind in "iu":
@@ -519,14 +599,22 @@ def _v2_uint_lens(u: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return np.where(valid, lens, 0)
 
 
-def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
+def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None,
+                  dur=False):
     """One column's row-format-v2 CELL payload (kv_codec
     _encode_cell_v2): smallest little-endian ints, comparable floats,
     raw bytes — lens 0 on null rows (nulls live in the id sections,
-    not the payload)."""
+    not the payload). ``dur`` = TIME-as-nanoseconds: the smallest-LE
+    signed int like any integer cell."""
     n = len(mask)
     valid = ~mask
+    if dur:
+        ns = series.to_numpy(np.int64, na_value=0)
+        mat = ns.astype("<i8").view(np.uint8).reshape(n, 8)
+        return (mat, _v2_int_lens(np.where(valid, ns, 0), valid)), valid
     if wrap is not None:
+        if getattr(wrap, "kind", None) == "json":
+            return _json_frag(series, mask, with_flag=False), valid
         enc = lambda v: KC._encode_cell_v2(wrap(v))  # noqa: E731
         return _object_frag(series, mask, enc), valid
     if u64:
@@ -580,7 +668,7 @@ def _cell_v2_frag(series, mask, dt_name, dt, u64=False, wrap=None):
 
 
 def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
-                    u64_flags=None, wraps=None):
+                    u64_flags=None, wraps=None, dur_flags=None):
     """The row-format-v2 VALUE as a fragment list (kv_codec
     encode_row_v2 semantics incl. CanSkip): columns walk in
     ascending-id order so the conditional per-column fragments land
@@ -595,6 +683,7 @@ def _v2_value_frags(pdf, cols, dtypes, col_ids, default_null_ids, masks,
             pdf[f"__v_{i}"], masks[c], dt.typeName(), dt,
             bool(u64_flags and u64_flags[i]),
             wraps[i] if wraps else None,
+            bool(dur_flags and dur_flags[i]),
         )
         skip = default_null_ids is None or col_ids[i] in default_null_ids
         keep_null = (~valid) & (not skip)
@@ -658,6 +747,7 @@ def kv_pairs_crc_np(
     row_format_version: int = 1,
     u64_flags=None,
     wraps=None,
+    dur_flags=None,
 ):
     """The batch kernel: pandas DataFrame (handle + per-column value
     and _isnull_ fields) -> (h int64 xor-of-pair-crcs, n total bytes)
@@ -681,7 +771,7 @@ def kv_pairs_crc_np(
         frags.extend(
             _v2_value_frags(
                 pdf, cols, dtypes, col_ids, default_null_ids, masks,
-                u64_flags, wraps,
+                u64_flags, wraps, dur_flags,
             )
         )
     else:
@@ -695,6 +785,7 @@ def kv_pairs_crc_np(
                 pdf[f"__v_{i}"], masks[c], dt_name, dt,
                 bool(u64_flags and u64_flags[i]),
                 wraps[i] if wraps else None,
+                bool(dur_flags and dur_flags[i]),
             )
             skip = default_null_ids is None or cid in default_null_ids
             full, flens = _concat_frags(
@@ -749,6 +840,7 @@ def kv_pairs_crc_np(
                 pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen,
                 bool(u64_flags and u64_flags[i]),
                 wraps[i] if wraps else None,
+                bool(dur_flags and dur_flags[i]),
             )
             parts.append((mat, lens_k))
             distinct &= ~masks[c]
