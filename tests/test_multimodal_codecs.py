@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from tidb_lightning_release_4_0_spark.operators.multimodal import (
     decode_bmp_rgb,
@@ -122,3 +124,189 @@ def test_synth_and_stats_match_closed_form(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         assert r["sum_intensity"] == int(v.sum())
         assert r["weighted_sum"] == int((v * (np.arange(n) + 1)).sum())
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 9: a real COMPRESSED format, pure stdlib via zlib)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(1, 24), st.integers(1, 24))
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_all_filters(h, w):
+    """encode(filter_mode='cycle') assigns scanline y filter y%5, so
+    any image with >= 5 rows roundtrips through every PNG filter
+    reconstruction (None/Sub/Up/Average/Paeth)."""
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(h * 100 + w)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for mode in ("cycle", "none"):
+        back = decode_png_rgb(encode_png_rgb(arr, mode))
+        assert back.shape == arr.shape
+        assert (back == arr).all()
+
+
+def test_png_decoder_spec_golden_handcrafted():
+    """Pin the decoder to the PNG SPEC, not the encoder: scanlines
+    filtered BY HAND per RFC 2083 §6 (Sub subtracts the pixel bpp
+    bytes left, Up the prior scanline, Average their floor-mean,
+    Paeth the predictor), stored-block deflate so no compressor
+    variance. A 2x2 RGB image, row 0 filter Sub, row 1 filter Paeth."""
+    import struct
+    import zlib
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_png_rgb,
+    )
+
+    # target pixels: row0 = (10,20,30),(13,24,35); row1 = (5,5,5),(60,70,80)
+    # row 0, Sub: first pixel raw, second = cur - left
+    r0 = bytes([1, 10, 20, 30, (13 - 10) % 256, (24 - 20) % 256, (35 - 30) % 256])
+    # row 1, Paeth: x<bpp -> pred = prior[x] (a=0,c=0 => b wins ties);
+    # x>=bpp -> pred = paeth(left=cur[x-3], up=prior[x], ul=prior[x-3])
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    row0 = [10, 20, 30, 13, 24, 35]
+    row1 = [5, 5, 5, 60, 70, 80]
+    f1 = [4]
+    for x in range(6):
+        a = row1[x - 3] if x >= 3 else 0
+        c = row0[x - 3] if x >= 3 else 0
+        f1.append((row1[x] - paeth(a, row0[x], c)) % 256)
+    raw = r0 + bytes(f1)
+    # stored (uncompressed) zlib stream: header 0x78 0x01, one final
+    # stored block
+    stored = (
+        b"\x78\x01"
+        + b"\x01"
+        + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
+        + raw
+        + struct.pack(">I", zlib.adler32(raw))
+    )
+    assert zlib.decompress(stored) == raw  # the handcraft is valid zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", stored)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png_rgb(png)
+    assert out.tolist() == [
+        [[10, 20, 30], [13, 24, 35]],
+        [[5, 5, 5], [60, 70, 80]],
+    ]
+
+
+def test_png_rejects_bad_crc_and_unsupported():
+    import pytest
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    arr = np.zeros((2, 2, 3), np.uint8)
+    good = encode_png_rgb(arr)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png_rgb(b"BM" + good)
+    bad = bytearray(good)
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_rgb(bytes(bad))
+
+
+def test_png_multi_idat_and_ancillary_chunks():
+    """Multi-IDAT streams and ancillary chunks (tEXt) must decode —
+    real PNG writers split IDAT and add metadata chunks."""
+    import struct
+    import zlib
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    whole = encode_png_rgb(arr, "none")
+    # re-split: take the single IDAT payload, split into two chunks,
+    # and inject a tEXt chunk between them
+    sig = whole[:8]
+    pos, chunks = 8, []
+    while pos < len(whole):
+        (ln,) = struct.unpack_from(">I", whole, pos)
+        chunks.append((whole[pos + 4: pos + 8], whole[pos + 8: pos + 8 + ln]))
+        pos += 12 + ln
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    idat = next(d for t, d in chunks if t == b"IDAT")
+    ihdr = next(d for t, d in chunks if t == b"IHDR")
+    rebuilt = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat[: len(idat) // 2])
+        + chunk(b"tEXt", b"Comment\x00hello")
+        + chunk(b"IDAT", idat[len(idat) // 2:])
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png_rgb(rebuilt)
+    assert (out == arr).all()
+
+
+def test_resize_image_matches_pool_arithmetic(spark):
+    """resize_image over real PNGs: exact pooled features equal the
+    closed-form floor-mean arithmetic recomputed in numpy from the
+    synth pixel rule."""
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        resize_image,
+        synth_png_payloads,
+    )
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = resize_image(
+        synth_png_payloads(df, id_col="doc_id"), target=(2, 2)
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        i = r["id"]
+        w, h = i % 13 + 1, i % 7 + 1
+        arr = ((i + np.arange(h * w * 3, dtype=np.int64)) % 256).reshape(
+            h, w, 3
+        )
+        oh, ow = min(2, h), min(2, w)
+        fh, fw = max(h // 2, 1), max(w // 2, 1)
+        pooled = (
+            arr[: fh * oh, : fw * ow]
+            .reshape(oh, fh, ow, fw, -1)
+            .mean(axis=(1, 3))
+            .astype(np.uint8)
+            .ravel()
+            .astype(np.int64)
+        )
+        assert (r["out_h"], r["out_w"]) == (oh, ow)
+        assert r["sum_resized"] == int(pooled.sum())
+        assert r["weighted_resized"] == int(
+            (pooled * (np.arange(pooled.size) + 1)).sum()
+        )

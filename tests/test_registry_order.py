@@ -7,73 +7,71 @@ makes that a loud local failure. Update deliberately when rotating
 """
 
 from tidb_lightning_release_4_0_spark.registry import (
-    _R8_PREFIX,
+    _R9_PREFIX,
     build_queries,
 )
 
-# Round-8 rotation (docs/ROTATION.md): the lead block is
-# kv_crc64_orders_dec (new: myDecimal-binary KV parity vs the
-# pure-SQL twin), kv_crc64_orders_v2 + kv_crc64_events_kinds (new),
-# multimodal_features (rewritten: real BMP decode, first hash check),
-# split_csv_rowids (the r7 red, re-attesting after the fix) and
-# events_sliding_window (new: hopping-window streaming twin); then
-# the three r04 leftovers and the first 41 of the 48-entry r05
-# cohort by name (the remaining seven r05 entries roll to round 9).
+# Round-9 rotation (docs/ROTATION.md): the lead block is the two new
+# round-9 entries (media_decode_png / media_resize_png — the
+# compressed-image PNG codec path, first-ever hash checks), then the
+# oldest-attested cohort by (latest-attested-round, name) across
+# CORRECTNESS_r0{1..8}: the seven remaining r05 entries and the
+# first 41 of the r06 cohort.
 DRIVER_SAMPLED_50 = [
-    "kv_crc64_orders_dec",
-    "kv_crc64_orders_v2",
-    "kv_crc64_events_kinds",
-    "multimodal_features",
-    "split_csv_rowids",
-    "events_sliding_window",
-    "uint64_decimal",
-    "window_rank_customers",
-    "window_running_total",
-    "bloom_prune_orders",
-    "bracket_revenue",
-    "cheapest_shipper",
-    "chunk_documents",
-    "cube_lineitem",
-    "curation_funnel",
-    "custdist_orders",
-    "decontaminate",
-    "dedup_apply_cluster",
-    "dedup_cluster",
-    "dedup_incremental",
-    "excess_shippers",
-    "hll_overlap_partkeys",
-    "hll_union_keys",
-    "idle_customers",
-    "important_parts",
-    "large_orders",
-    "lm_score",
-    "local_supplier_volume",
-    "market_share",
-    "media_metadata",
-    "mixture_sample",
-    "moving_avg_events",
-    "ntile_customers",
-    "order_priority_count",
-    "pack_sequences",
-    "part_supplier_variety",
-    "pii_scrub",
-    "pivot_events",
-    "profit_by_nation",
-    "provenance_filter",
-    "quality_filter",
-    "quantize_embeddings",
-    "repetition_stats",
-    "resume_split_csv",
-    "returned_items",
-    "salted_join_orders",
-    "sample_stratified",
-    "sample_stratified_hash",
-    "small_qty_revenue",
-    "string_agg_nations",
+    "media_decode_png",
+    "media_resize_png",
+    "strip_html",
+    "tfidf_terms",
+    "token_histogram",
+    "top_supplier_revenue",
+    "url_canonicalize",
+    "volume_shipping",
+    "waiting_suppliers",
+    "anomaly_days",
+    "asof_join_orders",
+    "benford_prices",
+    "bigram_lm_score",
+    "bm25_topdocs",
+    "bpe_encode_docs",
+    "bpe_merges",
+    "c4_line_filter_docs",
+    "char_entropy_docs",
+    "chunk_plan",
+    "click_purchase_attribution",
+    "clustering_coeff",
+    "cms_term_counts",
+    "cohort_retention",
+    "dedup_apply_semantic",
+    "dedup_apply_simhash",
+    "dedup_apply_winnow",
+    "dsir_select_docs",
+    "embedding_covariance",
+    "funnel_events",
+    "fuzzy_match_parts",
+    "hll_distinct_parts",
+    "hll_users_by_event",
+    "hybrid_rrf_docs",
+    "jaccard_join_docs",
+    "kmeans_embeddings",
+    "market_basket",
+    "mixture_temperature",
+    "mutual_info_events",
+    "nfc_normalize_docs",
+    "orc_roundtrip",
+    "pagerank_events",
+    "pca_embeddings",
+    "percentiles_lineitem",
+    "priority_lines",
+    "promo_share_lineitem",
+    "range_join_events",
+    "readability_docs",
+    "resume_split_jsonl",
+    "rfm_segments",
+    "salted_agg_lineitem",
 ]
 
 
 def test_registry_first_50_pinned():
     assert list(build_queries())[:50] == DRIVER_SAMPLED_50
-    assert _R8_PREFIX == DRIVER_SAMPLED_50
+    assert _R9_PREFIX == DRIVER_SAMPLED_50
     assert len(set(DRIVER_SAMPLED_50)) == 50

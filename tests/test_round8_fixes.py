@@ -70,19 +70,21 @@ def test_split_csv_rowids_green_under_driver_default_session(spark, sf_dir):
     assert got == want
 
 
-def test_rotation_prefix_entries_under_driver_default_session(
-    spark, sf_dir
-):
+def test_rotation_prefix_entries_under_driver_default_session(spark):
     """EVERY entry of the 50-slot driver CORRECTNESS prefix runs
     green on a session with STOCK Spark file-split confs — the exact
     session-portability gap that turned split_csv_rowids red in r7
     (the repo session pins openCostInBytes to 1 TiB; the driver's
     doesn't). Rows are checked against the same DuckDB oracles the
-    driver uses, so no prefix entry can reach the driver gate having
-    only ever run under the repo's tuned confs."""
+    driver uses, AT THE DRIVER'S SCALE (sf0.01 — generated twins
+    like pca_embeddings bake their basis from that corpus, so the
+    replica must compare on the same one), so no prefix entry can
+    reach the driver gate having only ever run under the repo's
+    tuned confs."""
     from tests.oracle import compare
+    from tests.test_registry_oracle import DRIVER_SF_DIR
     from tidb_lightning_release_4_0_spark.registry import (
-        _R8_PREFIX,
+        _R9_PREFIX,
         build_oracle_sql,
         build_queries,
     )
@@ -90,9 +92,9 @@ def test_rotation_prefix_entries_under_driver_default_session(
     ns = _driver_default_session(spark)
     qs, osql = build_queries(), build_oracle_sql()
     failures = []
-    for name in _R8_PREFIX:
+    for name in _R9_PREFIX:
         try:
-            compare(qs[name](ns, sf_dir), osql[name], sf_dir)
+            compare(qs[name](ns, DRIVER_SF_DIR), osql[name], DRIVER_SF_DIR)
         except Exception as e:  # noqa: BLE001 - collect all reds
             failures.append(f"{name}: {e}")
     assert not failures, failures

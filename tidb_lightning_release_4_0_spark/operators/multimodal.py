@@ -189,6 +189,245 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
     return arr, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_rgb(arr: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """(h, w, 3) uint8 RGB -> a real PNG (8-bit, color type 2,
+    zlib-compressed scanlines). A COMPRESSED format end-to-end with
+    pure stdlib (zlib). ``filter_mode='cycle'`` assigns scanline y
+    the filter type y % 5, so a roundtrip exercises every PNG filter
+    reconstruction (None/Sub/Up/Average/Paeth); ``'none'`` writes
+    unfiltered rows."""
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3 and arr.dtype == np.uint8
+    bpp = 3
+    raw = bytearray()
+    prior = np.zeros(w * bpp, np.int64)
+    for y in range(h):
+        row = arr[y].reshape(-1).astype(np.int64)
+        ft = (y % 5) if filter_mode == "cycle" else 0
+        raw.append(ft)
+        if ft == 0:
+            out = row
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            out = (row - left) % 256
+        elif ft == 2:  # Up
+            out = (row - prior) % 256
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            out = (row - (left + prior) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int64), row[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+            pred = np.asarray(
+                [
+                    _paeth(int(a), int(b), int(cc))
+                    for a, b, cc in zip(left, prior, upleft)
+                ],
+                np.int64,
+            )
+            out = (row - pred) % 256
+        raw += out.astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb(payload: bytes) -> np.ndarray:
+    """PNG -> (h, w, channels) uint8: full scanline filter
+    reconstruction (None/Sub/Up/Average/Paeth, spec §9), multi-IDAT
+    concatenation, ancillary chunks skipped, per-chunk CRC verified.
+    Supports the 8-bit non-interlaced flavors (gray / RGB / RGBA);
+    raises on anything else — a codec, not a sniffer."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    bpp = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={interlace})"
+                )
+            bpp = {0: 1, 2: 3, 6: 4}.get(color)
+            if bpp is None:
+                raise ValueError(f"unsupported PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = np.empty((h, stride), np.int64)
+    prior = np.zeros(stride, np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up
+            cur = (row + prior) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential scan
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    cur[x] = (row[x] + a) % 256
+                elif ft == 3:
+                    cur[x] = (row[x] + (a + prior[x]) // 2) % 256
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    cur[x] = (row[x] + _paeth(a, prior[x], int(c))) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prior = cur
+    arr = out.astype(np.uint8)
+    return arr.reshape(h, w, bpp) if bpp > 1 else arr.reshape(h, w)
+
+
+def synth_png_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL zlib-compressed PNG per row with
+    the SAME closed-form pixel rule as synth_bmp_payloads (width =
+    id%13+1, height = id%7+1, pixel byte k = (id+k)%256) so the same
+    plain-SQL oracle applies — but the bytes now roundtrip through
+    DEFLATE and the per-scanline filter cycle (y%5), exercising every
+    PNG filter reconstruction at driver scale."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = i % 13 + 1, i % 7 + 1
+                v = (i + np.arange(h * w * 3, dtype=np.int64)) % 256
+                arr = v.astype(np.uint8).reshape(h, w, 3)
+                ids.append(i)
+                blobs.append(encode_png_rgb(arr))
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    target: tuple[int, int] = (2, 2),
+    decoder: Callable[[bytes], np.ndarray] = decode_png_rgb,
+) -> DataFrame:
+    """REAL decode -> mean-pool resize -> exact integer features (no
+    stub): pools the image to at most (th, tw) cells (factor
+    max(h//th, 1) x max(w//tw, 1), trailing remainder cropped — the
+    same arithmetic a strided average-pool does), emits the pooled
+    bytes' sum and order-weighted sum so orientation bugs in decode
+    OR pool hash-mismatch. The uint8 cast truncates the mean, exactly
+    like the SQL oracle's floor(avg(...))."""
+    th, tw = target
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("sum_resized", T.LongType()),
+            T.StructField("weighted_resized", T.LongType()),
+        ]
+    )
+    d = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ohs, ows, sums, wsums = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                arr = decoder(bytes(payload))
+                h, w = arr.shape[0], arr.shape[1]
+                oh, ow = min(th, h), min(tw, w)
+                fh, fw = max(h // th, 1), max(w // tw, 1)
+                pooled = (
+                    arr[: fh * oh, : fw * ow]
+                    .reshape(oh, fh, ow, fw, -1)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                flat = pooled.ravel().astype(np.int64)
+                ids.append(int(i))
+                ohs.append(oh)
+                ows.append(ow)
+                sums.append(int(flat.sum()))
+                wsums.append(int((flat * (np.arange(flat.size) + 1)).sum()))
+            yield pd.DataFrame(
+                {
+                    "id": ids, "out_h": ohs, "out_w": ows,
+                    "sum_resized": sums, "weighted_resized": wsums,
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
 def _stub_decode(payload: bytes) -> np.ndarray:
     """STUB codec: deterministic fake 8x8x3 image seeded by content.
 

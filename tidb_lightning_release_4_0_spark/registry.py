@@ -1432,6 +1432,45 @@ def q_multimodal_features(spark, sf_dir):
     return decode_image_stats(d, payload_col="payload", id_col="id")
 
 
+def q_media_decode_png(spark, sf_dir):
+    """Round 9: the multimodal path through a COMPRESSED image format
+    — per document, synthesize a real zlib-compressed PNG (same
+    closed-form pixel rule as the BMP twin, scanline filters cycling
+    y%5 so every PNG filter type reconstructs at driver scale), then
+    decode it with the pure-stdlib PNG codec (DEFLATE + full
+    None/Sub/Up/Average/Paeth unfiltering) and emit the exact integer
+    features. The oracle recomputes them from the pixel formula in
+    plain SQL — a decoder bug anywhere in the filter reconstruction
+    hash-mismatches. Two Arrow-batched narrow stages, no shuffle."""
+    from .operators.multimodal import (
+        decode_image_stats,
+        decode_png_rgb,
+        synth_png_payloads,
+    )
+
+    d = synth_png_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return decode_image_stats(
+        d, payload_col="payload", id_col="id", decoder=decode_png_rgb
+    )
+
+
+def q_media_resize_png(spark, sf_dir):
+    """Round 9: real decode -> mean-pool resize over PNG payloads (no
+    stub left on the image path): pool each synthesized PNG to <= 2x2
+    cells (factor max(h//2,1) x max(w//2,1), remainder cropped,
+    floor-mean per cell) and emit exact pooled-byte features; the
+    oracle replays the identical pool arithmetic in SQL from the
+    closed-form pixel rule. Narrow mapInPandas stages only."""
+    from .operators.multimodal import resize_image, synth_png_payloads
+
+    d = synth_png_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return resize_image(d, payload_col="payload", id_col="id", target=(2, 2))
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Per-document MinHash signature (oracle-checked).
 
@@ -3129,79 +3168,74 @@ def q_c4_line_filter_docs(spark, sf_dir):
 
 
 # The driver CORRECTNESS snapshot samples the FIRST 50 entries of
-# build_queries() in insertion order. Round-8 rotation
-# (docs/ROTATION.md): lead slots go to the entries that MUST attest
-# fresh this round — the new kv_crc64_orders_v2 (row-format-v2 +
-# DOUBLE bytes vs the pure-SQL twin), multimodal_features (rewritten
-# this round: real BMP decode, first-ever hash check) and
-# split_csv_rowids (the r7 driver red, fixed by the self-healing
-# rowid fallback) — then the oldest-attested cohort: the three r04
-# leftovers (uint64_decimal, window_rank_customers,
-# window_running_total) and the first 41 of the r05 cohort by name
-# (the rest of r05 rolls to round 9). Future rotations edit THIS
-# list (and the pin in tests/test_registry_order.py), nothing else.
-# (Late round-8 additions: kv_crc64_orders_dec — myDecimal-binary
-# KV bytes vs the pure-SQL twin — takes the front slot and
-# events_sliding_window joins the lead block; the last two r05
-# backfill entries, tfidf_terms and strip_html, roll to round 9 to
-# keep 50.)
-_R8_PREFIX = [
-    "kv_crc64_orders_dec",
-    "kv_crc64_orders_v2",
-    "kv_crc64_events_kinds",
-    "multimodal_features",
-    "split_csv_rowids",
-    "events_sliding_window",
-    "uint64_decimal",
-    "window_rank_customers",
-    "window_running_total",
-    "bloom_prune_orders",
-    "bracket_revenue",
-    "cheapest_shipper",
-    "chunk_documents",
-    "cube_lineitem",
-    "curation_funnel",
-    "custdist_orders",
-    "decontaminate",
-    "dedup_apply_cluster",
-    "dedup_cluster",
-    "dedup_incremental",
-    "excess_shippers",
-    "hll_overlap_partkeys",
-    "hll_union_keys",
-    "idle_customers",
-    "important_parts",
-    "large_orders",
-    "lm_score",
-    "local_supplier_volume",
-    "market_share",
-    "media_metadata",
-    "mixture_sample",
-    "moving_avg_events",
-    "ntile_customers",
-    "order_priority_count",
-    "pack_sequences",
-    "part_supplier_variety",
-    "pii_scrub",
-    "pivot_events",
-    "profit_by_nation",
-    "provenance_filter",
-    "quality_filter",
-    "quantize_embeddings",
-    "repetition_stats",
-    "resume_split_csv",
-    "returned_items",
-    "salted_join_orders",
-    "sample_stratified",
-    "sample_stratified_hash",
-    "small_qty_revenue",
-    "string_agg_nations",
+# build_queries() in insertion order. Round-9 rotation
+# (docs/ROTATION.md): lead slots go to the two NEW round-9 entries
+# that must attest fresh (media_decode_png / media_resize_png — the
+# compressed-image codec path, hash-checked against closed-form SQL
+# oracles), then the oldest-attested cohort computed as
+# latest-round-per-entry across CORRECTNESS_r0{1..8}, sorted by
+# (round, name): the seven remaining r05-attested entries
+# (strip_html ... waiting_suppliers) and the first 41 of the r06
+# cohort by name. Every r07/r08-attested entry rolls out of the
+# sampled window this round. Future rotations edit THIS list (and
+# the pin in tests/test_registry_order.py), nothing else.
+_R9_PREFIX = [
+    "media_decode_png",
+    "media_resize_png",
+    "strip_html",
+    "tfidf_terms",
+    "token_histogram",
+    "top_supplier_revenue",
+    "url_canonicalize",
+    "volume_shipping",
+    "waiting_suppliers",
+    "anomaly_days",
+    "asof_join_orders",
+    "benford_prices",
+    "bigram_lm_score",
+    "bm25_topdocs",
+    "bpe_encode_docs",
+    "bpe_merges",
+    "c4_line_filter_docs",
+    "char_entropy_docs",
+    "chunk_plan",
+    "click_purchase_attribution",
+    "clustering_coeff",
+    "cms_term_counts",
+    "cohort_retention",
+    "dedup_apply_semantic",
+    "dedup_apply_simhash",
+    "dedup_apply_winnow",
+    "dsir_select_docs",
+    "embedding_covariance",
+    "funnel_events",
+    "fuzzy_match_parts",
+    "hll_distinct_parts",
+    "hll_users_by_event",
+    "hybrid_rrf_docs",
+    "jaccard_join_docs",
+    "kmeans_embeddings",
+    "market_basket",
+    "mixture_temperature",
+    "mutual_info_events",
+    "nfc_normalize_docs",
+    "orc_roundtrip",
+    "pagerank_events",
+    "pca_embeddings",
+    "percentiles_lineitem",
+    "priority_lines",
+    "promo_share_lineitem",
+    "range_join_events",
+    "readability_docs",
+    "resume_split_jsonl",
+    "rfm_segments",
+    "salted_agg_lineitem",
 ]
 
 
 def build_queries():
     base = _build_queries_unordered()
-    head = {k: base[k] for k in _R8_PREFIX}
+    head = {k: base[k] for k in _R9_PREFIX}
     return {**head, **{k: v for k, v in base.items() if k not in head}}
 
 
@@ -3312,6 +3346,8 @@ def _build_queries_unordered():
         "kv_crc64_orders_dec": q_kv_crc64_orders_dec,
         "corpus_diff_docs": q_corpus_diff_docs,
         "multimodal_features": q_multimodal_features,
+        "media_decode_png": q_media_decode_png,
+        "media_resize_png": q_media_resize_png,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
         "sessionize_events": q_sessionize_events,
@@ -3810,6 +3846,61 @@ def _build_oracle_sql_static():
                    sum(v)::BIGINT AS sum_intensity,
                    sum(v * (k + 1))::BIGINT AS weighted_sum
             FROM px GROUP BY id, height, width
+        """,
+        # media_decode_png: identical closed form — the PNG payload
+        # carries the SAME pixels as the BMP twin, but through DEFLATE
+        # + the per-scanline filter cycle; the SQL never touches bytes
+        "media_decode_png": """
+            WITH dims AS (
+              SELECT doc_id::BIGINT AS id,
+                     (doc_id % 13 + 1)::INT AS width,
+                     (doc_id % 7 + 1)::INT AS height
+              FROM documents
+            ), px AS (
+              SELECT id, width, height,
+                     ((id + k) % 256)::BIGINT AS v,
+                     k
+              FROM dims,
+                   UNNEST(range(0, (width * height * 3)::BIGINT)) AS t(k)
+            )
+            SELECT id, height, width, 3 AS channels,
+                   sum(v)::BIGINT AS sum_intensity,
+                   sum(v * (k + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, height, width
+        """,
+        # media_resize_png: the mean-pool replayed in SQL — cell
+        # (cy, cx, c) floor-averages the fh x fw source pixels, the
+        # remainder rows/cols crop, weights follow the pooled C-order
+        "media_resize_png": """
+            WITH geom AS (
+              SELECT doc_id::BIGINT AS id,
+                     (doc_id % 13 + 1)::BIGINT AS w,
+                     (doc_id % 7 + 1)::BIGINT AS h,
+                     LEAST(2, (doc_id % 7 + 1))::BIGINT AS oh,
+                     LEAST(2, (doc_id % 13 + 1))::BIGINT AS ow,
+                     GREATEST((doc_id % 7 + 1) // 2, 1)::BIGINT AS fh,
+                     GREATEST((doc_id % 13 + 1) // 2, 1)::BIGINT AS fw
+              FROM documents
+            ), px AS (
+              SELECT id, oh, ow, fh, fw,
+                     (k // (w * 3)) AS y,
+                     ((k % (w * 3)) // 3) AS x,
+                     (k % 3) AS c,
+                     ((id + k) % 256)::BIGINT AS v
+              FROM geom, UNNEST(range(0, (w * h * 3)::BIGINT)) AS t(k)
+            ), cells AS (
+              SELECT id, oh, ow,
+                     (y // fh) AS cy, (x // fw) AS cx, c,
+                     FLOOR(AVG(v))::BIGINT AS pv
+              FROM px
+              WHERE y < fh * oh AND x < fw * ow
+              GROUP BY id, oh, ow, cy, cx, c
+            )
+            SELECT id, oh::INT AS out_h, ow::INT AS out_w,
+                   SUM(pv)::BIGINT AS sum_resized,
+                   SUM(pv * ((cy * ow + cx) * 3 + c + 1))::BIGINT
+                       AS weighted_resized
+            FROM cells GROUP BY id, oh, ow
         """,
         "minhash_signatures": (
             f"SELECT doc_id, array_to_string("
