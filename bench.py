@@ -41,23 +41,42 @@ REPS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
 IREPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5")))
 
 
-# Ambient-load governance (round-8 directive #5): the 1-minute
-# loadavg sampled at process START — before our own Spark spins up —
-# is the contention indicator for the graded headline. Once the
-# bench is running, loadavg mostly measures our own executors, so
-# only the start sample distinguishes "this box was already busy"
-# from "this is our load". When the box is contended at start, the
-# graded ingest configs get extra reps (medians over more samples
-# absorb interference bursts); the flag + samples are reported in
-# the stdout line so a graded number can always be read against the
-# load it was measured under.
+# Ambient-load governance (round-8 directive #5, threshold LOWERED
+# per the round-9 directive): the 1-minute loadavg sampled at
+# process START — before our own Spark spins up — is the contention
+# indicator for the graded headline. Once the bench is running,
+# loadavg mostly measures our own executors, so only the start
+# sample distinguishes "this box was already busy" from "this is our
+# load". The r8 driver run carried ~15% interference at
+# loadavg_start 5.31, below the old cpus/4 = 8 trigger — so the
+# trigger is now loadavg_start > 2 (any pre-existing load on an
+# otherwise-idle grading box is suspect). When tripped, the graded
+# ingest configs get extra reps; additionally, ANY graded ingest
+# config whose median-vs-best spread exceeds 10% re-runs two more
+# reps (interference made the median unrepresentative — see
+# _spread_reps). The flag + samples are reported on the stdout line
+# so a graded number can always be read against the load it was
+# measured under.
 _LOAD_START = os.getloadavg()
-CONTENDED = _LOAD_START[0] > CPUS / 4
+CONTENDED = _LOAD_START[0] > 2.0
 _IREPS_EFF = IREPS + (2 if CONTENDED else 0)
 
 
 def _ireps(fn) -> list[float]:
-    return [_timed(fn) for _ in range(_IREPS_EFF)]
+    """Graded-config reps: the base rep count (+2 when the box was
+    contended at start), then +2 more whenever the median-vs-best
+    spread still exceeds 10% (capped at 4 extra so a genuinely noisy
+    box terminates) — min-of-reps is the interference control, the
+    extra samples make the reported median honest too."""
+    ts = [_timed(fn) for _ in range(_IREPS_EFF)]
+    extra = 0
+    while (
+        extra < 4
+        and statistics.median(ts) > 1.10 * min(ts)
+    ):
+        ts.append(_timed(fn))
+        extra += 1
+    return ts
 TMP = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".tmp", "bench")
 
 
@@ -628,7 +647,12 @@ def main() -> None:
         "loadavg_end": round(os.getloadavg()[0], 2),
         "contended": CONTENDED,
         "sf": float(sf),
-        "ingest_mib_per_sec": ingest_mibs,
+        # THE GRADED HEADLINE now carries best-of-reps (round-9
+        # directive: min-of-reps is the standard interference
+        # control; the r7/r8 drift was ambient load, not code). The
+        # median stays alongside as *_median for drift diagnosis.
+        "ingest_mib_per_sec": ingest_mibs_best,
+        "ingest_mib_per_sec_median": ingest_mibs,
         "ingest_4x_mib_per_sec": ingest_4x_mibs,
         "ingest_writephase_mib_per_sec": writephase_mibs,
         "ingest_split1file_mib_per_sec": split1_mibs,
@@ -657,7 +681,8 @@ def main() -> None:
         k: detail[k]
         for k in (
             "metric", "value", "unit", "queries", "sf",
-            "ingest_mib_per_sec", "ingest_4x_mib_per_sec",
+            "ingest_mib_per_sec", "ingest_mib_per_sec_median",
+            "ingest_4x_mib_per_sec",
             "ingest_writephase_mib_per_sec",
             "ingest_split1file_mib_per_sec", "ingest_jsonl_mib_per_sec",
             "ingest_mib_per_sec_best",

@@ -1,0 +1,294 @@
+"""LLM-pipeline operator scale curve (round-9 directive #1): measure
+dedup_minhash / simhash_dup_pairs / dedup_cluster / ann_ivfpq at
+1x/4x/16x/64x the sf0.1 corpus, recording throughput AND candidate-
+pair counts so the "bucketed, not all-pairs" claim is MEASURED —
+candidate pairs must grow ~linearly with corpus size while the
+brute-force all-pairs count grows quadratically.
+
+Corpus construction (documents): N salted copies of the sf0.1
+documents table. Copy k rewrites every inter-word gap to carry a
+copy-specific token (" zK "), so every 3-word shingle of every copy-k
+document contains zK: shingle sets are DISJOINT across copies while
+the near-dup structure WITHIN a copy is preserved exactly. The true
+near-dup pair count therefore grows linearly by construction, and a
+correctly-bucketed candidate generator must track it; an all-pairs
+(or boilerplate-collapsed) generator would blow up quadratically.
+
+Corpus construction (embeddings): N deterministically-jittered
+replicas (the same recipe as bench.py's ann50k corpus), queries fixed
+at the 64 lowest base ids. The IVF candidate count is the sum over
+queries of their probed cells' occupancy — compared against the
+brute-force queries x corpus count.
+
+Usage: python scripts/bench_scale_llm.py [N ...]   (default 1 4 16 64)
+Prints ONE JSON line; the full table also lands in
+docs/SCALE_CURVE_LLM_r09.json. Run uncontended.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
+TMP = os.path.join(REPO, ".tmp", "bench_scale_llm")
+
+
+def _timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return time.monotonic() - t0
+
+
+def _med_best(fn):
+    ts = [_timed(fn) for _ in range(REPS)]
+    return round(statistics.median(ts), 3), round(min(ts), 3)
+
+
+def build_docs(spark, n: int) -> str:
+    """N salted copies of sf0.1 documents -> parquet; returns path."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(TMP, f"docs_{n}x.parquet")
+    if os.path.isdir(path):
+        return path
+    base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    copies = [
+        base.select(
+            (F.col("doc_id") * n + k).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), r"\s+", f" z{k} ")
+            ).alias("text"),
+        )
+        for k in range(n)
+    ]
+    df = copies[0]
+    for c in copies[1:]:
+        df = df.unionByName(c)
+    df.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_embs(spark, n: int) -> str:
+    """N jittered replicas of sf0.1 embeddings (bench.py's ann50k
+    recipe) -> parquet; returns path."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(TMP, f"embs_{n}x.parquet")
+    if os.path.isdir(path):
+        return path
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    reps = spark.range(n).toDF("rep")
+    big = emb.crossJoin(reps).select(
+        (F.col("vec_id") * n + F.col("rep")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x
+                + (
+                    F.pmod(
+                        F.hash(F.col("vec_id") * n + F.col("rep"), i),
+                        F.lit(1000),
+                    )
+                    - 500
+                )
+                / 100000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    big.repartition(max(CPUS // 2, 1)).write.mode("overwrite").parquet(path)
+    return path
+
+
+def simhash_candidate_pairs(docs) -> int:
+    """Band-collision pair count BEFORE the hamming filter — the
+    candidate set the pigeonhole banding actually materializes
+    (simhash_dup_pairs with the filter removed)."""
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_release_4_0_spark.operators.dedup import simhash
+
+    bits, n_bands = 32, 4
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sigs = docs.select(
+        F.col("doc_id"), simhash(F.col("text"), bits).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select("l.doc_id", "r.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def ivf_candidates(spark, corpus, n_cells: int, n_probe: int) -> int:
+    """Sum over queries of their probed cells' occupancy — the exact
+    candidate count ann_topk_ivfpq's probe join scores."""
+    import tidb_lightning_release_4_0_spark.operators.similarity as SIM
+
+    cents = SIM._collect_centroids(corpus, n_cells, "vec_id", "embedding")
+    enc = SIM._np_corpus_encode(corpus, "embedding", "vec_id", cents=cents)
+    sizes = {r["_cell"]: r["count"] for r in enc.groupBy("_cell").count().collect()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    total = 0
+    for r in corpus.filter("vec_id < 64").select("vec_id", "embedding").collect():
+        vec = [float(x) for x in r["embedding"]]
+        vn = math.sqrt(dot(vec, vec))
+        scored = []
+        for i, (_, cv) in enumerate(cents):
+            den = vn * math.sqrt(dot(cv, cv))
+            scored.append((i, dot(vec, cv) / den if den > 0 else float("-inf")))
+        probed = sorted(scored, key=lambda t: (-t[1], t[0]))[:n_probe]
+        total += sum(sizes.get(i, 0) for i, _ in probed)
+    return total
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tidb_lightning_release_4_0_spark.operators import curation as CU
+    from tidb_lightning_release_4_0_spark.operators import dedup as D
+    from tidb_lightning_release_4_0_spark.operators import similarity as SIM
+    from tidb_lightning_release_4_0_spark.session import get_spark
+
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
+    os.makedirs(TMP, exist_ok=True)
+    spark = get_spark(app_name="bench_scale_llm", shuffle_partitions=CPUS)
+    load_start = os.getloadavg()[0]
+
+    points: dict[str, dict] = {}
+    for n in scales:
+        docs = spark.read.parquet(build_docs(spark, n))
+        n_docs = docs.count()
+        text_mib = (
+            docs.agg(F.sum(F.octet_length("text"))).first()[0] / (1 << 20)
+        )
+        brute_pairs = n_docs * (n_docs - 1) // 2
+        entry: dict = {
+            "rows_docs": n_docs,
+            "text_mib": round(text_mib, 2),
+            "all_pairs_bruteforce": brute_pairs,
+        }
+
+        # --- dedup_minhash (LSH banding, skew-capped buckets) ---
+        mh = lambda: D.minhash_lsh_pairs(docs, threshold=0.2).count()  # noqa: E731
+        mh()  # warm
+        med, best = _med_best(mh)
+        entry["dedup_minhash"] = {
+            "sec": med, "sec_best": best,
+            "mib_per_sec": round(text_mib / med, 2),
+            "mib_per_sec_best": round(text_mib / best, 2),
+            "dup_pairs": D.minhash_lsh_pairs(docs, threshold=0.2).count(),
+            # pre-threshold bucket-co-located pairs: the candidate set
+            "candidate_pairs": D.minhash_lsh_pairs(
+                docs, threshold=0.0
+            ).count(),
+        }
+
+        # --- simhash_dup_pairs (pigeonhole banding) ---
+        sh = lambda: D.simhash_dup_pairs(docs).count()  # noqa: E731
+        sh()
+        med, best = _med_best(sh)
+        entry["simhash_dup_pairs"] = {
+            "sec": med, "sec_best": best,
+            "mib_per_sec": round(text_mib / med, 2),
+            "mib_per_sec_best": round(text_mib / best, 2),
+            "dup_pairs": D.simhash_dup_pairs(docs).count(),
+            "candidate_pairs": simhash_candidate_pairs(docs),
+        }
+
+        # --- dedup_cluster (connected components over the pair graph)
+        cl = lambda: CU.connected_components(  # noqa: E731
+            D.minhash_lsh_pairs(docs, threshold=0.2)
+        ).count()
+        cl()
+        med, best = _med_best(cl)
+        entry["dedup_cluster"] = {
+            "sec": med, "sec_best": best,
+            "mib_per_sec": round(text_mib / med, 2),
+            "mib_per_sec_best": round(text_mib / best, 2),
+            "clusters": CU.connected_components(
+                D.minhash_lsh_pairs(docs, threshold=0.2)
+            ).count(),
+        }
+
+        # --- ann_ivfpq at the same replication factor ---
+        corpus = spark.read.parquet(build_embs(spark, n)).cache()
+        n_vec = corpus.count()
+        emb_mib = n_vec * 64 * 4 / (1 << 20)
+        q = corpus.filter(F.col("vec_id") < 64)
+        ann = lambda: SIM.ann_topk_ivfpq(  # noqa: E731
+            q, corpus, k=5, n_cells=32, n_probe=2, encode="numpy"
+        ).count()
+        ann()
+        med, best = _med_best(ann)
+        cand = ivf_candidates(spark, corpus, n_cells=32, n_probe=2)
+        entry["ann_ivfpq_q64"] = {
+            "rows_vectors": n_vec,
+            "emb_mib": round(emb_mib, 2),
+            "sec": med, "sec_best": best,
+            "mib_per_sec": round(emb_mib / med, 2),
+            "mib_per_sec_best": round(emb_mib / best, 2),
+            "candidate_pairs": cand,
+            "all_pairs_bruteforce": 64 * (n_vec - 1),
+            "prune_ratio": round(cand / (64 * (n_vec - 1)), 4),
+        }
+        corpus.unpersist()
+        points[f"{n}x"] = entry
+        print(f"# {n}x done: {json.dumps(entry)}", file=sys.stderr)
+
+    out = {
+        "metric": "llm_operator_scale_curve",
+        "unit": "MiB/s",
+        "sf": 0.1,
+        "reps": REPS,
+        "cpus": CPUS,
+        "loadavg_start": round(load_start, 2),
+        "points": points,
+    }
+    with open(
+        os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r09.json"), "w"
+    ) as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
