@@ -6,13 +6,27 @@ candidate pairs must grow ~linearly with corpus size while the
 brute-force all-pairs count grows quadratically.
 
 Corpus construction (documents): N salted copies of the sf0.1
-documents table. Copy k rewrites every inter-word gap to carry a
-copy-specific token (" zK "), so every 3-word shingle of every copy-k
-document contains zK: shingle sets are DISJOINT across copies while
-the near-dup structure WITHIN a copy is preserved exactly. The true
-near-dup pair count therefore grows linearly by construction, and a
-correctly-bucketed candidate generator must track it; an all-pairs
-(or boilerplate-collapsed) generator would blow up quadratically.
+documents table. Copy k SUFFIXES every token with a copy tag
+("word" -> "wordzK"), a bijection on the vocabulary: every 3-word
+shingle of copy k is the base shingle with per-token tags, so
+within-copy Jaccard similarity is EXACTLY the base corpus's while
+shingle sets are DISJOINT across copies (a first attempt that
+INSERTED salt tokens between words was scrapped — the inserted token
+appears in every shingle, manufacturing similarity between unrelated
+docs and exploding the candidate count superlinearly as a corpus
+artifact, not an operator property). The true near-dup pair count
+therefore grows linearly by construction, and a correctly-bucketed
+candidate generator must track it; an all-pairs (or boilerplate-
+collapsed) generator would blow up quadratically.
+
+simhash is measured in TWO configs: the registry's 32-bit/4-band
+(8-bit band space: candidates scale ~n^2/2^8 per band for unrelated
+docs — pigeonhole recall is exact but the space is too small for
+large corpora, and the curve SHOWS it) and the 60-bit/4-band scale
+config (15-bit band space — hash60 token hashes carry exactly 60
+meaningful bits, so 60 is the widest honest signature; same
+pigeonhole guarantee for max_hamming=3) whose candidate growth stays
+near-linear until n approaches 2^15 per band value.
 
 Corpus construction (embeddings): N deterministically-jittered
 replicas (the same recipe as bench.py's ann50k corpus), queries fixed
@@ -68,7 +82,7 @@ def build_docs(spark, n: int) -> str:
             (
                 F.col("text")
                 if k == 0
-                else F.regexp_replace(F.col("text"), r"\s+", f" z{k} ")
+                else F.regexp_replace(F.col("text"), r"(\S+)", f"$1z{k}")
             ).alias("text"),
         )
         for k in range(n)
@@ -111,7 +125,7 @@ def build_embs(spark, n: int) -> str:
     return path
 
 
-def simhash_candidate_pairs(docs) -> int:
+def simhash_candidate_pairs(docs, bits: int = 32, n_bands: int = 4) -> int:
     """Band-collision pair count BEFORE the hamming filter — the
     candidate set the pigeonhole banding actually materializes
     (simhash_dup_pairs with the filter removed)."""
@@ -119,7 +133,6 @@ def simhash_candidate_pairs(docs) -> int:
 
     from tidb_lightning_release_4_0_spark.operators.dedup import simhash
 
-    bits, n_bands = 32, 4
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = docs.select(
@@ -222,17 +235,29 @@ def main() -> None:
             ).count(),
         }
 
-        # --- simhash_dup_pairs (pigeonhole banding) ---
-        sh = lambda: D.simhash_dup_pairs(docs).count()  # noqa: E731
-        sh()
-        med, best = _med_best(sh)
-        entry["simhash_dup_pairs"] = {
-            "sec": med, "sec_best": best,
-            "mib_per_sec": round(text_mib / med, 2),
-            "mib_per_sec_best": round(text_mib / best, 2),
-            "dup_pairs": D.simhash_dup_pairs(docs).count(),
-            "candidate_pairs": simhash_candidate_pairs(docs),
-        }
+        # --- simhash_dup_pairs: registry config (32-bit/4-band) AND
+        # the 64-bit/8-band scale config — the curve must show the
+        # band-space limit, not hide it
+        for tag, bits, n_bands in (
+            ("simhash_dup_pairs", 32, 4),
+            ("simhash_dup_pairs_60b4", 60, 4),
+        ):
+            sh = lambda: D.simhash_dup_pairs(  # noqa: E731
+                docs, bits=bits, n_bands=n_bands
+            ).count()
+            sh()
+            med, best = _med_best(sh)
+            entry[tag] = {
+                "sec": med, "sec_best": best,
+                "mib_per_sec": round(text_mib / med, 2),
+                "mib_per_sec_best": round(text_mib / best, 2),
+                "dup_pairs": D.simhash_dup_pairs(
+                    docs, bits=bits, n_bands=n_bands
+                ).count(),
+                "candidate_pairs": simhash_candidate_pairs(
+                    docs, bits, n_bands
+                ),
+            }
 
         # --- dedup_cluster (connected components over the pair graph)
         cl = lambda: CU.connected_components(  # noqa: E731

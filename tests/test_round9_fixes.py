@@ -192,3 +192,59 @@ def test_json_batch_encoder_matches_scalar_and_caches(spark):
             ).first()
             out[kernel] = tuple(r)
         assert out["numpy"] == out["python"], (ver, out)
+
+
+def test_minhash_family_wraps_and_estimates_honestly(spark):
+    """The r9 scale bench exposed the old minhash permutation family
+    (2^59 prime, multipliers 2..14): a multiplier that small cannot
+    wrap a below-P/14 base hash around the modulus, so one small-hash
+    shingle stayed the argmin of EVERY signature position and any two
+    docs sharing it read est_jaccard ~ 1.0 (measured: est 0.63 on
+    true-0.18 pairs) — exploding LSH candidates superlinearly. The
+    fixed family (2^30 prime, full-range Knuth multipliers) is pinned
+    here: distinct wrapping multipliers, and est_jaccard within
+    estimator noise of true Jaccard on a template-heavy corpus."""
+    import re
+
+    from pyspark.sql import Row
+
+    from tidb_lightning_release_4_0_spark.operators.dedup import (
+        _MH_PRIME,
+        _mh_a,
+        minhash_lsh_pairs,
+    )
+
+    a_vals = [_mh_a(i) for i in range(32)]
+    assert len(set(a_vals)) == 32
+    # full-range: every multiplier big enough to wrap any base hash
+    assert all(a > (1 << 20) for a in a_vals)
+    assert _MH_PRIME < (1 << 30)
+
+    # template-heavy corpus: 40 docs sharing an 18-word template,
+    # each with 60 unique filler words -> true pairwise J ~ 0.13
+    tmpl = " ".join(f"common{w}" for w in range(18))
+    rows = [
+        Row(
+            doc_id=i,
+            text=tmpl + " " + " ".join(f"u{i}w{j}" for j in range(60)),
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, threshold=0.0
+    ).collect()
+
+    def shingles(t):
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {" ".join(toks[i: i + 3]) for i in range(len(toks) - 2)}
+
+    txt = {r["doc_id"]: r["text"] for r in rows}
+    for r in pairs:
+        a = shingles(txt[r["left_id"]])
+        b = shingles(txt[r["right_id"]])
+        true_j = len(a & b) / len(a | b)
+        # 16-hash estimator noise is ~1/16 per position; the old
+        # family read ~1.0 here — anything above 0.5 on these
+        # J~0.13 pairs means the argmin-collapse is back
+        assert r["est_jaccard"] <= true_j + 5 / 16, (r, true_j)

@@ -96,18 +96,34 @@ def word_shingles_sql_duckdb(expr: str, k: int = 3) -> str:
     )
 
 
-# Universal-hash family over a < 2^59 prime: one md5 per shingle,
-# then h_i = (a_i * h + b_i) mod P. Constants keep a_i * h < 2^63 so
-# the arithmetic never overflows int64 (Spark ANSI mode would throw).
-_MH_PRIME = 576460752303423433  # prime < 2^59
+# Universal-hash family over a < 2^30 prime: one md5 per shingle,
+# then h_i = (a_i * h + b_i) mod P with FULL-RANGE multipliers
+# a_i = (i * 2654435761 + 1) mod P (Knuth's multiplicative constant;
+# nonzero for every i < 200, checked). The 30-bit domain is the
+# load-bearing choice: h < 2^30 and a_i < 2^30 keep a_i * h < 2^60
+# (no int64 overflow, Spark ANSI-safe) while letting the
+# multiplication WRAP the modulus for every h — a genuinely
+# scrambling affine family. The r8 family used a 2^59 prime with
+# multipliers 2..14, which cannot wrap any h < P/14: the few
+# smallest shingle hashes of a document stayed the argmin of EVERY
+# position, so two docs sharing one small-hash shingle (template
+# clusters) read est_jaccard ~ 1.0 regardless of true similarity —
+# measured in the r9 scale bench as est 0.5-0.69 on true-0.18 pairs
+# and a superlinear LSH candidate explosion. Per-position base-hash
+# collisions at 2^-30 are negligible against the 16-position
+# signature.
+_MH_PRIME = 1073741789  # prime < 2^30
+_MH_A_MULT = 2654435761  # Knuth 2^32 * golden-ratio conjugate
 
 
 def _mh_a(i: int) -> int:
-    return 2 + (i % 13)
+    # (i+1) so position 0 doesn't degenerate to the identity
+    # multiplier; distinct and > 2^23 for every i < 200 (checked)
+    return ((i + 1) * _MH_A_MULT) % _MH_PRIME
 
 
 def _mh_b(i: int) -> int:
-    return i * 1000003 + 17
+    return (i * 1000003 + 17) % _MH_PRIME
 
 
 def _shingle_hash(s: Column, hash_fn: str) -> Column:
@@ -118,9 +134,9 @@ def _shingle_hash(s: Column, hash_fn: str) -> Column:
     only to keep oracle parity). Both feed the same affine
     permutation family."""
     if hash_fn == "hash60":
-        return hash60(s) % F.lit(_MH_PRIME)
+        return hash60(s) % F.lit(_MH_PRIME).cast("long")
     if hash_fn == "xxhash64":
-        return F.pmod(F.xxhash64(s), F.lit(_MH_PRIME))
+        return F.pmod(F.xxhash64(s), F.lit(_MH_PRIME).cast("long"))
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
@@ -144,18 +160,30 @@ def minhash_signature(
     array_min."""
     sh = word_shingles(c)
     base = F.transform(sh, lambda s: _shingle_hash(s, hash_fn))
-    p = F.lit(_MH_PRIME)
+    # the prime fits int32 — explicit long keeps the accumulator and
+    # the merge lambda at BIGINT (aggregate requires matching types)
+    p = F.lit(_MH_PRIME).cast("long")
     init = F.array_repeat(p, num_hashes)
     return F.aggregate(
         base,
         init,
         lambda acc, h: F.transform(
             acc,
+            # (a_i * h + b_i) % P with the full-range multiplier
+            # family (_mh_a/_mh_b): a_i, h < 2^30 so the product
+            # stays < 2^60 — int64-safe AND modulus-wrapping
             lambda m, i: F.least(
                 m,
                 (
-                    h * (F.lit(2) + i % F.lit(13))
-                    + (i.cast("long") * F.lit(1000003) + F.lit(17))
+                    h
+                    * (
+                        (
+                            (i.cast("long") + F.lit(1))
+                            * F.lit(_MH_A_MULT)
+                        )
+                        % p
+                    )
+                    + (i.cast("long") * F.lit(1000003) + F.lit(17)) % p
                 )
                 % p,
             ),
@@ -175,7 +203,8 @@ def minhash_signature_sql_duckdb(
     else:
         base = f"({hash60_duckdb('s')}) % {_MH_PRIME}"
     mins = ", ".join(
-        f"list_min(list_transform(__h, h -> (h * {_mh_a(i)} + {_mh_b(i)}) % {_MH_PRIME}))"
+        f"list_min(list_transform(__h, h -> "
+        f"(h * {_mh_a(i)} + {_mh_b(i)}) % {_MH_PRIME}))"
         for i in range(num_hashes)
     )
     return (
