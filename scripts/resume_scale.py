@@ -45,7 +45,15 @@ def _cfg(dump: str, sink: str, cp_path: str):
     )
 
     return Config(
-        mydumper=MydumperConfig(source_dir=dump),
+        mydumper=MydumperConfig(
+            source_dir=dump,
+            # 256 MiB engine batches (the mydumper batch-size grain):
+            # the 2.4 GiB corpus becomes ~10 engines, so a kill lands
+            # genuinely MID-RUN with durable per-engine progress — the
+            # default 100 GiB batch would make the corpus one engine
+            # and the kill all-or-nothing
+            batch_size=256 << 20,
+        ),
         backend="parquet",
         target_dir=sink,
         on_duplicate="physical",
@@ -151,6 +159,7 @@ def main() -> None:
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
+    n_files = sum(1 for f in os.listdir(dump) if f.endswith(".csv"))
     killed_after = None
     deadline = time.monotonic() + 600
     while time.monotonic() < deadline:
@@ -172,9 +181,13 @@ def main() -> None:
             killed_after = len(done)
             os.killpg(os.getpgid(child.pid), signal.SIGKILL)
             break
-        time.sleep(0.5)
+        time.sleep(0.25)
     child.wait()
     assert killed_after, "never saw a completed engine before timeout"
+    # the kill must land MID-RUN: some chunks durable, some not
+    assert killed_after < n_files, (
+        f"kill landed after all {n_files} chunks — not a mid-run kill"
+    )
     assert child.returncode != 0  # genuinely killed
 
     # 3) resume in this process; compare triples
@@ -191,7 +204,8 @@ def main() -> None:
     out = {
         "metric": f"resume_{n}x",
         "corpus_mib": round(nbytes / (1 << 20), 1),
-        "engines_done_at_kill": killed_after,
+        "chunks_total": n_files,
+        "chunks_done_at_kill": killed_after,
         "uninterrupted_sec": round(ref_sec, 1),
         "resume_sec": round(res_sec, 1),
         "rows": res["rows"],

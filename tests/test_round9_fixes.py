@@ -248,3 +248,20 @@ def test_minhash_family_wraps_and_estimates_honestly(spark):
         # family read ~1.0 here — anything above 0.5 on these
         # J~0.13 pairs means the argmin-collapse is back
         assert r["est_jaccard"] <= true_j + 5 / 16, (r, true_j)
+
+
+def test_time_four_fields_raises_in_both_kernels(spark):
+    """'1:2:3:4' (four colon fields) raises in the scalar parser —
+    the JVM expression must not silently drop the leading field."""
+    schema = T.StructType([
+        T.StructField("h", T.LongType()),
+        T.StructField("t", T.StringType()),
+    ])
+    bad = spark.createDataFrame([Row(h=1, t="1:2:3:4")], schema)
+    for kernel in ("numpy", "python"):
+        pair = kv_hash_columns(
+            bad, ["t"], "h", col_ids=[2], table_id=29,
+            mysql_kinds={"t": ("time",)}, kernel=kernel,
+        )
+        with pytest.raises(Exception):
+            bad.withColumn("_p", pair).collect()

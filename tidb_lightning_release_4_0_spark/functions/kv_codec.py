@@ -1085,7 +1085,12 @@ def kv_hash_columns(
             frac = F.substring(F.rpad(fs, 9, "0"), 1, 9).cast("long")
             parts = F.split(ip, ":")
             np_ = F.size(parts)
-            sec = F.element_at(parts, -1).cast("long")
+            # > 3 colon-separated fields raises in the scalar parser
+            # (tuple unpack) — keep the kernels divergence-free by
+            # poisoning sec (the raise below fires on the NULL)
+            sec = F.when(
+                np_ <= 3, F.element_at(parts, -1).cast("long")
+            ).otherwise(F.lit(None).cast("long"))
             mins = F.when(
                 np_ >= 2, F.element_at(parts, -2).cast("long")
             ).otherwise(F.lit(0))
