@@ -310,3 +310,93 @@ def test_resize_image_matches_pool_arithmetic(spark):
         assert r["weighted_resized"] == int(
             (pooled * (np.arange(pooled.size) + 1)).sum()
         )
+
+
+# ---------------------------------------------------------------------------
+# AVI (round 9: a real VIDEO container — RIFF + uncompressed DIB frames)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(1, 6), st.integers(1, 8), st.integers(1, 8))
+@settings(max_examples=20, deadline=None)
+def test_avi_roundtrip(n, h, w):
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    rng = np.random.default_rng(n * 100 + h * 10 + w)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    back = decode_avi_dib(encode_avi_dib(frames))
+    assert back.shape == frames.shape
+    assert (back == frames).all()
+
+
+def test_avi_rejects_non_avi_and_compressed():
+    import struct
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    arr = np.zeros((1, 2, 2, 3), np.uint8)
+    good = encode_avi_dib(arr)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_dib(b"RIFF" + b"\x00" * 4 + b"WAVE")
+    # flip the stream handler to a compressed fourcc
+    bad = good.replace(b"DIB ", b"mjpg", 1)
+    with pytest.raises(ValueError, match="codec"):
+        decode_avi_dib(bad)
+
+
+def test_avi_skips_junk_chunks():
+    """Real AVI writers interleave JUNK/idx1 chunks; the walker must
+    skip them (incl. odd-size word alignment)."""
+    import struct
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_dib,
+        encode_avi_dib,
+    )
+
+    arr = np.arange(2 * 2 * 3 * 3, dtype=np.uint8).reshape(2, 2, 3, 3)
+    good = encode_avi_dib(arr)
+    # splice a JUNK chunk (odd size -> pad byte) before the movi LIST
+    movi_at = good.index(b"LIST", 12, None)
+    movi_at = good.index(b"movi") - 8
+    junk = struct.pack("<4sI", b"JUNK", 5) + b"abcde\x00"
+    spliced = good[:movi_at] + junk + good[movi_at:]
+    # RIFF size field is informational for our walker; decode anyway
+    out = decode_avi_dib(spliced)
+    assert (out == arr).all()
+
+
+def test_frame_sample_matches_closed_form(spark):
+    """frame_sample over real AVIs: every-2nd-frame features equal
+    the closed-form pixel rule."""
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        frame_sample,
+        synth_avi_payloads,
+    )
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = frame_sample(
+        synth_avi_payloads(df, id_col="doc_id"), every_n=2, max_frames=4
+    ).collect()
+    by_key = {(r["id"], r["frame_idx"]): r for r in out}
+    n_expected = 0
+    for i in range(30):
+        nf, w, h = i % 5 + 1, i % 6 + 2, i % 4 + 2
+        v = (i + np.arange(nf * h * w * 3, dtype=np.int64)) % 256
+        frames = v.reshape(nf, h, w, 3)
+        for k in list(range(0, nf, 2))[:4]:
+            n_expected += 1
+            r = by_key[(i, k)]
+            flat = frames[k].ravel()
+            assert (r["height"], r["width"]) == (h, w)
+            assert r["sum_intensity"] == int(flat.sum())
+            assert r["weighted_sum"] == int(
+                (flat * (np.arange(flat.size) + 1)).sum()
+            )
+    assert len(out) == n_expected

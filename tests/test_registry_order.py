@@ -20,6 +20,7 @@ from tidb_lightning_release_4_0_spark.registry import (
 DRIVER_SAMPLED_50 = [
     "media_decode_png",
     "media_resize_png",
+    "media_frame_sample_avi",
     "strip_html",
     "tfidf_terms",
     "token_histogram",
@@ -67,7 +68,6 @@ DRIVER_SAMPLED_50 = [
     "readability_docs",
     "resume_split_jsonl",
     "rfm_segments",
-    "salted_agg_lineitem",
 ]
 
 

@@ -12,15 +12,19 @@ Beyond-reference operators (BASELINE.json north star). Design for
   Arrow-batched ``mapInPandas`` kernels: per-batch numpy work, no
   per-row pickling, no shuffle (narrow transforms).
 - The codec step is pluggable: ``decoder=`` takes any
-  bytes->ndarray callable. Three REAL pure-stdlib codecs ship for
-  trivial container formats — 24-bit uncompressed BMP (BGR
-  bottom-up, 4-byte row padding), binary PPM (P6) and PCM-16 WAV —
-  so the decode path is genuinely exercised end to end (header
-  parse, padding, row/channel order) and the ``multimodal_features``
-  registry entry is value-hash-checked against a closed-form oracle.
-  Rich codecs (PIL/ffmpeg/soundfile) are NOT in this environment;
-  the deterministic STUB remains for the resize/frame-sample
-  skeletons whose formats (video) have no trivial container.
+  bytes->ndarray callable. Five REAL pure-stdlib codecs ship — 24-bit
+  uncompressed BMP (BGR bottom-up, 4-byte row padding), binary PPM
+  (P6), PCM-16 WAV, PNG (zlib DEFLATE + full scanline-filter
+  reconstruction) and uncompressed AVI (RIFF chunk tree, DIB frames)
+  — so EVERY modality's decode path (image, compressed image, audio,
+  video) is genuinely exercised end to end and the
+  ``multimodal_features`` / ``media_decode_png`` /
+  ``media_resize_png`` / ``media_frame_sample_avi`` registry entries
+  are value-hash-checked against closed-form oracles. Rich
+  compressed codecs (JPEG/H.264 via PIL/ffmpeg) are NOT in this
+  environment; the deterministic ``_stub_decode`` survives only as
+  the pluggable-decoder example in the legacy ``resize_stub`` /
+  ``frame_sample_stub`` skeletons.
 """
 
 from __future__ import annotations
@@ -422,6 +426,194 @@ def resize_image(
                 {
                     "id": ids, "out_h": ohs, "out_w": ows,
                     "sum_resized": sums, "weighted_resized": wsums,
+                }
+            )
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def encode_avi_dib(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, h, w, 3) uint8 RGB -> a real AVI (RIFF 'AVI ', one 'vids'
+    stream, uncompressed DIB '00db' frames — each frame laid out like
+    a 24-bit BMP pixel array: bottom-up rows, BGR, 4-byte row
+    padding). The simplest real video container, fully expressible
+    with stdlib struct — the video analog of the BMP/WAV codecs."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+
+    def dib(arr: np.ndarray) -> bytes:
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            body += arr[y, :, ::-1].tobytes()
+            body += b"\x00" * pad
+        return bytes(body)
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        out = struct.pack("<4sI", cid, len(data)) + data
+        if len(data) & 1:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return out
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1,
+        frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size,
+        -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_dib(payload: bytes) -> np.ndarray:
+    """AVI with uncompressed DIB frames -> (n, h, w, 3) uint8 RGB:
+    walks the RIFF chunk tree (hdrl for dimensions, movi for '00db'
+    frames), undoing bottom-up row order, BGR and row padding per
+    frame. Raises on compressed streams — a codec, not a sniffer."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                w, h = struct.unpack_from("<II", payload, body_start + 32)
+            elif cid == b"strh":
+                fcc, handler = struct.unpack_from(
+                    "<4s4s", payload, body_start
+                )
+                if fcc == b"vids" and handler not in (
+                    b"DIB ", b"\x00\x00\x00\x00"
+                ):
+                    raise ValueError(
+                        f"unsupported AVI video codec {handler!r}"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[body_start: body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if w is None or not frames:
+        raise ValueError("AVI missing avih header or frames")
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    out = np.empty((len(frames), h, w, 3), np.uint8)
+    for fi, data in enumerate(frames):
+        if len(data) != stride * h:
+            raise ValueError("AVI frame has the wrong DIB size")
+        for r in range(h):
+            row = np.frombuffer(
+                data, np.uint8, row_bytes, r * stride
+            ).reshape(w, 3)
+            out[fi, h - 1 - r] = row[:, ::-1]
+    return out
+
+
+def synth_avi_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL multi-frame AVI per row with
+    closed-form geometry and pixels — n_frames = id%5+1, width =
+    id%6+2, height = id%4+2, pixel byte k (C-order over frames then
+    rows then RGB) = (id + k) % 256 — so per-frame features are
+    computable in plain SQL without parsing bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                nf, w, h = i % 5 + 1, i % 6 + 2, i % 4 + 2
+                v = (i + np.arange(nf * h * w * 3, dtype=np.int64)) % 256
+                frames = v.astype(np.uint8).reshape(nf, h, w, 3)
+                ids.append(i)
+                blobs.append(encode_avi_dib(frames))
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "id",
+    every_n: int = 2,
+    max_frames: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = decode_avi_dib,
+) -> DataFrame:
+    """REAL video frame sampling (no stub): decode the container,
+    keep every ``every_n``-th frame up to ``max_frames``, emit one
+    row per kept frame with exact integer features (sum + C-order
+    weighted sum of the frame's RGB bytes — orientation/channel/
+    padding bugs all flip the weighted sum). One input row fans out
+    to <= max_frames rows INSIDE the Arrow batch, never on the
+    driver."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("sum_intensity", T.LongType()),
+            T.StructField("weighted_sum", T.LongType()),
+        ]
+    )
+    d = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs, ws, sums, wsums = [], [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                arr = decoder(bytes(payload))
+                kept = list(range(0, arr.shape[0], every_n))[:max_frames]
+                for k in kept:
+                    flat = arr[k].ravel().astype(np.int64)
+                    ids.append(int(i))
+                    idxs.append(k)
+                    hs.append(arr.shape[1])
+                    ws.append(arr.shape[2])
+                    sums.append(int(flat.sum()))
+                    wsums.append(
+                        int((flat * (np.arange(flat.size) + 1)).sum())
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": ids, "frame_idx": idxs, "height": hs,
+                    "width": ws, "sum_intensity": sums,
+                    "weighted_sum": wsums,
                 }
             )
 

@@ -1456,6 +1456,26 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_frame_sample_avi(spark, sf_dir):
+    """Round 9: REAL video frame sampling — per document, synthesize
+    a multi-frame uncompressed AVI (RIFF container, DIB '00db'
+    frames; closed-form geometry n_frames = id%5+1, w = id%6+2,
+    h = id%4+2, byte k = (id+k)%256), decode it with the pure-stdlib
+    AVI codec (chunk-tree walk, bottom-up BGR DIB rows undone), keep
+    every 2nd frame up to 4, and emit exact per-frame integer
+    features. The video stub is retired: the oracle recomputes the
+    kept frames' features from the pixel rule in plain SQL. One
+    input row fans out to <= 4 rows inside the Arrow batch."""
+    from .operators.multimodal import frame_sample, synth_avi_payloads
+
+    d = synth_avi_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return frame_sample(
+        d, payload_col="payload", id_col="id", every_n=2, max_frames=4
+    )
+
+
 def q_media_resize_png(spark, sf_dir):
     """Round 9: real decode -> mean-pool resize over PNG payloads (no
     stub left on the image path): pool each synthesized PNG to <= 2x2
@@ -3182,6 +3202,7 @@ def q_c4_line_filter_docs(spark, sf_dir):
 _R9_PREFIX = [
     "media_decode_png",
     "media_resize_png",
+    "media_frame_sample_avi",
     "strip_html",
     "tfidf_terms",
     "token_histogram",
@@ -3229,7 +3250,6 @@ _R9_PREFIX = [
     "readability_docs",
     "resume_split_jsonl",
     "rfm_segments",
-    "salted_agg_lineitem",
 ]
 
 
@@ -3348,6 +3368,7 @@ def _build_queries_unordered():
         "multimodal_features": q_multimodal_features,
         "media_decode_png": q_media_decode_png,
         "media_resize_png": q_media_resize_png,
+        "media_frame_sample_avi": q_media_frame_sample_avi,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
         "sessionize_events": q_sessionize_events,
@@ -3867,6 +3888,34 @@ def _build_oracle_sql_static():
                    sum(v)::BIGINT AS sum_intensity,
                    sum(v * (k + 1))::BIGINT AS weighted_sum
             FROM px GROUP BY id, height, width
+        """,
+        # media_frame_sample_avi: kept frames (every 2nd, max 4) and
+        # their features recomputed from the synth pixel rule — the
+        # SQL never parses RIFF bytes, so a decoder bug anywhere in
+        # the chunk walk / DIB unflip / frame slicing hash-mismatches
+        "media_frame_sample_avi": """
+            WITH geom AS (
+              SELECT doc_id::BIGINT AS id,
+                     (doc_id % 5 + 1)::BIGINT AS nf,
+                     (doc_id % 6 + 2)::BIGINT AS w,
+                     (doc_id % 4 + 2)::BIGINT AS h
+              FROM documents
+            ), kept AS (
+              SELECT id, w, h, f
+              FROM geom, UNNEST(range(0, nf, 2)) AS t(f)
+              WHERE f // 2 < 4
+            ), px AS (
+              SELECT id, f, h, w,
+                     ((id + f * h * w * 3 + j) % 256)::BIGINT AS v,
+                     j
+              FROM kept,
+                   UNNEST(range(0, (h * w * 3)::BIGINT)) AS t2(j)
+            )
+            SELECT id, f::INT AS frame_idx, h::INT AS height,
+                   w::INT AS width,
+                   SUM(v)::BIGINT AS sum_intensity,
+                   SUM(v * (j + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, f, h, w
         """,
         # media_resize_png: the mean-pool replayed in SQL — cell
         # (cy, cx, c) floor-averages the fh x fw source pixels, the
