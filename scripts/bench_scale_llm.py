@@ -236,12 +236,22 @@ def main() -> None:
         }
 
         # --- simhash_dup_pairs: registry config (32-bit/4-band) AND
-        # the 64-bit/8-band scale config — the curve must show the
-        # band-space limit, not hide it
-        for tag, bits, n_bands in (
-            ("simhash_dup_pairs", 32, 4),
-            ("simhash_dup_pairs_60b4", 60, 4),
-        ):
+        # the 60-bit/4-band scale config — the curve must show the
+        # band-space limit, not hide it. Above ~400k docs the 32-bit
+        # config's candidate set crosses ~10^10 pairs (measured 1.25B
+        # at 320k) and the measurement itself becomes the bottleneck;
+        # the skip is LOGGED, not silent — the saturation is already
+        # demonstrated by the 16x/64x points.
+        sh_configs = [("simhash_dup_pairs", 32, 4),
+                      ("simhash_dup_pairs_60b4", 60, 4)]
+        if n_docs > 400_000:
+            log_skip = (
+                f"# {n}x: skipping simhash 32b4 ({n_docs} docs — "
+                "8-bit band space saturated; see 16x/64x points)"
+            )
+            print(log_skip, file=sys.stderr)
+            sh_configs = [("simhash_dup_pairs_60b4", 60, 4)]
+        for tag, bits, n_bands in sh_configs:
             sh = lambda: D.simhash_dup_pairs(  # noqa: E731
                 docs, bits=bits, n_bands=n_bands
             ).count()
@@ -299,6 +309,17 @@ def main() -> None:
         points[f"{n}x"] = entry
         print(f"# {n}x done: {json.dumps(entry)}", file=sys.stderr)
 
+    # merge into the existing curve file so incremental runs
+    # (e.g. adding a 256x point later) extend rather than clobber
+    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r09.json")
+    merged = points
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("points", {})
+            merged = {**prior, **points}
+        except (OSError, ValueError):
+            pass
     out = {
         "metric": "llm_operator_scale_curve",
         "unit": "MiB/s",
@@ -306,11 +327,9 @@ def main() -> None:
         "reps": REPS,
         "cpus": CPUS,
         "loadavg_start": round(load_start, 2),
-        "points": points,
+        "points": merged,
     }
-    with open(
-        os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r09.json"), "w"
-    ) as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 

@@ -423,3 +423,23 @@ def test_sliding_window_single_shuffle_pruned_scan(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and "props" not in read[0] and "user_id" not in read[0], read
+
+
+def test_media_pipelines_no_shuffle(spark, sf_dir):
+    """The media codec pipelines (synthesize -> decode -> features /
+    resize / frame-sample) are chains of Arrow-batched mapInPandas
+    kernels: ZERO exchanges — at 100 TB the parallelism is the input
+    partitioning, and nothing re-shuffles payload bytes."""
+    from tidb_lightning_release_4_0_spark.registry import (
+        q_media_decode_png,
+        q_media_frame_sample_avi,
+        q_media_resize_png,
+    )
+
+    for q in (q_media_decode_png, q_media_resize_png,
+              q_media_frame_sample_avi):
+        plan = _plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, (q.__name__, plan)
+        assert "ArrowEvalPython" in plan or "InPandas" in plan, (
+            q.__name__, plan,
+        )
