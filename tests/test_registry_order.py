@@ -21,6 +21,7 @@ DRIVER_SAMPLED_50 = [
     "media_decode_png",
     "media_resize_png",
     "media_frame_sample_avi",
+    "media_header_meta",
     "strip_html",
     "tfidf_terms",
     "token_histogram",
@@ -67,7 +68,6 @@ DRIVER_SAMPLED_50 = [
     "range_join_events",
     "readability_docs",
     "resume_split_jsonl",
-    "rfm_segments",
 ]
 
 

@@ -74,6 +74,54 @@ def attach_media_metadata(
 # ---------------------------------------------------------------------------
 
 
+def parse_image_header_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """REAL header parsing, entirely JVM-side (no UDF, no Python in
+    the plan): sniff the magic bytes of a binary image column and
+    extract (mime, width, height) from the container header with
+    pure expressions — PNG's IHDR carries big-endian u32 dims at
+    offsets 17/21, BMP's BITMAPINFOHEADER little-endian i32 dims at
+    19/23 (1-based). Byte access is substring-on-binary -> hex ->
+    conv, so the whole projection stays inside whole-stage codegen;
+    at 100 TB this is the cheap metadata pass that runs BEFORE any
+    Arrow decode kernel (prune by mime/dims without touching pixel
+    bytes)."""
+    p = F.col(payload_col)
+
+    def be_u32(off: int) -> Column:  # 1-based offset
+        return F.conv(F.hex(F.substring(p, off, 4)), 16, 10).cast("int")
+
+    def le_u32(off: int) -> Column:
+        b = [
+            F.conv(F.hex(F.substring(p, off + k, 1)), 16, 10).cast("long")
+            for k in range(4)
+        ]
+        return (
+            b[0] + b[1] * F.lit(256) + b[2] * F.lit(65536)
+            + b[3] * F.lit(16777216)
+        ).cast("int")
+
+    is_png = F.substring(p, 1, 8) == F.lit(_PNG_SIG)
+    is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
+    mime = (
+        F.when(is_png, F.lit("image/png"))
+        .when(is_bmp, F.lit("image/bmp"))
+        .otherwise(
+            F.raise_error(
+                F.lit("parse_image_header_meta: unknown magic bytes")
+            )
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        mime.alias("mime"),
+        F.when(is_png, be_u32(17)).otherwise(le_u32(19)).alias("width"),
+        F.when(is_png, be_u32(21)).otherwise(le_u32(23)).alias("height"),
+        F.length(p).cast("long").alias("n_bytes"),
+    )
+
+
 def encode_bmp_rgb(arr: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
     BI_RGB): pixel rows stored BOTTOM-UP in BGR order, each row padded

@@ -1456,6 +1456,35 @@ def q_media_decode_png(spark, sf_dir):
     )
 
 
+def q_media_header_meta(spark, sf_dir):
+    """Round 9: metadata WITHOUT decode — parse real container
+    headers entirely JVM-side (substring-on-binary -> hex -> conv
+    expressions inside codegen, zero Python in the plan): even
+    doc_ids carry a real BMP, odd a real zlib-compressed PNG; the
+    projection sniffs the magic bytes and reads the dims from
+    BITMAPINFOHEADER (LE) / IHDR (BE) respectively. The oracle knows
+    the dims from the synth pixel rule — a byte-offset or endianness
+    bug in the parse hash-mismatches. This is the 100 TB metadata
+    pass: prune by mime/dims before any pixel bytes move."""
+    from .operators.multimodal import (
+        parse_image_header_meta,
+        synth_bmp_payloads,
+        synth_png_payloads,
+    )
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    bmp = synth_bmp_payloads(
+        ids.filter(F.col("doc_id") % 2 == 0), id_col="doc_id"
+    )
+    png = synth_png_payloads(
+        ids.filter(F.col("doc_id") % 2 == 1), id_col="doc_id"
+    )
+    d = bmp.unionByName(png)
+    return parse_image_header_meta(d, payload_col="payload").select(
+        "id", "mime", "width", "height"
+    )
+
+
 def q_media_frame_sample_avi(spark, sf_dir):
     """Round 9: REAL video frame sampling — per document, synthesize
     a multi-frame uncompressed AVI (RIFF container, DIB '00db'
@@ -3203,6 +3232,7 @@ _R9_PREFIX = [
     "media_decode_png",
     "media_resize_png",
     "media_frame_sample_avi",
+    "media_header_meta",
     "strip_html",
     "tfidf_terms",
     "token_histogram",
@@ -3249,7 +3279,6 @@ _R9_PREFIX = [
     "range_join_events",
     "readability_docs",
     "resume_split_jsonl",
-    "rfm_segments",
 ]
 
 
@@ -3369,6 +3398,7 @@ def _build_queries_unordered():
         "media_decode_png": q_media_decode_png,
         "media_resize_png": q_media_resize_png,
         "media_frame_sample_avi": q_media_frame_sample_avi,
+        "media_header_meta": q_media_header_meta,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
         "sessionize_events": q_sessionize_events,
@@ -3888,6 +3918,17 @@ def _build_oracle_sql_static():
                    sum(v)::BIGINT AS sum_intensity,
                    sum(v * (k + 1))::BIGINT AS weighted_sum
             FROM px GROUP BY id, height, width
+        """,
+        # media_header_meta: mime from id parity, dims from the synth
+        # rule — the SQL never reads header bytes, so an offset or
+        # endianness bug in the JVM-side parse hash-mismatches
+        "media_header_meta": """
+            SELECT doc_id::BIGINT AS id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                        ELSE 'image/png' END AS mime,
+                   (doc_id % 13 + 1)::INT AS width,
+                   (doc_id % 7 + 1)::INT AS height
+            FROM documents
         """,
         # media_frame_sample_avi: kept frames (every 2nd, max 4) and
         # their features recomputed from the synth pixel rule — the
