@@ -447,3 +447,51 @@ def test_parse_image_header_meta_jvm(spark):
 
     with _pytest.raises(Exception, match="magic"):
         parse_image_header_meta(bad).collect()
+
+
+def test_png_gray_and_rgba_decode_paths():
+    """The decoder supports 8-bit gray (color 0) and RGBA (color 6);
+    the encoder only writes RGB, so pin those paths with hand-built
+    stored-deflate payloads (filter 0 and Up)."""
+    import struct
+    import zlib
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_png_rgb,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    def stored(raw):
+        return (
+            b"\x78\x01\x01"
+            + struct.pack("<HH", len(raw), len(raw) ^ 0xFFFF)
+            + raw
+            + struct.pack(">I", zlib.adler32(raw))
+        )
+
+    def png(w, h, color, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", stored(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # 3x2 grayscale: row0 unfiltered, row1 Up-filtered
+    row0 = [10, 200, 30]
+    row1 = [15, 210, 25]
+    raw = bytes([0] + row0 + [2] + [(b - a) % 256 for a, b in zip(row0, row1)])
+    out = decode_png_rgb(png(3, 2, 0, raw))
+    assert out.shape == (2, 3)
+    assert out.tolist() == [row0, row1]
+
+    # 2x1 RGBA, unfiltered
+    px = [1, 2, 3, 255, 9, 8, 7, 128]
+    out = decode_png_rgb(png(2, 1, 6, bytes([0] + px)))
+    assert out.shape == (1, 2, 4)
+    assert out.ravel().tolist() == px
