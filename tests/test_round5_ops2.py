@@ -121,7 +121,34 @@ def test_simhash_pairs_pigeonhole_guard(spark):
     with pytest.raises(ValueError):
         D.simhash_dup_pairs(df, max_hamming=4, n_bands=4)
     with pytest.raises(ValueError):
-        D.simhash_dup_pairs(df, n_bands=5)  # 5 does not divide 32
+        D.simhash_dup_pairs(df, n_bands=7)  # 7 does not divide 60
+
+
+def test_simhash_default_config_scale_safe():
+    """Pin the shipped defaults to the measured-healthy combination
+    banding (docs/SCALE.md finding 4: one-block 32-bit/4-band = 2^8
+    key space saturates at 64x; the 60/6/hamming-3 default yields
+    C(6,3)=20 combination keys of 30 bits — 2^30 key space)."""
+    import inspect
+
+    sig = inspect.signature(D.simhash_dup_pairs)
+    bits = sig.parameters["bits"].default
+    n_bands = sig.parameters["n_bands"].default
+    mh = sig.parameters["max_hamming"].default
+    assert (bits, n_bands, mh) == (60, 6, 3)
+    combos = D._simhash_block_combos(bits, n_bands, mh)
+    assert len(combos) == 20  # C(6, 3)
+    key_bits = (n_bands - mh) * (bits // n_bands)
+    assert key_bits == 30  # 2^30 key space >> any per-shard corpus
+    # the DuckDB twin must ride the same defaults
+    dsig = inspect.signature(D.simhash_dup_pairs_sql_duckdb)
+    assert dsig.parameters["bits"].default == 60
+    assert dsig.parameters["n_bands"].default == 6
+    assert inspect.signature(D.simhash).parameters["bits"].default == 60
+    assert (
+        inspect.signature(D.simhash_sql_duckdb).parameters["bits"].default
+        == 60
+    )
 
 
 def test_simhash_pairs_no_cartesian(spark, sf_dir):
@@ -178,7 +205,7 @@ def test_simhash_banding_completeness(spark):
             "doc_id", D.simhash(F.col("text")).alias("sig")
         ).collect()
     }
-    for mh, nb in ((1, 2), (3, 4)):
+    for mh, nb in ((1, 2), (3, 4), (3, 6)):
         expect = {
             (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
             for a in sigs

@@ -12,8 +12,11 @@ shuffle-frugally for 100 TB corpora:
   band-hash — bucket sizes are the tuning knob (bands x rows/bucket);
   candidate verification happens only within buckets, never all
   pairs.
-- **SimHash**: per-row 32-bit signature via weighted bit votes;
-  near-dup = same signature (or banded sub-keys for hamming<=k).
+- **SimHash**: per-row 60-bit signature via weighted bit votes;
+  near-dup pairs via Manku-style block-COMBINATION keys (default
+  60/6/hamming-3 = twenty 30-bit keys, 2^30 key space — the r9
+  measurement showed one-block banding's 2^8 space saturating at
+  64x; see docs/SCALE.md finding 4).
 - **n-gram Jaccard**: exact verification on candidate pairs (or
   within explicit blocking keys) — the quadratic step is always
   bucketed.
@@ -393,7 +396,7 @@ FROM cand WHERE est_jaccard >= {threshold}
 """
 
 
-def simhash(c: Column, bits: int = 32) -> Column:
+def simhash(c: Column, bits: int = 60) -> Column:
     """SimHash signature over word tokens: per bit, sign of the sum of
     +/-1 votes from each token's hash.
 
@@ -439,7 +442,7 @@ def simhash(c: Column, bits: int = 32) -> Column:
     )
 
 
-def simhash_sql_duckdb(expr: str, bits: int = 32) -> str:
+def simhash_sql_duckdb(expr: str, bits: int = 60) -> str:
     toks = (
         f"list_distinct(string_split(regexp_replace(lower(trim({expr})),"
         f" '\\s+', ' ', 'g'), ' '))"
@@ -678,11 +681,45 @@ FROM tot LEFT JOIN dup USING (doc_id)
 """
 
 
+def _simhash_block_combos(
+    bits: int, n_bands: int, max_hamming: int
+) -> list[tuple[int, ...]]:
+    """Validated block-combination list for the generalized Manku
+    banding: every size-(n_bands - max_hamming) subset of the
+    ``n_bands`` signature blocks becomes one equi-join key.
+
+    Pigeonhole proof of no-loss: a pair within hamming
+    ``max_hamming`` has differing bits in at most ``max_hamming``
+    blocks, so at least ``n_bands - max_hamming`` blocks are
+    byte-identical — and every size-(n_bands - max_hamming) subset of
+    blocks is one of our keys, so at least one key collides.
+    The classic one-block banding (reference behavior for small
+    corpora) is exactly the special case ``n_bands = max_hamming+1``
+    (agree = 1, combos = the blocks themselves)."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            "pigeonhole guarantee needs max_hamming < n_bands"
+        )
+    if bits % n_bands:
+        raise ValueError("n_bands must divide bits")
+    agree = n_bands - max_hamming
+    band_bits = bits // n_bands
+    if agree * band_bits > 62:
+        raise ValueError(
+            "combination key wider than a long: "
+            f"(n_bands - max_hamming) * (bits / n_bands) = "
+            f"{agree * band_bits} > 62"
+        )
+    from itertools import combinations
+
+    return list(combinations(range(n_bands), agree))
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
-    bits: int = 32,
-    n_bands: int = 4,
+    bits: int = 60,
+    n_bands: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -691,30 +728,46 @@ def simhash_dup_pairs(
     for Web Crawling*): two docs are near-dups when their ``bits``-bit
     signatures differ in at most ``max_hamming`` bit positions.
 
-    Banding gives the candidate set WITHOUT an all-pairs join: split
-    each signature into ``n_bands`` blocks; by pigeonhole, any pair
-    within hamming ``max_hamming < n_bands`` agrees exactly on at
-    least one whole block, so an equi-join per block finds every true
-    pair. Output: (left_id, right_id, hamming), left < right.
+    Combination banding gives the candidate set WITHOUT an all-pairs
+    join: split each signature into ``n_bands`` blocks; by
+    pigeonhole, any pair within hamming ``max_hamming < n_bands``
+    agrees exactly on at least ``n_bands - max_hamming`` whole
+    blocks, so an equi-join per size-(n_bands - max_hamming) block
+    COMBINATION finds every true pair (Manku's table construction;
+    one-block banding is the degenerate case n_bands = max_hamming+1).
+    Output: (left_id, right_id, hamming), left < right.
 
-    Scale shape: signatures are one narrow codegen projection (text
-    never leaves its partition); the shuffle carries (band_idx,
-    band_value, id, sig) — n_bands rows/doc of a few longs. The join
-    is equi-keyed and AQE-skew-splittable; a degenerate hot band
-    value (e.g. a boilerplate-dominated block) is the documented
-    salting/filter-hot-buckets case, same as MinHash LSH."""
-    if max_hamming >= n_bands:
-        raise ValueError(
-            "pigeonhole guarantee needs max_hamming < n_bands"
-        )
-    if bits % n_bands:
-        raise ValueError("n_bands must divide bits")
+    Scale shape: the combination keys are (n_bands - max_hamming) *
+    (bits / n_bands) wide — 30 bits at the 60/6/3 default, i.e. a
+    2^30 key space vs one block's 2^10/2^15. Expected candidate
+    pairs per key table are n^2 / 2^key_bits: the measured r9
+    blowup (32-bit/4-band = 2^8 keys saturating at 64x, 1.25B
+    candidates — docs/SCALE.md finding 4) is structurally impossible
+    below ~10M docs per shard at the new default. The shuffle
+    carries C(n_bands, max_hamming) rows/doc of a few longs (20 at
+    the default — 5x the old 4, a linear cost paid to erase a
+    quadratic one). The join is equi-keyed and AQE-skew-splittable;
+    a degenerate hot key (boilerplate-dominated corpus) remains the
+    documented salting/filter-hot-buckets case, same as MinHash LSH."""
+    combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = _spread(df).select(
         F.col(id_col).alias("doc_id"),
         simhash(F.col(text_col), bits).alias("sig"),
     )
+
+    def combo_key(combo: tuple[int, ...]) -> Column:
+        # concatenate the combo's block values into one long key
+        k = F.lit(0).cast("long")
+        for j, b in enumerate(combo):
+            blk = (
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+            )
+            k = k + F.shiftleft(blk, j * band_bits)
+        return k
+
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -722,12 +775,10 @@ def simhash_dup_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(ci).alias("band"),
+                        combo_key(c).alias("val"),
                     )
-                    for i in range(n_bands)
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("b"),
@@ -757,24 +808,33 @@ def simhash_dup_pairs(
 def simhash_dup_pairs_sql_duckdb(
     table: str,
     max_hamming: int = 3,
-    bits: int = 32,
-    n_bands: int = 4,
+    bits: int = 60,
+    n_bands: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB twin of simhash_dup_pairs — identical signature, band
-    split, pigeonhole join and hamming cut."""
+    """DuckDB twin of simhash_dup_pairs — identical signature, block
+    combination keys, pigeonhole join and hamming cut."""
+    combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sig = simhash_sql_duckdb(text_col, bits)
+    branches = []
+    for ci, combo in enumerate(combos):
+        key = " + ".join(
+            f"(((sig >> {b * band_bits}) & {mask}) << {j * band_bits})"
+            for j, b in enumerate(combo)
+        )
+        branches.append(
+            f"SELECT doc_id, sig, {ci} AS band, ({key}) AS val FROM sigs"
+        )
+    bands = "\n  UNION ALL\n  ".join(branches)
     return f"""
 WITH sigs AS (
   SELECT {id_col} AS doc_id, {sig} AS sig FROM {table}
 ),
 bands AS (
-  SELECT doc_id, sig, i.range AS band,
-         (sig >> (i.range * {band_bits})) & {mask} AS val
-  FROM sigs, range({n_bands}) i
+  {bands}
 )
 SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
        cast(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming

@@ -2753,9 +2753,10 @@ def q_mixture_temperature(spark, sf_dir):
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (dedup.py::simhash_dup_pairs, Manku et
-    al. 2007): banded pigeonhole join, hamming <= 1 over 32-bit
-    signatures (2 bands of 16 bits — the guarantee needs
-    max_hamming < n_bands)."""
+    al. 2007): combination-banded pigeonhole join, hamming <= 1 over
+    60-bit signatures (2 blocks of 30 bits — the guarantee needs
+    max_hamming < n_bands; the library default is 60/6/hamming-3 =
+    twenty 30-bit combination keys)."""
     return D.simhash_dup_pairs(
         _t(spark, sf_dir, "documents"), max_hamming=1, n_bands=2
     )
