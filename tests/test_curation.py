@@ -142,6 +142,33 @@ def test_connected_components_unconverged_contract(spark):
     assert set(out.values()) == {1}
 
 
+def test_connected_components_contract_then_finish(spark):
+    """Graph just above the driver threshold: auto must contract with
+    star rounds until the edge set fits, then driver-finish with
+    union-find — and agree exactly with ground-truth union-find over
+    the ORIGINAL edges (three 8-cliques = 84 canonical edges contract
+    to 21 star edges in one round, under the threshold of 25; a
+    self-pair-only node must come back as its own cluster)."""
+    edges = [
+        (base + i, base + j)
+        for base in (100, 200, 300)
+        for i in range(8)
+        for j in range(i + 1, 8)
+    ]
+    edges.append((999, 999))  # self-pair: lonely re-add path
+    pairs = spark.createDataFrame(edges, ["left_id", "right_id"])
+    want = dict(C.union_find_min([e for e in edges if e[0] != e[1]]))
+    want[999] = 999
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in C.connected_components(
+            pairs, small_graph_threshold=25
+        ).collect()
+    }
+    assert got == want
+    assert set(got.values()) == {100, 200, 300, 999}
+
+
 def test_connected_components_hash_scale_ids(spark):
     """60-bit hash ids: the convergence aggregate must not overflow
     int64 (decimal sum)."""

@@ -93,7 +93,7 @@ def union_find_min(edges: list[tuple]) -> list[tuple]:
 
 
 def _star_components(
-    e: DataFrame, max_iter: int = 50
+    e: DataFrame, max_iter: int = 50, finish_threshold: int = 0
 ) -> DataFrame:
     """Alternating large-star/small-star connected components
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -111,12 +111,25 @@ def _star_components(
     - small-star: per node u over smaller neighbors, link them and u
       to the local min — flattens partial stars.
 
+    ``finish_threshold``: contract-then-finish (the r9 256x CC
+    crossover fix, docs/SCALE.md): both star ops preserve the
+    component partition over every node still carrying an edge, and
+    a non-root member of a >=2-node component always re-emits an
+    edge each round, so the moment the contracted edge count fits
+    the driver budget the remainder is ONE union-find over
+    (count x ~16 B) metadata instead of more distributed rounds —
+    dup-clique graphs collapse to stars in round one, paying 1 round
+    + 1 collect instead of label propagation to convergence. 0
+    disables (pure distributed star loop, the long-chain fallback
+    contract used by algorithm='label' tests).
+
     Convergence = edge set unchanged: a cheap (count, sum(u),
     sum(v)) fingerprint gates an EXACT exceptAll certificate, so a
     fingerprint collision can never end the loop early. At the fixed
     point the edges ARE (node -> component-min) stars; roots are
-    re-added as their own cluster. Per-round localCheckpoint
-    truncates lineage like the label loop."""
+    re-added as their own cluster. Per-round lazy localCheckpoint
+    truncates lineage (the fingerprint action materializes it — one
+    job per round, not two)."""
     d = (
         e.select(
             F.greatest("src", "dst").alias("u"),
@@ -124,7 +137,7 @@ def _star_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(df: DataFrame):
@@ -135,7 +148,32 @@ def _star_components(
         ).first()
         return (r["c"], r["su"], r["sv"])
 
+    def driver_finish(cur: DataFrame) -> DataFrame:
+        # union-find over the contracted edges; component mins are
+        # preserved by the star ops, so the labels match the fixpoint
+        rows = union_find_min(
+            [(r["u"], r["v"]) for r in cur.collect()]
+        )
+        spark = e.sparkSession
+        schema = e.select(
+            F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+        ).schema
+        labels = spark.createDataFrame(rows, schema=schema)
+        nodes = (
+            e.select(F.col("src").alias("doc_id"))
+            .union(e.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+        lonely = nodes.join(
+            labels.select("doc_id"), "doc_id", "left_anti"
+        )
+        return labels.union(
+            lonely.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        )
+
     prev_fp, prev = fingerprint(d), d
+    if finish_threshold and prev_fp[0] <= finish_threshold:
+        return driver_finish(prev)
     converged = False
     for _ in range(max_iter):
         # large-star over both directions
@@ -160,9 +198,11 @@ def _star_components(
             .union(mn2.select("u", F.col("_m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp = fingerprint(small)
+        if finish_threshold and fp[0] <= finish_threshold:
+            return driver_finish(small)
         if fp == prev_fp:
             # exact certificate: fingerprints can collide, identical
             # sets cannot differ under exceptAll with equal counts
@@ -234,21 +274,30 @@ def connected_components(
     ``localCheckpoint`` per round truncates lineage (the loop would
     otherwise build an exponentially deep plan).
 
-    ``algorithm``: "auto" (default) runs the label loop and, if
-    ``max_iter`` rounds don't converge (component diameter >
-    max_iter — long chains), SWITCHES to the alternating large-star/
-    small-star algorithm (_star_components, O(log^2 n) rounds at any
-    diameter) instead of failing; "label" keeps the old
-    raise-on-nonconvergence contract; "star" goes straight to the
-    star algorithm. Either way a silently split cluster is
-    impossible — both paths certify their fixpoint."""
+    ``algorithm``: "auto" (default) resolves graphs beyond the
+    driver threshold with the alternating large-star/small-star
+    contraction (_star_components, O(log^2 n) rounds at any
+    diameter) in contract-then-finish mode: star rounds run only
+    until the edge set contracts under ``small_graph_threshold``,
+    then ONE driver union-find finishes — on dup-clique graphs (the
+    near-dup candidate shape) that is one round plus one collect,
+    the fix for the measured r9 256x crossover where the label loop's
+    per-round full-graph joins cost 11.5 -> 7.8 MiB/s per byte
+    (docs/SCALE.md). "label" is the legacy min-label-propagation
+    loop with its raise-on-nonconvergence contract; "star" goes
+    straight to the star algorithm. Either way a silently split
+    cluster is impossible — every path certifies its fixpoint."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
     )
     if algorithm == "star":
-        return _star_components(e, max_iter=max(50, max_iter))
+        return _star_components(
+            e,
+            max_iter=max(50, max_iter),
+            finish_threshold=small_graph_threshold,
+        )
     if small_graph_threshold > 0:
         head = e.take(small_graph_threshold + 1)
         if len(head) <= small_graph_threshold:
@@ -260,9 +309,15 @@ def connected_components(
                     F.col("dst").alias("cluster_id"),
                 ).schema,
             )
+    if algorithm == "auto":
+        return _star_components(
+            e,
+            max_iter=max(50, max_iter),
+            finish_threshold=small_graph_threshold,
+        )
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     labels = (
         edges.groupBy("src")
@@ -271,7 +326,7 @@ def connected_components(
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("_nb")).alias("label"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     _lsum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev = labels.agg(_lsum).first()[0]
@@ -295,7 +350,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("_cand"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = labels.agg(_lsum).first()[0]
         if cur == prev:
@@ -303,13 +358,6 @@ def connected_components(
             break
         prev = cur
     if not converged:
-        if algorithm == "auto":
-            # long-chain graph: the per-hop label loop would need a
-            # round per diameter step — hand the edge set to the
-            # O(log^2 n) star algorithm instead of failing; the
-            # caller's max_iter carries over as a floor-50 bound so a
-            # raised budget reaches BOTH loops
-            return _star_components(e, max_iter=max(50, max_iter))
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); use "
