@@ -1,9 +1,10 @@
-"""LLM-pipeline operator scale curve (round-9 directive #1): measure
-dedup_minhash / simhash_dup_pairs / dedup_cluster / ann_ivfpq at
-1x/4x/16x/64x the sf0.1 corpus, recording throughput AND candidate-
-pair counts so the "bucketed, not all-pairs" claim is MEASURED —
-candidate pairs must grow ~linearly with corpus size while the
-brute-force all-pairs count grows quadratically.
+"""LLM-pipeline operator scale curve (round-9 directive #1, extended
+to 1024x by round-10 directive #2): measure dedup_minhash /
+simhash_dup_pairs / dedup_cluster / ann_ivfpq at 1x..1024x the sf0.1
+corpus, recording throughput AND candidate-pair counts so the
+"bucketed, not all-pairs" claim is MEASURED — candidate pairs must
+grow ~linearly with corpus size while the brute-force all-pairs count
+grows quadratically.
 
 Corpus construction (documents): N salted copies of the sf0.1
 documents table. Copy k SUFFIXES every token with a copy tag
@@ -19,14 +20,14 @@ therefore grows linearly by construction, and a correctly-bucketed
 candidate generator must track it; an all-pairs (or boilerplate-
 collapsed) generator would blow up quadratically.
 
-simhash is measured in TWO configs: the registry's 32-bit/4-band
-(8-bit band space: candidates scale ~n^2/2^8 per band for unrelated
-docs — pigeonhole recall is exact but the space is too small for
-large corpora, and the curve SHOWS it) and the 60-bit/4-band scale
-config (15-bit band space — hash60 token hashes carry exactly 60
-meaningful bits, so 60 is the widest honest signature; same
-pigeonhole guarantee for max_hamming=3) whose candidate growth stays
-near-linear until n approaches 2^15 per band value.
+simhash is measured at the SHIPPED DEFAULTS (round-10: 60-bit
+signatures, 6 blocks, hamming 3 — Manku combination banding, twenty
+30-bit keys). The r9 curve demonstrated the old 32-bit/4-band
+one-block banding saturating its 2^8 band space at 64x (1.25B
+candidates, 256x infeasible — kept in docs/SCALE_CURVE_LLM_r09.json
+as the measured failure mode); the 2^30 combination-key space keeps
+expected collision candidates ~ 20 * n^2 / 2^30, i.e. sub-linear in
+corpus bytes until n approaches ~10M docs per shard.
 
 Corpus construction (embeddings): N deterministically-jittered
 replicas (the same recipe as bench.py's ann50k corpus), queries fixed
@@ -34,9 +35,10 @@ at the 64 lowest base ids. The IVF candidate count is the sum over
 queries of their probed cells' occupancy — compared against the
 brute-force queries x corpus count.
 
-Usage: python scripts/bench_scale_llm.py [N ...]   (default 1 4 16 64)
+Usage: python scripts/bench_scale_llm.py [N ...]
+(default 1 4 16 64 256 1024)
 Prints ONE JSON line; the full table also lands in
-docs/SCALE_CURVE_LLM_r09.json. Run uncontended.
+docs/SCALE_CURVE_LLM_r10.json. Run uncontended.
 """
 
 from __future__ import annotations
@@ -69,27 +71,31 @@ def _med_best(fn):
 
 
 def build_docs(spark, n: int) -> str:
-    """N salted copies of sf0.1 documents -> parquet; returns path."""
+    """N salted copies of sf0.1 documents -> parquet; returns path.
+
+    crossJoin with a rep range instead of an n-branch union (the r9
+    shape): identical corpus (same doc_id mapping, same per-copy
+    token-suffix bijection), but the plan stays O(1) in n — a
+    1024-branch union plan is its own bottleneck."""
     from pyspark.sql import functions as F
 
     path = os.path.join(TMP, f"docs_{n}x.parquet")
     if os.path.isdir(path):
         return path
     base = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    copies = [
-        base.select(
-            (F.col("doc_id") * n + k).alias("doc_id"),
-            (
-                F.col("text")
-                if k == 0
-                else F.regexp_replace(F.col("text"), r"(\S+)", f"$1z{k}")
-            ).alias("text"),
+    reps = spark.range(n).toDF("rep")
+    df = base.crossJoin(reps).select(
+        (F.col("doc_id") * n + F.col("rep")).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1z"), F.col("rep").cast("string")),
+            )
         )
-        for k in range(n)
-    ]
-    df = copies[0]
-    for c in copies[1:]:
-        df = df.unionByName(c)
+        .alias("text"),
+    )
     df.repartition(CPUS).write.mode("overwrite").parquet(path)
     return path
 
@@ -125,31 +131,47 @@ def build_embs(spark, n: int) -> str:
     return path
 
 
-def simhash_candidate_pairs(docs, bits: int = 32, n_bands: int = 4) -> int:
-    """Band-collision pair count BEFORE the hamming filter — the
-    candidate set the pigeonhole banding actually materializes
-    (simhash_dup_pairs with the filter removed)."""
+def simhash_candidate_pairs(
+    docs, bits: int = 60, n_bands: int = 6, max_hamming: int = 3
+) -> int:
+    """Key-collision pair count BEFORE the hamming filter — the
+    candidate set the combination banding actually materializes
+    (simhash_dup_pairs with the filter removed), built from the same
+    library combo helper so the measurement tracks the operator."""
     from pyspark.sql import functions as F
 
-    from tidb_lightning_release_4_0_spark.operators.dedup import simhash
+    from tidb_lightning_release_4_0_spark.operators.dedup import (
+        _simhash_block_combos,
+        simhash,
+    )
 
+    combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
     sigs = docs.select(
         F.col("doc_id"), simhash(F.col("text"), bits).alias("sig")
     )
+
+    def combo_key(combo):
+        k = F.lit(0).cast("long")
+        for j, b in enumerate(combo):
+            blk = (
+                F.shiftright(F.col("sig"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+            )
+            k = k + F.shiftleft(blk, j * band_bits)
+        return k
+
     bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("sig"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(ci).alias("band"),
+                        combo_key(c).alias("val"),
                     )
-                    for i in range(n_bands)
+                    for ci, c in enumerate(combos)
                 ]
             )
         ).alias("b"),
@@ -201,7 +223,7 @@ def main() -> None:
     from tidb_lightning_release_4_0_spark.operators import similarity as SIM
     from tidb_lightning_release_4_0_spark.session import get_spark
 
-    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64]
+    scales = [int(a) for a in sys.argv[1:]] or [1, 4, 16, 64, 256, 1024]
     os.makedirs(TMP, exist_ok=True)
     spark = get_spark(app_name="bench_scale_llm", shuffle_partitions=CPUS)
     load_start = os.getloadavg()[0]
@@ -235,39 +257,22 @@ def main() -> None:
             ).count(),
         }
 
-        # --- simhash_dup_pairs: registry config (32-bit/4-band) AND
-        # the 60-bit/4-band scale config — the curve must show the
-        # band-space limit, not hide it. Above ~400k docs the 32-bit
-        # config's candidate set crosses ~10^10 pairs (measured 1.25B
-        # at 320k) and the measurement itself becomes the bottleneck;
-        # the skip is LOGGED, not silent — the saturation is already
-        # demonstrated by the 16x/64x points.
-        sh_configs = [("simhash_dup_pairs", 32, 4),
-                      ("simhash_dup_pairs_60b4", 60, 4)]
-        if n_docs > 400_000:
-            log_skip = (
-                f"# {n}x: skipping simhash 32b4 ({n_docs} docs — "
-                "8-bit band space saturated; see 16x/64x points)"
-            )
-            print(log_skip, file=sys.stderr)
-            sh_configs = [("simhash_dup_pairs_60b4", 60, 4)]
-        for tag, bits, n_bands in sh_configs:
-            sh = lambda: D.simhash_dup_pairs(  # noqa: E731
-                docs, bits=bits, n_bands=n_bands
-            ).count()
-            sh()
-            med, best = _med_best(sh)
-            entry[tag] = {
-                "sec": med, "sec_best": best,
-                "mib_per_sec": round(text_mib / med, 2),
-                "mib_per_sec_best": round(text_mib / best, 2),
-                "dup_pairs": D.simhash_dup_pairs(
-                    docs, bits=bits, n_bands=n_bands
-                ).count(),
-                "candidate_pairs": simhash_candidate_pairs(
-                    docs, bits, n_bands
-                ),
-            }
+        # --- simhash_dup_pairs at the SHIPPED DEFAULTS (no kwargs, so
+        # the curve measures exactly what a user gets). The r9 curve
+        # demonstrated the retired 32-bit/4-band default saturating
+        # its 2^8 band space at 64x (docs/SCALE_CURVE_LLM_r09.json);
+        # the 60/6/3 combination banding's 2^30 key space removes the
+        # skip — every cell is measured.
+        sh = lambda: D.simhash_dup_pairs(docs).count()  # noqa: E731
+        sh()
+        med, best = _med_best(sh)
+        entry["simhash_dup_pairs"] = {
+            "sec": med, "sec_best": best,
+            "mib_per_sec": round(text_mib / med, 2),
+            "mib_per_sec_best": round(text_mib / best, 2),
+            "dup_pairs": D.simhash_dup_pairs(docs).count(),
+            "candidate_pairs": simhash_candidate_pairs(docs),
+        }
 
         # --- dedup_cluster (connected components over the pair graph)
         cl = lambda: CU.connected_components(  # noqa: E731
@@ -311,7 +316,7 @@ def main() -> None:
 
     # merge into the existing curve file so incremental runs
     # (e.g. adding a 256x point later) extend rather than clobber
-    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r09.json")
+    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r10.json")
     merged = points
     if os.path.exists(path):
         try:
