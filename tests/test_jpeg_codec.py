@@ -1,0 +1,269 @@
+"""Baseline JPEG codec (operators/jpeg_codec.py): exactness contract,
+entropy-layer roundtrips, spec pins, and rejection paths.
+
+The media_decode_jpeg / media_resize_jpeg oracle entries hash-verify
+the constant-block DC path end to end at the driver; these tests pin
+everything the closed-form oracle cannot reach — AC run/size coding
+(ZRL, EOB, categories to 10), the zigzag order, the canonical Huffman
+construction, the IDCT against a naive O(8^4) reference, and the
+bitstream conventions via a hand-derived golden scan.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tidb_lightning_release_4_0_spark.operators import jpeg_codec as J
+
+# --- spec pins -------------------------------------------------------------
+
+# T.81 figure A.6 zigzag order as flat row-major indices
+_SPEC_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def test_zigzag_matches_spec():
+    assert list(J._ZFLAT) == _SPEC_ZIGZAG
+
+
+def test_huffman_tables_valid_and_cover_all_symbols():
+    """Canonical validity (Kraft sum <= 1, no 17-bit overflow) plus
+    full coverage: DC categories 0..11, AC {EOB, ZRL} and every
+    (run 0..15, size 1..10) — everything the encoder can emit."""
+    need_ac = {0x00, 0xF0} | {
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    }
+    for bits, vals in (
+        (J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        (J.DC_CHROMA_BITS, J.DC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals) == 12
+        assert set(vals) == set(range(12))
+        assert sum(n / (1 << l) for l, n in enumerate(bits, 1)) <= 1
+    for bits, vals in (
+        (J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+        (J.AC_CHROMA_BITS, J.AC_CHROMA_VALS),
+    ):
+        assert sum(bits) == len(vals) == 162
+        assert set(vals) == need_ac
+        assert sum(n / (1 << l) for l, n in enumerate(bits, 1)) <= 1
+    # encode and decode tables must be inverses
+    enc = J._build_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dec = J._build_decode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    assert all(dec[(ln, code)] == sym for sym, (code, ln) in enc.items())
+
+
+def test_idct_matches_naive_reference():
+    rng = np.random.default_rng(7)
+    coeffs = rng.integers(-500, 500, size=(3, 8, 8)).astype(np.float64)
+    got = J.idct2(coeffs)
+    cu = np.where(np.arange(8) == 0, 1 / np.sqrt(2), 1.0)
+    for n in range(3):
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (
+                            cu[u] * cu[v] / 4 * coeffs[n, u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                assert abs(got[n, x, y] - s) < 1e-9
+
+
+def test_fdct_idct_are_inverses():
+    rng = np.random.default_rng(11)
+    blocks = rng.uniform(-128, 127, size=(5, 8, 8))
+    assert np.allclose(J.idct2(J.fdct2(blocks)), blocks, atol=1e-10)
+
+
+# --- entropy layer: exact coefficient roundtrip ----------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_coefficient_roundtrip_exact(data):
+    """encode_block -> decode_block is the identity on arbitrary
+    in-range quantized coefficient vectors — including long zero runs
+    (ZRL), trailing zeros (EOB), a nonzero at k=63 (no EOB), negative
+    values, and DC diffs across a chain of blocks."""
+    n_blocks = data.draw(st.integers(1, 4))
+    blocks = []
+    for _ in range(n_blocks):
+        zz = np.zeros(64, np.int64)
+        zz[0] = data.draw(st.integers(-1024, 1024))
+        for _ in range(data.draw(st.integers(0, 8))):
+            k = data.draw(st.integers(1, 63))
+            v = data.draw(
+                st.integers(-1023, 1023).filter(lambda x: x != 0)
+            )
+            zz[k] = v
+        blocks.append(zz)
+    dc_e = J._build_encode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_e = J._build_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dc_d = J._build_decode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_d = J._build_decode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    bw = J._BitWriter()
+    prev = 0
+    for zz in blocks:
+        prev = J._encode_block(zz, prev, bw, dc_e, ac_e)
+    br = J._BitReader(bw.flush())
+    prev = 0
+    for zz in blocks:
+        got, prev = J._decode_block(br, prev, dc_d, ac_d)
+        assert np.array_equal(got, zz)
+
+
+def test_zrl_long_runs_roundtrip():
+    """>=32 zeros between nonzeros forces chained ZRL symbols."""
+    zz = np.zeros(64, np.int64)
+    zz[0] = 5
+    zz[40] = -3   # 39 zeros -> 2x ZRL + run 7
+    zz[63] = 1    # 22 zeros -> 1x ZRL + run 6, and no EOB after k=63
+    dc_e = J._build_encode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    ac_e = J._build_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    bw = J._BitWriter()
+    J._encode_block(zz, 0, bw, dc_e, ac_e)
+    br = J._BitReader(bw.flush())
+    got, _ = J._decode_block(
+        br,
+        0,
+        J._build_decode_table(J.DC_LUMA_BITS, J.DC_LUMA_VALS),
+        J._build_decode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS),
+    )
+    assert np.array_equal(got, zz)
+
+
+# --- full-image paths -------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 70),
+    st.integers(0, 2**31 - 1),
+)
+def test_constant_block_exactness(h, w, seed):
+    """The media_decode_jpeg contract: constant 8x8 blocks + all-ones
+    quant decode BIT-EXACTLY through the lossy pipeline."""
+    rng = np.random.default_rng(seed)
+    bv = rng.integers(0, 256, size=(-(-h // 8), -(-w // 8)))
+    img = np.repeat(np.repeat(bv, 8, 0), 8, 1)[:h, :w].astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.array_equal(out, img)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 48), st.integers(1, 48), st.integers(0, 2**31 - 1))
+def test_gray_allones_quant_error_bound(h, w, seed):
+    """Arbitrary grayscale with quant=1: the only loss is coefficient
+    rounding (<= 0.5 per coefficient), which bounds the spatial error
+    to ~4 gray levels; empirically <= 2. Shape and crop must be
+    exact."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_rgb_roundtrip_error_bound():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(33, 17, 3)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img))
+    assert out.shape == img.shape
+    # quant rounding + two float YCbCr conversions with rounding
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_standard_quant_tables_lossy_but_sane():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=J.QUANT_LUMA_STD))
+    assert out.shape == img.shape
+    # random noise is JPEG's worst case; still far from garbage
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+
+def test_smooth_gradient_high_fidelity_with_std_tables():
+    y, x = np.mgrid[0:32, 0:32]
+    img = ((y * 3 + x * 2) % 256).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(img, quant_luma=J.QUANT_LUMA_STD))
+    smooth = np.abs(out.astype(int)[2:-2, 2:-2] - img.astype(int)[2:-2, 2:-2])
+    assert smooth.mean() < 12  # wrap seams excluded, interior faithful
+
+
+# --- bitstream conventions: hand-derived golden -----------------------------
+
+
+def test_golden_scan_bytes_hand_derived():
+    """8x8 constant 130 with all-ones quant: DC = 8*(130-128) = 16,
+    category 5 (DC luma canonical code 110), 5 value bits 10000, then
+    EOB (AC luma canonical code 1010), padded with 1-bits =>
+    1101 0000 1010 1111 = D0 AF. Pins MSB-first bit order, canonical
+    code construction, category/value coding and flush padding
+    against an independent hand derivation."""
+    img = np.full((8, 8), 130, np.uint8)
+    payload = J.encode_jpeg(img)
+    # entropy data sits between the SOS segment and EOI
+    sos = payload.rindex(b"\xff\xda")
+    ln = struct.unpack_from(">H", payload, sos + 2)[0]
+    scan = payload[sos + 2 + ln: -2]
+    assert scan == b"\xd0\xaf"
+    assert np.array_equal(J.decode_jpeg(payload), img)
+
+
+def test_byte_stuffing_roundtrip():
+    """A scan that emits an 0xFF byte must be stuffed (FF 00) and
+    unstuffed transparently."""
+    bw = J._BitWriter()
+    bw.write(0xFF, 8)
+    bw.write(0xFF, 8)
+    raw = bw.flush()
+    assert raw == b"\xff\x00\xff\x00"
+    br = J._BitReader(raw)
+    assert br.read_bits(16) == 0xFFFF
+
+
+# --- rejection paths ---------------------------------------------------------
+
+
+def test_rejects_non_jpeg_and_unsupported_flavors():
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    base = J.encode_jpeg(np.full((8, 8), 9, np.uint8))
+    # flip SOF0 -> SOF2 (progressive)
+    prog = base.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(prog)
+    # inject a nonzero restart interval (DRI) before SOS
+    sos = base.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x08"
+    with pytest.raises(ValueError, match="restart"):
+        J.decode_jpeg(base[:sos] + dri + base[sos:])
+    # 4:2:0 subsampling: patch the SOF component sampling byte
+    sof = base.index(b"\xff\xc0")
+    patched = bytearray(base)
+    patched[sof + 11] = 0x22  # (id, SAMPLING, tq) triple starts at +10
+    with pytest.raises(ValueError, match="subsampling"):
+        J.decode_jpeg(bytes(patched))
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        J.encode_jpeg(np.zeros((4, 4), np.int64))
+    with pytest.raises(ValueError, match="h,w"):
+        J.encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError, match="range"):
+        J.encode_jpeg(np.zeros((0, 4), np.uint8))

@@ -431,13 +431,16 @@ def test_media_pipelines_no_shuffle(spark, sf_dir):
     kernels: ZERO exchanges — at 100 TB the parallelism is the input
     partitioning, and nothing re-shuffles payload bytes."""
     from tidb_lightning_release_4_0_spark.registry import (
+        q_media_decode_jpeg,
         q_media_decode_png,
         q_media_frame_sample_avi,
+        q_media_resize_jpeg,
         q_media_resize_png,
     )
 
     for q in (q_media_decode_png, q_media_resize_png,
-              q_media_frame_sample_avi):
+              q_media_frame_sample_avi, q_media_decode_jpeg,
+              q_media_resize_jpeg):
         plan = _plan(q(spark, sf_dir))
         assert "Exchange" not in plan, (q.__name__, plan)
         assert "ArrowEvalPython" in plan or "InPandas" in plan, (

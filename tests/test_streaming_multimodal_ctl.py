@@ -222,29 +222,6 @@ def test_stateful_user_stats_matches_batch(spark, tables):
     assert bad == 0
 
 
-def test_frame_sample_stub(spark, tables):
-    from tidb_lightning_release_4_0_spark.operators.multimodal import (
-        frame_sample_stub,
-    )
-
-    docs = tables["documents"].limit(20).select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
-    )
-    out = frame_sample_stub(docs, payload_col="payload")
-    rows = out.collect()
-    assert rows, "no frames sampled"
-    by_id = {}
-    for r in rows:
-        by_id.setdefault(r["id"], []).append(r)
-        assert len(r["feature"]) == 16  # 4 float32s
-        assert r["frame_idx"] % 8 == 0
-    assert all(len(v) <= 4 for v in by_id.values())
-    # deterministic: rerun gives identical rows
-    rows2 = out.collect()
-    assert sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows) == \
-           sorted((r["id"], r["frame_idx"], bytes(r["feature"])) for r in rows2)
-
-
 def test_streaming_dedup_within_watermark(spark, tables):
     """Streaming exact dedup with bounded state: a source containing
     duplicated events drains to exactly the batch-distinct multiset."""

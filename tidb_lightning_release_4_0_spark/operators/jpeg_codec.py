@@ -1,0 +1,560 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) codec — pure stdlib +
+numpy, no PIL/libjpeg in this environment.
+
+Beyond-reference multimodal support (SURVEY.md §7 M9): the dominant
+image format of any web crawl, decodable by the same Arrow-batched
+``mapInPandas`` kernels that run the PNG/BMP/AVI codecs. Scope is
+baseline sequential DCT (SOF0), 8-bit, no subsampling (1-component
+grayscale or 3-component YCbCr 4:4:4), no restart markers — raises
+loudly on anything else (a codec, not a sniffer).
+
+Decode path: marker walk -> DQT/DHT/SOF0/SOS -> entropy-decode
+(canonical Huffman from the file's own DHT, byte unstuffing, DC
+difference coding, AC run/size with ZRL + EOB) -> dequantize ->
+de-zigzag -> vectorized IDCT (einsum over all blocks at once) ->
+level shift -> clamp -> crop -> (YCbCr->RGB for color).
+
+Exactness contract used by the ``media_decode_jpeg`` oracle entry:
+images whose 8x8 blocks are each CONSTANT, encoded with all-ones
+quantization tables, decode bit-exactly — the float FDCT of a
+constant block is DC = 8*(v-128) plus ~1e-13 noise (rounds to the
+exact integer) and all-zero AC, and the IDCT of a DC-only block is
+exactly constant again. That turns the lossy format into a
+closed-form-verifiable one for synthetic payloads while the encoder/
+decoder remain fully general (the AC/ZRL/category paths are pinned by
+exact coefficient-level roundtrip property tests instead).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- zigzag order: index k -> (row, col) ----------------------------------
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for s in range(15):
+        js = range(max(0, s - 7), min(s, 7) + 1)
+        diag = [(s - j, j) for j in js]  # row descending as j ascends
+        out.extend(diag if s % 2 == 0 else diag[::-1])
+    return out
+
+
+ZIGZAG = _zigzag_order()
+_ZFLAT = np.array([r * 8 + c for r, c in ZIGZAG], np.int64)
+_UNZIG = np.argsort(_ZFLAT)  # natural index -> position in zigzag
+
+# --- DCT (orthonormal 8x8 matrix: F = M f M^T, f = M^T F M) ---------------
+
+_M = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) / 2.0
+_M[0] *= 1.0 / np.sqrt(2.0)
+
+
+def fdct2(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) float spatial -> (n, 8, 8) float coefficients."""
+    return np.einsum("ux,nxy,vy->nuv", _M, blocks, _M)
+
+
+def idct2(coeffs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) float coefficients -> (n, 8, 8) float spatial."""
+    return np.einsum("xu,nuv,yv->nxy", _M.T, coeffs, _M.T)
+
+
+# --- Huffman tables (Annex K shapes; written to and re-read from DHT) -----
+
+# (bits[16], values) — canonical code construction. Correctness does
+# not depend on matching Annex K value ORDER (the decoder builds its
+# tables from the file's own DHT); validity + full symbol coverage is
+# asserted by tests: DC tables cover categories 0..11, AC tables all
+# 162 symbols {EOB, ZRL} + (run 0..15 x size 1..10).
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K example quantization tables (natural row-major order here;
+# written to DQT in zigzag order as the format requires).
+QUANT_LUMA_STD = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    np.int64,
+).reshape(8, 8)
+QUANT_ONES = np.ones((8, 8), np.int64)
+
+
+def _build_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) via the canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (FF -> FF 00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded bytes, undoing stuffing."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted mid-block")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip the stuffed 0x00
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.12: map the raw `size`-bit field back to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _encode_block(
+    zz: np.ndarray, prev_dc: int, bw: _BitWriter, dc_tbl: dict, ac_tbl: dict
+) -> int:
+    """Entropy-encode one 64-long zigzag coefficient vector; returns
+    the block's DC (the next block's predictor)."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    s = _category(diff)
+    code, ln = dc_tbl[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tbl[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tbl[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _decode_block(
+    br: _BitReader, prev_dc: int, dc_tbl: dict, ac_tbl: dict
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int64)
+    s = br.read_symbol(dc_tbl)
+    diff = _extend(br.read_bits(s), s)
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.read_symbol(ac_tbl)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = rs >> 4, rs & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return zz, dc
+
+
+# --- colorspace -----------------------------------------------------------
+
+
+def rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 RGB -> (h, w, 3) float YCbCr (JFIF full range)."""
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    """(h, w, 3) float YCbCr -> (h, w, 3) uint8 RGB (round + clamp)."""
+    y, cb, cr = arr[..., 0], arr[..., 1] - 128.0, arr[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def _plane_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float -> (n_blocks, 8, 8), edge-replicated to block
+    multiples, raster block order."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    return (
+        padded.reshape(bh // 8, 8, bw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG
+    (SOF0, 8-bit, no subsampling, Annex-K-shaped Huffman tables
+    written to DHT). Default quantization is all-ones — the setting
+    under which constant-8x8-block images roundtrip EXACTLY."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 input")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg expects (h,w) or (h,w,3)")
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("JPEG dimensions out of range")
+    ql = QUANT_ONES if quant_luma is None else np.asarray(quant_luma, np.int64)
+    qc = ql if quant_chroma is None else np.asarray(quant_chroma, np.int64)
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qts, qids = [ql], [0]
+    else:
+        ycc = np.round(rgb_to_ycbcr(arr))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts, qids = [ql, qc, qc], [0, 1, 1]
+
+    # quantized zigzag coefficients per component (blocks in raster order)
+    comp_zz = []
+    for plane, qt in zip(planes, qts):
+        blocks = _plane_blocks(plane) - 128.0
+        coeffs = np.round(fdct2(blocks) / qt.astype(np.float64)).astype(
+            np.int64
+        )
+        comp_zz.append(coeffs.reshape(-1, 64)[:, _ZFLAT])
+
+    enc_dc_l = _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+    enc_ac_l = _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+    enc_dc_c = _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    enc_ac_c = _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    comp_tables = [(enc_dc_l, enc_ac_l)] + [(enc_dc_c, enc_ac_c)] * (
+        len(planes) - 1
+    )
+
+    bw = _BitWriter()
+    prev = [0] * len(planes)
+    n_blocks = comp_zz[0].shape[0]
+    for b in range(n_blocks):
+        for ci in range(len(planes)):
+            dc_t, ac_t = comp_tables[ci]
+            prev[ci] = _encode_block(
+                comp_zz[ci][b], prev[ci], bw, dc_t, ac_t
+            )
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += seg(
+        0xFFDB,
+        bytes([0x00])
+        + ql.reshape(-1)[_ZFLAT].astype(np.uint8).tobytes(),
+    )
+    if not gray:
+        out += seg(
+            0xFFDB,
+            bytes([0x01])
+            + qc.reshape(-1)[_ZFLAT].astype(np.uint8).tobytes(),
+        )
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, qids[ci]])
+    out += seg(0xFFC0, sof)
+    dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    if not gray:
+        dht += bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        dht += bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    out += seg(0xFFC4, dht)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG -> (h, w) or (h, w, 3) uint8. Supports SOF0,
+    8-bit, 1 or 3 components, 4:4:4 only, no restart intervals; raises
+    on progressive/extended/subsampled/DRI inputs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    h = w = None
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_id, ac_id)
+    scan_data = None
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4: pos + 2 + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.frombuffer(
+                    body, np.uint8, 64, i + 1
+                ).astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[_ZFLAT] = flat  # stored zigzag -> natural
+                qtables[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFC0:
+            prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = hh, ww
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError(
+                        "chroma subsampling unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+                        0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFDD:
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_comps.append((cid, tt >> 4, tt & 0x0F))
+            # entropy data: up to the first non-stuffed, non-RST marker
+            start = pos + 2 + ln
+            i = start
+            while i + 1 < len(payload):
+                if payload[i] == 0xFF and payload[i + 1] not in (0x00,):
+                    if 0xD0 <= payload[i + 1] <= 0xD7:
+                        raise ValueError("restart markers unsupported")
+                    break
+                i += 1
+            scan_data = payload[start:i]
+            pos = i
+            continue
+        pos += 2 + ln
+
+    if h is None or scan_data is None or not comps:
+        raise ValueError("JPEG missing SOF0/SOS")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported component count {len(comps)}")
+
+    br = _BitReader(scan_data)
+    nbx, nby = -(-w // 8), -(-h // 8)
+    comp_order = []  # align scan order with SOF components
+    for cid, dc_id, ac_id in scan_comps:
+        tq = next(t for (i2, _, t) in comps if i2 == cid)
+        comp_order.append((cid, dc_id, ac_id, tq))
+    planes_zz = [
+        np.zeros((nbx * nby, 64), np.int64) for _ in comp_order
+    ]
+    prev = [0] * len(comp_order)
+    for b in range(nbx * nby):
+        for ci, (_, dc_id, ac_id, _) in enumerate(comp_order):
+            zz, prev[ci] = _decode_block(
+                br, prev[ci], htables[(0, dc_id)], htables[(1, ac_id)]
+            )
+            planes_zz[ci][b] = zz
+
+    planes = []
+    for ci, (_, _, _, tq) in enumerate(comp_order):
+        qt = qtables[tq].reshape(-1)
+        nat = np.zeros((nbx * nby, 64), np.int64)
+        nat[:, _ZFLAT] = planes_zz[ci]  # de-zigzag
+        coeffs = (nat * qt).reshape(-1, 8, 8).astype(np.float64)
+        spatial = idct2(coeffs) + 128.0
+        grid = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        planes.append(grid[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return ycbcr_to_rgb(ycc)

@@ -12,19 +12,20 @@ Beyond-reference operators (BASELINE.json north star). Design for
   Arrow-batched ``mapInPandas`` kernels: per-batch numpy work, no
   per-row pickling, no shuffle (narrow transforms).
 - The codec step is pluggable: ``decoder=`` takes any
-  bytes->ndarray callable. Five REAL pure-stdlib codecs ship — 24-bit
-  uncompressed BMP (BGR bottom-up, 4-byte row padding), binary PPM
-  (P6), PCM-16 WAV, PNG (zlib DEFLATE + full scanline-filter
-  reconstruction) and uncompressed AVI (RIFF chunk tree, DIB frames)
-  — so EVERY modality's decode path (image, compressed image, audio,
-  video) is genuinely exercised end to end and the
-  ``multimodal_features`` / ``media_decode_png`` /
-  ``media_resize_png`` / ``media_frame_sample_avi`` registry entries
-  are value-hash-checked against closed-form oracles. Rich
-  compressed codecs (JPEG/H.264 via PIL/ffmpeg) are NOT in this
-  environment; the deterministic ``_stub_decode`` survives only as
-  the pluggable-decoder example in the legacy ``resize_stub`` /
-  ``frame_sample_stub`` skeletons.
+  bytes->ndarray callable. Six REAL pure-stdlib(+numpy) codecs ship —
+  24-bit uncompressed BMP (BGR bottom-up, 4-byte row padding), binary
+  PPM (P6), PCM-16 WAV, PNG (zlib DEFLATE + full scanline-filter
+  reconstruction), baseline JPEG (jpeg_codec.py: marker walk, DHT
+  Huffman, dequant, vectorized IDCT, YCbCr) and uncompressed AVI
+  (RIFF chunk tree, DIB frames) — so EVERY modality's decode path
+  (image, DEFLATE- and DCT-compressed image, audio, video) is
+  genuinely exercised end to end and the ``multimodal_features`` /
+  ``media_decode_png`` / ``media_decode_jpeg`` / ``media_resize_png``
+  / ``media_frame_sample_avi`` registry entries are value-hash-checked
+  against closed-form oracles. The deterministic ``_stub_decode``
+  survives only as the pluggable-decoder example in the legacy
+  ``resize_stub`` skeleton (``frame_sample_stub`` retired in round 10
+  — the real AVI ``frame_sample`` replaced it in round 9).
 """
 
 from __future__ import annotations
@@ -416,6 +417,51 @@ def synth_png_payloads(
                 arr = v.astype(np.uint8).reshape(h, w, 3)
                 ids.append(i)
                 blobs.append(encode_png_rgb(arr))
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
+def synth_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL baseline JPEG per row (SOF0,
+    Huffman entropy coding, FDCT, all-ones quantization) with a
+    closed-form pixel rule the decode can reproduce EXACTLY despite
+    the lossy format: every 8x8 block is constant — width =
+    (id%13+1)*5, height = (id%7+1)*5 (1..9 x 1..5 blocks, edge blocks
+    partial), pixel (y, x) = (id + (y//8)*ceil(w/8) + x//8) % 256.
+    A constant block's float FDCT is DC = 8*(v-128) (+ ~1e-13 noise,
+    rounds exact) with all-zero AC, and the DC-only IDCT is exactly
+    constant again, so the decoded bytes match the rule bit-for-bit
+    — while the bitstream still exercises real marker parsing, DHT
+    Huffman decode, DC difference coding across up to 45 blocks, EOB,
+    dequantization, IDCT and edge cropping. Grayscale (1 component):
+    the RGB path's YCbCr transform is float-rounding lossy by nature
+    and is pinned by error-bound property tests instead."""
+    from .jpeg_codec import encode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = (i % 13 + 1) * 5, (i % 7 + 1) * 5
+                nbx = -(-w // 8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + (yy // 8) * nbx + xx // 8) % 256).astype(
+                    np.uint8
+                )
+                ids.append(i)
+                blobs.append(encode_jpeg(arr))
             yield pd.DataFrame({"id": ids, "payload": blobs})
 
     return d.mapInPandas(kernel, schema=out_schema)
@@ -853,59 +899,6 @@ def resize_stub(
                 ows.append(pooled.shape[1])
             yield pd.DataFrame(
                 {"id": ids, "resized": blobs, "out_h": ohs, "out_w": ows}
-            )
-
-    return d.mapInPandas(kernel, schema=out_schema)
-
-
-def frame_sample_stub(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "doc_id",
-    every_n: int = 8,
-    max_frames: int = 4,
-) -> DataFrame:
-    """Video frame-sampling skeleton: treat the payload as a frame
-    sequence, keep every ``every_n``-th frame up to ``max_frames``,
-    emit one row per kept frame with a per-frame feature vector.
-
-    The container has no video codec, so frames are derived from the
-    stub decoder deterministically (each "frame" is a byte slice);
-    a real decoder (pyav/ffmpeg) slots into the same kernel without
-    touching the Spark plan. One input row fans out to ≤max_frames
-    output rows — at 100 TB the explode happens inside the Arrow
-    batch, never on the driver."""
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("feature", T.BinaryType()),
-        ]
-    )
-    d = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, feats = [], [], []
-            for i, payload in zip(pdf["id"], pdf["payload"]):
-                raw = bytes(payload) if payload is not None else b""
-                # stub: fixed-size pseudo-frames over the byte stream
-                frame_bytes = 64
-                n_frames = max(len(raw) // frame_bytes, 1)
-                kept = list(range(0, n_frames, every_n))[:max_frames]
-                for k in kept:
-                    frame = raw[k * frame_bytes : (k + 1) * frame_bytes]
-                    arr = _stub_decode(frame)
-                    ids.append(i)
-                    idxs.append(k)
-                    feats.append(
-                        np.asarray(
-                            [arr.mean(), arr.std(), arr.min(), arr.max()],
-                            dtype=np.float32,
-                        ).tobytes()
-                    )
-            yield pd.DataFrame(
-                {"id": ids, "frame_idx": idxs, "feature": feats}
             )
 
     return d.mapInPandas(kernel, schema=out_schema)

@@ -1520,6 +1520,52 @@ def q_media_resize_png(spark, sf_dir):
     return resize_image(d, payload_col="payload", id_col="id", target=(2, 2))
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """Round 10: the multimodal path through the DCT-compressed
+    format that dominates web crawls — per document, synthesize a
+    real baseline JPEG (jpeg_codec.py: SOF0 markers, Annex-K-shaped
+    Huffman tables in DHT, FDCT + all-ones quantization) whose 8x8
+    blocks are each constant, so the lossy pipeline is bit-exact
+    (constant block => DC-only coefficients, exactly representable),
+    then decode it for real (marker walk, DHT Huffman decode with DC
+    difference coding across up to 45 blocks, dequant, vectorized
+    IDCT, edge crop) and emit exact integer features. The oracle
+    recomputes them from the closed-form block rule in plain SQL —
+    a bug anywhere in the entropy decode, zigzag, IDCT or cropping
+    hash-mismatches. AC / ZRL / category paths are pinned by exact
+    coefficient-roundtrip property tests (tests/test_jpeg_codec.py).
+    Two Arrow-batched narrow stages, no shuffle."""
+    from .operators.jpeg_codec import decode_jpeg
+    from .operators.multimodal import decode_image_stats, synth_jpeg_payloads
+
+    d = synth_jpeg_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return decode_image_stats(
+        d, payload_col="payload", id_col="id", decoder=decode_jpeg
+    )
+
+
+def q_media_resize_jpeg(spark, sf_dir):
+    """Round 10: real JPEG decode -> mean-pool resize (the resize
+    rides the same baseline decoder as media_decode_jpeg): pool each
+    synthesized JPEG to <= 2x2 cells (factor max(h//2,1) x
+    max(w//2,1), remainder cropped, floor-mean per cell) and emit
+    exact pooled-byte features; the oracle replays the identical pool
+    arithmetic in SQL from the closed-form block rule. Narrow
+    mapInPandas stages only."""
+    from .operators.jpeg_codec import decode_jpeg
+    from .operators.multimodal import resize_image, synth_jpeg_payloads
+
+    d = synth_jpeg_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return resize_image(
+        d, payload_col="payload", id_col="id", target=(2, 2),
+        decoder=decode_jpeg,
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """Per-document MinHash signature (oracle-checked).
 
@@ -3398,6 +3444,8 @@ def _build_queries_unordered():
         "multimodal_features": q_multimodal_features,
         "media_decode_png": q_media_decode_png,
         "media_resize_png": q_media_resize_png,
+        "media_decode_jpeg": q_media_decode_jpeg,
+        "media_resize_jpeg": q_media_resize_jpeg,
         "media_frame_sample_avi": q_media_frame_sample_avi,
         "media_header_meta": q_media_header_meta,
         "minhash_signatures": q_minhash_signatures,
@@ -3919,6 +3967,63 @@ def _build_oracle_sql_static():
                    sum(v)::BIGINT AS sum_intensity,
                    sum(v * (k + 1))::BIGINT AS weighted_sum
             FROM px GROUP BY id, height, width
+        """,
+        # media_decode_jpeg: the closed-form 8x8-block rule — the
+        # JPEG payload carries constant blocks through FDCT + Huffman
+        # entropy coding with all-ones quant (bit-exact by
+        # construction); the SQL never touches bytes
+        "media_decode_jpeg": """
+            WITH dims AS (
+              SELECT doc_id::BIGINT AS id,
+                     ((doc_id % 13 + 1) * 5)::BIGINT AS w,
+                     ((doc_id % 7 + 1) * 5)::BIGINT AS h
+              FROM documents
+            ), px AS (
+              SELECT id, w, h,
+                     ((id + ((k // w) // 8) * ((w + 7) // 8)
+                       + (k % w) // 8) % 256)::BIGINT AS v,
+                     k
+              FROM dims, UNNEST(range(0, (w * h)::BIGINT)) AS t(k)
+            )
+            SELECT id, h::INT AS height, w::INT AS width, 1 AS channels,
+                   sum(v)::BIGINT AS sum_intensity,
+                   sum(v * (k + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, h, w
+        """,
+        # media_resize_jpeg: the mean-pool replayed in SQL over the
+        # block rule (grayscale: pooled C-order weight = cy*ow+cx+1)
+        "media_resize_jpeg": """
+            WITH geom AS (
+              SELECT doc_id::BIGINT AS id,
+                     ((doc_id % 13 + 1) * 5)::BIGINT AS w,
+                     ((doc_id % 7 + 1) * 5)::BIGINT AS h
+              FROM documents
+            ), g2 AS (
+              SELECT id, w, h,
+                     LEAST(2, h)::BIGINT AS oh,
+                     LEAST(2, w)::BIGINT AS ow,
+                     GREATEST(h // 2, 1)::BIGINT AS fh,
+                     GREATEST(w // 2, 1)::BIGINT AS fw
+              FROM geom
+            ), px AS (
+              SELECT id, oh, ow, fh, fw,
+                     (k // w) AS y, (k % w) AS x,
+                     ((id + ((k // w) // 8) * ((w + 7) // 8)
+                       + (k % w) // 8) % 256)::BIGINT AS v
+              FROM g2, UNNEST(range(0, (w * h)::BIGINT)) AS t(k)
+            ), cells AS (
+              SELECT id, oh, ow,
+                     (y // fh) AS cy, (x // fw) AS cx,
+                     FLOOR(AVG(v))::BIGINT AS pv
+              FROM px
+              WHERE y < fh * oh AND x < fw * ow
+              GROUP BY id, oh, ow, cy, cx
+            )
+            SELECT id, oh::INT AS out_h, ow::INT AS out_w,
+                   SUM(pv)::BIGINT AS sum_resized,
+                   SUM(pv * (cy * ow + cx + 1))::BIGINT
+                       AS weighted_resized
+            FROM cells GROUP BY id, oh, ow
         """,
         # media_header_meta: mime from id parity, dims from the synth
         # rule — the SQL never reads header bytes, so an offset or
