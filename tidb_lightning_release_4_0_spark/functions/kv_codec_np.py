@@ -189,34 +189,157 @@ def _concat_frags(parts):
     return out, cum
 
 
+# Strict JSON grammar slices for the scalar fast path. Anything not
+# matched falls to the json.loads path, so acceptance here must be a
+# SUBSET of valid JSON: the int/number productions are RFC 8259
+# exactly; the string production only escape-free, control-char-free
+# bodies (escapes and \uXXXX go through the real parser).
+_JSON_WS = " \t\n\r"  # the only insignificant whitespace JSON allows
+_JSON_INT_RE = r"-?(?:0|[1-9][0-9]*)"
+_JSON_NUM_RE = _JSON_INT_RE + r"(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+_JSON_STR_RE = r'"[^"\\\x00-\x1f]*"'
+
+
 def _json_frag(series, mask: np.ndarray, with_flag: bool):
-    """Batch-amortized JSON column encode: each DISTINCT text in the
-    Arrow batch parses + binary-encodes exactly once (json columns
-    repeat heavily in practice — enum-ish props objects — and a
-    column indexed AND stored would otherwise encode twice per row);
-    the jsonFlag prefix is a constant concat. Arbitrary nesting keeps
-    the per-distinct-value encode in Python — the one remaining
-    non-vectorized datum kind — but the loop body is a dict hit for
-    every repeat."""
+    """JSON column encode, two tiers:
+
+    1. Vectorized scalar fast path (round 10 — caps the all-distinct
+       worst case): literals / int64s (<= 18 digits) / float64s /
+       escape-free strings classify with pandas regex fullmatch and
+       pack with numpy astype + byte views — no json.loads, no
+       per-row Python parse. These are the vt.json shape and the
+       overwhelming share of real JSON columns' scalar cells.
+    2. Batch-amortized memo path for everything else (nested arrays/
+       objects, escaped strings, 19+-digit ints straddling the
+       int64/uint64/float64 boundaries): each DISTINCT text in the
+       Arrow batch parses + binary-encodes exactly once; the loop
+       body is a dict hit for every repeat.
+
+    Acceptance in tier 1 is a strict SUBSET of valid JSON, so
+    malformed cells keep raising from the real parser and every
+    accepted cell's bytes are property-pinned identical to the scalar
+    ``json_datum_bytes`` oracle."""
+    import pandas as pd
+
     vals = series.to_numpy(dtype=object)
     pre = b"\x0A" if with_flag else b""
-    cache: dict = {}
-    bs = [b""] * len(vals)
-    for i, v in enumerate(vals):
-        if mask[i]:
-            continue
-        if isinstance(v, str):
-            b = cache.get(v)
-            if b is None:
+    npre = len(pre)
+    n = len(vals)
+    done = np.asarray(mask, bool).copy()
+
+    # fragment table built class-by-class: offs/lens may point ANYWHERE
+    # in the flat buffer (the _gather scatter is offset-addressed), so
+    # fixed-width classes append one matrix block, literals append one
+    # shared copy every row points at, and only genuinely variable
+    # bytes (strings, tier-2 values) pay a per-row Python step.
+    blocks: list[bytes] = []
+    base = 0
+    offs = np.zeros(n, np.int64)
+    lens = np.zeros(n, np.int64)
+
+    def _append(block: bytes) -> int:
+        nonlocal base
+        blocks.append(block)
+        start = base
+        base += len(block)
+        return start
+
+    str_rows = np.fromiter(
+        (not done[i] and isinstance(v, str) for i, v in enumerate(vals)),
+        bool,
+        n,
+    )
+    if str_rows.any():
+        idx = np.nonzero(str_rows)[0]
+        s = pd.Series(vals[idx]).str.strip(_JSON_WS)
+        handled = np.zeros(len(idx), bool)
+        for lit, code in (
+            ("null", KC.JSON_LITERAL_NIL),
+            ("true", KC.JSON_LITERAL_TRUE),
+            ("false", KC.JSON_LITERAL_FALSE),
+        ):
+            m = (s == lit).to_numpy()
+            if m.any():
+                frag = pre + bytes([KC.JSON_TYPE_LITERAL, code])
+                start = _append(frag)  # one copy, every row points at it
+                offs[idx[m]] = start
+                lens[idx[m]] = len(frag)
+                handled |= m
+        is_num = s.str.fullmatch(_JSON_NUM_RE).to_numpy(dtype=bool)
+        num_idx = ~handled & is_num
+        if num_idx.any():
+            frac = s[num_idx].str.contains(
+                "[.eE]", regex=True
+            ).to_numpy(dtype=bool)
+            # sign + <=18 digits always fits int64; the 19/20-digit
+            # boundary cases (int64 edge, uint64, float64 overflow
+            # normalization) keep the real parser's semantics in tier 2
+            short = (s[num_idx].str.len() <= 18).to_numpy(dtype=bool)
+            for sel, dt, tc in (
+                (~frac & short, "<i8", KC.JSON_TYPE_INT64),
+                (frac, "<f8", KC.JSON_TYPE_FLOAT64),
+            ):
+                m = num_idx.copy()
+                m[num_idx] = sel
+                if not m.any():
+                    continue
+                packed = (
+                    s[m].astype(np.float64 if dt == "<f8" else np.int64)
+                    .to_numpy().astype(dt).view(np.uint8).reshape(-1, 8)
+                )
+                k, w = len(packed), npre + 9
+                mat = np.empty((k, w), np.uint8)
+                mat[:, : npre + 1] = np.frombuffer(
+                    pre + bytes([tc]), np.uint8
+                )
+                mat[:, npre + 1:] = packed
+                start = _append(mat.tobytes())
+                offs[idx[m]] = start + np.arange(k, dtype=np.int64) * w
+                lens[idx[m]] = w
+                handled |= m
+        m_str = ~handled & s.str.fullmatch(_JSON_STR_RE).to_numpy(
+            dtype=bool
+        )
+        if m_str.any():
+            inner = s[m_str].str.slice(1, -1).str.encode("utf-8")
+            tc = pre + bytes([KC.JSON_TYPE_STRING])
+            frags = [
+                tc + KC.encode_uvarint(len(b)) + b
+                for b in inner.to_numpy()
+            ]
+            flens = np.fromiter(
+                (len(b) for b in frags), np.int64, len(frags)
+            )
+            start = _append(b"".join(frags))
+            fo = np.zeros(len(frags), np.int64)
+            np.cumsum(flens[:-1], out=fo[1:])
+            offs[idx[m_str]] = start + fo
+            lens[idx[m_str]] = flens
+            handled |= m_str
+        done[idx[handled]] = True
+
+    rest = np.nonzero(~done)[0]
+    if len(rest):
+        cache: dict = {}
+        frags = []
+        for i in rest:
+            v = vals[i]
+            if isinstance(v, str):
+                b = cache.get(v)
+                if b is None:
+                    b = pre + KC.json_datum_bytes(v)
+                    cache[v] = b
+            else:
                 b = pre + KC.json_datum_bytes(v)
-                cache[v] = b
-        else:
-            b = pre + KC.json_datum_bytes(v)
-        bs[i] = b
-    lens = np.fromiter((len(b) for b in bs), np.int64, len(bs))
-    flat = np.frombuffer(b"".join(bs) + b"\x00" * 8, np.uint8)
-    offs = np.zeros(len(bs), np.int64)
-    np.cumsum(lens[:-1], out=offs[1:])
+            frags.append(b)
+        flens = np.fromiter((len(b) for b in frags), np.int64, len(frags))
+        start = _append(b"".join(frags))
+        fo = np.zeros(len(frags), np.int64)
+        np.cumsum(flens[:-1], out=fo[1:])
+        offs[rest] = start + fo
+        lens[rest] = flens
+
+    flat = np.frombuffer(b"".join(blocks) + b"\x00" * 8, np.uint8)
     return _gather(flat, offs, lens)
 
 
