@@ -57,6 +57,26 @@ IREPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5")))
 # _spread_reps). The flag + samples are reported on the stdout line
 # so a graded number can always be read against the load it was
 # measured under.
+def _settle(target: float = 2.0, timeout: float = 180.0) -> tuple:
+    """Round-10 directives #7/#8: bounded pre-section settle — poll
+    the 1-minute loadavg until it drops under ``target`` or the
+    budget runs out, so graded sections start on a quiet box instead
+    of merely flagging a busy one. Returns (loadavg_after,
+    waited_sec, exhausted)."""
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while load >= target and time.monotonic() - t0 < timeout:
+        time.sleep(5.0)
+        load = os.getloadavg()[0]
+    waited = time.monotonic() - t0
+    return round(load, 2), round(waited, 1), load >= target
+
+
+# Bounded settle BEFORE sampling the contention indicator (round-10
+# directive #8: r9's graded run started at loadavg 8.56 and was
+# merely flagged — now we first wait, up to 3 min, for the box to
+# quiet down, and only then grade).
+_SETTLE_LOAD, _SETTLE_WAIT, _SETTLE_EXHAUSTED = _settle()
 _LOAD_START = os.getloadavg()
 CONTENDED = _LOAD_START[0] > 2.0
 _IREPS_EFF = IREPS + (2 if CONTENDED else 0)
@@ -554,6 +574,18 @@ def main() -> None:
         "ann_topk_ivfpq", "ann_topk_pq", "ann_topk_pq_q64",
         "ann_topk_ivfpq_q64",
     }
+    # Round-10 directive #7: the 5+ ingest headline reps heat the box
+    # (r9-local: loadavg 0.27 -> 8.69 across the run) and the query
+    # tail then measured ~1.25x slower on UNTOUCHED code than
+    # r8-local. Keep the r8-sanctioned ingest-first order (JVM
+    # freshness for the graded headline) but insert a bounded settle
+    # gap + a GC before the tail, and record the tail's own loadavg
+    # so per-section conditions are on the line.
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+    tail_load, tail_wait, _ = _settle()
     for name in bench_queries:
         rep = _ireps if name in _HIGH_VARIANCE else _reps
         ts = rep(lambda: queries[name](spark, SF_DIR).count())
@@ -646,11 +678,22 @@ def main() -> None:
         "loadavg_start": round(_LOAD_START[0], 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "contended": CONTENDED,
+        # round-10 settle governance: pre-run bounded wait (#8) and
+        # the query tail's own post-gap loadavg (#7)
+        "settle_wait_sec": _SETTLE_WAIT,
+        "settle_exhausted": _SETTLE_EXHAUSTED,
+        "loadavg_tail_start": tail_load,
+        "tail_settle_wait_sec": tail_wait,
         "sf": float(sf),
         # THE GRADED HEADLINE now carries best-of-reps (round-9
         # directive: min-of-reps is the standard interference
         # control; the r7/r8 drift was ambient load, not code). The
         # median stays alongside as *_median for drift diagnosis.
+        # ADVICE r9 #2: the key's meaning changed in r9 (r1-r8
+        # records carry the median) — stamp the policy so historical
+        # bench_detail.json comparisons attribute the jump to the
+        # metric redefinition, not a performance win.
+        "ingest_metric_policy": "best_of_reps since r9 (median r1-r8)",
         "ingest_mib_per_sec": ingest_mibs_best,
         "ingest_mib_per_sec_median": ingest_mibs,
         "ingest_4x_mib_per_sec": ingest_4x_mibs,
@@ -687,6 +730,8 @@ def main() -> None:
             "ingest_split1file_mib_per_sec", "ingest_jsonl_mib_per_sec",
             "ingest_mib_per_sec_best",
             "loadavg_start", "loadavg_end", "contended",
+            "settle_wait_sec", "settle_exhausted",
+            "loadavg_tail_start", "tail_settle_wait_sec",
         )
     }
     line = json.dumps(line_fields, separators=(",", ":"))

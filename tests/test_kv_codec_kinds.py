@@ -88,7 +88,10 @@ def test_parse_duration_ns():
     assert parse_duration_ns("-01:02:03.5") == -(3723 * 10**9 + 5 * 10**8)
     assert parse_duration_ns("838:59:59") == (838 * 3600 + 59 * 60 + 59) * 10**9
     assert parse_duration_ns("00:00:00") == 0
-    assert parse_duration_ns("12:34") == (12 * 60 + 34) * 10**9
+    # two colon fields fill from the LEFT (MySQL/TiDB ParseDuration):
+    # '12:34' is 12:34:00, not 00:12:34 (ADVICE r9 #1)
+    assert parse_duration_ns("12:34") == (12 * 3600 + 34 * 60) * 10**9
+    assert parse_duration_ns("11:12") == (11 * 3600 + 12 * 60) * 10**9
 
 
 def test_enum_ordinal_and_set_bitmask():

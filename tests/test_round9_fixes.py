@@ -44,7 +44,8 @@ def test_time_vectorized_match_python_kernel(spark):
         Row(h=3, t="838:59:59"),          # MySQL TIME max
         Row(h=4, t="-838:59:59.000001"),
         Row(h=5, t="59"),                 # seconds-only shorthand
-        Row(h=6, t="3:4"),                # MM:SS shorthand
+        Row(h=6, t="3:4"),                # HH:MM shorthand (MySQL)
+        Row(h=11, t="11:12"),             # the ADVICE r9 pinned case
         Row(h=7, t="00:00:00.000000001"), # 1 ns
         Row(h=8, t="00:00:00"),
         Row(h=9, t=None),
@@ -83,7 +84,10 @@ def test_duration_ns_scalar_forms():
         (3600 + 2 * 60 + 3) * 10**9 + 500_000_000
     )
     assert parse_duration_ns("59") == 59 * 10**9
-    assert parse_duration_ns("3:4") == (3 * 60 + 4) * 10**9
+    # colon fields fill from the LEFT (MySQL/TiDB types.ParseDuration
+    # treats '11:12' as HH:MM — ADVICE r9 #1); bare field = seconds
+    assert parse_duration_ns("3:4") == (3 * 3600 + 4 * 60) * 10**9
+    assert parse_duration_ns("11:12") == (11 * 3600 + 12 * 60) * 10**9
     assert parse_duration_ns(" 1:2:3 ") == (3600 + 120 + 3) * 10**9
     # fractions past 9 digits truncate (ns resolution)
     assert parse_duration_ns("0:0:0.1234567899") == 123_456_789

@@ -508,7 +508,13 @@ def set_bitmask(v, members) -> int:
 
 def parse_duration_ns(v) -> int:
     """MySQL TIME text ([-]HH:MM:SS[.ffffff], hours may exceed 23) ->
-    signed nanoseconds."""
+    signed nanoseconds.
+
+    Colon-separated fields fill from the LEFT, matching MySQL and
+    TiDB types.ParseDuration: '11:12' is 11:12:00 (HH:MM), NOT
+    MM:SS (ADVICE r9 #1 — the old twins agreed with each other on
+    MM:SS but diverged from upstream); a single bare field is
+    seconds ('12' -> 00:00:12)."""
     s = str(v).strip()
     neg = s.startswith("-")
     if neg:
@@ -518,8 +524,10 @@ def parse_duration_ns(v) -> int:
         s, fs = s.split(".", 1)
         frac = int(fs.ljust(9, "0")[:9])
     parts = [int(p) for p in s.split(":")]
+    if len(parts) == 2:
+        parts.append(0)  # 'HH:MM'
     while len(parts) < 3:
-        parts.insert(0, 0)
+        parts.insert(0, 0)  # bare seconds
     h, m, sec = parts
     ns = ((h * 3600 + m * 60 + sec) * 1_000_000_000) + frac
     return -ns if neg else ns
@@ -1069,11 +1077,13 @@ def kv_hash_columns(
 
         def _duration_ns_expr(c):
             # MySQL TIME text ([-]HH:MM:SS[.fffffffff], hours may
-            # exceed 23, seconds-only and MM:SS forms allowed) ->
-            # signed nanoseconds, JVM-side (parse_duration_ns twin).
-            # Non-numeric garbage casts to NULL, which the trailing
-            # raise turns into the same hard error the scalar parser
-            # throws.
+            # exceed 23, seconds-only and HH:MM forms allowed) ->
+            # signed nanoseconds, JVM-side (parse_duration_ns twin:
+            # colon fields fill from the LEFT per MySQL/TiDB
+            # ParseDuration — '11:12' is HH:MM; a single bare field
+            # is seconds). Non-numeric garbage casts to NULL, which
+            # the trailing raise turns into the same hard error the
+            # scalar parser throws.
             col = F.col(c)
             t = F.trim(col.cast("string"))
             neg = t.startswith("-")
@@ -1088,14 +1098,17 @@ def kv_hash_columns(
             # > 3 colon-separated fields raises in the scalar parser
             # (tuple unpack) — keep the kernels divergence-free by
             # poisoning sec (the raise below fires on the NULL)
-            sec = F.when(
-                np_ <= 3, F.element_at(parts, -1).cast("long")
-            ).otherwise(F.lit(None).cast("long"))
+            sec = (
+                F.when(np_ == 3, F.element_at(parts, 3).cast("long"))
+                .when(np_ == 1, F.element_at(parts, 1).cast("long"))
+                .when(np_ == 2, F.lit(0).cast("long"))
+                .otherwise(F.lit(None).cast("long"))
+            )
             mins = F.when(
-                np_ >= 2, F.element_at(parts, -2).cast("long")
+                np_ >= 2, F.element_at(parts, 2).cast("long")
             ).otherwise(F.lit(0))
             hrs = F.when(
-                np_ >= 3, F.element_at(parts, -3).cast("long")
+                np_ >= 2, F.element_at(parts, 1).cast("long")
             ).otherwise(F.lit(0))
             ns = (
                 (hrs * F.lit(3600) + mins * F.lit(60) + sec)

@@ -105,9 +105,27 @@ def parse_image_header_meta(
 
     is_png = F.substring(p, 1, 8) == F.lit(_PNG_SIG)
     is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
+    # ADVICE r9 #3: a BITMAPCOREHEADER file or a top-down BMP
+    # (negative biHeight) would silently compose garbage dims out of
+    # the two's-complement bytes — validate biSize == 40 and a
+    # non-negative height MSB with the same raise_error pattern as
+    # unknown magic, instead of returning wrong metadata.
+    bmp_ok = (le_u32(15) == 40) & (
+        F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("int") < 128
+    )
     mime = (
         F.when(is_png, F.lit("image/png"))
-        .when(is_bmp, F.lit("image/bmp"))
+        .when(is_bmp & bmp_ok, F.lit("image/bmp"))
+        .when(
+            is_bmp,
+            F.raise_error(
+                F.lit(
+                    "parse_image_header_meta: unsupported BMP (need "
+                    "bottom-up BITMAPINFOHEADER, biSize=40, "
+                    "biHeight>=0)"
+                )
+            ),
+        )
         .otherwise(
             F.raise_error(
                 F.lit("parse_image_header_meta: unknown magic bytes")
