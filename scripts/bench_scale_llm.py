@@ -57,6 +57,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")), 1)
 TMP = os.path.join(REPO, ".tmp", "bench_scale_llm")
+# comma list to re-measure a subset (e.g. after an operator fix) and
+# deep-merge into the existing curve file; empty = all operators
+OPS = {
+    o for o in os.environ.get("SPARK_GRAFT_SCALE_OPS", "").split(",") if o
+}
+
+
+def _want(op: str) -> bool:
+    return not OPS or op in OPS
 
 
 def _timed(fn) -> float:
@@ -243,19 +252,22 @@ def main() -> None:
         }
 
         # --- dedup_minhash (LSH banding, skew-capped buckets) ---
-        mh = lambda: D.minhash_lsh_pairs(docs, threshold=0.2).count()  # noqa: E731
-        mh()  # warm
-        med, best = _med_best(mh)
-        entry["dedup_minhash"] = {
-            "sec": med, "sec_best": best,
-            "mib_per_sec": round(text_mib / med, 2),
-            "mib_per_sec_best": round(text_mib / best, 2),
-            "dup_pairs": D.minhash_lsh_pairs(docs, threshold=0.2).count(),
-            # pre-threshold bucket-co-located pairs: the candidate set
-            "candidate_pairs": D.minhash_lsh_pairs(
-                docs, threshold=0.0
-            ).count(),
-        }
+        if _want("dedup_minhash"):
+            mh = lambda: D.minhash_lsh_pairs(docs, threshold=0.2).count()  # noqa: E731
+            mh()  # warm
+            med, best = _med_best(mh)
+            entry["dedup_minhash"] = {
+                "sec": med, "sec_best": best,
+                "mib_per_sec": round(text_mib / med, 2),
+                "mib_per_sec_best": round(text_mib / best, 2),
+                "dup_pairs": D.minhash_lsh_pairs(
+                    docs, threshold=0.2
+                ).count(),
+                # pre-threshold bucket-co-located pairs: the candidates
+                "candidate_pairs": D.minhash_lsh_pairs(
+                    docs, threshold=0.0
+                ).count(),
+            }
 
         # --- simhash_dup_pairs at the SHIPPED DEFAULTS (no kwargs, so
         # the curve measures exactly what a user gets). The r9 curve
@@ -263,54 +275,57 @@ def main() -> None:
         # its 2^8 band space at 64x (docs/SCALE_CURVE_LLM_r09.json);
         # the 60/6/3 combination banding's 2^30 key space removes the
         # skip — every cell is measured.
-        sh = lambda: D.simhash_dup_pairs(docs).count()  # noqa: E731
-        sh()
-        med, best = _med_best(sh)
-        entry["simhash_dup_pairs"] = {
-            "sec": med, "sec_best": best,
-            "mib_per_sec": round(text_mib / med, 2),
-            "mib_per_sec_best": round(text_mib / best, 2),
-            "dup_pairs": D.simhash_dup_pairs(docs).count(),
-            "candidate_pairs": simhash_candidate_pairs(docs),
-        }
+        if _want("simhash_dup_pairs"):
+            sh = lambda: D.simhash_dup_pairs(docs).count()  # noqa: E731
+            sh()
+            med, best = _med_best(sh)
+            entry["simhash_dup_pairs"] = {
+                "sec": med, "sec_best": best,
+                "mib_per_sec": round(text_mib / med, 2),
+                "mib_per_sec_best": round(text_mib / best, 2),
+                "dup_pairs": D.simhash_dup_pairs(docs).count(),
+                "candidate_pairs": simhash_candidate_pairs(docs),
+            }
 
         # --- dedup_cluster (connected components over the pair graph)
-        cl = lambda: CU.connected_components(  # noqa: E731
-            D.minhash_lsh_pairs(docs, threshold=0.2)
-        ).count()
-        cl()
-        med, best = _med_best(cl)
-        entry["dedup_cluster"] = {
-            "sec": med, "sec_best": best,
-            "mib_per_sec": round(text_mib / med, 2),
-            "mib_per_sec_best": round(text_mib / best, 2),
-            "clusters": CU.connected_components(
+        if _want("dedup_cluster"):
+            cl = lambda: CU.connected_components(  # noqa: E731
                 D.minhash_lsh_pairs(docs, threshold=0.2)
-            ).count(),
-        }
+            ).count()
+            cl()
+            med, best = _med_best(cl)
+            entry["dedup_cluster"] = {
+                "sec": med, "sec_best": best,
+                "mib_per_sec": round(text_mib / med, 2),
+                "mib_per_sec_best": round(text_mib / best, 2),
+                "clusters": CU.connected_components(
+                    D.minhash_lsh_pairs(docs, threshold=0.2)
+                ).count(),
+            }
 
         # --- ann_ivfpq at the same replication factor ---
-        corpus = spark.read.parquet(build_embs(spark, n)).cache()
-        n_vec = corpus.count()
-        emb_mib = n_vec * 64 * 4 / (1 << 20)
-        q = corpus.filter(F.col("vec_id") < 64)
-        ann = lambda: SIM.ann_topk_ivfpq(  # noqa: E731
-            q, corpus, k=5, n_cells=32, n_probe=2, encode="numpy"
-        ).count()
-        ann()
-        med, best = _med_best(ann)
-        cand = ivf_candidates(spark, corpus, n_cells=32, n_probe=2)
-        entry["ann_ivfpq_q64"] = {
-            "rows_vectors": n_vec,
-            "emb_mib": round(emb_mib, 2),
-            "sec": med, "sec_best": best,
-            "mib_per_sec": round(emb_mib / med, 2),
-            "mib_per_sec_best": round(emb_mib / best, 2),
-            "candidate_pairs": cand,
-            "all_pairs_bruteforce": 64 * (n_vec - 1),
-            "prune_ratio": round(cand / (64 * (n_vec - 1)), 4),
-        }
-        corpus.unpersist()
+        if _want("ann_ivfpq_q64"):
+            corpus = spark.read.parquet(build_embs(spark, n)).cache()
+            n_vec = corpus.count()
+            emb_mib = n_vec * 64 * 4 / (1 << 20)
+            q = corpus.filter(F.col("vec_id") < 64)
+            ann = lambda: SIM.ann_topk_ivfpq(  # noqa: E731
+                q, corpus, k=5, n_cells=32, n_probe=2, encode="numpy"
+            ).count()
+            ann()
+            med, best = _med_best(ann)
+            cand = ivf_candidates(spark, corpus, n_cells=32, n_probe=2)
+            entry["ann_ivfpq_q64"] = {
+                "rows_vectors": n_vec,
+                "emb_mib": round(emb_mib, 2),
+                "sec": med, "sec_best": best,
+                "mib_per_sec": round(emb_mib / med, 2),
+                "mib_per_sec_best": round(emb_mib / best, 2),
+                "candidate_pairs": cand,
+                "all_pairs_bruteforce": 64 * (n_vec - 1),
+                "prune_ratio": round(cand / (64 * (n_vec - 1)), 4),
+            }
+            corpus.unpersist()
         points[f"{n}x"] = entry
         print(f"# {n}x done: {json.dumps(entry)}", file=sys.stderr)
 
@@ -322,7 +337,9 @@ def main() -> None:
         try:
             with open(path) as f:
                 prior = json.load(f).get("points", {})
-            merged = {**prior, **points}
+            merged = dict(prior)
+            for scale, entry in points.items():
+                merged[scale] = {**merged.get(scale, {}), **entry}
         except (OSError, ValueError):
             pass
     out = {

@@ -448,6 +448,28 @@ def test_parse_image_header_meta_jvm(spark):
     with _pytest.raises(Exception, match="magic"):
         parse_image_header_meta(bad).collect()
 
+    # JPEG (round 10): dims out of the SOF0 segment located by the
+    # byte-aligned FF C0 regexp — multi-byte BE u16 dims, and a
+    # decoy FF C0 cannot hide in entropy data (the encoder stuffs
+    # every FF). 300 > 255 exercises the high byte.
+    from tidb_lightning_release_4_0_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+
+    jpg = encode_jpeg(
+        np.ascontiguousarray(_img(5, 300, seed=6)[:, :, 0])
+    )
+    dfj = spark.createDataFrame([Row(id=5, payload=jpg)], schema)
+    got = parse_image_header_meta(dfj).first()
+    assert (got["mime"], got["width"], got["height"]) == (
+        "image/jpeg", 300, 5,
+    )
+    # a JPEG with no SOF0 must raise, not return garbage dims
+    truncated = jpg[: jpg.index(b"\xff\xc0")] + b"\xff\xd9"
+    dft = spark.createDataFrame([Row(id=6, payload=truncated)], schema)
+    with _pytest.raises(Exception, match="SOF0"):
+        parse_image_header_meta(dft).collect()
+
 
 def test_png_gray_and_rgba_decode_paths():
     """The decoder supports 8-bit gray (color 0) and RGBA (color 6);

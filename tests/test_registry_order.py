@@ -7,71 +7,73 @@ makes that a loud local failure. Update deliberately when rotating
 """
 
 from tidb_lightning_release_4_0_spark.registry import (
-    _R9_PREFIX,
+    _R10_PREFIX,
     build_queries,
 )
 
-# Round-9 rotation (docs/ROTATION.md): the lead block is the two new
-# round-9 entries (media_decode_png / media_resize_png — the
-# compressed-image PNG codec path, first-ever hash checks), then the
-# oldest-attested cohort by (latest-attested-round, name) across
-# CORRECTNESS_r0{1..8}: the seven remaining r05 entries and the
-# first 41 of the r06 cohort.
+# Round-10 rotation (docs/ROTATION.md): the lead block is the two
+# new round-10 entries (media_decode_jpeg / media_resize_jpeg — the
+# baseline-JPEG codec path, first-ever hash checks) plus
+# media_header_meta (EXTENDED with JVM-side JPEG SOF0 parsing — must
+# re-attest), then the oldest-attested cohort by
+# (latest-attested-round, name) across CORRECTNESS_r0{1..9}: the
+# eleven remaining r06 entries and the first 36 of the r07 cohort
+# (mysql_cast_tinyint rolls to round 11).
 DRIVER_SAMPLED_50 = [
-    "media_decode_png",
-    "media_resize_png",
-    "media_frame_sample_avi",
+    "media_decode_jpeg",
+    "media_resize_jpeg",
     "media_header_meta",
-    "strip_html",
-    "tfidf_terms",
-    "token_histogram",
-    "top_supplier_revenue",
-    "url_canonicalize",
-    "volume_shipping",
-    "waiting_suppliers",
-    "anomaly_days",
-    "asof_join_orders",
-    "benford_prices",
-    "bigram_lm_score",
-    "bm25_topdocs",
-    "bpe_encode_docs",
-    "bpe_merges",
-    "c4_line_filter_docs",
-    "char_entropy_docs",
-    "chunk_plan",
-    "click_purchase_attribution",
-    "clustering_coeff",
-    "cms_term_counts",
-    "cohort_retention",
-    "dedup_apply_semantic",
-    "dedup_apply_simhash",
-    "dedup_apply_winnow",
-    "dsir_select_docs",
-    "embedding_covariance",
-    "funnel_events",
-    "fuzzy_match_parts",
-    "hll_distinct_parts",
-    "hll_users_by_event",
-    "hybrid_rrf_docs",
-    "jaccard_join_docs",
-    "kmeans_embeddings",
-    "market_basket",
-    "mixture_temperature",
-    "mutual_info_events",
-    "nfc_normalize_docs",
-    "orc_roundtrip",
-    "pagerank_events",
-    "pca_embeddings",
-    "percentiles_lineitem",
-    "priority_lines",
-    "promo_share_lineitem",
-    "range_join_events",
-    "readability_docs",
-    "resume_split_jsonl",
+    "rfm_segments",
+    "salted_agg_lineitem",
+    "sessionize_events",
+    "simhash_dup_pairs",
+    "strip_boilerplate_docs",
+    "top_terms",
+    "triangles_dupgraph",
+    "weighted_sample_docs",
+    "winnow_candidates",
+    "winnow_fingerprints",
+    "zipf_alpha_docs",
+    "alloc_base_orders",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_q64",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "ann_topk_pq_q64",
+    "anti_join_customers",
+    "checksum_crc64_lineitem",
+    "checksum_lineitem",
+    "checksum_orders",
+    "corpus_diff_docs",
+    "dedup_apply_exact",
+    "dedup_apply_minhash",
+    "dedup_apply_spans",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_xx",
+    "default_fill_customer",
+    "dup_ignore_events",
+    "dup_replace_events",
+    "duplicate_spans",
+    "embedding_dups",
+    "enum_cast_events",
+    "events_tumbling_window",
+    "filtered_revenue",
+    "gopher_repetition",
+    "hist_quantiles_price",
+    "index_checksum_orders",
+    "json_extract_events",
+    "jsonl_roundtrip",
+    "kv_crc64_orders",
+    "minhash_signatures",
 ]
 
 
 def test_registry_first_50_pinned():
     assert list(build_queries())[:50] == DRIVER_SAMPLED_50
-    assert _R9_PREFIX == DRIVER_SAMPLED_50
+    assert _R10_PREFIX == DRIVER_SAMPLED_50
     assert len(set(DRIVER_SAMPLED_50)) == 50

@@ -275,18 +275,28 @@ def connected_components(
     otherwise build an exponentially deep plan).
 
     ``algorithm``: "auto" (default) resolves graphs beyond the
-    driver threshold with the alternating large-star/small-star
-    contraction (_star_components, O(log^2 n) rounds at any
-    diameter) in contract-then-finish mode: star rounds run only
-    until the edge set contracts under ``small_graph_threshold``,
-    then ONE driver union-find finishes — on dup-clique graphs (the
-    near-dup candidate shape) that is one round plus one collect,
-    the fix for the measured r9 256x crossover where the label loop's
-    per-round full-graph joins cost 11.5 -> 7.8 MiB/s per byte
-    (docs/SCALE.md). "label" is the legacy min-label-propagation
-    loop with its raise-on-nonconvergence contract; "star" goes
-    straight to the star algorithm. Either way a silently split
-    cluster is impossible — every path certifies its fixpoint."""
+    driver threshold structure-adaptively (the r10 fix for the
+    measured 256x crossover, docs/SCALE.md): ONE min-contraction
+    round first — label every node min(self, direct neighbors) and
+    rewrite edges onto the labels — which collapses CLIQUES (the
+    near-dup candidate shape: every member adjacent to the min) into
+    nothing at the cost of ~3 shuffles; the residual graph (chains,
+    stars-of-cliques) goes to the alternating large-star/small-star
+    loop (_star_components, O(log^2 n) rounds at ANY diameter) in
+    contract-then-finish mode, where star rounds run only until the
+    edge set fits ``small_graph_threshold`` and one driver union-find
+    finishes. The first attempt at this fix ran star rounds directly
+    on the raw pair graph — but cliques contract to (nodes -
+    components) STAR edges, which for a big dup corpus hover above
+    the driver threshold, forcing the full fixpoint + exceptAll
+    certificate (measured 4.6 MiB/s at 256x vs the label loop's
+    7.8); the min-contraction round removes exactly that mass first.
+    "label" is the legacy min-label-propagation loop with its
+    raise-on-nonconvergence contract; "star" goes straight to the
+    star algorithm. Either way a silently split cluster is
+    impossible — every path certifies its fixpoint (the
+    min-contraction is a single exact algebraic step, not an
+    iterated-to-convergence one)."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     e = pairs.select(
@@ -310,10 +320,68 @@ def connected_components(
                 ).schema,
             )
     if algorithm == "auto":
-        return _star_components(
-            e,
+        b = (
+            e.select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        both = b.union(
+            b.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lbl = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("_nb"))
+            .select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_nb")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        lu = lbl.select(
+            F.col("node").alias("u"), F.col("label").alias("_lu")
+        )
+        lv = lbl.select(
+            F.col("node").alias("v"), F.col("label").alias("_lv")
+        )
+        contracted = (
+            b.join(lu, "u")
+            .join(lv, "v")
+            .select(
+                F.greatest("_lu", "_lv").alias("src"),
+                F.least("_lu", "_lv").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        sub = _star_components(
+            contracted,
             max_iter=max(50, max_iter),
             finish_threshold=small_graph_threshold,
+        ).select(
+            F.col("doc_id").alias("label"),
+            F.col("cluster_id").alias("_c"),
+        )
+        # compose: node -> round-1 label -> residual-graph component
+        # min (labels absent from the residual graph were already
+        # their component's min — fully collapsed cliques)
+        labels = lbl.join(sub, "label", "left").select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("_c"), F.col("label")).alias("cluster_id"),
+        )
+        # nodes appearing only in self-pairs were dropped with the
+        # self-loops: re-add as their own cluster
+        nodes = (
+            e.select(F.col("src").alias("doc_id"))
+            .union(e.select(F.col("dst").alias("doc_id")))
+            .distinct()
+        )
+        lonely = nodes.join(labels.select("doc_id"), "doc_id", "left_anti")
+        return labels.union(
+            lonely.select("doc_id", F.col("doc_id").alias("cluster_id"))
         )
     edges = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

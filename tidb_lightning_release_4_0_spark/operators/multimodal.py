@@ -83,7 +83,14 @@ def parse_image_header_meta(
     extract (mime, width, height) from the container header with
     pure expressions — PNG's IHDR carries big-endian u32 dims at
     offsets 17/21, BMP's BITMAPINFOHEADER little-endian i32 dims at
-    19/23 (1-based). Byte access is substring-on-binary -> hex ->
+    19/23 (1-based), and baseline JPEG's SOF0 segment carries
+    big-endian u16 (height, width) 4/6 bytes past its FF C0 marker,
+    located by a byte-aligned lazy regexp over the hex projection
+    ('^(?:..)*?FFC0' — entropy data cannot contain a bare FF C0, the
+    encoder stuffs every FF, so the first byte-aligned hit before
+    the scan IS the frame header; a DQT/DHT table payload embedding
+    those two bytes would defeat it, which the hash-checked oracle
+    would expose). Byte access is substring-on-binary -> hex ->
     conv, so the whole projection stays inside whole-stage codegen;
     at 100 TB this is the cheap metadata pass that runs BEFORE any
     Arrow decode kernel (prune by mime/dims without touching pixel
@@ -105,6 +112,18 @@ def parse_image_header_meta(
 
     is_png = F.substring(p, 1, 8) == F.lit(_PNG_SIG)
     is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
+    is_jpg = F.substring(p, 1, 2) == F.lit(b"\xff\xd8")
+    # 0-based byte offset of the first byte-aligned FF C0 (SOF0)
+    sof0 = (
+        F.length(
+            F.regexp_extract(F.hex(p), "^((?:..)*?)FFC0", 1)
+        ) / 2
+    ).cast("int")
+
+    def be_u16_at(off: Column) -> Column:  # off: 0-based dynamic
+        return F.conv(
+            F.hex(F.substring(p, off + 1, 2)), 16, 10
+        ).cast("int")
     # ADVICE r9 #3: a BITMAPCOREHEADER file or a top-down BMP
     # (negative biHeight) would silently compose garbage dims out of
     # the two's-complement bytes — validate biSize == 40 and a
@@ -113,6 +132,7 @@ def parse_image_header_meta(
     bmp_ok = (le_u32(15) == 40) & (
         F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("int") < 128
     )
+    jpg_ok = F.hex(p).rlike("^(?:..)*FFC0")
     mime = (
         F.when(is_png, F.lit("image/png"))
         .when(is_bmp & bmp_ok, F.lit("image/bmp"))
@@ -126,6 +146,16 @@ def parse_image_header_meta(
                 )
             ),
         )
+        .when(is_jpg & jpg_ok, F.lit("image/jpeg"))
+        .when(
+            is_jpg,
+            F.raise_error(
+                F.lit(
+                    "parse_image_header_meta: JPEG without a baseline "
+                    "SOF0 frame header"
+                )
+            ),
+        )
         .otherwise(
             F.raise_error(
                 F.lit("parse_image_header_meta: unknown magic bytes")
@@ -135,8 +165,14 @@ def parse_image_header_meta(
     return df.select(
         F.col(id_col).cast("long").alias("id"),
         mime.alias("mime"),
-        F.when(is_png, be_u32(17)).otherwise(le_u32(19)).alias("width"),
-        F.when(is_png, be_u32(21)).otherwise(le_u32(23)).alias("height"),
+        F.when(is_png, be_u32(17))
+        .when(is_jpg, be_u16_at(sof0 + 7))
+        .otherwise(le_u32(19))
+        .alias("width"),
+        F.when(is_png, be_u32(21))
+        .when(is_jpg, be_u16_at(sof0 + 5))
+        .otherwise(le_u32(23))
+        .alias("height"),
         F.length(p).cast("long").alias("n_bytes"),
     )
 

@@ -1457,29 +1457,35 @@ def q_media_decode_png(spark, sf_dir):
 
 
 def q_media_header_meta(spark, sf_dir):
-    """Round 9: metadata WITHOUT decode — parse real container
-    headers entirely JVM-side (substring-on-binary -> hex -> conv
-    expressions inside codegen, zero Python in the plan): even
-    doc_ids carry a real BMP, odd a real zlib-compressed PNG; the
-    projection sniffs the magic bytes and reads the dims from
-    BITMAPINFOHEADER (LE) / IHDR (BE) respectively. The oracle knows
-    the dims from the synth pixel rule — a byte-offset or endianness
-    bug in the parse hash-mismatches. This is the 100 TB metadata
-    pass: prune by mime/dims before any pixel bytes move."""
+    """Round 9 (extended r10 with JPEG): metadata WITHOUT decode —
+    parse real container headers entirely JVM-side (substring-on-
+    binary -> hex -> conv expressions inside codegen, zero Python in
+    the plan): doc_id % 3 routes to a real BMP / zlib PNG / baseline
+    JPEG; the projection sniffs the magic bytes and reads the dims
+    from BITMAPINFOHEADER (LE) / IHDR (BE) / the SOF0 segment (BE
+    u16s past a byte-aligned FF C0 located by regexp over the hex
+    projection). The oracle knows the dims from the synth rules — a
+    byte-offset, endianness, or marker-location bug hash-mismatches.
+    This is the 100 TB metadata pass: prune by mime/dims before any
+    pixel bytes move."""
     from .operators.multimodal import (
         parse_image_header_meta,
         synth_bmp_payloads,
+        synth_jpeg_payloads,
         synth_png_payloads,
     )
 
     ids = _t(spark, sf_dir, "documents").select("doc_id")
     bmp = synth_bmp_payloads(
-        ids.filter(F.col("doc_id") % 2 == 0), id_col="doc_id"
+        ids.filter(F.col("doc_id") % 3 == 0), id_col="doc_id"
     )
     png = synth_png_payloads(
-        ids.filter(F.col("doc_id") % 2 == 1), id_col="doc_id"
+        ids.filter(F.col("doc_id") % 3 == 1), id_col="doc_id"
     )
-    d = bmp.unionByName(png)
+    jpg = synth_jpeg_payloads(
+        ids.filter(F.col("doc_id") % 3 == 2), id_col="doc_id"
+    )
+    d = bmp.unionByName(png).unionByName(jpg)
     return parse_image_header_meta(d, payload_col="payload").select(
         "id", "mime", "width", "height"
     )
@@ -3264,74 +3270,78 @@ def q_c4_line_filter_docs(spark, sf_dir):
 
 
 # The driver CORRECTNESS snapshot samples the FIRST 50 entries of
-# build_queries() in insertion order. Round-9 rotation
-# (docs/ROTATION.md): lead slots go to the two NEW round-9 entries
-# that must attest fresh (media_decode_png / media_resize_png — the
-# compressed-image codec path, hash-checked against closed-form SQL
-# oracles), then the oldest-attested cohort computed as
-# latest-round-per-entry across CORRECTNESS_r0{1..8}, sorted by
-# (round, name): the seven remaining r05-attested entries
-# (strip_html ... waiting_suppliers) and the first 41 of the r06
-# cohort by name. Every r07/r08-attested entry rolls out of the
+# build_queries() in insertion order. Round-10 rotation
+# (docs/ROTATION.md): lead slots go to the two NEW round-10 entries
+# that must attest fresh (media_decode_jpeg / media_resize_jpeg —
+# the baseline-JPEG codec path, hash-checked against closed-form SQL
+# oracles) plus media_header_meta (EXTENDED with JVM-side JPEG SOF0
+# parsing — re-attests), then the oldest-attested cohort computed as
+# latest-round-per-entry across CORRECTNESS_r0{1..9}, sorted by
+# (round, name): the eleven remaining r06-attested entries
+# (rfm_segments ... zipf_alpha_docs — including simhash_dup_pairs,
+# which also re-attests its new 60-bit signature default this round)
+# and the first 36 of the 48-entry r07 cohort by name
+# (alloc_base_orders ... minhash_signatures; mysql_cast_tinyint
+# rolls to round 11). Every r08/r09-attested entry rolls out of the
 # sampled window this round. Future rotations edit THIS list (and
 # the pin in tests/test_registry_order.py), nothing else.
-_R9_PREFIX = [
-    "media_decode_png",
-    "media_resize_png",
-    "media_frame_sample_avi",
+_R10_PREFIX = [
+    "media_decode_jpeg",
+    "media_resize_jpeg",
     "media_header_meta",
-    "strip_html",
-    "tfidf_terms",
-    "token_histogram",
-    "top_supplier_revenue",
-    "url_canonicalize",
-    "volume_shipping",
-    "waiting_suppliers",
-    "anomaly_days",
-    "asof_join_orders",
-    "benford_prices",
-    "bigram_lm_score",
-    "bm25_topdocs",
-    "bpe_encode_docs",
-    "bpe_merges",
-    "c4_line_filter_docs",
-    "char_entropy_docs",
-    "chunk_plan",
-    "click_purchase_attribution",
-    "clustering_coeff",
-    "cms_term_counts",
-    "cohort_retention",
-    "dedup_apply_semantic",
-    "dedup_apply_simhash",
-    "dedup_apply_winnow",
-    "dsir_select_docs",
-    "embedding_covariance",
-    "funnel_events",
-    "fuzzy_match_parts",
-    "hll_distinct_parts",
-    "hll_users_by_event",
-    "hybrid_rrf_docs",
-    "jaccard_join_docs",
-    "kmeans_embeddings",
-    "market_basket",
-    "mixture_temperature",
-    "mutual_info_events",
-    "nfc_normalize_docs",
-    "orc_roundtrip",
-    "pagerank_events",
-    "pca_embeddings",
-    "percentiles_lineitem",
-    "priority_lines",
-    "promo_share_lineitem",
-    "range_join_events",
-    "readability_docs",
-    "resume_split_jsonl",
+    "rfm_segments",
+    "salted_agg_lineitem",
+    "sessionize_events",
+    "simhash_dup_pairs",
+    "strip_boilerplate_docs",
+    "top_terms",
+    "triangles_dupgraph",
+    "weighted_sample_docs",
+    "winnow_candidates",
+    "winnow_fingerprints",
+    "zipf_alpha_docs",
+    "alloc_base_orders",
+    "ann_recall_ivf",
+    "ann_recall_lsh",
+    "ann_topk",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_q64",
+    "ann_topk_lsh",
+    "ann_topk_pq",
+    "ann_topk_pq_q64",
+    "anti_join_customers",
+    "checksum_crc64_lineitem",
+    "checksum_lineitem",
+    "checksum_orders",
+    "corpus_diff_docs",
+    "dedup_apply_exact",
+    "dedup_apply_minhash",
+    "dedup_apply_spans",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_minhash_xx",
+    "default_fill_customer",
+    "dup_ignore_events",
+    "dup_replace_events",
+    "duplicate_spans",
+    "embedding_dups",
+    "enum_cast_events",
+    "events_tumbling_window",
+    "filtered_revenue",
+    "gopher_repetition",
+    "hist_quantiles_price",
+    "index_checksum_orders",
+    "json_extract_events",
+    "jsonl_roundtrip",
+    "kv_crc64_orders",
+    "minhash_signatures",
 ]
 
 
 def build_queries():
     base = _build_queries_unordered()
-    head = {k: base[k] for k in _R9_PREFIX}
+    head = {k: base[k] for k in _R10_PREFIX}
     return {**head, **{k: v for k, v in base.items() if k not in head}}
 
 
@@ -4025,15 +4035,22 @@ def _build_oracle_sql_static():
                        AS weighted_resized
             FROM cells GROUP BY id, oh, ow
         """,
-        # media_header_meta: mime from id parity, dims from the synth
-        # rule — the SQL never reads header bytes, so an offset or
-        # endianness bug in the JVM-side parse hash-mismatches
+        # media_header_meta: mime from doc_id % 3, dims from the
+        # synth rules (BMP/PNG share one rule, JPEG's is 5x) — the
+        # SQL never reads header bytes, so an offset, endianness, or
+        # SOF0-location bug in the JVM-side parse hash-mismatches
         "media_header_meta": """
             SELECT doc_id::BIGINT AS id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
-                        ELSE 'image/png' END AS mime,
-                   (doc_id % 13 + 1)::INT AS width,
-                   (doc_id % 7 + 1)::INT AS height
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'image/bmp'
+                        WHEN 1 THEN 'image/png'
+                        ELSE 'image/jpeg' END AS mime,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN ((doc_id % 13 + 1) * 5)::INT
+                        ELSE (doc_id % 13 + 1)::INT END AS width,
+                   CASE WHEN doc_id % 3 = 2
+                        THEN ((doc_id % 7 + 1) * 5)::INT
+                        ELSE (doc_id % 7 + 1)::INT END AS height
             FROM documents
         """,
         # media_frame_sample_avi: kept frames (every 2nd, max 4) and
