@@ -204,6 +204,70 @@ def test_smooth_gradient_high_fidelity_with_std_tables():
     assert smooth.mean() < 12  # wrap seams excluded, interior faithful
 
 
+# --- chroma subsampling (4:2:0 / 4:2:2) -------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sampled_from(["420", "422"]),
+    st.integers(1, 37),
+    st.integers(1, 37),
+    st.integers(0, 2**31 - 1),
+)
+def test_subsampled_roundtrip_constant_chroma(mode, h, w, seed):
+    """R=G=B input has (near-)constant chroma, so the box-mean
+    downsample + replication upsample loses almost nothing and the
+    error bound stays at the 4:4:4 level — across non-multiple-of-16
+    dims (partial MCUs at both edges)."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    img = np.stack([g, g, g], axis=-1)
+    out = J.decode_jpeg(J.encode_jpeg(img, subsampling=mode))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_subsampled_roundtrip_smooth_chroma_bounded():
+    """Smoothly-varying color: 4:2:0's 2x2 chroma box-mean +
+    replication bounds the chroma error by the local gradient — a
+    generous but real bound; and the file is genuinely smaller than
+    4:4:4 (that is the point of subsampling)."""
+    y, x = np.mgrid[0:33, 0:29]
+    img = np.stack(
+        [
+            (100 + y * 2) % 256,
+            (80 + x * 2) % 256,
+            (60 + y + x) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    full = J.encode_jpeg(img, subsampling="444")
+    sub = J.encode_jpeg(img, subsampling="420")
+    out = J.decode_jpeg(sub)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+    assert len(sub) < len(full)
+
+
+def test_subsampled_sof_bytes_and_mcu_geometry():
+    """4:2:0 writes luma sampling 0x22 / chroma 0x11 in SOF0, and a
+    17x17 image (3 partial MCUs) decodes to exact dims."""
+    import struct as _struct
+
+    img = np.full((17, 17, 3), 90, np.uint8)
+    payload = J.encode_jpeg(img, subsampling="420")
+    sof = payload.index(b"\xff\xc0")
+    assert payload[sof + 11] == 0x22  # luma H=2,V=2
+    assert payload[sof + 14] == 0x11  # Cb
+    assert payload[sof + 17] == 0x11  # Cr
+    hgt, wdt = _struct.unpack_from(">HH", payload, sof + 5)
+    assert (hgt, wdt) == (17, 17)
+    out = J.decode_jpeg(payload)
+    assert out.shape == (17, 17, 3)
+    # constant-color input: flat through subsample + roundtrip
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
 # --- bitstream conventions: hand-derived golden -----------------------------
 
 
@@ -252,12 +316,14 @@ def test_rejects_non_jpeg_and_unsupported_flavors():
     dri = b"\xff\xdd\x00\x04\x00\x08"
     with pytest.raises(ValueError, match="restart"):
         J.decode_jpeg(base[:sos] + dri + base[sos:])
-    # 4:2:0 subsampling: patch the SOF component sampling byte
+    # sampling factors beyond 2 per axis: patch the SOF sampling byte
     sof = base.index(b"\xff\xc0")
     patched = bytearray(base)
-    patched[sof + 11] = 0x22  # (id, SAMPLING, tq) triple starts at +10
-    with pytest.raises(ValueError, match="subsampling"):
+    patched[sof + 11] = 0x33  # (id, SAMPLING, tq) triple starts at +10
+    with pytest.raises(ValueError, match="sampling factors"):
         J.decode_jpeg(bytes(patched))
+    with pytest.raises(ValueError, match="subsampling"):
+        J.encode_jpeg(np.zeros((4, 4, 3), np.uint8), subsampling="411")
 
 
 def test_encoder_input_validation():

@@ -4,8 +4,10 @@ numpy, no PIL/libjpeg in this environment.
 Beyond-reference multimodal support (SURVEY.md §7 M9): the dominant
 image format of any web crawl, decodable by the same Arrow-batched
 ``mapInPandas`` kernels that run the PNG/BMP/AVI codecs. Scope is
-baseline sequential DCT (SOF0), 8-bit, no subsampling (1-component
-grayscale or 3-component YCbCr 4:4:4), no restart markers — raises
+baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
+3-component YCbCr with sampling factors 1..2 per axis (4:4:4, 4:2:2
+and 4:2:0 — MCU-interleaved scan, box-mean chroma downsample on
+encode, replication upsample on decode), no restart markers — raises
 loudly on anything else (a codec, not a sniffer).
 
 Decode path: marker walk -> DQT/DHT/SOF0/SOS -> entropy-decode
@@ -338,20 +340,70 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
     )
 
 
+_SAMPLINGS = {
+    "444": ((1, 1), (1, 1)),  # (luma (H,V), chroma (H,V))
+    "422": ((2, 1), (1, 1)),
+    "420": ((2, 2), (1, 1)),
+}
+
+
+def _box_mean(plane: np.ndarray, fh: int, fw: int) -> np.ndarray:
+    """Downsample by (fh, fw) box averaging, edge-padded to factor
+    multiples (the classic chroma subsampler)."""
+    if fh == 1 and fw == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fh) * fh, -(-w // fw) * fw
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fh, fh, pw // fw, fw).mean(axis=(1, 3))
+
+
+def _comp_dims(h: int, w: int, hi: int, vi: int, hmax: int, vmax: int):
+    """T.81 A.1.1: component plane dims = ceil(dim * Hi/Hmax)."""
+    return -(-h * vi // vmax), -(-w * hi // hmax)
+
+
+def _mcu_blocks(plane: np.ndarray, hi: int, vi: int, nmx: int, nmy: int):
+    """Component plane -> blocks in MCU-interleaved order: per MCU
+    (raster), the component's vi x hi blocks (raster within MCU).
+    The plane is edge-padded to the full MCU grid (nmx*hi, nmy*vi
+    blocks)."""
+    bh, bw = nmy * vi * 8, nmx * hi * 8
+    h, w = plane.shape
+    p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    grid = (
+        p.reshape(nmy * vi, 8, nmx * hi, 8).transpose(0, 2, 1, 3)
+    )  # (block_row, block_col, 8, 8)
+    order = []
+    for my in range(nmy):
+        for mx in range(nmx):
+            for v in range(vi):
+                for hh in range(hi):
+                    order.append((my * vi + v, mx * hi + hh))
+    rows = np.array([r for r, _ in order])
+    cols = np.array([c for _, c in order])
+    return grid[rows, cols]  # (n_blocks, 8, 8) in scan order
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG
-    (SOF0, 8-bit, no subsampling, Annex-K-shaped Huffman tables
-    written to DHT). Default quantization is all-ones — the setting
-    under which constant-8x8-block images roundtrip EXACTLY."""
+    (SOF0, 8-bit, Annex-K-shaped Huffman tables written to DHT).
+    ``subsampling``: '444' (default — the setting under which
+    constant-8x8-block grayscale images roundtrip EXACTLY), '422' or
+    '420' (box-mean chroma downsample, MCU-interleaved scan — the
+    dominant real-crawl flavor). Default quantization is all-ones."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 input")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("encode_jpeg expects (h,w) or (h,w,3)")
+    if subsampling not in _SAMPLINGS:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError("JPEG dimensions out of range")
@@ -361,15 +413,26 @@ def encode_jpeg(
     if gray:
         planes = [arr.astype(np.float64)]
         qts, qids = [ql], [0]
+        samps = [(1, 1)]
     else:
+        (lh, lv), (ch, cv) = _SAMPLINGS[subsampling]
         ycc = np.round(rgb_to_ycbcr(arr))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        planes = [
+            ycc[..., 0],
+            _box_mean(ycc[..., 1], lv // cv, lh // ch),
+            _box_mean(ycc[..., 2], lv // cv, lh // ch),
+        ]
         qts, qids = [ql, qc, qc], [0, 1, 1]
+        samps = [(lh, lv), (ch, cv), (ch, cv)]
 
-    # quantized zigzag coefficients per component (blocks in raster order)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # quantized zigzag coefficients per component, MCU scan order
     comp_zz = []
-    for plane, qt in zip(planes, qts):
-        blocks = _plane_blocks(plane) - 128.0
+    for plane, qt, (hi, vi) in zip(planes, qts, samps):
+        blocks = _mcu_blocks(plane, hi, vi, nmx, nmy) - 128.0
         coeffs = np.round(fdct2(blocks) / qt.astype(np.float64)).astype(
             np.int64
         )
@@ -385,13 +448,15 @@ def encode_jpeg(
 
     bw = _BitWriter()
     prev = [0] * len(planes)
-    n_blocks = comp_zz[0].shape[0]
-    for b in range(n_blocks):
-        for ci in range(len(planes)):
+    pos = [0] * len(planes)
+    for _ in range(nmx * nmy):
+        for ci, (hi, vi) in enumerate(samps):
             dc_t, ac_t = comp_tables[ci]
-            prev[ci] = _encode_block(
-                comp_zz[ci][b], prev[ci], bw, dc_t, ac_t
-            )
+            for _ in range(hi * vi):
+                prev[ci] = _encode_block(
+                    comp_zz[ci][pos[ci]], prev[ci], bw, dc_t, ac_t
+                )
+                pos[ci] += 1
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -416,7 +481,8 @@ def encode_jpeg(
     nc = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, qids[ci]])
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
     out += seg(0xFFC0, sof)
     dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
     dht += bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
@@ -439,8 +505,9 @@ def encode_jpeg(
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF JPEG -> (h, w) or (h, w, 3) uint8. Supports SOF0,
-    8-bit, 1 or 3 components, 4:4:4 only, no restart intervals; raises
-    on progressive/extended/subsampled/DRI inputs."""
+    8-bit, 1 or 3 components, sampling factors 1..2 per axis (4:4:4,
+    4:2:2, 4:2:0 — chroma upsampled by pixel replication), no restart
+    intervals; raises on progressive/extended/DRI inputs."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -488,9 +555,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             h, w = hh, ww
             for ci in range(nc):
                 cid, samp, tq = body[6 + 3 * ci: 9 + 3 * ci]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)"
+                        f"sampling factors {hi}x{vi} unsupported "
+                        "(1..2 per axis)"
                     )
                 comps.append((cid, samp, tq))
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
@@ -524,35 +593,57 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported component count {len(comps)}")
 
     br = _BitReader(scan_data)
-    nbx, nby = -(-w // 8), -(-h // 8)
     comp_order = []  # align scan order with SOF components
     for cid, dc_id, ac_id in scan_comps:
-        tq = next(t for (i2, _, t) in comps if i2 == cid)
-        comp_order.append((cid, dc_id, ac_id, tq))
+        samp, tq = next(
+            (s, t) for (i2, s, t) in comps if i2 == cid
+        )
+        comp_order.append((cid, dc_id, ac_id, tq, samp >> 4, samp & 0x0F))
+    hmax = max(c[4] for c in comp_order)
+    vmax = max(c[5] for c in comp_order)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # decode all blocks in MCU-interleaved order; place each block at
+    # its (block_row, block_col) in the component's own block grid
     planes_zz = [
-        np.zeros((nbx * nby, 64), np.int64) for _ in comp_order
+        np.zeros((nmy * vi * nmx * hi, 64), np.int64)
+        for (_, _, _, _, hi, vi) in comp_order
     ]
     prev = [0] * len(comp_order)
-    for b in range(nbx * nby):
-        for ci, (_, dc_id, ac_id, _) in enumerate(comp_order):
-            zz, prev[ci] = _decode_block(
-                br, prev[ci], htables[(0, dc_id)], htables[(1, ac_id)]
-            )
-            planes_zz[ci][b] = zz
+    for my in range(nmy):
+        for mx in range(nmx):
+            for ci, (_, dc_id, ac_id, _, hi, vi) in enumerate(comp_order):
+                for v in range(vi):
+                    for hh in range(hi):
+                        zz, prev[ci] = _decode_block(
+                            br,
+                            prev[ci],
+                            htables[(0, dc_id)],
+                            htables[(1, ac_id)],
+                        )
+                        bidx = (my * vi + v) * (nmx * hi) + mx * hi + hh
+                        planes_zz[ci][bidx] = zz
 
     planes = []
-    for ci, (_, _, _, tq) in enumerate(comp_order):
+    for ci, (_, _, _, tq, hi, vi) in enumerate(comp_order):
         qt = qtables[tq].reshape(-1)
-        nat = np.zeros((nbx * nby, 64), np.int64)
+        nat = np.zeros_like(planes_zz[ci])
         nat[:, _ZFLAT] = planes_zz[ci]  # de-zigzag
         coeffs = (nat * qt).reshape(-1, 8, 8).astype(np.float64)
         spatial = idct2(coeffs) + 128.0
+        nbx, nby = nmx * hi, nmy * vi
         grid = (
             spatial.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(nby * 8, nbx * 8)
         )
-        planes.append(grid[:h, :w])
+        ch, cw = _comp_dims(h, w, hi, vi, hmax, vmax)
+        plane = grid[:ch, :cw]
+        if hi != hmax or vi != vmax:  # chroma upsample (replication)
+            plane = np.repeat(
+                np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1
+            )[:h, :w]
+        planes.append(plane)
 
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
