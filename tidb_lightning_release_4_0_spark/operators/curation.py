@@ -299,9 +299,16 @@ def connected_components(
     iterated-to-convergence one)."""
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # Materialize the pair source ONCE: the candidate generator
+    # feeding this (e.g. a full MinHash LSH pass) can dwarf the
+    # component resolution itself, and the auto path touches the
+    # edge frame from several actions (driver-size probe, canonical
+    # build, lonely-node re-add) — without this checkpoint each
+    # action re-ran the generator (measured 2.5x the MinHash cost at
+    # the 1024x curve point before the fix).
     e = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     if algorithm == "star":
         return _star_components(
             e,
@@ -356,6 +363,7 @@ def connected_components(
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         sub = _star_components(
             contracted,
