@@ -579,13 +579,18 @@ def main() -> None:
     # tail then measured ~1.25x slower on UNTOUCHED code than
     # r8-local. Keep the r8-sanctioned ingest-first order (JVM
     # freshness for the graded headline) but insert a bounded settle
-    # gap + a GC before the tail, and record the tail's own loadavg
-    # so per-section conditions are on the line.
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
+    # gap before the tail and record the tail's own loadavg so
+    # per-section conditions are on the line. After the gap, re-warm
+    # UNTIMED: the first run with a System.gc() in the gap measured a
+    # decaying cold transient across the first ~10 tail entries
+    # (simhash 10.5 s in-session vs 1.4 s in a fresh session), so the
+    # gap must be followed by warm work, and no explicit GC.
     tail_load, tail_wait, _ = _settle()
+    for wname in ("checksum_lineitem", "simhash", "text_stats"):
+        try:
+            queries[wname](spark, SF_DIR).count()
+        except Exception:
+            pass
     for name in bench_queries:
         rep = _ireps if name in _HIGH_VARIANCE else _reps
         ts = rep(lambda: queries[name](spark, SF_DIR).count())
