@@ -141,17 +141,25 @@ def build_embs(spark, n: int) -> str:
 
 
 def simhash_candidate_pairs(
-    docs, bits: int = 60, n_bands: int = 6, max_hamming: int = 3
+    docs, bits: int = 60, n_bands: int = 6, max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> int:
-    """Key-collision pair count BEFORE the hamming filter — the
-    candidate set the combination banding actually materializes
-    (simhash_dup_pairs with the filter removed), built from the same
-    library combo helper so the measurement tracks the operator."""
+    """Unique key-collision pair count BEFORE the hamming filter —
+    the candidate set the operator actually scores, r11 shape: the
+    shipped hot-bucket cap and the minimal-agreeing-combo single
+    emission (so no candidate-volume .distinct(), which itself
+    spilled at 1024x in the r10 measurement — SCALE.md finding 3).
+    Built from the operator's own helpers so the probe tracks the
+    library."""
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from tidb_lightning_release_4_0_spark.operators.dedup import (
         _simhash_block_combos,
         simhash,
+    )
+    from tidb_lightning_release_4_0_spark.session import (
+        derived_shuffle_partitions,
     )
 
     combos = _simhash_block_combos(bits, n_bands, max_hamming)
@@ -173,6 +181,7 @@ def simhash_candidate_pairs(
 
     bands = sigs.select(
         "doc_id",
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -184,17 +193,48 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    l, r = bands.alias("l"), bands.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        "doc_id", "sig",
+        F.col("b.band").alias("band"), F.col("b.val").alias("val"),
+    )
+    parts = derived_shuffle_partitions(
+        docs.count() * len(combos), row_bytes=40
+    )
+    bands = bands.repartition(parts, "band", "val")
+    w = Window.partitionBy("band", "val")
+    bands = (
+        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    grouped = bands.groupBy("band", "val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("sig")))
+        ).alias("_items")
+    )
+    items = F.col("_items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("l"), y.alias("r")),
+            ),
         )
-        .select("l.doc_id", "r.doc_id")
-        .distinct()
+    )
+    first = None
+    xcol = F.col("p.l.sig").bitwiseXOR(F.col("p.r.sig"))
+    for ci, combo in enumerate(combos):
+        cond = F.lit(True)
+        for b in combo:
+            cond = cond & (
+                F.shiftright(xcol, b * band_bits)
+                .bitwiseAND(F.lit(mask)) == 0
+            )
+        first = F.when(cond, ci) if first is None else first.when(cond, ci)
+    return (
+        grouped.select("band", F.explode(pair_structs).alias("p"))
+        .filter(F.col("band") == first)
         .count()
     )
 
@@ -330,12 +370,18 @@ def main() -> None:
         print(f"# {n}x done: {json.dumps(entry)}", file=sys.stderr)
 
     # merge into the existing curve file so incremental runs
-    # (e.g. adding a 256x point later) extend rather than clobber
-    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r10.json")
+    # (e.g. re-measuring ONE operator after a fix) extend rather than
+    # clobber; a fresh round file seeds from the prior round's so
+    # untouched operators carry their last measurement (provenance in
+    # the "note" field)
+    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r11.json")
+    seed = path if os.path.exists(path) else os.path.join(
+        REPO, "docs", "SCALE_CURVE_LLM_r10.json"
+    )
     merged = points
-    if os.path.exists(path):
+    if os.path.exists(seed):
         try:
-            with open(path) as f:
+            with open(seed) as f:
                 prior = json.load(f).get("points", {})
             merged = dict(prior)
             for scale, entry in points.items():
@@ -349,6 +395,12 @@ def main() -> None:
         "reps": REPS,
         "cpus": CPUS,
         "loadavg_start": round(load_start, 2),
+        "note": (
+            "cells measured this run: ops="
+            + (",".join(sorted(OPS)) if OPS else "all")
+            + f" scales={scales}; other cells carried from the prior "
+            "round's curve (operator code unchanged there)"
+        ),
         "points": merged,
     }
     with open(path, "w") as f:

@@ -311,11 +311,15 @@ def test_rejects_non_jpeg_and_unsupported_flavors():
     prog = base.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="baseline"):
         J.decode_jpeg(prog)
-    # inject a nonzero restart interval (DRI) before SOS
-    sos = base.index(b"\xff\xda")
-    dri = b"\xff\xdd\x00\x04\x00\x08"
-    with pytest.raises(ValueError, match="restart"):
-        J.decode_jpeg(base[:sos] + dri + base[sos:])
+    # r11: DRI is SUPPORTED now — but a DRI promising restarts the
+    # scan does not contain must fail loudly at the first boundary
+    multi = J.encode_jpeg(
+        np.arange(32 * 8, dtype=np.uint8).reshape(8, 32)
+    )  # 4 MCUs, no RST markers
+    sos = multi.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"  # interval 2
+    with pytest.raises(ValueError, match="RSTn"):
+        J.decode_jpeg(multi[:sos] + dri + multi[sos:])
     # sampling factors beyond 2 per axis: patch the SOF sampling byte
     sof = base.index(b"\xff\xc0")
     patched = bytearray(base)
@@ -333,3 +337,81 @@ def test_encoder_input_validation():
         J.encode_jpeg(np.zeros((4, 4, 2), np.uint8))
     with pytest.raises(ValueError, match="range"):
         J.encode_jpeg(np.zeros((0, 4), np.uint8))
+
+
+# --- restart markers (r11 directive #4) --------------------------------------
+
+
+@pytest.mark.parametrize("interval", [1, 2, 3, 7])
+def test_dri_roundtrip_exact_gray(interval):
+    """Constant-8x8-block grayscale with all-ones quant roundtrips
+    bit-exactly THROUGH restart markers: the encoder emits DRI + RSTm
+    (byte-aligned, DC predictors reset, m cycling 0..7), the decoder
+    resyncs at every boundary. 10 MCUs crosses the m=7 -> m=0 wrap at
+    interval 1."""
+    rng = np.random.default_rng(interval)
+    blocks = rng.integers(0, 256, size=(1, 10), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+    payload = J.encode_jpeg(img, restart_interval=interval)
+    assert b"\xff\xdd" in payload
+    assert b"\xff\xd0" in payload  # at least RST0
+    out = J.decode_jpeg(payload)
+    assert np.array_equal(out, img)
+    # the same image without restarts decodes to the same pixels
+    assert np.array_equal(J.decode_jpeg(J.encode_jpeg(img)), img)
+
+
+def test_dri_roundtrip_color_subsampled():
+    """4:2:0 color + restarts: decoded pixels must equal the
+    no-restart decode exactly (restart markers change framing, not
+    coefficients)."""
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(24, 48, 3), dtype=np.uint8)
+    with_rst = J.decode_jpeg(
+        J.encode_jpeg(img, subsampling="420", restart_interval=1)
+    )
+    without = J.decode_jpeg(J.encode_jpeg(img, subsampling="420"))
+    assert np.array_equal(with_rst, without)
+
+
+def test_rst_out_of_sequence_raises():
+    img = np.arange(32 * 8, dtype=np.uint8).reshape(8, 32)  # 4 MCUs
+    payload = J.encode_jpeg(img, restart_interval=1)
+    # corrupt the first RST0 -> RST5
+    broken = payload.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    with pytest.raises(ValueError, match="sequence"):
+        J.decode_jpeg(broken)
+
+
+def test_encoder_rejects_out_of_range_quant_and_interval():
+    """ADVICE r10 #2: quant values outside 1..255 (or a non-8x8
+    table) must raise, not wrap modulo 256 into a silently-wrong
+    bitstream."""
+    img = np.full((8, 8), 7, np.uint8)
+    with pytest.raises(ValueError, match="1..255"):
+        J.encode_jpeg(img, quant_luma=np.full((8, 8), 300, np.int64))
+    with pytest.raises(ValueError, match="1..255"):
+        J.encode_jpeg(img, quant_luma=np.zeros((8, 8), np.int64))
+    with pytest.raises(ValueError, match="shape"):
+        J.encode_jpeg(img, quant_luma=np.ones((4, 4), np.int64))
+    with pytest.raises(ValueError, match="1..255"):
+        J.encode_jpeg(
+            np.full((8, 8, 3), 7, np.uint8),
+            quant_chroma=np.full((8, 8), 256, np.int64),
+        )
+    with pytest.raises(ValueError, match="u16"):
+        J.encode_jpeg(img, restart_interval=1 << 16)
+
+
+def test_fill_bytes_and_standalone_markers():
+    """ADVICE r10 #4: legal 0xFF fill bytes before a marker are
+    consumed (not misparsed as marker 0xFFFF with a garbage length);
+    a standalone marker (TEM) between header segments raises an
+    explicit error instead of desynchronizing."""
+    img = np.full((8, 8), 77, np.uint8)
+    base = J.encode_jpeg(img)
+    padded = base[:2] + b"\xff\xff\xff" + base[2:]
+    assert np.array_equal(J.decode_jpeg(padded), img)
+    tem = base[:2] + b"\xff\x01" + base[2:]
+    with pytest.raises(ValueError, match="standalone"):
+        J.decode_jpeg(tem)

@@ -448,10 +448,9 @@ def test_parse_image_header_meta_jvm(spark):
     with _pytest.raises(Exception, match="magic"):
         parse_image_header_meta(bad).collect()
 
-    # JPEG (round 10): dims out of the SOF0 segment located by the
-    # byte-aligned FF C0 regexp — multi-byte BE u16 dims, and a
-    # decoy FF C0 cannot hide in entropy data (the encoder stuffs
-    # every FF). 300 > 255 exercises the high byte.
+    # JPEG (round 10, r11: marker-segment walk): dims out of the
+    # SOF0 segment reached by skipping each header segment by its
+    # length field. 300 > 255 exercises the high byte.
     from tidb_lightning_release_4_0_spark.operators.jpeg_codec import (
         encode_jpeg,
     )
@@ -517,3 +516,51 @@ def test_png_gray_and_rgba_decode_paths():
     out = decode_png_rgb(png(2, 1, 6, bytes([0] + px)))
     assert out.shape == (1, 2, 4)
     assert out.ravel().tolist() == px
+
+
+def test_parse_image_header_meta_exif_thumbnail(spark):
+    """ADVICE r10 #1: an APP1 (EXIF-style) segment whose body embeds
+    a COMPLETE thumbnail JPEG — with its own SOF0 carrying different
+    dims — must not shadow the primary frame header. The marker walk
+    skips the APP1 segment by its length field; the retired
+    whole-payload regexp matched the thumbnail's FF C0 first and
+    returned the thumbnail's dims."""
+    import struct as _struct
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.operators.jpeg_codec import (
+        encode_jpeg,
+    )
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        parse_image_header_meta,
+    )
+
+    thumb = encode_jpeg(
+        np.ascontiguousarray(_img(3, 4, seed=7)[:, :, 0])
+    )
+    main = encode_jpeg(
+        np.ascontiguousarray(_img(5, 300, seed=8)[:, :, 0])
+    )
+    assert b"\xff\xc0" in thumb and main[:2] == b"\xff\xd8"
+    app1_body = b"Exif\x00\x00" + thumb
+    app1 = b"\xff\xe1" + _struct.pack(">H", len(app1_body) + 2) + app1_body
+    # splice APP1 right after SOI — thumbnail SOF0 now sits BEFORE
+    # the main SOF0 in the byte stream
+    payload = main[:2] + app1 + main[2:]
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame([Row(id=1, payload=payload)], schema)
+    got = parse_image_header_meta(df).first()
+    assert (got["mime"], got["width"], got["height"]) == (
+        "image/jpeg", 300, 5,
+    )
+
+    # FF fill bytes before a marker (T.81 B.1.1.2) are consumed
+    padded = main[:2] + b"\xff\xff" + main[2:]
+    dfp = spark.createDataFrame([Row(id=2, payload=padded)], schema)
+    got = parse_image_header_meta(dfp).first()
+    assert (got["width"], got["height"]) == (300, 5)

@@ -446,3 +446,53 @@ def test_media_pipelines_no_shuffle(spark, sf_dir):
         assert "ArrowEvalPython" in plan or "InPandas" in plan, (
             q.__name__, plan,
         )
+
+
+def test_simhash_candidate_shuffle_sizes_with_data(spark, sf_dir):
+    """The simhash candidate stage must size its ONE shuffle to the
+    banded-row volume (docs/SCALE.md finding 3 promoted to an engine
+    default): an explicit ``candidate_partitions`` lands as the
+    hashpartitioning width of the (band, val) exchange, and the
+    derived-partitions rule grows with the estimated volume instead
+    of inheriting the session's static shuffle_partitions."""
+    from tidb_lightning_release_4_0_spark.operators import dedup as D
+    from tidb_lightning_release_4_0_spark.session import (
+        derived_shuffle_partitions,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = D.simhash_dup_pairs(
+        docs, max_hamming=1, n_bands=2, candidate_partitions=57
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(band" in plan and ", 57)" in plan, plan
+    # exchange REUSE: the explicit repartition is the only
+    # hashpartitioning — window + groupBy cluster on the same key
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the sizing rule itself: partitions grow linearly past the
+    # session floor and respect the cap
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert derived_shuffle_partitions(1_000) == sess  # floor
+    big = derived_shuffle_partitions(5_100_000 * 20, row_bytes=40)
+    assert big > sess  # the r10 1024x cell now requests > the floor
+    assert derived_shuffle_partitions(10**12) == 4096  # cap
+    assert derived_shuffle_partitions(
+        2 * 5_100_000 * 20, row_bytes=40
+    ) >= 2 * big - 2  # ~linear in volume
+
+
+def test_simhash_no_second_distinct_exchange(spark, sf_dir):
+    """r11 rework: pair dedup is the minimal-agreeing-combo filter (a
+    pure XOR expression), NOT a second candidate-volume shuffle. The
+    plan must carry at most the spread + one (band, val) exchange and
+    no HashAggregate-based distinct over (left_id, right_id)."""
+    import tidb_lightning_release_4_0_spark.registry as R
+
+    df = R.q_simhash_pairs(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the old plan shuffled candidates for distinct: two
+    # hashpartitioning exchanges, the second on (left_id, right_id)
+    assert "hashpartitioning(left_id" not in plan, plan

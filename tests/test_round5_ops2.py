@@ -144,6 +144,9 @@ def test_simhash_default_config_scale_safe():
     dsig = inspect.signature(D.simhash_dup_pairs_sql_duckdb)
     assert dsig.parameters["bits"].default == 60
     assert dsig.parameters["n_bands"].default == 6
+    # hot-bucket cap (r11): present, positive, and in lockstep
+    assert sig.parameters["max_bucket"].default == 256
+    assert dsig.parameters["max_bucket"].default == 256
     assert inspect.signature(D.simhash).parameters["bits"].default == 60
     assert (
         inspect.signature(D.simhash_sql_duckdb).parameters["bits"].default
@@ -286,3 +289,64 @@ def test_char_entropy_zero_shuffle(spark, sf_dir):
     plan = R.q_char_entropy_docs(spark, sf_dir)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Boilerplate-heavy corpus: a clique of identical docs larger
+    than max_bucket floods every combo bucket and must be DROPPED
+    (no quadratic pair blowup), while an unrelated planted near-dup
+    pair in a cold bucket still pairs. max_bucket=None restores the
+    uncapped quadratic behavior. The DuckDB twin mirrors both."""
+    import duckdb
+
+    boiler = "terms of service apply all rights reserved contact us"
+    uniq = "quick brown foxes jump over seventeen lazy dogs today"
+    rows = [(i, boiler) for i in range(40)]
+    rows += [(100, uniq), (101, uniq)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {
+        (r.left_id, r.right_id)
+        for r in D.simhash_dup_pairs(
+            df, max_hamming=1, n_bands=2, max_bucket=20
+        ).collect()
+    }
+    assert capped == {(100, 101)}, capped
+
+    uncapped = D.simhash_dup_pairs(
+        df, max_hamming=1, n_bands=2, max_bucket=None
+    ).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+    con = duckdb.connect()
+    con.register(
+        "docs_py",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_py")
+    got = con.execute(
+        D.simhash_dup_pairs_sql_duckdb(
+            "documents", max_hamming=1, n_bands=2, max_bucket=20
+        )
+    ).fetchall()
+    assert {(a, b) for a, b, _ in got} == {(100, 101)}, got
+    n = con.execute(
+        "SELECT count(*) FROM (" + D.simhash_dup_pairs_sql_duckdb(
+            "documents", max_hamming=1, n_bands=2, max_bucket=None
+        ) + ")"
+    ).fetchone()[0]
+    assert n == 40 * 39 // 2 + 1
+
+
+def test_simhash_pair_emitted_once_no_distinct(spark):
+    """Every pair must appear EXACTLY once (minimal-agreeing-combo
+    emission replaces .distinct()): exact dups agree on every combo
+    table, so duplicate emission would show up here."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(6)], "doc_id long, text string"
+    )
+    rows = D.simhash_dup_pairs(df, max_hamming=3, n_bands=6).collect()
+    pairs = [(r.left_id, r.right_id) for r in rows]
+    assert len(pairs) == len(set(pairs)) == 15
+    assert all(r.hamming == 0 for r in rows)

@@ -722,6 +722,9 @@ def simhash_dup_pairs(
     n_bands: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 256,
+    candidate_partitions: int | None = None,
+    auto_partitions: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance — the
     web-crawl dedup of Manku et al. 2007 (*Detecting Near-Duplicates
@@ -746,13 +749,42 @@ def simhash_dup_pairs(
     below ~10M docs per shard at the new default. The shuffle
     carries C(n_bands, max_hamming) rows/doc of a few longs (20 at
     the default — 5x the old 4, a linear cost paid to erase a
-    quadratic one). The join is equi-keyed and AQE-skew-splittable;
-    a degenerate hot key (boilerplate-dominated corpus) remains the
-    documented salting/filter-hot-buckets case, same as MinHash LSH."""
+    quadratic one).
+
+    ONE shuffle total (r11 rework — the r10 curve measured the old
+    candidate ``.distinct()`` spilling at 1024x, docs/SCALE.md
+    finding 3):
+      1. banded rows shuffle once by (band, val); when
+         ``auto_partitions`` the stage requests
+         ``derived_shuffle_partitions(n_docs * n_keys)`` partitions
+         (one cheap ``df.count()``) instead of inheriting the
+         session's static setting — pass ``candidate_partitions`` to
+         pin it, or ``auto_partitions=False`` to skip the count job
+         on frames with expensive lineage.
+      2. a windowed count over the SAME partitioning drops hot
+         buckets > ``max_bucket`` docs (boilerplate cliques collapse
+         to one key in EVERY combo table, so a degenerate corpus
+         would otherwise go quadratic regardless of the 2^30 key
+         space — same guard as ``minhash_lsh_pairs``).
+      3. the groupBy reuses the partitioning and emits each
+         surviving bucket's local pairs (bounded at max_bucket^2).
+      4. each true pair collides in up to C(n_bands, max_hamming)
+         buckets; instead of a second candidate-volume shuffle for
+         ``.distinct()``, a pair is emitted ONLY from its MINIMAL
+         agreeing combo — a pure expression over sig XOR, so dedup
+         is a map-side filter. Consequence under the cap: a pair
+         whose minimal agreeing combo sits in a dropped hot bucket
+         is dropped even if a later combo's bucket survived
+         (conservative; exact-dup cliques agree on combo 0, which
+         is precisely the bucket the cap targets). The DuckDB twin
+         mirrors cap + minimal-combo rule exactly."""
     combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sigs = _spread(df).select(
+    from pyspark.sql.window import Window
+
+    df = _spread(df)
+    sigs = df.select(
         F.col(id_col).alias("doc_id"),
         simhash(F.col(text_col), bits).alias("sig"),
     )
@@ -783,24 +815,84 @@ def simhash_dup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    left = bands.alias("l")
-    right = bands.alias("r")
+    parts = candidate_partitions
+    if parts is None and auto_partitions:
+        from ..session import derived_shuffle_partitions
+
+        try:
+            n_docs = df.count()
+        except Exception:
+            n_docs = 0
+        # banded row ~= 40 B in shuffle (2 longs + int + long key)
+        want = derived_shuffle_partitions(
+            n_docs * len(combos), row_bytes=40
+        )
+        sess = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if want > sess:
+            parts = want
+    if parts:
+        # explicit hash partitioning on the bucket key: the window,
+        # and the groupBy after it, both cluster on (band, val) so
+        # this single exchange serves every downstream stage
+        bands = bands.repartition(parts, "band", "val")
+    if max_bucket:
+        w = Window.partitionBy("band", "val")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    grouped = bands.groupBy("band", "val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("sig")))
+        ).alias("_items")
+    )
+    items = F.col("_items")
+    # all (i, j>i) pairs within the bucket; items sorted by doc_id so
+    # left_id < right_id by construction
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + F.lit(2), F.size(items)),
+                lambda y: F.struct(x.alias("l"), y.alias("r")),
+            ),
+        )
+    )
+
+    def first_agreeing_band(x: Column) -> Column:
+        # minimal combo index whose blocks are all zero in the XOR —
+        # always defined for a bucket-collided pair (its own combo
+        # agrees), so the when-chain never falls through
+        expr = None
+        for ci, combo in enumerate(combos):
+            cond = F.lit(True)
+            for b in combo:
+                cond = cond & (
+                    F.shiftright(x, b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    == 0
+                )
+            expr = F.when(cond, ci) if expr is None else expr.when(cond, ci)
+        return expr
+
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        grouped.select("band", F.explode(pair_structs).alias("p"))
         .select(
-            F.col("l.doc_id").alias("left_id"),
-            F.col("r.doc_id").alias("right_id"),
-            F.bit_count(
-                F.col("l.sig").bitwiseXOR(F.col("r.sig"))
-            ).cast("int").alias("hamming"),
+            "band",
+            F.col("p.l.doc_id").alias("left_id"),
+            F.col("p.r.doc_id").alias("right_id"),
+            F.col("p.l.sig").bitwiseXOR(F.col("p.r.sig")).alias("_x"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .filter(F.bit_count(F.col("_x")) <= max_hamming)
+        .filter(F.col("band") == first_agreeing_band(F.col("_x")))
+        .select(
+            "left_id",
+            "right_id",
+            F.bit_count(F.col("_x")).cast("int").alias("hamming"),
+        )
     )
     return pairs
 
@@ -812,9 +904,13 @@ def simhash_dup_pairs_sql_duckdb(
     n_bands: int = 6,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = 256,
 ) -> str:
     """DuckDB twin of simhash_dup_pairs — identical signature, block
-    combination keys, pigeonhole join and hamming cut."""
+    combination keys, pigeonhole join, hamming cut, hot-bucket cap
+    and minimal-agreeing-combo dedup (lockstep with the Spark plan:
+    a pair whose minimal agreeing combo fell in a dropped hot bucket
+    is dropped even if a later combo's bucket survived)."""
     combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -829,18 +925,36 @@ def simhash_dup_pairs_sql_duckdb(
             f"SELECT doc_id, sig, {ci} AS band, ({key}) AS val FROM sigs"
         )
     bands = "\n  UNION ALL\n  ".join(branches)
+    cap = (
+        f"SELECT * FROM bands QUALIFY count(*) OVER "
+        f"(PARTITION BY band, val) <= {max_bucket}"
+        if max_bucket
+        else "SELECT * FROM bands"
+    )
+    x = "xor(l.sig, r.sig)"
+    whens = []
+    for ci, combo in enumerate(combos):
+        agree = " AND ".join(
+            f"((({x}) >> {b * band_bits}) & {mask}) = 0" for b in combo
+        )
+        whens.append(f"WHEN ({agree}) THEN {ci}")
+    first_band = "CASE " + " ".join(whens) + " END"
     return f"""
 WITH sigs AS (
   SELECT {id_col} AS doc_id, {sig} AS sig FROM {table}
 ),
 bands AS (
   {bands}
+),
+capped AS (
+  {cap}
 )
-SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
-       cast(bit_count(xor(l.sig, r.sig)) AS INTEGER) AS hamming
-FROM bands l JOIN bands r
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       cast(bit_count({x}) AS INTEGER) AS hamming
+FROM capped l JOIN capped r
   ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
-WHERE bit_count(xor(l.sig, r.sig)) <= {max_hamming}
+WHERE bit_count({x}) <= {max_hamming}
+  AND l.band = ({first_band})
 """
 
 

@@ -7,8 +7,11 @@ image format of any web crawl, decodable by the same Arrow-batched
 baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
 3-component YCbCr with sampling factors 1..2 per axis (4:4:4, 4:2:2
 and 4:2:0 — MCU-interleaved scan, box-mean chroma downsample on
-encode, replication upsample on decode), no restart markers — raises
-loudly on anything else (a codec, not a sniffer).
+encode, replication upsample on decode), and DRI/RSTn restart
+intervals (r11: byte-aligned resync, DC-predictor reset, modulo-8
+sequence check — the error-resilience feature real camera/web JPEGs
+carry routinely) — raises loudly on anything else (a codec, not a
+sniffer).
 
 Decode path: marker walk -> DQT/DHT/SOF0/SOS -> entropy-decode
 (canonical Huffman from the file's own DHT, byte unstuffing, DC
@@ -187,6 +190,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
         return bytes(self.out)
 
+    def emit_restart(self, m: int) -> None:
+        """Byte-align (1-bit padding, F.1.2.3 — a pad byte of FF is
+        still stuffed by write) and append a raw RSTm marker."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded bytes, undoing stuffing."""
@@ -227,6 +238,20 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in JPEG scan")
+
+    def read_restart(self) -> int:
+        """Discard the pad bits of the current byte and consume a raw
+        RSTm marker (T.81 E.2.4 / F.2.1.3.1); returns m in 0..7."""
+        self.nbits = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected RSTn marker at restart boundary")
+        m = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return m
 
 
 def _category(v: int) -> int:
@@ -390,13 +415,18 @@ def encode_jpeg(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG
     (SOF0, 8-bit, Annex-K-shaped Huffman tables written to DHT).
     ``subsampling``: '444' (default — the setting under which
     constant-8x8-block grayscale images roundtrip EXACTLY), '422' or
     '420' (box-mean chroma downsample, MCU-interleaved scan — the
-    dominant real-crawl flavor). Default quantization is all-ones."""
+    dominant real-crawl flavor). Default quantization is all-ones.
+    ``restart_interval`` > 0 writes a DRI segment and an RSTm marker
+    (byte-aligned, DC predictors reset, m cycling 0..7 — T.81 E.2.4)
+    after every that-many MCUs, the error-resilience feature real
+    camera/web JPEGs use routinely (r11 directive #4)."""
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 input")
     gray = arr.ndim == 2
@@ -404,11 +434,24 @@ def encode_jpeg(
         raise ValueError("encode_jpeg expects (h,w) or (h,w,3)")
     if subsampling not in _SAMPLINGS:
         raise ValueError(f"unknown subsampling {subsampling!r}")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval out of u16 range")
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
         raise ValueError("JPEG dimensions out of range")
     ql = QUANT_ONES if quant_luma is None else np.asarray(quant_luma, np.int64)
     qc = ql if quant_chroma is None else np.asarray(quant_chroma, np.int64)
+    # ADVICE r10 #2: the DQT write below is .astype(np.uint8) — an
+    # out-of-range table would silently wrap modulo 256 and decode to
+    # wrong pixels; only 8-bit (Pq=0) tables are supported, so raise
+    # loudly per the codec contract instead.
+    for name, qt in (("quant_luma", ql), ("quant_chroma", qc)):
+        if qt.shape != (8, 8):
+            raise ValueError(f"{name} must be shape (8, 8)")
+        if qt.min() < 1 or qt.max() > 255:
+            raise ValueError(
+                f"{name} values must be in 1..255 (8-bit Pq=0 tables)"
+            )
 
     if gray:
         planes = [arr.astype(np.float64)]
@@ -449,7 +492,10 @@ def encode_jpeg(
     bw = _BitWriter()
     prev = [0] * len(planes)
     pos = [0] * len(planes)
-    for _ in range(nmx * nmy):
+    for mcu in range(nmx * nmy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.emit_restart(mcu // restart_interval - 1)
+            prev = [0] * len(planes)
         for ci, (hi, vi) in enumerate(samps):
             dc_t, ac_t = comp_tables[ci]
             for _ in range(hi * vi):
@@ -490,6 +536,8 @@ def encode_jpeg(
         dht += bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
         dht += bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
     out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -506,8 +554,10 @@ def encode_jpeg(
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF JPEG -> (h, w) or (h, w, 3) uint8. Supports SOF0,
     8-bit, 1 or 3 components, sampling factors 1..2 per axis (4:4:4,
-    4:2:2, 4:2:0 — chroma upsampled by pixel replication), no restart
-    intervals; raises on progressive/extended/DRI inputs."""
+    4:2:2, 4:2:0 — chroma upsampled by pixel replication), and DRI /
+    RSTn restart intervals (r11 — byte-aligned resync, DC predictor
+    reset, modulo-8 marker-sequence check); raises on
+    progressive/extended inputs."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -515,15 +565,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     h = w = None
+    restart_interval = 0
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_id, ac_id)
     scan_data = None
 
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # ADVICE r10 #4: consume legal 0xFF fill bytes before the
+        # marker code (T.81 B.1.1.2) instead of misparsing them as
+        # marker 0xFFFF with a garbage length
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:
             break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD8:
+            # standalone markers carry NO length segment; none is
+            # legal between header segments — fail loudly rather than
+            # desynchronizing on a garbage length read
+            raise ValueError(
+                f"standalone marker {marker:#06x} outside a scan"
+            )
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         body = payload[pos + 4: pos + 2 + ln]
         if marker == 0xFFDB:
@@ -566,20 +629,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFDD:
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
             ns = body[0]
             for ci in range(ns):
                 cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
                 scan_comps.append((cid, tt >> 4, tt & 0x0F))
-            # entropy data: up to the first non-stuffed, non-RST marker
+            # entropy data: up to the first non-stuffed marker; RSTn
+            # markers belong TO the scan (consumed by read_restart at
+            # each restart boundary), so they stay in scan_data
             start = pos + 2 + ln
             i = start
             while i + 1 < len(payload):
-                if payload[i] == 0xFF and payload[i + 1] not in (0x00,):
+                if payload[i] == 0xFF and payload[i + 1] != 0x00:
                     if 0xD0 <= payload[i + 1] <= 0xD7:
-                        raise ValueError("restart markers unsupported")
+                        i += 2
+                        continue
                     break
                 i += 1
             scan_data = payload[start:i]
@@ -612,6 +677,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     prev = [0] * len(comp_order)
     for my in range(nmy):
         for mx in range(nmx):
+            mcu = my * nmx + mx
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                m = br.read_restart()
+                if m != (mcu // restart_interval - 1) % 8:
+                    raise ValueError(
+                        "RSTn marker out of sequence (corrupt scan)"
+                    )
+                prev = [0] * len(comp_order)
             for ci, (_, dc_id, ac_id, _, hi, vi) in enumerate(comp_order):
                 for v in range(vi):
                     for hh in range(hi):

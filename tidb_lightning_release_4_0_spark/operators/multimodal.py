@@ -85,16 +85,19 @@ def parse_image_header_meta(
     offsets 17/21, BMP's BITMAPINFOHEADER little-endian i32 dims at
     19/23 (1-based), and baseline JPEG's SOF0 segment carries
     big-endian u16 (height, width) 4/6 bytes past its FF C0 marker,
-    located by a byte-aligned lazy regexp over the hex projection
-    ('^(?:..)*?FFC0' — entropy data cannot contain a bare FF C0, the
-    encoder stuffs every FF, so the first byte-aligned hit before
-    the scan IS the frame header; a DQT/DHT table payload embedding
-    those two bytes would defeat it, which the hash-checked oracle
-    would expose). Byte access is substring-on-binary -> hex ->
-    conv, so the whole projection stays inside whole-stage codegen;
-    at 100 TB this is the cheap metadata pass that runs BEFORE any
-    Arrow decode kernel (prune by mime/dims without touching pixel
-    bytes)."""
+    located by WALKING the marker segments (r11, ADVICE r10 #1):
+    each segment is skipped by its big-endian length field exactly
+    as jpeg_codec.decode_jpeg does, so an APPn/EXIF body embedding a
+    complete thumbnail JPEG — whose own FF C0 sits before the real
+    frame header — can no longer shadow the primary SOF0 the way the
+    retired whole-payload hex regexp allowed. The walk is a bounded
+    fold (``F.aggregate`` over 32 steps, far more header segments
+    than any real pre-scan list; FF fill bytes are consumed, hitting
+    SOS or desyncing lands in the raise_error arm below). Byte
+    access is substring-on-binary -> hex -> conv, so the whole
+    projection stays inside whole-stage codegen; at 100 TB this is
+    the cheap metadata pass that runs BEFORE any Arrow decode kernel
+    (prune by mime/dims without touching pixel bytes)."""
     p = F.col(payload_col)
 
     def be_u32(off: int) -> Column:  # 1-based offset
@@ -113,17 +116,37 @@ def parse_image_header_meta(
     is_png = F.substring(p, 1, 8) == F.lit(_PNG_SIG)
     is_bmp = F.substring(p, 1, 2) == F.lit(b"BM")
     is_jpg = F.substring(p, 1, 2) == F.lit(b"\xff\xd8")
-    # 0-based byte offset of the first byte-aligned FF C0 (SOF0)
-    sof0 = (
-        F.length(
-            F.regexp_extract(F.hex(p), "^((?:..)*?)FFC0", 1)
-        ) / 2
-    ).cast("int")
 
-    def be_u16_at(off: Column) -> Column:  # off: 0-based dynamic
+    def _u8_at(off: Column) -> Column:  # off: 1-based dynamic
         return F.conv(
-            F.hex(F.substring(p, off + 1, 2)), 16, 10
+            F.hex(F.substring(p, off, F.lit(1))), 16, 10
         ).cast("int")
+
+    def _u16_at(off: Column) -> Column:  # off: 1-based dynamic
+        return F.conv(
+            F.hex(F.substring(p, off, F.lit(2))), 16, 10
+        ).cast("int")
+
+    _SOF0, _SOS = 0xFFC0, 0xFFDA
+
+    def _walk_step(acc: Column, _x: Column) -> Column:
+        # acc = 1-based offset of the current marker's FF byte;
+        # 0 = terminal error (desync / SOS reached without SOF0)
+        return (
+            F.when(acc <= 0, acc)
+            .when(_u16_at(acc) == _SOF0, acc)  # found — freeze
+            .when(_u8_at(acc) != 255, F.lit(0))  # desynchronized
+            .when(_u8_at(acc + 1) == 255, acc + 1)  # FF fill byte
+            .when(_u16_at(acc) == _SOS, F.lit(0))  # scan, no SOF0
+            .otherwise(acc + 2 + _u16_at(acc + 2))  # skip by length
+        )
+
+    # 1-based offset of the primary frame header's FF byte (0 if the
+    # pre-scan segment list holds no SOF0 — progressive, truncated,
+    # or desynchronized input -> the raise_error arm below)
+    sof0 = F.aggregate(
+        F.sequence(F.lit(1), F.lit(32)), F.lit(3), _walk_step
+    )
     # ADVICE r9 #3: a BITMAPCOREHEADER file or a top-down BMP
     # (negative biHeight) would silently compose garbage dims out of
     # the two's-complement bytes — validate biSize == 40 and a
@@ -132,7 +155,7 @@ def parse_image_header_meta(
     bmp_ok = (le_u32(15) == 40) & (
         F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("int") < 128
     )
-    jpg_ok = F.hex(p).rlike("^(?:..)*FFC0")
+    jpg_ok = (sof0 > 0) & (_u16_at(sof0) == _SOF0)
     mime = (
         F.when(is_png, F.lit("image/png"))
         .when(is_bmp & bmp_ok, F.lit("image/bmp"))
@@ -166,11 +189,11 @@ def parse_image_header_meta(
         F.col(id_col).cast("long").alias("id"),
         mime.alias("mime"),
         F.when(is_png, be_u32(17))
-        .when(is_jpg, be_u16_at(sof0 + 7))
+        .when(is_jpg, _u16_at(sof0 + 7))
         .otherwise(le_u32(19))
         .alias("width"),
         F.when(is_png, be_u32(21))
-        .when(is_jpg, be_u16_at(sof0 + 5))
+        .when(is_jpg, _u16_at(sof0 + 5))
         .otherwise(le_u32(23))
         .alias("height"),
         F.length(p).cast("long").alias("n_bytes"),
