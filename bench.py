@@ -48,21 +48,29 @@ IREPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5")))
 # loadavg mostly measures our own executors, so only the start
 # sample distinguishes "this box was already busy" from "this is our
 # load". The r8 driver run carried ~15% interference at
-# loadavg_start 5.31, below the old cpus/4 = 8 trigger — so the
-# trigger is now loadavg_start > 2 (any pre-existing load on an
-# otherwise-idle grading box is suspect). When tripped, the graded
+# loadavg_start 5.31, below the old cpus/4 = 8 trigger; the r10
+# driver run carried a 3x jsonl artifact at loadavg_start 1.84,
+# below the old trigger of 2 — so the trigger now sits at the
+# measured trust line, loadavg_start > 0.7. When tripped, the graded
 # ingest configs get extra reps; additionally, ANY graded ingest
 # config whose median-vs-best spread exceeds 10% re-runs two more
 # reps (interference made the median unrepresentative — see
 # _spread_reps). The flag + samples are reported on the stdout line
 # so a graded number can always be read against the load it was
 # measured under.
-def _settle(target: float = 2.0, timeout: float = 180.0) -> tuple:
-    """Round-10 directives #7/#8: bounded pre-section settle — poll
-    the 1-minute loadavg until it drops under ``target`` or the
-    budget runs out, so graded sections start on a quiet box instead
-    of merely flagging a busy one. Returns (loadavg_after,
-    waited_sec, exhausted)."""
+def _settle(target: float = 0.7, timeout: float = 300.0) -> tuple:
+    """Round-10 directives #7/#8, tightened r11 (#2): bounded
+    pre-section settle — poll the 1-minute loadavg until it drops
+    under ``target`` or the budget runs out. The target is the
+    MEASURED trust line, not a guess: the r10 graded run started at
+    loadavg 1.84 (under the old target 2) and recorded
+    ingest_jsonl at 8.45 MiB/s where all three < 0.7-loadavg local
+    runs read 23.25-25.25 — a 3x corruption flying "contended:
+    false". Runs are only trustworthy below ~0.7; above it we wait
+    (up to 5 min), and if the box never quiets the graded ingest
+    metrics get a SECOND spaced pass merged best-of (see the
+    second-pass block in main). Returns (loadavg_after, waited_sec,
+    exhausted)."""
     t0 = time.monotonic()
     load = os.getloadavg()[0]
     while load >= target and time.monotonic() - t0 < timeout:
@@ -74,11 +82,11 @@ def _settle(target: float = 2.0, timeout: float = 180.0) -> tuple:
 
 # Bounded settle BEFORE sampling the contention indicator (round-10
 # directive #8: r9's graded run started at loadavg 8.56 and was
-# merely flagged — now we first wait, up to 3 min, for the box to
-# quiet down, and only then grade).
+# merely flagged — now we first wait for the box to quiet down, and
+# only then grade).
 _SETTLE_LOAD, _SETTLE_WAIT, _SETTLE_EXHAUSTED = _settle()
 _LOAD_START = os.getloadavg()
-CONTENDED = _LOAD_START[0] > 2.0
+CONTENDED = _LOAD_START[0] > 0.7
 _IREPS_EFF = IREPS + (2 if CONTENDED else 0)
 
 
@@ -183,6 +191,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
+    all_ts: dict[str, list] = {}  # raw reps per graded metric
+    second_pass_info = None
     # Warm the JVM (codegen, parquet+csv readers, writer pools) on the
     # smallest sf so timings measure steady-state throughput, not
     # first-job class-loading.
@@ -261,6 +271,7 @@ def main() -> None:
         # steady-state throughput (what a long-running 100 TB job sees)
         restore(cfg)
         ts = _ireps(lambda: restore(cfg))
+        all_ts["ingest_csv_lineitem"] = ts
         timings["ingest_csv_lineitem"] = _med(ts)
         timings_min["ingest_csv_lineitem"] = round(min(ts), 3)
         ingest_mibs = round(src_bytes / _med(ts) / (1 << 20), 2)
@@ -278,6 +289,7 @@ def main() -> None:
         )
         restore(cfg_w)  # own warm-up: different plan shape (no observe hash)
         ts = _ireps(lambda: restore(cfg_w))
+        all_ts["ingest_csv_writephase"] = ts
         timings["ingest_csv_writephase"] = _med(ts)
         timings_min["ingest_csv_writephase"] = round(min(ts), 3)
         writephase_mibs = round(src_bytes / _med(ts) / (1 << 20), 2)
@@ -305,6 +317,7 @@ def main() -> None:
         )
         restore(cfg2)  # untimed warm-up
         ts = _reps(lambda: restore(cfg2))
+        all_ts["ingest_sql_orders"] = ts
         timings["ingest_sql_orders"] = _med(ts)
         timings_min["ingest_sql_orders"] = round(min(ts), 3)
 
@@ -354,6 +367,7 @@ def main() -> None:
         )
         restore(cfg_jl)  # untimed warm-up (new plan shape)
         ts = _ireps(lambda: restore(cfg_jl))
+        all_ts["ingest_jsonl_orders"] = ts
         timings["ingest_jsonl_orders"] = _med(ts)
         timings_min["ingest_jsonl_orders"] = round(min(ts), 3)
         jsonl_mibs = round(jl_bytes / _med(ts) / (1 << 20), 2)
@@ -396,6 +410,7 @@ def main() -> None:
             on_duplicate="physical", checkpoint_enable=False, checksum=True,
         )
         ts = _ireps(lambda: restore(cfg3))  # warm from the 1x runs
+        all_ts["ingest_csv_4x"] = ts
         timings["ingest_csv_4x"] = _med(ts)
         timings_min["ingest_csv_4x"] = round(min(ts), 3)
         ingest_4x_mibs = round(big_bytes / _med(ts) / (1 << 20), 2)
@@ -448,10 +463,92 @@ def main() -> None:
             ts = _ireps(lambda: restore(cfg1f))
         finally:
             spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        all_ts["ingest_csv_split1file"] = ts
         timings["ingest_csv_split1file"] = _med(ts)
         timings_min["ingest_csv_split1file"] = round(min(ts), 3)
         split1_mibs = round(one_bytes / _med(ts) / (1 << 20), 2)
         split1_mibs_best = round(one_bytes / min(ts) / (1 << 20), 2)
+
+        # r11 directive #2: if the pre-run settle EXHAUSTED (the box
+        # never dropped under the 0.7 trust line), a single pass is
+        # not gradable — r10's own record shows a loadavg-1.84 start
+        # corrupting one metric 3x while flying "contended: false".
+        # Grade best-of across a SECOND spaced pass: settle again
+        # (bounded), then 2 more reps of every graded ingest config,
+        # merged into the rep pools before the headline MiB/s are
+        # derived.
+        if _SETTLE_EXHAUSTED:
+            gap_load, gap_wait, gap_exh = _settle()
+
+            def _split1_restore() -> None:
+                prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+                spark.conf.set(
+                    "spark.sql.files.maxPartitionBytes", str(block)
+                )
+                try:
+                    restore(cfg1f)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.files.maxPartitionBytes", prev
+                    )
+
+            rerun = [
+                ("ingest_csv_lineitem", lambda: restore(cfg)),
+                ("ingest_csv_writephase", lambda: restore(cfg_w)),
+                ("ingest_sql_orders", lambda: restore(cfg2)),
+                ("ingest_jsonl_orders", lambda: restore(cfg_jl)),
+                ("ingest_csv_4x", lambda: restore(cfg3)),
+                ("ingest_csv_split1file", _split1_restore),
+            ]
+            for mname, fn in rerun:
+                merged = all_ts.get(mname, []) + [
+                    _timed(fn) for _ in range(2)
+                ]
+                all_ts[mname] = merged
+                timings[mname] = _med(merged)
+                timings_min[mname] = round(min(merged), 3)
+            ingest_mibs = round(
+                src_bytes / timings["ingest_csv_lineitem"] / (1 << 20), 2
+            )
+            ingest_mibs_best = round(
+                src_bytes / timings_min["ingest_csv_lineitem"] / (1 << 20),
+                2,
+            )
+            writephase_mibs = round(
+                src_bytes / timings["ingest_csv_writephase"] / (1 << 20), 2
+            )
+            writephase_mibs_best = round(
+                src_bytes / timings_min["ingest_csv_writephase"]
+                / (1 << 20),
+                2,
+            )
+            jsonl_mibs = round(
+                jl_bytes / timings["ingest_jsonl_orders"] / (1 << 20), 2
+            )
+            jsonl_mibs_best = round(
+                jl_bytes / timings_min["ingest_jsonl_orders"] / (1 << 20),
+                2,
+            )
+            ingest_4x_mibs = round(
+                big_bytes / timings["ingest_csv_4x"] / (1 << 20), 2
+            )
+            ingest_4x_mibs_best = round(
+                big_bytes / timings_min["ingest_csv_4x"] / (1 << 20), 2
+            )
+            split1_mibs = round(
+                one_bytes / timings["ingest_csv_split1file"] / (1 << 20), 2
+            )
+            split1_mibs_best = round(
+                one_bytes / timings_min["ingest_csv_split1file"]
+                / (1 << 20),
+                2,
+            )
+            second_pass_info = {
+                "gap_load": gap_load,
+                "gap_wait_sec": gap_wait,
+                "gap_exhausted": gap_exh,
+                "extra_reps": 2,
+            }
     except Exception as e:  # bench must still emit its JSON line
         print(f"ingest bench failed: {e}", file=sys.stderr)
         timings.setdefault("ingest_csv_lineitem", -1.0)
@@ -586,11 +683,20 @@ def main() -> None:
     # (simhash 10.5 s in-session vs 1.4 s in a fresh session), so the
     # gap must be followed by warm work, and no explicit GC.
     tail_load, tail_wait, _ = _settle()
-    for wname in ("checksum_lineitem", "simhash", "text_stats"):
+    # ADVICE r10 #3: resolve the re-warm query fns OUTSIDE the guard
+    # so a renamed registry entry fails loudly (a swallowed KeyError
+    # would silently turn the re-warm into a no-op and the tail would
+    # regain the cold-transient bias the gap exists to fix); only the
+    # execution itself is guarded.
+    _warm_fns = [
+        queries[wname]
+        for wname in ("checksum_lineitem", "simhash", "text_stats")
+    ]
+    for _wf in _warm_fns:
         try:
-            queries[wname](spark, SF_DIR).count()
-        except Exception:
-            pass
+            _wf(spark, SF_DIR).count()
+        except Exception as we:
+            print(f"tail re-warm failed: {we}", file=sys.stderr)
     for name in bench_queries:
         rep = _ireps if name in _HIGH_VARIANCE else _reps
         ts = rep(lambda: queries[name](spark, SF_DIR).count())
@@ -687,6 +793,9 @@ def main() -> None:
         # the query tail's own post-gap loadavg (#7)
         "settle_wait_sec": _SETTLE_WAIT,
         "settle_exhausted": _SETTLE_EXHAUSTED,
+        # r11 directive #2: when the settle exhausted, the graded
+        # ingest metrics are best-of TWO spaced passes (details here)
+        "second_pass": second_pass_info,
         "loadavg_tail_start": tail_load,
         "tail_settle_wait_sec": tail_wait,
         "sf": float(sf),
@@ -737,6 +846,7 @@ def main() -> None:
             "loadavg_start", "loadavg_end", "contended",
             "settle_wait_sec", "settle_exhausted",
             "loadavg_tail_start", "tail_settle_wait_sec",
+            "second_pass",
         )
     }
     line = json.dumps(line_fields, separators=(",", ":"))

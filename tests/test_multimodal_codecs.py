@@ -564,3 +564,44 @@ def test_parse_image_header_meta_exif_thumbnail(spark):
     dfp = spark.createDataFrame([Row(id=2, payload=padded)], schema)
     got = parse_image_header_meta(dfp).first()
     assert (got["width"], got["height"]) == (300, 5)
+
+
+def test_mjpeg_avi_roundtrip_exact():
+    """r11 directive #3: Motion-JPEG AVI — constant-8x8-block
+    grayscale frames (all-ones quant) roundtrip BIT-EXACTLY through
+    container + DCT entropy coding, including DRI/RSTn streams."""
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    for nf, bh, bw, ri in ((1, 1, 1, 0), (3, 2, 3, 1), (5, 1, 2, 2)):
+        bv = rng.integers(0, 256, size=(nf, bh, bw))
+        frames = np.repeat(np.repeat(bv.astype(np.uint8), 8, 1), 8, 2)
+        out = decode_avi_mjpeg(
+            encode_avi_mjpeg(frames, restart_interval=ri)
+        )
+        assert out.shape == frames.shape
+        assert np.array_equal(out, frames), (nf, bh, bw, ri)
+
+
+def test_mjpeg_avi_rejects_other_streams():
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_dib,
+        decode_avi_mjpeg,
+        encode_avi_dib,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(6)
+    dib = encode_avi_dib(
+        rng.integers(0, 256, size=(2, 4, 4, 3)).astype(np.uint8)
+    )
+    with pytest.raises(ValueError, match="MJPEG"):
+        decode_avi_mjpeg(dib)
+    mj = encode_avi_mjpeg(np.full((2, 8, 8), 9, np.uint8))
+    with pytest.raises(ValueError, match="codec"):
+        decode_avi_dib(mj)  # the DIB decoder refuses MJPG streams
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"\x89PNG not an avi")

@@ -7,73 +7,73 @@ makes that a loud local failure. Update deliberately when rotating
 """
 
 from tidb_lightning_release_4_0_spark.registry import (
-    _R10_PREFIX,
+    _R11_PREFIX,
     build_queries,
 )
 
-# Round-10 rotation (docs/ROTATION.md): the lead block is the two
-# new round-10 entries (media_decode_jpeg / media_resize_jpeg — the
-# baseline-JPEG codec path, first-ever hash checks) plus
-# media_header_meta (EXTENDED with JVM-side JPEG SOF0 parsing — must
-# re-attest), then the oldest-attested cohort by
-# (latest-attested-round, name) across CORRECTNESS_r0{1..9}: the
-# eleven remaining r06 entries and the first 36 of the r07 cohort
-# (mysql_cast_tinyint rolls to round 11).
+# Round-11 rotation (docs/ROTATION.md): the lead slot is the new
+# round-11 entry (media_frame_sample_mjpeg — compressed video:
+# MJPEG-AVI walk + per-frame baseline-JPEG decode incl. DRI/RSTn),
+# then the oldest-attested cohort by (latest-attested-round, name)
+# across CORRECTNESS_r0{1..10}: the twelve remaining r07 entries
+# (incl. simhash, re-attesting next to the r11 simhash_dup_pairs
+# rework) and the first 37 of the r08 cohort (quantize_embeddings
+# et al. roll to round 12).
 DRIVER_SAMPLED_50 = [
-    "media_decode_jpeg",
-    "media_resize_jpeg",
-    "media_header_meta",
-    "rfm_segments",
-    "salted_agg_lineitem",
-    "sessionize_events",
-    "simhash_dup_pairs",
-    "strip_boilerplate_docs",
-    "top_terms",
-    "triangles_dupgraph",
-    "weighted_sample_docs",
-    "winnow_candidates",
-    "winnow_fingerprints",
-    "zipf_alpha_docs",
-    "alloc_base_orders",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_q64",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "ann_topk_pq_q64",
-    "anti_join_customers",
-    "checksum_crc64_lineitem",
-    "checksum_lineitem",
-    "checksum_orders",
-    "corpus_diff_docs",
-    "dedup_apply_exact",
-    "dedup_apply_minhash",
-    "dedup_apply_spans",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_minhash_xx",
-    "default_fill_customer",
-    "dup_ignore_events",
-    "dup_replace_events",
-    "duplicate_spans",
-    "embedding_dups",
-    "enum_cast_events",
-    "events_tumbling_window",
-    "filtered_revenue",
-    "gopher_repetition",
-    "hist_quantiles_price",
-    "index_checksum_orders",
-    "json_extract_events",
-    "jsonl_roundtrip",
-    "kv_crc64_orders",
-    "minhash_signatures",
+    "media_frame_sample_mjpeg",
+    "mysql_cast_tinyint",
+    "ngram_jaccard",
+    "pricing_summary",
+    "random_project",
+    "rollup_orders",
+    "router_merge_orders",
+    "rowid_dense_orders",
+    "semi_join_suppliers",
+    "simhash",
+    "text_stats",
+    "top_orders_by_revenue",
+    "topk_parts",
+    "bloom_prune_orders",
+    "bracket_revenue",
+    "cheapest_shipper",
+    "chunk_documents",
+    "cube_lineitem",
+    "curation_funnel",
+    "custdist_orders",
+    "decontaminate",
+    "dedup_apply_cluster",
+    "dedup_cluster",
+    "dedup_incremental",
+    "events_sliding_window",
+    "excess_shippers",
+    "hll_overlap_partkeys",
+    "hll_union_keys",
+    "idle_customers",
+    "important_parts",
+    "kv_crc64_events_kinds",
+    "kv_crc64_orders_dec",
+    "kv_crc64_orders_v2",
+    "large_orders",
+    "lm_score",
+    "local_supplier_volume",
+    "market_share",
+    "media_metadata",
+    "mixture_sample",
+    "moving_avg_events",
+    "multimodal_features",
+    "ntile_customers",
+    "order_priority_count",
+    "pack_sequences",
+    "part_supplier_variety",
+    "pii_scrub",
+    "pivot_events",
+    "profit_by_nation",
+    "provenance_filter",
+    "quality_filter",
 ]
 
 
 def test_registry_first_50_pinned():
     assert list(build_queries())[:50] == DRIVER_SAMPLED_50
-    assert _R10_PREFIX == DRIVER_SAMPLED_50
+    assert _R11_PREFIX == DRIVER_SAMPLED_50
     assert len(set(DRIVER_SAMPLED_50)) == 50

@@ -84,7 +84,7 @@ def test_rotation_prefix_entries_under_driver_default_session(spark):
     from tests.oracle import compare
     from tests.test_registry_oracle import DRIVER_SF_DIR
     from tidb_lightning_release_4_0_spark.registry import (
-        _R10_PREFIX,
+        _R11_PREFIX,
         build_oracle_sql,
         build_queries,
     )
@@ -92,7 +92,7 @@ def test_rotation_prefix_entries_under_driver_default_session(spark):
     ns = _driver_default_session(spark)
     qs, osql = build_queries(), build_oracle_sql()
     failures = []
-    for name in _R10_PREFIX:
+    for name in _R11_PREFIX:
         try:
             compare(qs[name](ns, DRIVER_SF_DIR), osql[name], DRIVER_SF_DIR)
         except Exception as e:  # noqa: BLE001 - collect all reds

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from tidb_lightning_release_4_0_spark.operators.multimodal import (
     attach_media_metadata,
     decode_features,
-    resize_stub,
 )
 from tidb_lightning_release_4_0_spark.streaming.events import (
     sessionize,
@@ -106,26 +105,42 @@ def test_sessionize_batch(spark, tables):
 
 
 def test_multimodal_plumbing(spark):
+    """r11: the stub default is retired — decode_features runs the
+    real BMP codec by default, so feed it real BMP payloads."""
+    import numpy as np
+
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        encode_bmp_rgb,
+    )
+
+    rng = np.random.default_rng(0)
+    payloads = [
+        encode_bmp_rgb(
+            rng.integers(0, 256, size=(3 + i % 4, 5 + i % 3, 3)).astype(
+                np.uint8
+            )
+        )
+        for i in range(20)
+    ]
     pdf = spark.createDataFrame(
-        [(i, bytes([i % 251]) * (100 + i)) for i in range(20)],
+        [(i, payloads[i]) for i in range(20)],
         "doc_id long, payload binary",
     )
     with_meta = attach_media_metadata(pdf)
     metas = with_meta.select("media_meta.*").collect()
     assert all(16 <= r["width"] <= 527 for r in metas)
-    assert [r["n_bytes"] for r in metas] == [100 + i for i in range(20)]
+    assert [r["n_bytes"] for r in metas] == [len(b) for b in payloads]
 
-    feats = decode_features(with_meta).collect()
+    feats = {r["id"]: r for r in decode_features(with_meta).collect()}
     assert len(feats) == 20
-    assert all(len(r["feature"]) == 16 for r in feats)
-    assert all(r["height"] == 8 and r["channels"] == 3 for r in feats)
+    assert all(len(r["feature"]) == 16 for r in feats.values())
+    for i in range(20):
+        assert feats[i]["height"] == 3 + i % 4
+        assert feats[i]["width"] == 5 + i % 3
+        assert feats[i]["channels"] == 3
     # deterministic: same payload -> same feature
-    feats2 = decode_features(with_meta).collect()
+    feats2 = {r["id"]: r for r in decode_features(with_meta).collect()}
     assert feats[0]["feature"] == feats2[0]["feature"]
-
-    rs = resize_stub(pdf, target=(4, 4)).collect()
-    assert all(r["out_h"] == 4 and r["out_w"] == 4 for r in rs)
-    assert all(len(r["resized"]) == 4 * 4 * 3 for r in rs)
 
 
 def test_ctl_cli(tmp_path):

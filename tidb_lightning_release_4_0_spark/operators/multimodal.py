@@ -12,25 +12,25 @@ Beyond-reference operators (BASELINE.json north star). Design for
   Arrow-batched ``mapInPandas`` kernels: per-batch numpy work, no
   per-row pickling, no shuffle (narrow transforms).
 - The codec step is pluggable: ``decoder=`` takes any
-  bytes->ndarray callable. Six REAL pure-stdlib(+numpy) codecs ship —
-  24-bit uncompressed BMP (BGR bottom-up, 4-byte row padding), binary
-  PPM (P6), PCM-16 WAV, PNG (zlib DEFLATE + full scanline-filter
-  reconstruction), baseline JPEG (jpeg_codec.py: marker walk, DHT
-  Huffman, dequant, vectorized IDCT, YCbCr) and uncompressed AVI
-  (RIFF chunk tree, DIB frames) — so EVERY modality's decode path
-  (image, DEFLATE- and DCT-compressed image, audio, video) is
-  genuinely exercised end to end and the ``multimodal_features`` /
+  bytes->ndarray callable. Seven REAL pure-stdlib(+numpy) codecs ship
+  — 24-bit uncompressed BMP (BGR bottom-up, 4-byte row padding),
+  binary PPM (P6), PCM-16 WAV, PNG (zlib DEFLATE + full
+  scanline-filter reconstruction), baseline JPEG (jpeg_codec.py:
+  marker walk, DHT Huffman, dequant, vectorized IDCT, YCbCr, DRI/RSTn
+  restarts), uncompressed AVI (RIFF chunk tree, DIB frames) and
+  Motion-JPEG AVI (r11: the compressed-video path — one full JPEG
+  decode per '00dc' chunk) — so EVERY modality's decode path (image,
+  DEFLATE- and DCT-compressed image, audio, raw and compressed video)
+  is genuinely exercised end to end and the ``multimodal_features`` /
   ``media_decode_png`` / ``media_decode_jpeg`` / ``media_resize_png``
-  / ``media_frame_sample_avi`` registry entries are value-hash-checked
-  against closed-form oracles. The deterministic ``_stub_decode``
-  survives only as the pluggable-decoder example in the legacy
-  ``resize_stub`` skeleton (``frame_sample_stub`` retired in round 10
-  — the real AVI ``frame_sample`` replaced it in round 9).
+  / ``media_frame_sample_avi`` / ``media_frame_sample_mjpeg`` registry
+  entries are value-hash-checked against closed-form oracles. The
+  last ``_stub`` symbols (``resize_stub`` + ``_stub_decode``) were
+  retired in round 11: every kernel now defaults to a real codec.
 """
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from collections.abc import Callable, Iterator
 
@@ -703,6 +703,137 @@ def decode_avi_dib(payload: bytes) -> np.ndarray:
     return out
 
 
+def encode_avi_mjpeg(
+    frames: np.ndarray, fps: int = 10, restart_interval: int = 0
+) -> bytes:
+    """(n, h, w) uint8 GRAYSCALE -> Motion-JPEG AVI (r11 directive
+    #3): the same RIFF layout as ``encode_avi_dib`` but the stream
+    handler is 'MJPG' and every '00dc' chunk is an INDEPENDENT
+    baseline JPEG (jpeg_codec.encode_jpeg) — the first *compressed*
+    video path, composed from the r9 container walker + the r10 DCT
+    codec. ``restart_interval`` passes through to each frame's
+    encoder so DRI/RSTn streams ride the lane too."""
+    from .jpeg_codec import encode_jpeg
+
+    n, h, w = frames.shape
+    assert frames.dtype == np.uint8
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        out = struct.pack("<4sI", cid, len(data)) + data
+        if len(data) & 1:
+            out += b"\x00"  # RIFF chunks are word-aligned
+        return out
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    jpegs = [
+        encode_jpeg(f, restart_interval=restart_interval) for f in frames
+    ]
+    max_size = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, max_size * fps, 0, 0x10, n, 0, 1,
+        max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, max_size,
+        -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", max_size, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
+    """Motion-JPEG AVI -> (n, h, w) uint8 grayscale: RIFF chunk walk
+    (handler must be 'MJPG'), then one full baseline-JPEG decode per
+    '00dc' frame — marker walk, DHT Huffman, dequant, IDCT, and (r11)
+    DRI/RSTn resync, per frame. Raises on non-MJPG streams and on
+    frames whose decoded dims disagree (a codec, not a sniffer)."""
+    from .jpeg_codec import decode_jpeg
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    handler = None
+    spans: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal handler
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strh":
+                fcc, hnd = struct.unpack_from("<4s4s", payload, body_start)
+                if fcc == b"vids":
+                    handler = hnd
+            elif cid in (b"00dc", b"00db"):
+                spans.append((body_start, body_start + size))
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if handler != b"MJPG":
+        raise ValueError(f"not an MJPEG AVI (handler {handler!r})")
+    if not spans:
+        raise ValueError("MJPEG AVI has no frames")
+    frames = [decode_jpeg(payload[a:b]) for a, b in spans]
+    if any(f.shape != frames[0].shape or f.ndim != 2 for f in frames):
+        raise ValueError("MJPEG frames disagree on shape/colorspace")
+    return np.stack(frames)
+
+
+def synth_mjpeg_avi_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL compressed (Motion-JPEG) AVI per
+    row with closed-form frames — n_frames = id%5+1, w = 8*(id%3+1),
+    h = 8*(id%2+1); every 8x8 block of frame f is CONSTANT value
+    (id + 11*f + 3*block_row + block_col) % 256, and frames carry a
+    per-doc DRI of id%3 MCUs (0 = none), so the bit-exact
+    constant-block contract of the JPEG codec makes the per-frame
+    features SQL-computable while the payload rides full DCT entropy
+    coding + restart markers."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                nf, bw, bh = i % 5 + 1, i % 3 + 1, i % 2 + 1
+                f_idx = np.arange(nf)[:, None, None]
+                by = np.arange(bh)[None, :, None]
+                bx = np.arange(bw)[None, None, :]
+                bv = (i + 11 * f_idx + 3 * by + bx) % 256
+                frames = np.repeat(
+                    np.repeat(bv.astype(np.uint8), 8, axis=1), 8, axis=2
+                )
+                ids.append(i)
+                blobs.append(
+                    encode_avi_mjpeg(frames, restart_interval=i % 3)
+                )
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
 def synth_avi_payloads(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -791,22 +922,11 @@ def frame_sample(
     return d.mapInPandas(kernel, schema=out_schema)
 
 
-def _stub_decode(payload: bytes) -> np.ndarray:
-    """STUB codec: deterministic fake 8x8x3 image seeded by content.
-
-    Replace with e.g. ``PIL.Image.open(io.BytesIO(payload))`` when
-    the codec libraries exist; the Spark plumbing is identical.
-    """
-    seed = int.from_bytes(hashlib.md5(payload).digest()[:4], "big")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
-
-
 def decode_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    decoder: Callable[[bytes], np.ndarray] | None = None,
+    decoder: Callable[[bytes], np.ndarray] = decode_bmp_rgb,
     batch_size_hint: int = 256,
 ) -> DataFrame:
     """payload -> per-item feature vector (mean channel intensities +
@@ -814,8 +934,11 @@ def decode_features(
 
     Output schema: (id, height, width, channels, mean_intensity,
     feature float[16]). One narrow stage; at 100 TB parallelism is
-    the input partitioning (media files arrive as many objects)."""
-    dec = decoder or _stub_decode
+    the input partitioning (media files arrive as many objects).
+    ``decoder`` is any bytes->ndarray codec (BMP default; PNG/JPEG/
+    PPM ship in this module) — the r1-era content-seeded stub default
+    was retired in r11 along with the last ``_stub`` symbols."""
+    dec = decoder
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -937,45 +1060,3 @@ def decode_image_stats(
     return d.mapInPandas(kernel, schema=out_schema)
 
 
-def resize_stub(
-    df: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "doc_id",
-    target: tuple[int, int] = (4, 4),
-) -> DataFrame:
-    """Decode -> resize -> re-encode skeleton. The resize itself is a
-    numpy mean-pool on the stub array; a real codec slots into the
-    same kernel."""
-    th, tw = target
-    out_schema = T.StructType(
-        [
-            T.StructField("id", T.LongType()),
-            T.StructField("resized", T.BinaryType()),
-            T.StructField("out_h", T.IntegerType()),
-            T.StructField("out_w", T.IntegerType()),
-        ]
-    )
-    d = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, blobs, ohs, ows = [], [], [], []
-            for i, payload in zip(pdf["id"], pdf["payload"]):
-                arr = _stub_decode(bytes(payload) if payload is not None else b"")
-                h, w = arr.shape[0], arr.shape[1]
-                fh, fw = max(h // th, 1), max(w // tw, 1)
-                pooled = (
-                    arr[: fh * th, : fw * tw]
-                    .reshape(th, fh, tw, fw, -1)
-                    .mean(axis=(1, 3))
-                    .astype(np.uint8)
-                )
-                ids.append(i)
-                blobs.append(pooled.tobytes())
-                ohs.append(pooled.shape[0])
-                ows.append(pooled.shape[1])
-            yield pd.DataFrame(
-                {"id": ids, "resized": blobs, "out_h": ohs, "out_w": ows}
-            )
-
-    return d.mapInPandas(kernel, schema=out_schema)

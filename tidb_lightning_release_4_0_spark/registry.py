@@ -1511,6 +1511,35 @@ def q_media_frame_sample_avi(spark, sf_dir):
     )
 
 
+def q_media_frame_sample_mjpeg(spark, sf_dir):
+    """Round 11 (directive #3): frame sampling through COMPRESSED
+    video — per document, synthesize a real Motion-JPEG AVI (RIFF
+    'MJPG' stream; every '00dc' chunk an independent baseline JPEG
+    with a per-doc DRI of id%3 MCUs; frame geometry nf = id%5+1,
+    w = 8*(id%3+1), h = 8*(id%2+1); 8x8 block (by,bx) of frame f
+    CONSTANT at (id + 11f + 3by + bx) % 256), then decode it for
+    real — chunk walk + one full JPEG entropy decode (DHT Huffman,
+    dequant, IDCT, RSTn resync) per frame — keep every 2nd frame up
+    to 4, and emit exact per-frame integer features. The bit-exact
+    constant-block contract keeps the oracle closed-form; a bug in
+    the container walk, any JPEG stage, restart handling or frame
+    slicing hash-mismatches. Retires the r9 'no stdlib codec exists
+    for compressed video' scope note."""
+    from .operators.multimodal import (
+        decode_avi_mjpeg,
+        frame_sample,
+        synth_mjpeg_avi_payloads,
+    )
+
+    d = synth_mjpeg_avi_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return frame_sample(
+        d, payload_col="payload", id_col="id", every_n=2, max_frames=4,
+        decoder=decode_avi_mjpeg,
+    )
+
+
 def q_media_resize_png(spark, sf_dir):
     """Round 9: real decode -> mean-pool resize over PNG payloads (no
     stub left on the image path): pool each synthesized PNG to <= 2x2
@@ -3270,78 +3299,77 @@ def q_c4_line_filter_docs(spark, sf_dir):
 
 
 # The driver CORRECTNESS snapshot samples the FIRST 50 entries of
-# build_queries() in insertion order. Round-10 rotation
-# (docs/ROTATION.md): lead slots go to the two NEW round-10 entries
-# that must attest fresh (media_decode_jpeg / media_resize_jpeg —
-# the baseline-JPEG codec path, hash-checked against closed-form SQL
-# oracles) plus media_header_meta (EXTENDED with JVM-side JPEG SOF0
-# parsing — re-attests), then the oldest-attested cohort computed as
-# latest-round-per-entry across CORRECTNESS_r0{1..9}, sorted by
-# (round, name): the eleven remaining r06-attested entries
-# (rfm_segments ... zipf_alpha_docs — including simhash_dup_pairs,
-# which also re-attests its new 60-bit signature default this round)
-# and the first 36 of the 48-entry r07 cohort by name
-# (alloc_base_orders ... minhash_signatures; mysql_cast_tinyint
-# rolls to round 11). Every r08/r09-attested entry rolls out of the
-# sampled window this round. Future rotations edit THIS list (and
-# the pin in tests/test_registry_order.py), nothing else.
-_R10_PREFIX = [
-    "media_decode_jpeg",
-    "media_resize_jpeg",
-    "media_header_meta",
-    "rfm_segments",
-    "salted_agg_lineitem",
-    "sessionize_events",
-    "simhash_dup_pairs",
-    "strip_boilerplate_docs",
-    "top_terms",
-    "triangles_dupgraph",
-    "weighted_sample_docs",
-    "winnow_candidates",
-    "winnow_fingerprints",
-    "zipf_alpha_docs",
-    "alloc_base_orders",
-    "ann_recall_ivf",
-    "ann_recall_lsh",
-    "ann_topk",
-    "ann_topk_ivf",
-    "ann_topk_ivfpq",
-    "ann_topk_ivfpq_q64",
-    "ann_topk_lsh",
-    "ann_topk_pq",
-    "ann_topk_pq_q64",
-    "anti_join_customers",
-    "checksum_crc64_lineitem",
-    "checksum_lineitem",
-    "checksum_orders",
-    "corpus_diff_docs",
-    "dedup_apply_exact",
-    "dedup_apply_minhash",
-    "dedup_apply_spans",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_minhash_xx",
-    "default_fill_customer",
-    "dup_ignore_events",
-    "dup_replace_events",
-    "duplicate_spans",
-    "embedding_dups",
-    "enum_cast_events",
-    "events_tumbling_window",
-    "filtered_revenue",
-    "gopher_repetition",
-    "hist_quantiles_price",
-    "index_checksum_orders",
-    "json_extract_events",
-    "jsonl_roundtrip",
-    "kv_crc64_orders",
-    "minhash_signatures",
+# build_queries() in insertion order. Round-11 rotation
+# (docs/ROTATION.md): the lead slot goes to the NEW round-11 entry
+# (media_frame_sample_mjpeg — the compressed-video path: MJPEG-AVI
+# container walk + one full baseline-JPEG decode per frame incl.
+# DRI/RSTn, hash-checked against a closed-form SQL oracle), then the
+# oldest-attested cohort computed as latest-round-per-entry across
+# CORRECTNESS_r0{1..9}/r10, sorted by (round, name): the twelve
+# remaining r07-attested entries (mysql_cast_tinyint ... topk_parts
+# — simhash re-attests alongside the r11 hot-bucket-cap +
+# single-shuffle rework of simhash_dup_pairs, which itself attested
+# r10) and the first 37 of the r08 cohort by name (bloom_prune_orders
+# ... quality_filter; quantize_embeddings et al. roll to round 12).
+# Future rotations edit THIS list (and the pin in
+# tests/test_registry_order.py), nothing else.
+_R11_PREFIX = [
+    "media_frame_sample_mjpeg",
+    "mysql_cast_tinyint",
+    "ngram_jaccard",
+    "pricing_summary",
+    "random_project",
+    "rollup_orders",
+    "router_merge_orders",
+    "rowid_dense_orders",
+    "semi_join_suppliers",
+    "simhash",
+    "text_stats",
+    "top_orders_by_revenue",
+    "topk_parts",
+    "bloom_prune_orders",
+    "bracket_revenue",
+    "cheapest_shipper",
+    "chunk_documents",
+    "cube_lineitem",
+    "curation_funnel",
+    "custdist_orders",
+    "decontaminate",
+    "dedup_apply_cluster",
+    "dedup_cluster",
+    "dedup_incremental",
+    "events_sliding_window",
+    "excess_shippers",
+    "hll_overlap_partkeys",
+    "hll_union_keys",
+    "idle_customers",
+    "important_parts",
+    "kv_crc64_events_kinds",
+    "kv_crc64_orders_dec",
+    "kv_crc64_orders_v2",
+    "large_orders",
+    "lm_score",
+    "local_supplier_volume",
+    "market_share",
+    "media_metadata",
+    "mixture_sample",
+    "moving_avg_events",
+    "multimodal_features",
+    "ntile_customers",
+    "order_priority_count",
+    "pack_sequences",
+    "part_supplier_variety",
+    "pii_scrub",
+    "pivot_events",
+    "profit_by_nation",
+    "provenance_filter",
+    "quality_filter",
 ]
 
 
 def build_queries():
     base = _build_queries_unordered()
-    head = {k: base[k] for k in _R10_PREFIX}
+    head = {k: base[k] for k in _R11_PREFIX}
     return {**head, **{k: v for k, v in base.items() if k not in head}}
 
 
@@ -3457,6 +3485,7 @@ def _build_queries_unordered():
         "media_decode_jpeg": q_media_decode_jpeg,
         "media_resize_jpeg": q_media_resize_jpeg,
         "media_frame_sample_avi": q_media_frame_sample_avi,
+        "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
         "media_header_meta": q_media_header_meta,
         "minhash_signatures": q_minhash_signatures,
         "uint64_decimal": q_uint64_decimal,
@@ -4079,6 +4108,37 @@ def _build_oracle_sql_static():
                    w::INT AS width,
                    SUM(v)::BIGINT AS sum_intensity,
                    SUM(v * (j + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, f, h, w
+        """,
+        # media_frame_sample_mjpeg (r11): kept frames' features
+        # recomputed from the constant-block pixel rule — the SQL
+        # never touches RIFF or JPEG bytes, so a bug in the container
+        # walk, Huffman decode, dequant, IDCT, RSTn resync or frame
+        # slicing hash-mismatches. Frames are GRAYSCALE (one value
+        # per pixel), weights follow C-order pixel index y*w + x.
+        "media_frame_sample_mjpeg": """
+            WITH geom AS (
+              SELECT doc_id::BIGINT AS id,
+                     (doc_id % 5 + 1)::BIGINT AS nf,
+                     (8 * (doc_id % 3 + 1))::BIGINT AS w,
+                     (8 * (doc_id % 2 + 1))::BIGINT AS h
+              FROM documents
+            ), kept AS (
+              SELECT id, w, h, f
+              FROM geom, UNNEST(range(0, nf, 2)) AS t(f)
+              WHERE f // 2 < 4
+            ), px AS (
+              SELECT id, f, h, w, y, x,
+                     ((id + 11 * f + 3 * (y // 8) + (x // 8)) % 256
+                     )::BIGINT AS v
+              FROM kept,
+                   UNNEST(range(0, h)) AS ty(y),
+                   UNNEST(range(0, w)) AS tx(x)
+            )
+            SELECT id, f::INT AS frame_idx, h::INT AS height,
+                   w::INT AS width,
+                   SUM(v)::BIGINT AS sum_intensity,
+                   SUM(v * (y * w + x + 1))::BIGINT AS weighted_sum
             FROM px GROUP BY id, f, h, w
         """,
         # media_resize_png: the mean-pool replayed in SQL — cell
