@@ -207,34 +207,34 @@ def simhash_candidate_pairs(
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
-    grouped = bands.groupBy("band", "val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("sig")))
-        ).alias("_items")
+    lut = F.array(
+        *[
+            F.lit(v)
+            for v in __import__(
+                "tidb_lightning_release_4_0_spark.operators.dedup",
+                fromlist=["_simhash_min_combo_lut"],
+            )._simhash_min_combo_lut(combos, n_bands)
+        ]
     )
-    items = F.col("_items")
-    pair_structs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + F.lit(2), F.size(items)),
-                lambda y: F.struct(x.alias("l"), y.alias("r")),
-            ),
+    x = F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+    zb = F.lit(0)
+    for b in range(n_bands):
+        zb = zb + F.shiftleft(
+            (
+                F.shiftright(x, b * band_bits).bitwiseAND(F.lit(mask))
+                == 0
+            ).cast("int"),
+            b,
         )
-    )
-    first = None
-    xcol = F.col("p.l.sig").bitwiseXOR(F.col("p.r.sig"))
-    for ci, combo in enumerate(combos):
-        cond = F.lit(True)
-        for b in combo:
-            cond = cond & (
-                F.shiftright(xcol, b * band_bits)
-                .bitwiseAND(F.lit(mask)) == 0
-            )
-        first = F.when(cond, ci) if first is None else first.when(cond, ci)
+    l, r = bands.alias("l"), bands.alias("r")
     return (
-        grouped.select("band", F.explode(pair_structs).alias("p"))
-        .filter(F.col("band") == first)
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .filter(F.col("l.band") == F.element_at(lut, zb + 1))
         .count()
     )
 

@@ -15,10 +15,16 @@ crash). The parent then resumes in its own session, after
 ctl-equivalent ignore_error, and compares against a fresh
 uninterrupted restore.
 
-Usage: python scripts/resume_scale.py [N]          (default 64)
+Usage: python scripts/resume_scale.py [N] [--fmt csv|jsonl]
        python scripts/resume_scale.py --child CFGJSON   (internal)
-Prints ONE JSON line {"metric": "resume_64x", ...}; also appended by
-hand to docs/SCALE.md.
+(default N=64, fmt=csv). The jsonl lane (r11 directive #7) proves the
+BLOCK-grain (path, offset) resume at scale: the corpus is ONE large
+line-delimited file split into byte-range blocks (strict_format), so
+the kill lands mid-FILE, not just mid-corpus — the r10 proof only
+covered the CSV lane; sf0.01's resume_split_jsonl covered the JSONL
+grain only at toy scale.
+Prints ONE JSON line {"metric": "resume_64x[_jsonl]", ...}; also
+appended by hand to docs/SCALE.md.
 """
 
 from __future__ import annotations
@@ -38,9 +44,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TMP = os.path.join(REPO, ".tmp", "bench_scale")  # share bench_scale dumps
 
 
-def _cfg(dump: str, sink: str, cp_path: str):
+def _cfg(dump: str, sink: str, cp_path: str, strict: bool = False):
     from tidb_lightning_release_4_0_spark.config import (
         Config,
+        CSVConfig,
         MydumperConfig,
     )
 
@@ -53,6 +60,9 @@ def _cfg(dump: str, sink: str, cp_path: str):
             # default 100 GiB batch would make the corpus one engine
             # and the kill all-or-nothing
             batch_size=256 << 20,
+            # strict_format turns on byte-range BLOCK splitting (the
+            # jsonl lane: one large file -> (path, offset) chunks)
+            csv=CSVConfig(strict_format=strict),
         ),
         backend="parquet",
         target_dir=sink,
@@ -64,13 +74,23 @@ def _cfg(dump: str, sink: str, cp_path: str):
     )
 
 
-def _run_restore(dump: str, sink: str, cp_path: str) -> dict:
+def _run_restore(
+    dump: str, sink: str, cp_path: str,
+    strict: bool = False, mpb: str = "128m",
+) -> dict:
     from tidb_lightning_release_4_0_spark.plans.pipeline import (
         RestoreController,
     )
     from tidb_lightning_release_4_0_spark.session import get_spark
 
-    spark = get_spark(app_name="resume-scale", shuffle_partitions=CPUS)
+    spark = get_spark(
+        app_name="resume-scale",
+        shuffle_partitions=CPUS,
+        max_partition_bytes=mpb,
+    )
+    # a pre-existing session ignores builder confs; force the block
+    # geometry the lane asked for (single-file block split needs it)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
     spark.sparkContext.setLogLevel("ERROR")
     kw = {}
     if cp_path and os.path.exists(cp_path):
@@ -81,7 +101,9 @@ def _run_restore(dump: str, sink: str, cp_path: str) -> dict:
         cp = CheckpointStore(cp_path)
         cp.ignore_error("all")  # ctl checkpoint-error-ignore analog
         kw["checkpoints"] = cp
-    s = RestoreController(spark, _cfg(dump, sink, cp_path), **kw).run()
+    s = RestoreController(
+        spark, _cfg(dump, sink, cp_path, strict=strict), **kw
+    ).run()
     if not s.ok:
         raise RuntimeError(s.report())
     r = next(iter(s.tables.values()))
@@ -109,10 +131,20 @@ def main() -> None:
         # the victim: restore with checkpoints on until SIGKILLed
         args = json.loads(sys.argv[2])
         os.setsid()  # own process group so the kill takes executors
-        _run_restore(args["dump"], args["sink"], args["cp"])
+        _run_restore(
+            args["dump"], args["sink"], args["cp"],
+            strict=args.get("strict", False),
+            mpb=args.get("mpb", "128m"),
+        )
         return
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    argv = [a for a in sys.argv[1:]]
+    fmt = "csv"
+    if "--fmt" in argv:
+        i = argv.index("--fmt")
+        fmt = argv[i + 1]
+        del argv[i:i + 2]
+    n = int(argv[0]) if argv else 64
     import shutil
 
     from bench_scale import build_dump, replicate
@@ -125,14 +157,64 @@ def main() -> None:
 
     spark = get_spark(app_name="resume-scale", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
-    base_dump = os.path.join(TMP, "dump1x")
-    build_dump(spark, base_dump)
-    dump = replicate(base_dump, n)
-    nbytes = sum(
-        os.path.getsize(os.path.join(dump, f))
-        for f in os.listdir(dump)
-        if f.endswith(".csv")
-    )
+    strict = fmt == "jsonl"
+    mpb = "32m" if strict else "128m"
+    if strict:
+        # ONE large JSONL file (n concatenations of sf0.1 orders) so
+        # resume must happen at the BLOCK (path, offset) grain: at
+        # 32 MiB blocks / 256 MiB engines the ~1 GiB corpus is ~30
+        # blocks in ~4 engines, and the SIGKILL lands mid-file
+        base = os.path.join(TMP, "orders1x.jsonl")
+        if not os.path.exists(base):
+            from tidb_lightning_release_4_0_spark.sources.testdata import (
+                load_table,
+            )
+
+            pdf = (
+                load_table(spark, SF_DIR, "orders")
+                .select("o_orderkey", "o_custkey", "o_orderpriority")
+                .orderBy("o_orderkey")
+                .toPandas()
+            )
+            pdf.to_json(
+                base + ".tmp", orient="records", lines=True,
+                force_ascii=False,
+            )
+            os.replace(base + ".tmp", base)
+        dump = os.path.join(TMP, f"dump_jsonl{n}x")
+        marker = os.path.join(dump, ".complete")
+        if not os.path.exists(marker):
+            shutil.rmtree(dump, ignore_errors=True)
+            os.makedirs(dump)
+            with open(
+                os.path.join(dump, "tpch-schema-create.sql"), "w"
+            ) as f:
+                f.write("CREATE DATABASE IF NOT EXISTS `tpch`;\n")
+            with open(
+                os.path.join(dump, "tpch.orders-schema.sql"), "w"
+            ) as f:
+                f.write(
+                    "CREATE TABLE orders (o_orderkey BIGINT, "
+                    "o_custkey BIGINT, o_orderpriority VARCHAR(20));\n"
+                )
+            with open(os.path.join(dump, "tpch.orders.0001.jsonl"), "wb") as out_f:
+                src = open(base, "rb").read()
+                for _ in range(n):
+                    out_f.write(src)
+            open(marker, "w").write("ok")
+        nbytes = os.path.getsize(
+            os.path.join(dump, "tpch.orders.0001.jsonl")
+        )
+        n_files = max(nbytes // (32 << 20), 1)  # ~block count
+    else:
+        base_dump = os.path.join(TMP, "dump1x")
+        build_dump(spark, base_dump)
+        dump = replicate(base_dump, n)
+        nbytes = sum(
+            os.path.getsize(os.path.join(dump, f))
+            for f in os.listdir(dump)
+            if f.endswith(".csv")
+        )
 
     root = os.path.join(REPO, ".tmp", "resume_scale")
     shutil.rmtree(root, ignore_errors=True)
@@ -143,7 +225,7 @@ def main() -> None:
 
     # 1) uninterrupted reference run (kv_crc64 verification ON)
     t0 = time.monotonic()
-    ref = _run_restore(dump, sink_ref, "")
+    ref = _run_restore(dump, sink_ref, "", strict=strict, mpb=mpb)
     ref_sec = time.monotonic() - t0
     ref_triple = _sidecar_triple(sink_ref)
 
@@ -153,13 +235,21 @@ def main() -> None:
             sys.executable,
             os.path.abspath(__file__),
             "--child",
-            json.dumps({"dump": dump, "sink": sink_kill, "cp": cp_path}),
+            json.dumps(
+                {
+                    "dump": dump, "sink": sink_kill, "cp": cp_path,
+                    "strict": strict, "mpb": mpb,
+                }
+            ),
         ],
         cwd=REPO,
         stdout=subprocess.DEVNULL,
         stderr=subprocess.DEVNULL,
     )
-    n_files = sum(1 for f in os.listdir(dump) if f.endswith(".csv"))
+    if not strict:
+        n_files = sum(
+            1 for f in os.listdir(dump) if f.endswith(".csv")
+        )
     killed_after = None
     deadline = time.monotonic() + 600
     while time.monotonic() < deadline:
@@ -192,7 +282,7 @@ def main() -> None:
 
     # 3) resume in this process; compare triples
     t0 = time.monotonic()
-    res = _run_restore(dump, sink_kill, cp_path)
+    res = _run_restore(dump, sink_kill, cp_path, strict=strict, mpb=mpb)
     res_sec = time.monotonic() - t0
     res_triple = _sidecar_triple(sink_kill)
 
@@ -202,9 +292,9 @@ def main() -> None:
         and res["alloc_base"] == ref["alloc_base"]
     )
     out = {
-        "metric": f"resume_{n}x",
+        "metric": f"resume_{n}x" + ("_jsonl" if strict else ""),
         "corpus_mib": round(nbytes / (1 << 20), 1),
-        "chunks_total": n_files,
+        "chunks_total": n_files,  # jsonl lane: approx block count
         "chunks_done_at_kill": killed_after,
         "uninterrupted_sec": round(ref_sec, 1),
         "resume_sec": round(res_sec, 1),

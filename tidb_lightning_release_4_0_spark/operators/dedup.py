@@ -715,6 +715,26 @@ def _simhash_block_combos(
     return list(combinations(range(n_bands), agree))
 
 
+def _simhash_min_combo_lut(
+    combos: list[tuple[int, ...]], n_bands: int
+) -> list[int]:
+    """2^n_bands-entry lookup: index = zero-block bitmap of a pair's
+    sig XOR (bit b set <=> signature block b identical); value = the
+    MINIMAL combo index whose blocks are all inside the bitmap, or -1
+    when no combo agrees (never hit for bucket-collided pairs). Turns
+    the emit-once rule into one array index instead of a
+    C(n_bands, agree)-branch conditional."""
+    lut = []
+    for zb in range(1 << n_bands):
+        mb = -1
+        for ci, combo in enumerate(combos):
+            if all((zb >> b) & 1 for b in combo):
+                mb = ci
+                break
+        lut.append(mb)
+    return lut
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -766,18 +786,23 @@ def simhash_dup_pairs(
          to one key in EVERY combo table, so a degenerate corpus
          would otherwise go quadratic regardless of the 2^30 key
          space — same guard as ``minhash_lsh_pairs``).
-      3. the groupBy reuses the partitioning and emits each
-         surviving bucket's local pairs (bounded at max_bucket^2).
+      3. the equi self-join REUSES the exchange (both sides are the
+         capped frame) and STREAMS bucket-local pairs — bounded at
+         max_bucket^2 per bucket, no collected arrays, no sort state
+         beyond the one shuffle's.
       4. each true pair collides in up to C(n_bands, max_hamming)
          buckets; instead of a second candidate-volume shuffle for
          ``.distinct()``, a pair is emitted ONLY from its MINIMAL
-         agreeing combo — a pure expression over sig XOR, so dedup
-         is a map-side filter. Consequence under the cap: a pair
-         whose minimal agreeing combo sits in a dropped hot bucket
-         is dropped even if a later combo's bucket survived
-         (conservative; exact-dup cliques agree on combo 0, which
-         is precisely the bucket the cap targets). The DuckDB twin
-         mirrors cap + minimal-combo rule exactly."""
+         agreeing combo. The check is O(1) arithmetic: a 6-bit
+         zero-block bitmap of sig XOR indexes a precomputed
+         2^n_bands-entry min-combo lookup array (an r11 measurement
+         found the naive 20-branch when-chain formulation costing
+         ~4x the whole rest of the pipeline). Consequence under the
+         cap: a pair whose minimal agreeing combo sits in a dropped
+         hot bucket is dropped even if a later combo's bucket
+         survived (conservative; exact-dup cliques agree on combo 0,
+         which is precisely the bucket the cap targets). The DuckDB
+         twin mirrors cap + bitmap/LUT rule exactly."""
     combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -844,54 +869,42 @@ def simhash_dup_pairs(
             .filter(F.col("_bn") <= max_bucket)
             .drop("_bn")
         )
-    grouped = bands.groupBy("band", "val").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("doc_id"), F.col("sig")))
-        ).alias("_items")
-    )
-    items = F.col("_items")
-    # all (i, j>i) pairs within the bucket; items sorted by doc_id so
-    # left_id < right_id by construction
-    pair_structs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + F.lit(2), F.size(items)),
-                lambda y: F.struct(x.alias("l"), y.alias("r")),
-            ),
-        )
+    lut = F.array(
+        *[F.lit(v) for v in _simhash_min_combo_lut(combos, n_bands)]
     )
 
-    def first_agreeing_band(x: Column) -> Column:
-        # minimal combo index whose blocks are all zero in the XOR —
-        # always defined for a bucket-collided pair (its own combo
-        # agrees), so the when-chain never falls through
-        expr = None
-        for ci, combo in enumerate(combos):
-            cond = F.lit(True)
-            for b in combo:
-                cond = cond & (
+    def zero_block_bitmap(x: Column) -> Column:
+        # bit b set <=> block b of the XOR is all-zero (6 tiny terms)
+        z = F.lit(0)
+        for b in range(n_bands):
+            z = z + F.shiftleft(
+                (
                     F.shiftright(x, b * band_bits)
                     .bitwiseAND(F.lit(mask))
                     == 0
-                )
-            expr = F.when(cond, ci) if expr is None else expr.when(cond, ci)
-        return expr
+                ).cast("int"),
+                b,
+            )
+        return z
 
+    left = bands.alias("l")
+    right = bands.alias("r")
+    x = F.col("l.sig").bitwiseXOR(F.col("r.sig"))
     pairs = (
-        grouped.select("band", F.explode(pair_structs).alias("p"))
-        .select(
-            "band",
-            F.col("p.l.doc_id").alias("left_id"),
-            F.col("p.r.doc_id").alias("right_id"),
-            F.col("p.l.sig").bitwiseXOR(F.col("p.r.sig")).alias("_x"),
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .filter(F.bit_count(F.col("_x")) <= max_hamming)
-        .filter(F.col("band") == first_agreeing_band(F.col("_x")))
+        .filter(F.bit_count(x) <= max_hamming)
+        .filter(
+            F.col("l.band") == F.element_at(lut, zero_block_bitmap(x) + 1)
+        )
         .select(
-            "left_id",
-            "right_id",
-            F.bit_count(F.col("_x")).cast("int").alias("hamming"),
+            F.col("l.doc_id").alias("left_id"),
+            F.col("r.doc_id").alias("right_id"),
+            F.bit_count(x).cast("int").alias("hamming"),
         )
     )
     return pairs
@@ -908,9 +921,10 @@ def simhash_dup_pairs_sql_duckdb(
 ) -> str:
     """DuckDB twin of simhash_dup_pairs — identical signature, block
     combination keys, pigeonhole join, hamming cut, hot-bucket cap
-    and minimal-agreeing-combo dedup (lockstep with the Spark plan:
-    a pair whose minimal agreeing combo fell in a dropped hot bucket
-    is dropped even if a later combo's bucket survived)."""
+    and minimal-agreeing-combo dedup via the same zero-block-bitmap
+    lookup array (lockstep with the Spark plan: a pair whose minimal
+    agreeing combo fell in a dropped hot bucket is dropped even if a
+    later combo's bucket survived)."""
     combos = _simhash_block_combos(bits, n_bands, max_hamming)
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
@@ -932,13 +946,14 @@ def simhash_dup_pairs_sql_duckdb(
         else "SELECT * FROM bands"
     )
     x = "xor(l.sig, r.sig)"
-    whens = []
-    for ci, combo in enumerate(combos):
-        agree = " AND ".join(
-            f"((({x}) >> {b * band_bits}) & {mask}) = 0" for b in combo
-        )
-        whens.append(f"WHEN ({agree}) THEN {ci}")
-    first_band = "CASE " + " ".join(whens) + " END"
+    zb = " + ".join(
+        f"(CASE WHEN ((({x}) >> {b * band_bits}) & {mask}) = 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bands)
+    )
+    lut = ", ".join(
+        str(v) for v in _simhash_min_combo_lut(combos, n_bands)
+    )
     return f"""
 WITH sigs AS (
   SELECT {id_col} AS doc_id, {sig} AS sig FROM {table}
@@ -954,7 +969,7 @@ SELECT l.doc_id AS left_id, r.doc_id AS right_id,
 FROM capped l JOIN capped r
   ON l.band = r.band AND l.val = r.val AND l.doc_id < r.doc_id
 WHERE bit_count({x}) <= {max_hamming}
-  AND l.band = ({first_band})
+  AND l.band = ([{lut}])[({zb}) + 1]
 """
 
 
