@@ -234,3 +234,52 @@ def test_jsonl_block_malformed_line_fails_loud(spark):
         assert "blk.t" in run.report()
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_jsonl_strict_rowids_invariant_to_checkpointing(spark):
+    """r11 determinism fix (found by the resume_64x_jsonl SIGKILL
+    proof): a strict-format JSONL restore WITHOUT checkpoints must
+    assign the SAME _tidb_rowid values (hence the same kv_crc64
+    triple) as the checkpointed block-engine lane — the old routing
+    sent the no-checkpoint run through the capacity-scheme mono lane
+    (2^62 band), so the table checksum depended on whether
+    checkpointing was enabled."""
+    import json
+
+    # a NO-PK table: _tidb_rowid comes entirely from the assignment
+    # scheme, so the checksum is sensitive to the lane choice (an
+    # int-PK table would mask the bug — rowid = PK there)
+    root = os.path.join(TMP, "inv_nockpt")
+    shutil.rmtree(root, ignore_errors=True)
+    d = os.path.join(root, "dump")
+    os.makedirs(d)
+    with open(os.path.join(d, "blk-schema-create.sql"), "w") as f:
+        f.write("CREATE DATABASE blk;")
+    with open(os.path.join(d, "blk.t-schema.sql"), "w") as f:
+        f.write("CREATE TABLE t (a BIGINT, b VARCHAR(40))")
+    with open(os.path.join(d, "blk.t.0001.jsonl"), "w") as f:
+        for i in range(1, N_ROWS + 1):
+            f.write('{"a": %d, "b": "row-%d"}\n' % (i, i))
+    old = _with_small_blocks(spark)
+    try:
+        def run(tgt, cp, checkpoint):
+            cfg = _cfg(d, tgt, cp, checkpoint=checkpoint)
+            cfg.checksum = True
+            cfg.checksum_algo = "kv_crc64"
+            s = RestoreController(spark, cfg).run()
+            assert s.ok, s.report()
+            p = os.path.join(tgt, "blk.t", "_checksum.json")
+            t = json.load(open(p))
+            return (t["crc_xor"], t["total_bytes"], t["total_kvs"])
+
+        t_plain = run(os.path.join(root, "s1"), "", False)
+        t_ckpt = run(
+            os.path.join(root, "s2"), os.path.join(root, "cp.json"), True
+        )
+        assert t_plain == t_ckpt, (t_plain, t_ckpt)
+        # and the rowids themselves are the block-scheme ones (dense
+        # from the file base, NOT the 2^62 mono lane)
+        rows = _read(spark, os.path.join(root, "s1"))
+        assert rows.agg(F.max("_tidb_rowid")).first()[0] < 1 << 62
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

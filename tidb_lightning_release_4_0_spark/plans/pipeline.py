@@ -534,7 +534,47 @@ class RestoreController:
                 extra.append(F.col("_row_id"))
             frames.append(pdf.select(*cols, *extra))
 
-        if jsonl_files:
+        jl_strict_blocks = False
+        if jsonl_files and self.cfg.mydumper.csv.strict_format:
+            # r11 determinism fix (found by the resume_64x_jsonl kill
+            # proof): strict-format JSONL must take the SAME
+            # SplitLargeFile block row-id scheme the checkpointed
+            # block-engine lane uses — the old routing sent the
+            # no-checkpoint run through the capacity-scheme mono lane
+            # (2^62 band), so _tidb_rowid (and hence kv_crc64)
+            # depended on whether checkpointing was on. Same gates as
+            # the block lane: plain .jsonl only (the byte-range
+            # reader seeks), one scheme per table (no mixed sources),
+            # supported line terminators.
+            from ..sources.csv_blocks import (
+                files_use_supported_terminators,
+                plan_file_blocks,
+            )
+
+            jl_strict_blocks = (
+                bool(meta.data_files)
+                and all(
+                    f.path.lower().endswith(".jsonl")
+                    for f in meta.data_files
+                )
+                and files_use_supported_terminators(
+                    [(f.path, f.size) for f in jsonl_files]
+                )
+            )
+            if jl_strict_blocks:
+                jl_split = _split_bytes  # same geometry as the planner
+                frames.append(
+                    self._jsonl_block_frame(
+                        meta,
+                        schema,
+                        plan_file_blocks(
+                            [(f.path, f.size) for f in jsonl_files],
+                            jl_split,
+                        ),
+                        jl_split,
+                    )
+                )
+        if jsonl_files and not jl_strict_blocks:
             # Beyond-reference source: JSON-Lines parts (the
             # training-data handoff format; curation.export_jsonl is
             # the matching writer). Fields are read BY NAME as strings
