@@ -307,10 +307,16 @@ def test_rejects_non_jpeg_and_unsupported_flavors():
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"\x89PNG\r\n\x1a\n")
     base = J.encode_jpeg(np.full((8, 8), 9, np.uint8))
-    # flip SOF0 -> SOF2 (progressive)
+    # SOF2 is SUPPORTED since r11 — but a baseline stream merely
+    # relabeled progressive is malformed (its single scan has
+    # Ss=0, Se=63; a progressive DC scan requires Se == 0)
     prog = base.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se == 0"):
         J.decode_jpeg(prog)
+    # genuinely-unsupported SOF flavors still raise
+    ext = base.replace(b"\xff\xc0", b"\xff\xc1")
+    with pytest.raises(ValueError, match="SOF0"):
+        J.decode_jpeg(ext)
     # r11: DRI is SUPPORTED now — but a DRI promising restarts the
     # scan does not contain must fail loudly at the first boundary
     multi = J.encode_jpeg(
@@ -415,3 +421,112 @@ def test_fill_bytes_and_standalone_markers():
     tem = base[:2] + b"\xff\x01" + base[2:]
     with pytest.raises(ValueError, match="standalone"):
         J.decode_jpeg(tem)
+
+
+# --- progressive (SOF2, r11) -------------------------------------------------
+
+
+def test_progressive_equals_baseline_gray_and_color():
+    """The progressive script (DC first + refinements, two spectral
+    AC bands each with first + refinement scans) codes the SAME
+    quantized coefficients as the sequential scan, so decoded pixels
+    must equal the baseline decode EXACTLY — any drift in the
+    successive-approximation arithmetic (truncate-toward-zero,
+    correction bits, EOBRUN) shows up here."""
+    rng = np.random.default_rng(2)
+    g = rng.integers(0, 256, size=(37, 53), dtype=np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg_progressive(g)),
+        J.decode_jpeg(J.encode_jpeg(g)),
+    )
+    for sub in ("444", "422", "420"):
+        c = rng.integers(0, 256, size=(9, 23, 3), dtype=np.uint8)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg_progressive(c, subsampling=sub)),
+            J.decode_jpeg(J.encode_jpeg(c, subsampling=sub)),
+        ), sub
+
+
+def test_progressive_constant_block_exact():
+    rng = np.random.default_rng(3)
+    bv = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(bv, 8, 0), 8, 1)
+    payload = J.encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in payload  # SOF2, not SOF0
+    assert np.array_equal(J.decode_jpeg(payload), img)
+
+
+@pytest.mark.parametrize("al", [0, 1, 3])
+@pytest.mark.parametrize("ri", [0, 1, 3])
+def test_progressive_approximation_depths_and_restarts(al, ri):
+    rng = np.random.default_rng(al * 10 + ri)
+    img = rng.integers(0, 256, size=(33, 49), dtype=np.uint8)
+    got = J.decode_jpeg(
+        J.encode_jpeg_progressive(img, al=al, restart_interval=ri)
+    )
+    assert np.array_equal(got, J.decode_jpeg(J.encode_jpeg(img)))
+
+
+def test_progressive_eobrun_multi_block_decode():
+    """EOBn with n > 0 (an end-of-band run spanning several blocks)
+    is legal Annex-G that our encoder never emits (it closes each
+    block with EOB0) — pin the DECODER path with a hand-built
+    bitstream: a custom AC table containing the EOB2 symbol (0x20),
+    coding 'block0: coeff then EOB2+bits covering 3 blocks' over 4
+    blocks; block 3 codes its own coefficient after the run."""
+    # tiny canonical table: symbols 0x01 (len 1), 0x20 (len 2), 0x00 (len 3)
+    bits = [1, 1, 1] + [0] * 13
+    vals = [0x01, 0x20, 0x00]
+    enc = J._build_encode_table(bits, vals)
+    dec = J._build_decode_table(bits, vals)
+    bw = J._BitWriter()
+    # block 0: (run 0, size 1) value 1 at k=1, then EOB2 -> eobrun =
+    # 4 + extra(2 bits = 0b11 = 3) - wait: eobrun = (1<<2) + bits(2)
+    code, ln = enc[0x01]; bw.write(code, ln); bw.write(1, 1)  # +1 at k=1
+    code, ln = enc[0x20]; bw.write(code, ln); bw.write(2, 2)  # eobrun = 4+2
+    # run covers the REST of block 0 plus blocks 1..5 (6 total minus
+    # the current one -> 5 more blocks)
+    br = J._BitReader(bw.flush())
+    blocks = [np.zeros(64, np.int64) for _ in range(6)]
+    eobrun = 0
+    for zz in blocks:
+        eobrun = J._prog_dec_ac_first_block(br, zz, dec, 1, 63, 0, eobrun)
+    assert blocks[0][1] == 1
+    assert all(not b.any() for b in blocks[1:])
+    assert eobrun == 0
+
+
+def test_progressive_refine_correction_bits_roundtrip():
+    """Coefficient-level roundtrip of the AC refinement protocol:
+    random bands encoded at Al=1 then refined to Al=0 must restore
+    the exact signed values — exercises newly-significant sign bits,
+    buffered correction bits across zero runs and ZRL, and EOB0."""
+    rng = np.random.default_rng(7)
+    enc_ac = J._build_encode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    dec_ac = J._build_decode_table(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    for trial in range(40):
+        n_blocks = int(rng.integers(1, 5))
+        blocks = []
+        for _ in range(n_blocks):
+            zz = np.zeros(64, np.int64)
+            for _ in range(int(rng.integers(0, 10))):
+                k = int(rng.integers(1, 64))
+                zz[k] = int(rng.integers(-40, 41))
+            blocks.append(zz)
+        bw1 = J._BitWriter()
+        for zz in blocks:
+            J._prog_enc_ac_first_block(zz, bw1, enc_ac, 1, 63, 1)
+        bw2 = J._ProgBitWriter()
+        for zz in blocks:
+            J._prog_enc_ac_refine_block(zz, bw2, enc_ac, 1, 63, 0)
+        got = [np.zeros(64, np.int64) for _ in range(n_blocks)]
+        br = J._BitReader(bw1.flush())
+        eob = 0
+        for zz in got:
+            eob = J._prog_dec_ac_first_block(br, zz, dec_ac, 1, 63, 1, eob)
+        br = J._BitReader(bw2.flush())
+        eob = 0
+        for zz in got:
+            eob = J._prog_dec_ac_refine_block(br, zz, dec_ac, 1, 63, 0, eob)
+        for want, have in zip(blocks, got):
+            assert np.array_equal(want, have), trial

@@ -20,6 +20,7 @@ from tidb_lightning_release_4_0_spark.registry import (
 # rework) and the first 37 of the r08 cohort (quantize_embeddings
 # et al. roll to round 12).
 DRIVER_SAMPLED_50 = [
+    "media_decode_jpeg_progressive",
     "media_frame_sample_mjpeg",
     "mysql_cast_tinyint",
     "ngram_jaccard",
@@ -69,7 +70,6 @@ DRIVER_SAMPLED_50 = [
     "pivot_events",
     "profit_by_nation",
     "provenance_filter",
-    "quality_filter",
 ]
 
 

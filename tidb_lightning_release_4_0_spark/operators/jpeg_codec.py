@@ -4,7 +4,9 @@ numpy, no PIL/libjpeg in this environment.
 Beyond-reference multimodal support (SURVEY.md §7 M9): the dominant
 image format of any web crawl, decodable by the same Arrow-batched
 ``mapInPandas`` kernels that run the PNG/BMP/AVI codecs. Scope is
-baseline sequential DCT (SOF0), 8-bit, 1-component grayscale or
+baseline sequential DCT (SOF0) AND progressive DCT (SOF2 — both
+Annex-G mechanisms: spectral selection and successive approximation,
+with EOBRUN end-of-band runs; r11), 8-bit, 1-component grayscale or
 3-component YCbCr with sampling factors 1..2 per axis (4:4:4, 4:2:2
 and 4:2:0 — MCU-interleaved scan, box-mean chroma downsample on
 encode, replication upsample on decode), and DRI/RSTn restart
@@ -625,9 +627,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         "(1..2 per axis)"
                     )
                 comps.append((cid, samp, tq))
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
+        elif marker == 0xFFC2:
+            # progressive DCT (r11): re-parse through the multi-scan
+            # coefficient-accumulation path
+            return _decode_progressive(payload)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7,
                         0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD, 0xFFCE, 0xFFCF):
-            raise ValueError("only baseline sequential (SOF0) supported")
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) supported"
+            )
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xFFDA:
@@ -697,6 +705,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         bidx = (my * vi + v) * (nmx * hi) + mx * hi + hh
                         planes_zz[ci][bidx] = zz
 
+    return _reconstruct_image(
+        planes_zz, comp_order, qtables, h, w, hmax, vmax, nmx, nmy
+    )
+
+
+def _reconstruct_image(
+    planes_zz, comp_order, qtables, h, w, hmax, vmax, nmx, nmy
+) -> np.ndarray:
+    """Shared decode tail (baseline + progressive): de-zigzag,
+    dequantize, vectorized IDCT, level shift, crop, chroma upsample,
+    colorspace."""
     planes = []
     for ci, (_, _, _, tq, hi, vi) in enumerate(comp_order):
         qt = qtables[tq].reshape(-1)
@@ -722,3 +741,652 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)
     return ycbcr_to_rgb(ycc)
+
+
+# --- progressive DCT (SOF2, T.81 Annex G) ----------------------------------
+#
+# r11: the second half of the r10 "restart markers and progressive"
+# gap. Both Annex-G mechanisms are implemented on encode AND decode:
+# spectral selection (each scan carries one Ss..Se zigzag band; DC and
+# AC live in separate scans, AC scans are single-component) and
+# successive approximation (scans deliver coefficients at reduced
+# precision first — DC via arithmetic point transform >> Al with a
+# 1-bit refinement scan per level, AC via truncate-toward-zero with
+# the Annex-G correction-bit refinement protocol, including EOBRUN
+# end-of-band run coding and RSTn restarts). The decoder accumulates
+# coefficients across scans and reuses the shared reconstruction tail.
+
+
+def _storage_blocks(
+    plane: np.ndarray, hi: int, vi: int, nmx: int, nmy: int
+) -> np.ndarray:
+    """Component plane -> (nmy*vi * nmx*hi, 8, 8) blocks in ROW-MAJOR
+    storage-grid order (the decoder's planes_zz layout), edge-padded
+    to the full MCU grid."""
+    bh, bw = nmy * vi * 8, nmx * hi * 8
+    h, w = plane.shape
+    p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge")
+    return (
+        p.reshape(nmy * vi, 8, nmx * hi, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """T.81 G.1.2.2 AC point transform: divide by 2^Al truncating
+    TOWARD ZERO (DC uses the arithmetic >> instead)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _prog_dec_ac_first_block(
+    br: _BitReader, zz: np.ndarray, ac_tbl: dict,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Decode one block of an AC first scan (Ah == 0); returns the
+    updated EOBRUN (blocks remaining in the current end-of-band
+    run)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.read_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.read_bits(r)
+            return eobrun - 1  # this block is part of the run
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_dec_ac_refine_block(
+    br: _BitReader, zz: np.ndarray, ac_tbl: dict,
+    ss: int, se: int, al: int, eobrun: int,
+) -> int:
+    """Decode one block of an AC refinement scan (Ah == Al + 1):
+    newly-significant coefficients arrive as (run, 1) symbols with a
+    sign bit; every already-nonzero coefficient visited on the way
+    consumes one correction bit (T.81 G.1.2.3 / the jdphuff
+    protocol). Returns the updated EOBRUN."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break  # correction-only pass below finishes block
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "AC refinement symbol with size != 1"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if br.read_bit():
+                        if (abs(int(zz[k])) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val != 0 and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                if br.read_bit():
+                    if (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _ProgBitWriter(_BitWriter):
+    """_BitWriter plus the refinement-scan correction-bit buffer:
+    bits appended while scanning zero runs are FLUSHED after the next
+    emitted symbol (jcphuff's BE buffer), preserving the positional
+    order the decoder consumes them in."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pending: list[int] = []
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+
+def _prog_enc_ac_first_block(
+    zz: np.ndarray, bw: _BitWriter, ac_t: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    """Encode one AC-first block. End-of-band runs are emitted as
+    EOB0 per block (legal Annex-G; keeps the Annex-K tables, which
+    define no EOBn>0 symbols, sufficient)."""
+    vals = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last < 0:
+        code, ln = ac_t[0x00]
+        bw.write(code, ln)
+        return
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_t[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_t[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < len(vals) - 1:
+        code, ln = ac_t[0x00]
+        bw.write(code, ln)
+
+
+def _prog_enc_ac_refine_block(
+    zz: np.ndarray, bw: _ProgBitWriter, ac_t: dict,
+    ss: int, se: int, al: int,
+) -> None:
+    """Encode one AC-refinement block (jcphuff's protocol): newly
+    significant coefficients (|v| >> Al == 1) as (run, 1) + sign bit;
+    already-significant ones contribute buffered correction bits;
+    trailing zeros close with EOB0 carrying the remaining buffer."""
+    ab = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    run = 0
+    emitted_any = False
+    trailing = False
+    for i, a in enumerate(ab):
+        if a == 0:
+            run += 1
+            trailing = True
+            continue
+        # ZRLs must fire at EVERY nonzero reached with run > 15 —
+        # including correction-only positions — so every buffered
+        # correction bit lies inside the span of the next emitted
+        # symbol's decoder walk (the jcphuff invariant; checking only
+        # at newly-significant positions desynchronizes the stream)
+        while run > 15:
+            code, ln = ac_t[0xF0]
+            bw.write(code, ln)
+            bw.flush_pending()
+            run -= 16
+        if a > 1:  # significant in an earlier scan: correction bit
+            bw.pending.append(a & 1)
+            continue
+        # newly significant
+        code, ln = ac_t[(run << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[ss + i] > 0 else 0, 1)
+        bw.flush_pending()
+        run = 0
+        trailing = False
+        emitted_any = True
+    if trailing or bw.pending or not emitted_any:
+        code, ln = ac_t[0x00]  # EOB0 absorbs the tail zero run
+        bw.write(code, ln)
+        bw.flush_pending()
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+    al: int = 1,
+) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> PROGRESSIVE JFIF
+    JPEG (SOF2). The scan script exercises both Annex-G mechanisms
+    the way real encoders do: an (interleaved, for color) DC-first
+    scan at point transform ``al``, DC refinement scans down to 0,
+    then per component two spectral bands (1..5, 6..63) each as an
+    AC-first scan at ``al`` followed by refinement scans down to 0.
+    ``restart_interval`` (in MCUs for the DC scan, blocks for AC
+    scans) inserts RSTm markers with predictor/EOBRUN resets.
+    Coefficients are identical to ``encode_jpeg``'s, so the decoded
+    image equals the baseline decode of the same input — the
+    constant-block exactness contract carries over unchanged."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8 input")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("encode_jpeg_progressive expects (h,w) or (h,w,3)")
+    if subsampling not in _SAMPLINGS:
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if not (0 <= al <= 10):
+        raise ValueError("al out of range")
+    if restart_interval < 0 or restart_interval > 0xFFFF:
+        raise ValueError("restart_interval out of u16 range")
+    h, w = arr.shape[0], arr.shape[1]
+    if h == 0 or w == 0 or h > 0xFFFF or w > 0xFFFF:
+        raise ValueError("JPEG dimensions out of range")
+    ql = QUANT_ONES if quant_luma is None else np.asarray(quant_luma, np.int64)
+    qc = ql if quant_chroma is None else np.asarray(quant_chroma, np.int64)
+    for name, qt in (("quant_luma", ql), ("quant_chroma", qc)):
+        if qt.shape != (8, 8):
+            raise ValueError(f"{name} must be shape (8, 8)")
+        if qt.min() < 1 or qt.max() > 255:
+            raise ValueError(
+                f"{name} values must be in 1..255 (8-bit Pq=0 tables)"
+            )
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+        qts, qids = [ql], [0]
+        samps = [(1, 1)]
+    else:
+        (lh, lv), (ch_, cv) = _SAMPLINGS[subsampling]
+        ycc = np.round(rgb_to_ycbcr(arr))
+        planes = [
+            ycc[..., 0],
+            _box_mean(ycc[..., 1], lv // cv, lh // ch_),
+            _box_mean(ycc[..., 2], lv // cv, lh // ch_),
+        ]
+        qts, qids = [ql, qc, qc], [0, 1, 1]
+        samps = [(lh, lv), (ch_, cv), (ch_, cv)]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # quantized coefficients, ROW-MAJOR storage grid per component
+    comp_zz = []
+    for plane, qt, (hi, vi) in zip(planes, qts, samps):
+        blocks = _storage_blocks(plane, hi, vi, nmx, nmy) - 128.0
+        coeffs = np.round(fdct2(blocks) / qt.astype(np.float64)).astype(
+            np.int64
+        )
+        comp_zz.append(coeffs.reshape(-1, 64)[:, _ZFLAT])
+
+    enc_dc = [
+        _build_encode_table(DC_LUMA_BITS, DC_LUMA_VALS),
+        _build_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS),
+    ]
+    enc_ac = [
+        _build_encode_table(AC_LUMA_BITS, AC_LUMA_VALS),
+        _build_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS),
+    ]
+    nc = len(planes)
+    tsel = [0] + [1] * (nc - 1)  # table id per component
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += seg(
+        0xFFE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    out += seg(
+        0xFFDB,
+        bytes([0x00]) + ql.reshape(-1)[_ZFLAT].astype(np.uint8).tobytes(),
+    )
+    if not gray:
+        out += seg(
+            0xFFDB,
+            bytes([0x01])
+            + qc.reshape(-1)[_ZFLAT].astype(np.uint8).tobytes(),
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = samps[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, qids[ci]])
+    out += seg(0xFFC2, sof)
+    dht = bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+    dht += bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS)
+    if not gray:
+        dht += bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS)
+        dht += bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS)
+    out += seg(0xFFC4, dht)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    def sos_header(comps: list[int], ss: int, se: int, ah: int, a: int):
+        body = bytes([len(comps)])
+        for ci in comps:
+            body += bytes([ci + 1, (tsel[ci] << 4) | tsel[ci]])
+        body += bytes([ss, se, (ah << 4) | a])
+        return seg(0xFFDA, body)
+
+    def comp_true_grid(ci: int) -> list[int]:
+        hi, vi = samps[ci]
+        ch2, cw2 = _comp_dims(h, w, hi, vi, hmax, vmax)
+        bh2, bw2 = -(-ch2 // 8), -(-cw2 // 8)
+        nbx = nmx * hi
+        return [r * nbx + c for r in range(bh2) for c in range(bw2)]
+
+    # --- DC first scan (interleaved over all components) ---
+    out += sos_header(list(range(nc)), 0, 0, 0, al)
+    bw = _BitWriter()
+    prev = [0] * nc
+    for mcu in range(nmx * nmy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.emit_restart(mcu // restart_interval - 1)
+            prev = [0] * nc
+        my, mx = divmod(mcu, nmx)
+        for ci in range(nc):
+            hi, vi = samps[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    idx = (my * vi + v) * (nmx * hi) + mx * hi + hh
+                    dc_t = comp_zz[ci][idx][0] >> al
+                    diff = int(dc_t - prev[ci])
+                    prev[ci] = dc_t
+                    s = _category(diff)
+                    code, ln = enc_dc[tsel[ci]][s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+    out += bw.flush()
+
+    # --- DC refinement scans (one bit per level per block) ---
+    for a in range(al - 1, -1, -1):
+        out += sos_header(list(range(nc)), 0, 0, a + 1, a)
+        bw = _BitWriter()
+        for mcu in range(nmx * nmy):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.emit_restart(mcu // restart_interval - 1)
+            my, mx = divmod(mcu, nmx)
+            for ci in range(nc):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        idx = (my * vi + v) * (nmx * hi) + mx * hi + hh
+                        bw.write((int(comp_zz[ci][idx][0]) >> a) & 1, 1)
+        out += bw.flush()
+
+    # --- AC scans: two spectral bands per component ---
+    for ci in range(nc):
+        grid = comp_true_grid(ci)
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([ci], ss, se, 0, al)
+            bw = _BitWriter()
+            for bi, idx in enumerate(grid):
+                if (
+                    restart_interval
+                    and bi
+                    and bi % restart_interval == 0
+                ):
+                    bw.emit_restart(bi // restart_interval - 1)
+                _prog_enc_ac_first_block(
+                    comp_zz[ci][idx], bw, enc_ac[tsel[ci]], ss, se, al
+                )
+            out += bw.flush()
+            for a in range(al - 1, -1, -1):
+                out += sos_header([ci], ss, se, a + 1, a)
+                bwr = _ProgBitWriter()
+                for bi, idx in enumerate(grid):
+                    if (
+                        restart_interval
+                        and bi
+                        and bi % restart_interval == 0
+                    ):
+                        bwr.emit_restart(bi // restart_interval - 1)
+                        bwr.pending = []
+                    _prog_enc_ac_refine_block(
+                        comp_zz[ci][idx], bwr, enc_ac[tsel[ci]], ss, se, a
+                    )
+                out += bwr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive JPEG (SOF2) -> (h, w) or (h, w, 3) uint8: the
+    multi-scan path — coefficients accumulate across scans (spectral
+    selection bands, successive-approximation first + refinement
+    passes, EOBRUN, RSTn restarts), then the shared reconstruction
+    tail runs once."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, samp, tq)
+    h = w = None
+    restart_interval = 0
+    planes_zz: list[np.ndarray] | None = None
+    hmax = vmax = nmx = nmy = None
+    saw_scan = False
+
+    def comp_index(cid: int) -> int:
+        for i, (c, _, _) in enumerate(comps):
+            if c == cid:
+                return i
+        raise ValueError(f"scan references unknown component {cid}")
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:
+            break
+        if marker == 0xFF01 or 0xFFD0 <= marker <= 0xFFD8:
+            raise ValueError(
+                f"standalone marker {marker:#06x} outside a scan"
+            )
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4: pos + 2 + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.frombuffer(
+                    body, np.uint8, 64, i + 1
+                ).astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[_ZFLAT] = flat
+                qtables[tq] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17: i + 17 + n])
+                htables[(tc, th)] = _build_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFC2:
+            prec, hh_, ww, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = hh_, ww
+            for ci in range(nc):
+                cid, samp, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                hi, vi = samp >> 4, samp & 0x0F
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hi}x{vi} unsupported "
+                        "(1..2 per axis)"
+                    )
+                comps.append((cid, samp, tq))
+            if len(comps) not in (1, 3):
+                raise ValueError(
+                    f"unsupported component count {len(comps)}"
+                )
+            hmax = max(s >> 4 for _, s, _ in comps)
+            vmax = max(s & 0x0F for _, s, _ in comps)
+            nmx, nmy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            planes_zz = [
+                np.zeros(
+                    (nmy * (s & 0x0F) * nmx * (s >> 4), 64), np.int64
+                )
+                for _, s, _ in comps
+            ]
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xFFDA:
+            if planes_zz is None:
+                raise ValueError("SOS before SOF2")
+            saw_scan = True
+            ns = body[0]
+            scomps = []
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scomps.append((comp_index(cid), tt >> 4, tt & 0x0F))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, a = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            start = pos + 2 + ln
+            i = start
+            while i + 1 < len(payload):
+                if payload[i] == 0xFF and payload[i + 1] != 0x00:
+                    if 0xD0 <= payload[i + 1] <= 0xD7:
+                        i += 2
+                        continue
+                    break
+                i += 1
+            _decode_progressive_scan(
+                payload[start:i], scomps, ss, se, ah, a,
+                comps, planes_zz, htables,
+                h, w, hmax, vmax, nmx, nmy, restart_interval,
+            )
+            pos = i
+            continue
+        pos += 2 + ln
+
+    if planes_zz is None or not saw_scan:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    comp_order = [
+        (cid, 0, 0, tq, samp >> 4, samp & 0x0F)
+        for cid, samp, tq in comps
+    ]
+    return _reconstruct_image(
+        planes_zz, comp_order, qtables, h, w, hmax, vmax, nmx, nmy
+    )
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    scomps: list[tuple[int, int, int]],
+    ss: int, se: int, ah: int, al: int,
+    comps, planes_zz, htables,
+    h, w, hmax, vmax, nmx, nmy, restart_interval: int,
+) -> None:
+    """Decode ONE progressive scan into the coefficient arrays."""
+    br = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se == 0")
+        # DC scan: interleaved MCU geometry over the scan components
+        # (a single-component scan degenerates to its own block grid
+        # only when the image itself is single-component; multi-
+        # component images keep MCU geometry for ns > 1)
+        prev = [0] * len(scomps)
+        if len(scomps) == 1 and len(comps) == 1:
+            ci, dc_id, _ = scomps[0]
+            tbl = htables[(0, dc_id)]
+            n_blocks = planes_zz[ci].shape[0]
+            for bi in range(n_blocks):
+                if (
+                    restart_interval
+                    and bi
+                    and bi % restart_interval == 0
+                ):
+                    m = br.read_restart()
+                    if m != (bi // restart_interval - 1) % 8:
+                        raise ValueError("RSTn out of sequence")
+                    prev = [0]
+                    
+                zz = planes_zz[ci][bi]
+                if ah == 0:
+                    s = br.read_symbol(tbl)
+                    diff = _extend(br.read_bits(s), s)
+                    prev[0] += diff
+                    zz[0] = prev[0] << al
+                else:
+                    if br.read_bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+        else:
+            for mcu in range(nmx * nmy):
+                if (
+                    restart_interval
+                    and mcu
+                    and mcu % restart_interval == 0
+                ):
+                    m = br.read_restart()
+                    if m != (mcu // restart_interval - 1) % 8:
+                        raise ValueError("RSTn out of sequence")
+                    prev = [0] * len(scomps)
+                my, mx = divmod(mcu, nmx)
+                for si, (ci, dc_id, _) in enumerate(scomps):
+                    samp = comps[ci][1]
+                    hi, vi = samp >> 4, samp & 0x0F
+                    for v in range(vi):
+                        for hh in range(hi):
+                            idx = (
+                                (my * vi + v) * (nmx * hi)
+                                + mx * hi + hh
+                            )
+                            zz = planes_zz[ci][idx]
+                            if ah == 0:
+                                tbl = htables[(0, dc_id)]
+                                s = br.read_symbol(tbl)
+                                diff = _extend(br.read_bits(s), s)
+                                prev[si] += diff
+                                zz[0] = prev[si] << al
+                            else:
+                                if br.read_bit():
+                                    zz[0] = int(zz[0]) | (1 << al)
+        return
+    # AC scan: single component, non-interleaved block grid
+    if len(scomps) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    ci, _, ac_id = scomps[0]
+    tbl = htables[(1, ac_id)]
+    samp = comps[ci][1]
+    hi, vi = samp >> 4, samp & 0x0F
+    ch2, cw2 = _comp_dims(h, w, hi, vi, hmax, vmax)
+    bh2, bw2 = -(-ch2 // 8), -(-cw2 // 8)
+    nbx = nmx * hi
+    eobrun = 0
+    bi = 0
+    for r_ in range(bh2):
+        for c_ in range(bw2):
+            if restart_interval and bi and bi % restart_interval == 0:
+                m = br.read_restart()
+                if m != (bi // restart_interval - 1) % 8:
+                    raise ValueError("RSTn out of sequence")
+                eobrun = 0
+            zz = planes_zz[ci][r_ * nbx + c_]
+            if ah == 0:
+                eobrun = _prog_dec_ac_first_block(
+                    br, zz, tbl, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_dec_ac_refine_block(
+                    br, zz, tbl, ss, se, al, eobrun
+                )
+            bi += 1

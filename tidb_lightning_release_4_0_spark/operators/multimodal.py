@@ -544,6 +544,53 @@ def synth_jpeg_payloads(
     return d.mapInPandas(kernel, schema=out_schema)
 
 
+def synth_jpeg_progressive_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id) -> (id, payload): a REAL PROGRESSIVE JPEG per row (SOF2,
+    r11) — the SAME closed-form constant-block pixel rule as
+    synth_jpeg_payloads (width = (id%13+1)*5, height = (id%7+1)*5,
+    pixel (y, x) = (id + (y//8)*ceil(w/8) + x//8) % 256), but coded
+    through the multi-scan Annex-G pipeline: an interleaved-geometry
+    DC first scan at point transform 1 plus a DC refinement scan,
+    two spectral AC bands (1..5, 6..63) each with first + refinement
+    scans, EOBRUN end-of-band codes, and a per-doc DRI of id%3
+    blocks. Constant blocks are DC-only, so the decode is bit-exact
+    and the SAME SQL oracle as the baseline entry applies — a bug
+    anywhere in the scan scheduling, successive-approximation
+    arithmetic or restart resync hash-mismatches."""
+    from .jpeg_codec import encode_jpeg_progressive
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    d = df.select(F.col(id_col).cast("long").alias("id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = (i % 13 + 1) * 5, (i % 7 + 1) * 5
+                nbx = -(-w // 8)
+                yy, xx = np.mgrid[0:h, 0:w]
+                arr = ((i + (yy // 8) * nbx + xx // 8) % 256).astype(
+                    np.uint8
+                )
+                ids.append(i)
+                blobs.append(
+                    encode_jpeg_progressive(
+                        arr, restart_interval=i % 3
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": blobs})
+
+    return d.mapInPandas(kernel, schema=out_schema)
+
+
 def resize_image(
     df: DataFrame,
     payload_col: str = "payload",

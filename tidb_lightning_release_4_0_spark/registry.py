@@ -1581,6 +1581,34 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg_progressive(spark, sf_dir):
+    """Round 11: PROGRESSIVE JPEG (SOF2) decode — the second half of
+    the r10 restart/progressive gap. Per document, synthesize a real
+    multi-scan Annex-G JPEG (DC first + refinement scans via the
+    arithmetic point transform, two spectral AC bands each with
+    first + correction-bit refinement scans, EOBRUN codes, per-doc
+    DRI of id%3 blocks) over the SAME constant-block pixel rule as
+    media_decode_jpeg, then decode it for real: the decoder
+    accumulates coefficients across scans and runs the shared
+    dequant/IDCT tail. Bit-exact by the constant-block contract, so
+    the identical closed-form SQL oracle applies — a bug in scan
+    scheduling, successive-approximation arithmetic, EOBRUN or
+    restart resync hash-mismatches. Two Arrow-batched narrow stages,
+    no shuffle."""
+    from .operators.jpeg_codec import decode_jpeg
+    from .operators.multimodal import (
+        decode_image_stats,
+        synth_jpeg_progressive_payloads,
+    )
+
+    d = synth_jpeg_progressive_payloads(
+        _t(spark, sf_dir, "documents").select("doc_id"), id_col="doc_id"
+    )
+    return decode_image_stats(
+        d, payload_col="payload", id_col="id", decoder=decode_jpeg
+    )
+
+
 def q_media_resize_jpeg(spark, sf_dir):
     """Round 10: real JPEG decode -> mean-pool resize (the resize
     rides the same baseline decoder as media_decode_jpeg): pool each
@@ -3314,6 +3342,7 @@ def q_c4_line_filter_docs(spark, sf_dir):
 # Future rotations edit THIS list (and the pin in
 # tests/test_registry_order.py), nothing else.
 _R11_PREFIX = [
+    "media_decode_jpeg_progressive",
     "media_frame_sample_mjpeg",
     "mysql_cast_tinyint",
     "ngram_jaccard",
@@ -3363,7 +3392,6 @@ _R11_PREFIX = [
     "pivot_events",
     "profit_by_nation",
     "provenance_filter",
-    "quality_filter",
 ]
 
 
@@ -3483,6 +3511,7 @@ def _build_queries_unordered():
         "media_decode_png": q_media_decode_png,
         "media_resize_png": q_media_resize_png,
         "media_decode_jpeg": q_media_decode_jpeg,
+        "media_decode_jpeg_progressive": q_media_decode_jpeg_progressive,
         "media_resize_jpeg": q_media_resize_jpeg,
         "media_frame_sample_avi": q_media_frame_sample_avi,
         "media_frame_sample_mjpeg": q_media_frame_sample_mjpeg,
@@ -4012,6 +4041,27 @@ def _build_oracle_sql_static():
         # entropy coding with all-ones quant (bit-exact by
         # construction); the SQL never touches bytes
         "media_decode_jpeg": """
+            WITH dims AS (
+              SELECT doc_id::BIGINT AS id,
+                     ((doc_id % 13 + 1) * 5)::BIGINT AS w,
+                     ((doc_id % 7 + 1) * 5)::BIGINT AS h
+              FROM documents
+            ), px AS (
+              SELECT id, w, h,
+                     ((id + ((k // w) // 8) * ((w + 7) // 8)
+                       + (k % w) // 8) % 256)::BIGINT AS v,
+                     k
+              FROM dims, UNNEST(range(0, (w * h)::BIGINT)) AS t(k)
+            )
+            SELECT id, h::INT AS height, w::INT AS width, 1 AS channels,
+                   sum(v)::BIGINT AS sum_intensity,
+                   sum(v * (k + 1))::BIGINT AS weighted_sum
+            FROM px GROUP BY id, h, w
+        """,
+        # media_decode_jpeg_progressive (r11): same pixel rule,
+        # same closed-form oracle — only the PAYLOAD encoding differs
+        # (SOF2 multi-scan), which is exactly the point
+        "media_decode_jpeg_progressive": """
             WITH dims AS (
               SELECT doc_id::BIGINT AS id,
                      ((doc_id % 13 + 1) * 5)::BIGINT AS w,
