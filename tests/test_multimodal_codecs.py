@@ -605,3 +605,32 @@ def test_mjpeg_avi_rejects_other_streams():
         decode_avi_dib(mj)  # the DIB decoder refuses MJPG streams
     with pytest.raises(ValueError, match="RIFF"):
         decode_avi_mjpeg(b"\x89PNG not an avi")
+
+
+def test_parse_image_header_meta_progressive(spark):
+    """r11: the metadata walk reads dims from SOF2 frames too — the
+    decoder supports progressive, so the 100 TB metadata pass must
+    not reject them."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from tidb_lightning_release_4_0_spark.operators.jpeg_codec import (
+        encode_jpeg_progressive,
+    )
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        parse_image_header_meta,
+    )
+
+    jpg = encode_jpeg_progressive(
+        np.ascontiguousarray(_img(5, 300, seed=9)[:, :, 0])
+    )
+    assert b"\xff\xc2" in jpg
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ])
+    df = spark.createDataFrame([Row(id=1, payload=jpg)], schema)
+    got = parse_image_header_meta(df).first()
+    assert (got["mime"], got["width"], got["height"]) == (
+        "image/jpeg", 300, 5,
+    )

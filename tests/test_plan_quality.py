@@ -506,3 +506,19 @@ def test_simhash_no_second_distinct_exchange(spark, sf_dir):
     # the old plan shuffled candidates for distinct: a second
     # hashpartitioning exchange on (left_id, right_id)
     assert "hashpartitioning(left_id" not in plan, plan
+
+
+def test_minhash_candidate_shuffle_sizes_with_data(spark, sf_dir):
+    """r11: minhash_lsh_pairs gets the same derived-partitions rule
+    as simhash — an explicit candidate_partitions lands as the
+    (band, bkey) exchange width, and nothing shuffles candidates."""
+    from tidb_lightning_release_4_0_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = D.minhash_lsh_pairs(docs, threshold=0.2, candidate_partitions=43)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(band" in plan and ", 43)" in plan, plan
+    # (unlike simhash, minhash keeps its final pair-distinct — its
+    # candidate volume is ~1e-7 of brute force, measured at 1024x)

@@ -226,6 +226,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket: int = 200,
     hash_fn: str = "hash60",
+    candidate_partitions: int | None = None,
+    auto_partitions: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + exact-signature
     Jaccard estimate filter.
@@ -286,6 +288,28 @@ def minhash_lsh_pairs(
     e = d.select("_id", "_sig", F.explode(band_keys).alias("bk")).select(
         "_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # r11 (the derived-partitions engine default, SCALE.md finding 3
+    # promoted): size the one (band, bkey) shuffle to the banded-row
+    # volume — each row carries the signature array (~8*num_hashes B)
+    # plus keys — instead of inheriting the session's static setting
+    parts = candidate_partitions
+    if parts is None and auto_partitions:
+        from ..session import derived_shuffle_partitions
+
+        try:
+            n_docs = df.count()
+        except Exception:
+            n_docs = 0
+        want = derived_shuffle_partitions(
+            n_docs * bands, row_bytes=8 * num_hashes + 32
+        )
+        sess = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if want > sess:
+            parts = want
+    if parts:
+        e = e.repartition(parts, "band", "bkey")
     # ONE shuffle by (band, bkey): the windowed count drops
     # boilerplate mega-buckets (skew cap) BEFORE any buffering of
     # bucket contents, then the groupBy reuses the same partitioning

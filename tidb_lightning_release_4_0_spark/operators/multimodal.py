@@ -127,23 +127,32 @@ def parse_image_header_meta(
             F.hex(F.substring(p, off, F.lit(2))), 16, 10
         ).cast("int")
 
-    _SOF0, _SOS = 0xFFC0, 0xFFDA
+    # SOF0 (baseline) and SOF2 (progressive — supported by the r11
+    # decoder) share the frame-header layout, so the metadata pass
+    # accepts both; other SOF flavors fall through to the raise arm
+    _SOF0, _SOF2, _SOS = 0xFFC0, 0xFFC2, 0xFFDA
+
+    def _is_sof(off: Column) -> Column:
+        m = _u16_at(off)
+        return (m == _SOF0) | (m == _SOF2)
 
     def _walk_step(acc: Column, _x: Column) -> Column:
         # acc = 1-based offset of the current marker's FF byte;
-        # 0 = terminal error (desync / SOS reached without SOF0)
+        # 0 = terminal error (desync / SOS reached without a frame
+        # header)
         return (
             F.when(acc <= 0, acc)
-            .when(_u16_at(acc) == _SOF0, acc)  # found — freeze
+            .when(_is_sof(acc), acc)  # found — freeze
             .when(_u8_at(acc) != 255, F.lit(0))  # desynchronized
             .when(_u8_at(acc + 1) == 255, acc + 1)  # FF fill byte
-            .when(_u16_at(acc) == _SOS, F.lit(0))  # scan, no SOF0
+            .when(_u16_at(acc) == _SOS, F.lit(0))  # scan, no header
             .otherwise(acc + 2 + _u16_at(acc + 2))  # skip by length
         )
 
     # 1-based offset of the primary frame header's FF byte (0 if the
-    # pre-scan segment list holds no SOF0 — progressive, truncated,
-    # or desynchronized input -> the raise_error arm below)
+    # pre-scan segment list holds no SOF0/SOF2 — an unsupported SOF
+    # flavor, truncated, or desynchronized input -> the raise_error
+    # arm below)
     sof0 = F.aggregate(
         F.sequence(F.lit(1), F.lit(32)), F.lit(3), _walk_step
     )
@@ -155,7 +164,7 @@ def parse_image_header_meta(
     bmp_ok = (le_u32(15) == 40) & (
         F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("int") < 128
     )
-    jpg_ok = (sof0 > 0) & (_u16_at(sof0) == _SOF0)
+    jpg_ok = (sof0 > 0) & _is_sof(sof0)
     mime = (
         F.when(is_png, F.lit("image/png"))
         .when(is_bmp & bmp_ok, F.lit("image/bmp"))
@@ -174,8 +183,8 @@ def parse_image_header_meta(
             is_jpg,
             F.raise_error(
                 F.lit(
-                    "parse_image_header_meta: JPEG without a baseline "
-                    "SOF0 frame header"
+                    "parse_image_header_meta: JPEG without a "
+                    "SOF0/SOF2 frame header"
                 )
             ),
         )
