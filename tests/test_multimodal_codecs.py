@@ -634,3 +634,35 @@ def test_parse_image_header_meta_progressive(spark):
     assert (got["mime"], got["width"], got["height"]) == (
         "image/jpeg", 300, 5,
     )
+
+
+def test_mjpeg_avi_color_frames():
+    """Color MJPEG (the real-camera case): encode RGB frames as
+    per-frame color JPEGs ('420' like actual MJPEG cameras), decode
+    the stream, and match the per-frame JPEG decode exactly —
+    container framing must not change pixels."""
+    from tidb_lightning_release_4_0_spark.operators.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from tidb_lightning_release_4_0_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(3, 16, 24, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        out = decode_avi_mjpeg(
+            encode_avi_mjpeg(frames, subsampling=sub, restart_interval=1)
+        )
+        want = np.stack(
+            [
+                decode_jpeg(
+                    encode_jpeg(f, subsampling=sub, restart_interval=1)
+                )
+                for f in frames
+            ]
+        )
+        assert out.shape == (3, 16, 24, 3)
+        assert np.array_equal(out, want), sub

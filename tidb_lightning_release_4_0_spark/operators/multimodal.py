@@ -760,18 +760,27 @@ def decode_avi_dib(payload: bytes) -> np.ndarray:
 
 
 def encode_avi_mjpeg(
-    frames: np.ndarray, fps: int = 10, restart_interval: int = 0
+    frames: np.ndarray,
+    fps: int = 10,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """(n, h, w) uint8 GRAYSCALE -> Motion-JPEG AVI (r11 directive
-    #3): the same RIFF layout as ``encode_avi_dib`` but the stream
-    handler is 'MJPG' and every '00dc' chunk is an INDEPENDENT
-    baseline JPEG (jpeg_codec.encode_jpeg) — the first *compressed*
-    video path, composed from the r9 container walker + the r10 DCT
-    codec. ``restart_interval`` passes through to each frame's
-    encoder so DRI/RSTn streams ride the lane too."""
+    """(n, h, w) uint8 grayscale or (n, h, w, 3) RGB -> Motion-JPEG
+    AVI (r11 directive #3): the same RIFF layout as
+    ``encode_avi_dib`` but the stream handler is 'MJPG' and every
+    '00dc' chunk is an INDEPENDENT baseline JPEG
+    (jpeg_codec.encode_jpeg) — the first *compressed* video path,
+    composed from the r9 container walker + the r10 DCT codec.
+    ``restart_interval`` passes through to each frame's encoder so
+    DRI/RSTn streams ride the lane too; ``subsampling`` applies to
+    color frames (4:2:0 is the real-camera MJPEG default)."""
     from .jpeg_codec import encode_jpeg
 
-    n, h, w = frames.shape
+    if frames.ndim == 4:
+        n, h, w, c = frames.shape
+        assert c == 3
+    else:
+        n, h, w = frames.shape
     assert frames.dtype == np.uint8
 
     def chunk(cid: bytes, data: bytes) -> bytes:
@@ -784,7 +793,11 @@ def encode_avi_mjpeg(
         return chunk(b"LIST", kind + data)
 
     jpegs = [
-        encode_jpeg(f, restart_interval=restart_interval) for f in frames
+        encode_jpeg(
+            f, restart_interval=restart_interval,
+            **({"subsampling": subsampling} if f.ndim == 3 else {}),
+        )
+        for f in frames
     ]
     max_size = max(len(j) for j in jpegs)
     avih = struct.pack(
@@ -811,11 +824,12 @@ def encode_avi_mjpeg(
 
 
 def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
-    """Motion-JPEG AVI -> (n, h, w) uint8 grayscale: RIFF chunk walk
-    (handler must be 'MJPG'), then one full baseline-JPEG decode per
-    '00dc' frame — marker walk, DHT Huffman, dequant, IDCT, and (r11)
-    DRI/RSTn resync, per frame. Raises on non-MJPG streams and on
-    frames whose decoded dims disagree (a codec, not a sniffer)."""
+    """Motion-JPEG AVI -> (n, h, w) uint8 grayscale or (n, h, w, 3)
+    RGB: RIFF chunk walk (handler must be 'MJPG'), then one full
+    JPEG decode per '00dc' frame — marker walk, DHT Huffman, dequant,
+    IDCT, DRI/RSTn resync, YCbCr for color frames. Raises on
+    non-MJPG streams and on frames whose decoded dims or colorspace
+    disagree (a codec, not a sniffer)."""
     from .jpeg_codec import decode_jpeg
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -844,7 +858,7 @@ def decode_avi_mjpeg(payload: bytes) -> np.ndarray:
     if not spans:
         raise ValueError("MJPEG AVI has no frames")
     frames = [decode_jpeg(payload[a:b]) for a, b in spans]
-    if any(f.shape != frames[0].shape or f.ndim != 2 for f in frames):
+    if any(f.shape != frames[0].shape for f in frames):
         raise ValueError("MJPEG frames disagree on shape/colorspace")
     return np.stack(frames)
 
