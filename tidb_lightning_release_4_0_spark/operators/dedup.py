@@ -248,6 +248,16 @@ def minhash_lsh_pairs(
     from pyspark.sql.window import Window
 
     rows_per_band = num_hashes // bands
+    # size the shuffle from the RAW scan's row count, BEFORE _spread:
+    # counting the spread frame executes its round-robin exchange
+    # (plus sort-before-repartition) just to learn a row count the
+    # un-spread scan answers from parquet metadata (r11 opt, §2.4).
+    n_docs = 0
+    if candidate_partitions is None and auto_partitions:
+        try:
+            n_docs = df.count()
+        except Exception:
+            n_docs = 0
     # single-lineage plan — no persist to leak: the signature (one
     # fold over the shingle hashes) is evaluated exactly once because
     # the bucket-local pair generation below never self-joins the
@@ -296,10 +306,6 @@ def minhash_lsh_pairs(
     if parts is None and auto_partitions:
         from ..session import derived_shuffle_partitions
 
-        try:
-            n_docs = df.count()
-        except Exception:
-            n_docs = 0
         want = derived_shuffle_partitions(
             n_docs * bands, row_bytes=8 * num_hashes + 32
         )
@@ -795,9 +801,10 @@ def simhash_dup_pairs(
     the default — 5x the old 4, a linear cost paid to erase a
     quadratic one).
 
-    ONE shuffle total (r11 rework — the r10 curve measured the old
-    candidate ``.distinct()`` spilling at 1024x, docs/SCALE.md
-    finding 3):
+    ONE corpus-scale pass and shuffle; every later exchange moves
+    only materialized banded longs (r11 rework — the r10 curve
+    measured the old candidate ``.distinct()`` spilling at 1024x,
+    docs/SCALE.md finding 3):
       1. banded rows shuffle once by (band, val); when
          ``auto_partitions`` the stage requests
          ``derived_shuffle_partitions(n_docs * n_keys)`` partitions
@@ -810,10 +817,14 @@ def simhash_dup_pairs(
          to one key in EVERY combo table, so a degenerate corpus
          would otherwise go quadratic regardless of the 2^30 key
          space — same guard as ``minhash_lsh_pairs``).
-      3. the equi self-join REUSES the exchange (both sides are the
-         capped frame) and STREAMS bucket-local pairs — bounded at
-         max_bucket^2 per bucket, no collected arrays, no sort state
-         beyond the one shuffle's.
+      3. the capped frame is materialized once (lazy localCheckpoint
+         of the banded longs — never the text), so the corpus is
+         scanned and signed exactly once; the equi self-join then
+         shuffles only materialized long keys (SHUFFLE_HASH: bounded
+         per-partition builds, no sort) and STREAMS bucket-local
+         pairs — bounded at max_bucket^2 per bucket. (A plain
+         self-join re-executed the whole signature lineage on its
+         broadcast side — measured 3x slower at sf0.1.)
       4. each true pair collides in up to C(n_bands, max_hamming)
          buckets; instead of a second candidate-volume shuffle for
          ``.distinct()``, a pair is emitted ONLY from its MINIMAL
@@ -832,6 +843,17 @@ def simhash_dup_pairs(
     mask = (1 << band_bits) - 1
     from pyspark.sql.window import Window
 
+    # size the shuffle from the RAW scan's row count, BEFORE _spread:
+    # counting the spread frame executes its round-robin exchange
+    # (plus the sort-before-repartition) just to learn a row count the
+    # un-spread scan answers from parquet metadata (r11 opt, guide §2.4
+    # — an Exchange that computes nothing the query needs).
+    n_docs = 0
+    if candidate_partitions is None and auto_partitions:
+        try:
+            n_docs = df.count()
+        except Exception:
+            n_docs = 0
     df = _spread(df)
     sigs = df.select(
         F.col(id_col).alias("doc_id"),
@@ -868,10 +890,6 @@ def simhash_dup_pairs(
     if parts is None and auto_partitions:
         from ..session import derived_shuffle_partitions
 
-        try:
-            n_docs = df.count()
-        except Exception:
-            n_docs = 0
         # banded row ~= 40 B in shuffle (2 longs + int + long key)
         want = derived_shuffle_partitions(
             n_docs * len(combos), row_bytes=40
@@ -911,8 +929,38 @@ def simhash_dup_pairs(
             )
         return z
 
-    left = bands.alias("l")
-    right = bands.alias("r")
+    # Materialize the capped band frame ONCE, then self-join from the
+    # materialized rows (r11 opt, guide §2.4/§3.1/§5). The previous
+    # plain self-join was planned as a BroadcastHashJoin from the
+    # capped frame's (small) size estimate, and the broadcast side
+    # RE-EXECUTED the entire scan→simhash→explode→window lineage —
+    # the measured before-plan carried two parquet scans and two full
+    # signature passes (neither a MERGE hint nor AQE folded them into
+    # a ReusedExchange in Spark 4.1). The lazy localCheckpoint pins
+    # the banded rows (a few dozen bytes per doc per combo — the
+    # corpus TEXT is never stored), so the corpus is scanned and
+    # signed exactly once; the join then shuffles only long keys from
+    # memory. SHUFFLE_HASH beats sort-merge here: both join inputs
+    # are the same bounded-bucket frame and each post-shuffle
+    # partition is sized by derived_shuffle_partitions above, so the
+    # per-partition hash build is bounded and no sort is needed.
+    # Interleaved sf0.1 A/B (4 reps): BHJ-dup 1.33 s, SMJ-dup 0.76,
+    # localCheckpoint+SHJ 0.44 — and one corpus pass instead of two.
+    bands = bands.localCheckpoint(eager=False)
+    # the join shuffles the same banded volume as the window stage,
+    # so it gets the same derived width (the checkpoint erased the
+    # upstream partitioning knowledge; without this the join's
+    # ENSURE_REQUIREMENTS exchanges would fall back to the session's
+    # static shuffle_partitions — the exact cliff finding 3 measured)
+    width = parts or int(
+        bands.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    left = bands.repartition(width, "band", "val").alias("l")
+    right = (
+        bands.repartition(width, "band", "val")
+        .alias("r")
+        .hint("shuffle_hash")
+    )
     x = F.col("l.sig").bitwiseXOR(F.col("r.sig"))
     pairs = (
         left.join(
