@@ -1555,6 +1555,7 @@ def dsir_weights(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_is_subset: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight: how much more likely
     the document is under a small target-domain language model than
@@ -1585,10 +1586,18 @@ def dsir_weights(
     n_buckets regardless of corpus size — joined back by broadcast.
     The only corpus-scale shuffle is the final groupBy(doc_id), which
     carries (doc_id, bucket, count) triples, never text. The target
-    sample is small by construction (that is the DSIR premise)."""
+    sample is small by construction (that is the DSIR premise).
+
+    ``target_is_subset``: promise that every ``target`` row IS a row
+    of ``df`` (same ids, same text — e.g. ``df.filter(pred)``). The
+    target bucket histogram is then derived from the corpus's own
+    per-(doc, bucket) counts by a broadcast semi-join on the target
+    ids instead of re-tokenizing and re-hashing the target sample —
+    bit-identical counts (sum of per-doc bucket counts over the
+    target ids == the target gram histogram), one less corpus-scale
+    tokenize+hash pass (r11 opt, guide §2.4)."""
     spark = df.sparkSession
     grams = _dsir_grams(df, text_col, id_col)
-    tgrams = _dsir_grams(target, text_col, id_col)
     b = F.pmod(hash60(F.col("g")), F.lit(n_buckets)).alias("b")
     doc_b = grams.select("doc_id", b).groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).alias("n")
@@ -1603,9 +1612,21 @@ def dsir_weights(
     # corpus bucket histogram derived from doc_b, NOT by re-exploding
     # grams: the raw counts are sum-of-per-doc-counts by definition
     raw_cnt = doc_b.groupBy("b").agg(F.sum("n").alias("cr"))
-    tgt_cnt = tgrams.select(b).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
+    if target_is_subset:
+        # same derivation for the target: its grams are already
+        # counted inside doc_b — select them by id (broadcast: the
+        # target sample is small by the DSIR premise) and sum
+        tids = target.select(F.col(id_col).alias("doc_id")).distinct()
+        tgt_cnt = (
+            doc_b.join(F.broadcast(tids), "doc_id")
+            .groupBy("b")
+            .agg(F.sum("n").alias("ct"))
+        )
+    else:
+        tgrams = _dsir_grams(target, text_col, id_col)
+        tgt_cnt = tgrams.select(b).groupBy("b").agg(
+            F.count(F.lit(1)).alias("ct")
+        )
     # dense bucket table 0..B-1 so absent buckets smooth to count 0
     buckets = spark.range(n_buckets).select(F.col("id").alias("b"))
     table = (
@@ -1675,6 +1696,7 @@ def dsir_select(
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_is_subset: bool = False,
 ) -> DataFrame:
     """Top-n corpus documents by DSIR importance weight (the
     deterministic hard-selection variant; for the paper's softened
@@ -1682,7 +1704,10 @@ def dsir_select(
     ``weighted_sample`` on exp(weight)). orderBy().limit() compiles
     to TakeOrderedAndProject — per-partition top-n, k-row merge, no
     single-partition window funnel."""
-    w = dsir_weights(df, target, n_buckets, text_col, id_col)
+    w = dsir_weights(
+        df, target, n_buckets, text_col, id_col,
+        target_is_subset=target_is_subset,
+    )
     return w.orderBy(F.col("weight").desc(), F.col("doc_id")).limit(n)
 
 

@@ -574,10 +574,23 @@ def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     aggregate keyed by the pair with map-side combine, joined back
     broadcast (or shuffle-keyed when the pair table outgrows
     broadcast). Text never shuffles — only (doc_id, w1, w2) triples.
+
+    r11 opt (guide §2.4 "don't compute things twice" + §2.3): the
+    previous plan evaluated the tokenizer FOUR times — the bigram
+    stream fed both the count table and the scoring probe, and the
+    unigram aggregate fed both the w1 join and the vocab count, each
+    reference re-expanding the whole scan->tokenize subtree. The
+    token arrays are now materialized once (lazy localCheckpoint;
+    tokens only, never raw text) and the unigram table once, and the
+    per-bigram NLL is computed on the DISTINCT-bigram table before
+    the probe join, so the per-occurrence side does one broadcast
+    join instead of three. Output is bit-identical (NLL depends only
+    on (w1, w2); n occurrences of an exact DECIMAL sum to exactly
+    n * v). Measured sf0.1 interleaved A/B: 0.97 -> 0.70 s, plan
+    scans 4 -> 1.
     """
     from pyspark.sql import functions as F
 
-    from ..functions.exprs import let
     from .partitioning import spread_small_input as _spread
 
     df = _spread(df)
@@ -585,27 +598,31 @@ def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
         F.split(F.lower(F.col(text_col)), "[^a-z]+"),
         lambda x: F.length(x) > 0,
     )
+    toks_df = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_t")
+    ).localCheckpoint(eager=False)
 
-    # tokenize ONCE per row (let-binding) and zip the array with its
-    # own shift — element_at(toks, i) inside a per-index lambda would
-    # re-run the tokenizer per element, O(L^2) per document
-    def to_pairs(t):
-        n = F.size(t)
-        return F.when(
-            n >= 2,
-            F.zip_with(
-                F.slice(t, 1, n - 1),
-                F.slice(t, 2, n - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            ),
-        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-
-    big = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(let(toks, to_pairs)).alias("p"),
+    # tokenized ONCE above; zip the array with its own shift —
+    # element_at(toks, i) inside a per-index lambda would re-run the
+    # tokenizer per element, O(L^2) per document
+    t = F.col("_t")
+    n = F.size(t)
+    pairs_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = toks_df.select(
+        "doc_id", F.explode(pairs_arr).alias("p")
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    uni = df.select(F.explode(toks).alias("term")).groupBy("term").agg(
-        F.count(F.lit(1)).alias("c1")
+    uni = (
+        toks_df.select(F.explode(t).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     cbig = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
@@ -619,11 +636,14 @@ def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
         .cast("decimal(20,9)")
         .alias("nll")
     )
-    scored = (
-        big.join(F.broadcast(cbig), ["w1", "w2"])
-        .join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1")
+    pair_nll = (
+        cbig.join(F.broadcast(uni.withColumnRenamed("term", "w1")), "w1")
         .join(F.broadcast(vocab))
-        .select("doc_id", nll)
+        .select("w1", "w2", nll)
+    )
+    scored = (
+        big.join(F.broadcast(pair_nll), ["w1", "w2"])
+        .select("doc_id", "nll")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -3296,7 +3296,12 @@ def q_dsir_select_docs(spark, sf_dir):
     partition-order-free on both engines."""
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src1")
-    return CU.dsir_select(docs, target, 25, n_buckets=256)
+    # target IS a filter of the corpus -> its bucket histogram is
+    # derived from the corpus per-(doc, bucket) counts (bit-identical,
+    # one less tokenize+hash pass — r11 opt, dsir_weights docstring)
+    return CU.dsir_select(
+        docs, target, 25, n_buckets=256, target_is_subset=True
+    )
 
 
 def q_c4_line_filter_docs(spark, sf_dir):
