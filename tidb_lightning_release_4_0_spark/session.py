@@ -51,6 +51,22 @@ def get_spark(
             str(shuffle_partitions or _DEF_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
+        # Align Spark's whole-stage-codegen bailout with HotSpot's JIT
+        # limit (r11 opt, guide §7.2/§1.2): the MySQL cast ladder over
+        # a wide table compiles to ONE WSCG projection method —
+        # measured 35 KB of bytecode on lineitem's 11 columns — and
+        # HotSpot silently refuses to JIT any method past 8000 bytes
+        # (-XX:DontCompileHugeMethods), so the whole hot path ran in
+        # the JVM *interpreter*. Spark's default bailout (65535) never
+        # triggered. At 8000, stages whose generated method would be
+        # un-JIT-able fall back to per-operator projections, whose
+        # expression code splits into small JIT-friendly methods:
+        # measured 2-5x on the ingest scan->cast stage at sf0.1, and
+        # the same reasoning holds on any executor JVM at 100 TB.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         # one FILE per partition for unsplittable (whole-file) reads:
         # a huge per-file open cost stops FilePartition bin-packing, so
         # multiLine CSV / .sql dump tasks each own exactly one file and
@@ -77,6 +93,10 @@ def get_spark(
     # canonicalization needs UTC)
     spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 40))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.codegen.hugeMethodLimit",
+        os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+    )
     return spark
 
 
