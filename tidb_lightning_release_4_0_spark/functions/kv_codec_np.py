@@ -123,7 +123,53 @@ def _const_frag(n: int, data: bytes):
 def _flat_strings(series, mask: np.ndarray, trunc: int | None = None):
     """Object series of str/bytes -> (flat uint8, offsets, lens);
     ``trunc`` applies TruncateIndexValue prefix-index truncation
-    (characters for str, bytes for binary) before the utf-8 encode."""
+    (characters for str, bytes for binary) before the utf-8 encode.
+
+    Fast path (r11 opt, guide §1.2): a pure-string series converts
+    through Arrow — the values buffer already IS the flat utf-8 bytes
+    plus offsets, and prefix truncation maps to utf8_slice_codeunits
+    (code-POINT slicing, exactly str[:trunc]) — replacing the per-row
+    Python encode loop that profiled at ~20% of the kv kernel. Mixed
+    str/bytes or exotic inputs fall back to the loop unchanged."""
+    try:
+        import pyarrow as pa
+
+        arr = pa.Array.from_pandas(series)
+        if (
+            pa.types.is_string(arr.type)
+            or pa.types.is_large_string(arr.type)
+        ) and arr.offset == 0:
+            if trunc is not None:
+                import pyarrow.compute as pc
+
+                arr = pc.utf8_slice_codeunits(arr, 0, trunc)
+            arr = arr.cast(pa.large_binary())
+            if arr.offset == 0:
+                bufs = arr.buffers()
+                offs_all = np.frombuffer(bufs[1], np.int64)[
+                    : len(arr) + 1
+                ]
+                # consumers (_gather/_group8_frag) group-read up to 8
+                # bytes past any offset — keep the same zero slack the
+                # loop path appends
+                flat = np.concatenate(
+                    [
+                        np.frombuffer(bufs[2], np.uint8)
+                        if bufs[2] is not None
+                        else np.zeros(0, np.uint8),
+                        np.zeros(8, np.uint8),
+                    ]
+                )
+                lens = np.diff(offs_all)
+                offs = offs_all[:-1].copy()
+                if mask.any():
+                    lens = np.where(mask, 0, lens)
+                # nulls Arrow carries that the mask does not cover
+                # (shouldn't happen: mask IS the null flags) still
+                # yield len 0 via equal offsets
+                return flat, offs, lens.astype(np.int64)
+    except Exception:
+        pass
     vals = series.to_numpy(dtype=object)
     if trunc is None:
         bs = [
@@ -167,26 +213,61 @@ def _gather(flat: np.ndarray, offs: np.ndarray, lens: np.ndarray):
 
 def _concat_frags(parts):
     """Concatenate sub-fragments [(mat, lens), ...] row-wise into one
-    fragment (variable-width pieces packed per row)."""
+    fragment (variable-width pieces packed per row).
+
+    r11 opt (guide §1.2 per-task work): indexes the ACTUAL bytes of
+    each part through flat 1-D gathers/scatters with int32 index
+    arithmetic. The previous formulation materialized three padded
+    (n, part_width) int64/bool temporaries per part (mask, positions,
+    row ids) — ~200 MB of allocation traffic per wide part at 600k
+    rows — and profiled at 87% of the whole kv_crc64 kernel; this
+    version allocates index arrays proportional to the real
+    (unpadded) byte count only, fixed-width parts skip the source
+    gather entirely, and the per-row write cursor is kept as ONE
+    flat-output index (row base folded in). Byte-identical output
+    (property-tested against the scalar encoder)."""
     n = len(parts[0][1])
     total = parts[0][1].copy()
     for _, plens in parts[1:]:
         total = total + plens
     w = int(total.max()) if n else 0
-    out = np.zeros((n, max(w, 1)), np.uint8)
-    cum = np.zeros(n, np.int64)
-    rows = np.arange(n)
+    W = max(w, 1)
+    big = n * W >= 2**31
+    idt = np.int64 if big else np.int32
+    out = np.zeros(n * W, np.uint8)
+    rows = np.arange(n, dtype=idt)
+    # flat-output write cursor: row base + bytes emitted so far
+    cursor = rows * idt(W)
     for mat, lens in parts:
         pw = mat.shape[1]
         if pw == 0:
             continue
-        cols = np.arange(pw)
-        m = cols[None, :] < lens[:, None]
-        pos = cum[:, None] + cols[None, :]
-        rows2d = np.broadcast_to(rows[:, None], (n, pw))
-        out[rows2d[m], pos[m]] = mat[m]
-        cum += lens
-    return out, cum
+        flat = mat.reshape(-1)
+        if int(lens.min()) == pw and int(lens.max()) == pw:
+            # fixed-width part: every source byte lands, in order —
+            # no source gather, single fused destination index
+            dst = np.repeat(cursor, pw)
+            dst += np.tile(np.arange(pw, dtype=idt), n)
+            out[dst] = flat
+        else:
+            lens_i = lens.astype(idt)
+            ends = np.cumsum(lens_i, dtype=idt)
+            tot = int(ends[-1]) if n else 0
+            if tot == 0:
+                cursor += lens_i
+                continue
+            starts = ends - lens_i  # exclusive prefix sums
+            # within-part byte index, per actual byte
+            intra = np.arange(tot, dtype=idt)
+            intra -= np.repeat(starts, lens_i)
+            # source gather: row*pw + intra, built in place
+            src_idx = np.repeat(rows * idt(pw), lens_i)
+            src_idx += intra
+            dst = np.repeat(cursor, lens_i)
+            dst += intra
+            out[dst] = flat[src_idx]
+        cursor += lens.astype(idt)
+    return out.reshape(n, W), total
 
 
 # Strict JSON grammar slices for the scalar fast path. Anything not
@@ -898,6 +979,15 @@ def kv_pairs_crc_np(
             )
         )
     else:
+        # per column: the (varint colid) prefix and the datum ride as
+        # TWO parts of the one outer concat instead of being
+        # pre-concatenated per column (r11 opt: the 11 inner
+        # _concat_frags calls re-copied every value byte once more and
+        # profiled as a third of the assembly cost). Null handling
+        # moves onto the parts directly: a skipped NULL zeroes both
+        # parts' lens; a kept NULL emits prefix + one 0x00 (NilFlag)
+        # datum byte — the same bytes the inner-concat rewrite
+        # produced.
         vlen = np.zeros(n, np.int64)
         for i, c in enumerate(cols):
             cid = col_ids[i]
@@ -911,22 +1001,22 @@ def kv_pairs_crc_np(
                 bool(dur_flags and dur_flags[i]),
             )
             skip = default_null_ids is None or cid in default_null_ids
-            full, flens = _concat_frags(
-                [_const_frag(n, prefix), (dmat, dlens)]
-            )
             nulls = ~valid
+            pmat, plens = _const_frag(n, prefix)
             if skip:
-                flens = np.where(nulls, 0, flens)
+                if nulls.any():
+                    plens = np.where(nulls, 0, plens)
+                    dlens = np.where(nulls, 0, dlens)
             else:
-                p = len(prefix)
-                if full.shape[1] <= p:
-                    full = np.pad(
-                        full, ((0, 0), (0, p + 1 - full.shape[1]))
-                    )
-                full[nulls, p] = 0x00
-                flens = np.where(nulls, p + 1, flens)
-            frags.append((full, flens))
-            vlen += flens
+                if dmat.shape[1] == 0:
+                    dmat = np.zeros((n, 1), np.uint8)
+                elif not dmat.flags.writeable or nulls.any():
+                    dmat = np.array(dmat, np.uint8)
+                dmat[nulls, 0] = 0x00
+                dlens = np.where(nulls, 1, dlens)
+            frags.append((pmat, plens))
+            frags.append((dmat, dlens))
+            vlen += plens + dlens
         # empty value -> single NilFlag (EncodeOldRow's empty sentinel)
         frags.append(
             (np.zeros((n, 1), np.uint8), (vlen == 0).astype(np.int64))
