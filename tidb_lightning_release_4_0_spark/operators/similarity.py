@@ -658,6 +658,148 @@ def _np_corpus_encode(
     )
 
 
+def _np_pq_topk_fused(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    q_ids: list[int],
+    q_tabs,  # (nq, M, K) float64 ADC lookup tables (driver-built)
+    cents: list[tuple[int, list[float]]] | None = None,
+    q_cells=None,  # (nq, n_probe) int cell ids when IVF-probing
+) -> DataFrame:
+    """Fused Arrow pass for the ``encode="numpy"`` scale path (r11
+    opt, guide §2.3/§8): corpus encode, ADC scoring against the
+    driver-built per-query lookup tables, and PER-TASK top-k
+    selection run inside ONE mapInPandas — the previous plan joined
+    the 50k-row code table against every query (3.2M scored rows at
+    the bench's 64-query cell) and shuffled ALL of them into a
+    row_number window, which profiled at ~1.7 s of the 2.6 s query.
+    Each task now emits at most nq*k rows, so the window ranks a few
+    thousand rows instead of millions.
+
+    Exactness contract (same results as the join+window plan):
+    - the ADC sum adds the M table entries in the JVM fold order
+      (((0 + t0) + t1) + ...), element-wise float64 — bit-identical;
+    - selection uses the SAME total order as the window's
+      orderBy(_ad asc, c_id asc) via lexsort, so quantized-distance
+      ties (PQ has only K^M distinct sums) break identically;
+    - per-task top-k then global top-k is exact for any k because
+      top-k is distributive over unions;
+    - self-pairs and unprobed cells are masked with +inf and dropped
+      after selection (ADC distances are finite sums of finite
+      table entries, so +inf cannot collide with a real candidate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cb = [
+        np.array(
+            [_pq_centroid(m, j) for j in range(_PQ_K)], dtype=np.float64
+        )
+        for m in range(_PQ_M)
+    ]
+    cmat = (
+        np.array([cv for _, cv in cents], dtype=np.float64)
+        if cents
+        else None
+    )
+    cnorm = (
+        np.sqrt((cmat * cmat).sum(axis=1)) if cmat is not None else None
+    )
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+    tabs = np.asarray(q_tabs, dtype=np.float64)  # (nq, M, K)
+    probe = (
+        np.asarray(q_cells, dtype=np.int64) if q_cells is not None else None
+    )
+    nq = len(qid_arr)
+
+    def fused(batches):
+        acc_q: list = []
+        acc_c: list = []
+        acc_d: list = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            c_ids = pdf[id_col].to_numpy(np.int64)
+            nb = len(c_ids)
+            if cmat is not None:
+                dots = v @ cmat.T
+                vn = np.sqrt((v * v).sum(axis=1))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / (vn[:, None] * cnorm[None, :])
+                sims = np.where(np.isfinite(sims), sims, -np.inf)
+                cell = sims.argmax(axis=1).astype(np.int64)
+            codes = np.empty((nb, _PQ_M), np.int64)
+            for m in range(_PQ_M):
+                sub = v[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                d = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb[m].T)
+                    + (cb[m] * cb[m]).sum(axis=1)[None, :]
+                )
+                codes[:, m] = d.argmin(axis=1)
+            # ADC: dist[i, q] = sum_m tabs[q, m, codes[i, m]] with the
+            # JVM's left-fold add order
+            dist = tabs[:, 0, :].T[codes[:, 0]]  # (nb, nq)
+            for m in range(1, _PQ_M):
+                dist = dist + tabs[:, m, :].T[codes[:, m]]
+            # mask self-pairs (and unprobed cells for IVF)
+            dist[c_ids[:, None] == qid_arr[None, :]] = np.inf
+            if probe is not None:
+                probed = (
+                    cell[:, None, None] == probe[None, :, :]
+                ).any(axis=2)
+                dist[~probed] = np.inf
+            # per-batch exact top-k per query
+            for qi in range(nq):
+                dq = dist[:, qi]
+                fin = np.isfinite(dq)
+                nfin = int(fin.sum())
+                if not nfin:
+                    continue
+                cand_c = c_ids[fin]
+                cand_d = dq[fin]
+                if nfin > k:
+                    part = np.argpartition(cand_d, k - 1)
+                    # tie-safe: keep everything <= the k-th distance
+                    kth = cand_d[part[k - 1]]
+                    keep = cand_d <= kth
+                    cand_c, cand_d = cand_c[keep], cand_d[keep]
+                order = np.lexsort((cand_c, cand_d))[:k]
+                acc_q.append(np.full(len(order), qid_arr[qi]))
+                acc_c.append(cand_c[order])
+                acc_d.append(cand_d[order])
+        if acc_q:
+            allq = np.concatenate(acc_q)
+            allc = np.concatenate(acc_c)
+            alld = np.concatenate(acc_d)
+            outq, outc, outd = [], [], []
+            for qi in range(nq):
+                m = allq == qid_arr[qi]
+                if not m.any():
+                    continue
+                cc, dd = allc[m], alld[m]
+                order = np.lexsort((cc, dd))[:k]
+                outq.append(np.full(len(order), qid_arr[qi]))
+                outc.append(cc[order])
+                outd.append(dd[order])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(outq),
+                    "c_id": np.concatenate(outc),
+                    "_ad": np.concatenate(outd),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        fused, "q_id long, c_id long, _ad double"
+    )
+
+
 def pq_encode_df(
     df: DataFrame, vec_col: str, keep: list[Column]
 ) -> DataFrame:
@@ -695,13 +837,6 @@ def ann_topk_pq(
     by the candidate's codes (ADC, Jegou et al. 2011). Scoring reads
     M lookup-table entries per pair — no full-vector math against
     the corpus."""
-    # encode="sql": oracle-bit-exact expression encode (the checked
-    # registry entries); "numpy": the Arrow/BLAS scale path for big
-    # corpora (_np_corpus_encode's docstring has the trade-off)
-    if encode == "numpy":
-        c = _np_corpus_encode(corpus, vec_col, id_col)
-    else:
-        c = pq_encode_df(corpus, vec_col, [F.col(id_col).alias("c_id")])
     # ADC proper: the per-query lookup tables (M x K distances) are
     # precomputed once on the driver — queries are a handful by
     # definition — with the SAME sequential fold order as the engine
@@ -728,20 +863,31 @@ def ann_topk_pq(
             for m in range(_PQ_M)
         ]
         rows.append((int(r[id_col]), *tabs))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        rows,
-        "q_id bigint, "
-        + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
-    )
-    approx = F.lit(0.0)
-    for m in range(_PQ_M):
-        approx = approx + F.element_at(
-            F.col(f"_qt{m}"), F.col(f"_code{m}")
+    # encode="sql": oracle-bit-exact expression encode (the checked
+    # registry entries); "numpy": the fused Arrow/BLAS scale path —
+    # encode + ADC + per-task top-k in one pass (_np_pq_topk_fused's
+    # docstring has the exactness argument and the measured win)
+    if encode == "numpy":
+        scored = _np_pq_topk_fused(
+            corpus, vec_col, id_col, k,
+            [r[0] for r in rows], [r[1:] for r in rows],
         )
-    scored = c.join(
-        F.broadcast(q), F.col("q_id") != F.col("c_id")
-    ).select("q_id", "c_id", approx.alias("_ad"))
+    else:
+        c = pq_encode_df(corpus, vec_col, [F.col(id_col).alias("c_id")])
+        spark = corpus.sparkSession
+        q = spark.createDataFrame(
+            rows,
+            "q_id bigint, "
+            + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
+        )
+        approx = F.lit(0.0)
+        for m in range(_PQ_M):
+            approx = approx + F.element_at(
+                F.col(f"_qt{m}"), F.col(f"_code{m}")
+            )
+        scored = c.join(
+            F.broadcast(q), F.col("q_id") != F.col("c_id")
+        ).select("q_id", "c_id", approx.alias("_ad"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("_ad").asc(), F.col("c_id").asc()
     )
@@ -844,10 +990,11 @@ def ann_topk_ivfpq(
     # corpus side: one narrow TWO-STEP projection -> (id, cell, M
     # codes); the raw vector is dropped here and never touched again,
     # and every distance/sims array is evaluated exactly once (see
-    # _cell_sims for why the split matters). encode="numpy" swaps in
-    # the Arrow/BLAS scale path (same shape, not oracle-bit-exact).
+    # _cell_sims for why the split matters). encode="numpy" runs the
+    # fused Arrow/BLAS scale path below instead (same results, not
+    # oracle-bit-exact in the encode).
     if encode == "numpy":
-        c = _np_corpus_encode(corpus, vec_col, id_col, cents=cents)
+        c = None
     else:
         c = corpus.select(
             F.col(id_col).alias("c_id"),
@@ -907,26 +1054,42 @@ def ann_topk_ivfpq(
             (i, _cell_cos(cv)) for i, (_, cv) in enumerate(cents)
         ]
         probed = sorted(scored_cells, key=lambda t: (-t[1], t[0]))
-        for i, _ in probed[:n_probe]:
-            rows.append((int(r[id_col]), i, *tabs))
-    spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        rows,
-        "q_id bigint, _cell int, "
-        + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
-    )
-    approx = F.lit(0.0)
-    for m in range(_PQ_M):
-        approx = approx + F.element_at(
-            F.col(f"_qt{m}"), F.col(f"_code{m}")
+        rows.append(
+            (int(r[id_col]), tabs, [i for i, _ in probed[:n_probe]])
         )
-    # each corpus row lives in exactly one cell and the probed cells
-    # per query are distinct, so no (q, c) pair is scored twice
-    scored = c.join(
-        F.broadcast(q),
-        (F.col("q_id") != F.col("c_id"))
-        & (q["_cell"] == c["_cell"]),
-    ).select("q_id", "c_id", approx.alias("_ad"))
+    if encode == "numpy":
+        # fused Arrow pass: encode + cell assign + probe filter + ADC
+        # + per-task top-k in one mapInPandas (r11 opt — see
+        # _np_pq_topk_fused)
+        scored = _np_pq_topk_fused(
+            corpus, vec_col, id_col, k,
+            [r[0] for r in rows], [r[1] for r in rows],
+            cents=cents, q_cells=[r[2] for r in rows],
+        )
+    else:
+        spark = corpus.sparkSession
+        q = spark.createDataFrame(
+            [
+                (qid, cell_i, *tabs)
+                for qid, tabs, cells in rows
+                for cell_i in cells
+            ],
+            "q_id bigint, _cell int, "
+            + ", ".join(f"_qt{m} array<double>" for m in range(_PQ_M)),
+        )
+        approx = F.lit(0.0)
+        for m in range(_PQ_M):
+            approx = approx + F.element_at(
+                F.col(f"_qt{m}"), F.col(f"_code{m}")
+            )
+        # each corpus row lives in exactly one cell and the probed
+        # cells per query are distinct, so no (q, c) pair is scored
+        # twice
+        scored = c.join(
+            F.broadcast(q),
+            (F.col("q_id") != F.col("c_id"))
+            & (q["_cell"] == c["_cell"]),
+        ).select("q_id", "c_id", approx.alias("_ad"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("_ad").asc(), F.col("c_id").asc()
     )
