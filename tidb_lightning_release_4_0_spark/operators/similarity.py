@@ -708,7 +708,11 @@ def _np_pq_topk_fused(
         np.sqrt((cmat * cmat).sum(axis=1)) if cmat is not None else None
     )
     qid_arr = np.asarray(q_ids, dtype=np.int64)
-    tabs = np.asarray(q_tabs, dtype=np.float64)  # (nq, M, K)
+    # reshape keeps the empty-query case rectangular (asarray of []
+    # is 1-D and would break the axis indexing below)
+    tabs = np.asarray(q_tabs, dtype=np.float64).reshape(
+        len(qid_arr), _PQ_M, _PQ_K
+    )
     probe = (
         np.asarray(q_cells, dtype=np.int64) if q_cells is not None else None
     )
@@ -1061,10 +1065,14 @@ def ann_topk_ivfpq(
         # fused Arrow pass: encode + cell assign + probe filter + ADC
         # + per-task top-k in one mapInPandas (r11 opt — see
         # _np_pq_topk_fused)
+        # pad probe lists to a rectangle (a corpus with fewer cells
+        # than n_probe yields short lists); -1 matches no cell id
+        width = max((len(r[2]) for r in rows), default=0)
         scored = _np_pq_topk_fused(
             corpus, vec_col, id_col, k,
             [r[0] for r in rows], [r[1] for r in rows],
-            cents=cents, q_cells=[r[2] for r in rows],
+            cents=cents,
+            q_cells=[r[2] + [-1] * (width - len(r[2])) for r in rows],
         )
     else:
         spark = corpus.sparkSession
