@@ -58,35 +58,54 @@ IREPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_REPS", "5")))
 # _spread_reps). The flag + samples are reported on the stdout line
 # so a graded number can always be read against the load it was
 # measured under.
-def _settle(target: float = 0.7, timeout: float = 300.0) -> tuple:
-    """Round-10 directives #7/#8, tightened r11 (#2): bounded
-    pre-section settle — poll the 1-minute loadavg until it drops
-    under ``target`` or the budget runs out. The target is the
+def _settle(
+    target: float = 0.7, target5: float = 1.0, timeout: float = 600.0
+) -> tuple:
+    """Round-10 directives #7/#8, tightened r11 (#2) and r12 (#2):
+    bounded pre-section settle — poll the loadavg until the 1-minute
+    average drops under ``target`` AND the 5-minute average under
+    ``target5``, or the budget runs out. The 1-minute target is the
     MEASURED trust line, not a guess: the r10 graded run started at
     loadavg 1.84 (under the old target 2) and recorded
     ingest_jsonl at 8.45 MiB/s where all three < 0.7-loadavg local
     runs read 23.25-25.25 — a 3x corruption flying "contended:
-    false". Runs are only trustworthy below ~0.7; above it we wait
-    (up to 5 min), and if the box never quiets the graded ingest
-    metrics get a SECOND spaced pass merged best-of (see the
-    second-pass block in main). Returns (loadavg_after, waited_sec,
-    exhausted)."""
+    false". The 5-minute gate is the r12 fix for the r11 failure
+    mode this gate itself certified: a run can pass 1-min < 0.7
+    while the box is still draining work from minutes earlier
+    (docs/BENCH_NOTES_r11.md run 1: 1-min 0.66, 5-min ~5, ingest
+    headline 2.4x low, "contended: false"; the r11 driver run had
+    the same fingerprint — 140 s settle wait, then "quiet"). The
+    budget grew 300->600 s because the 5-minute average decays with
+    a ~5-min time constant; if the box never quiets the graded
+    ingest metrics get a SECOND spaced pass merged best-of (see the
+    second-pass block in main). Returns (loadavg_1m, loadavg_5m,
+    waited_sec, exhausted)."""
     t0 = time.monotonic()
-    load = os.getloadavg()[0]
-    while load >= target and time.monotonic() - t0 < timeout:
+    load = os.getloadavg()
+    while (
+        (load[0] >= target or load[1] >= target5)
+        and time.monotonic() - t0 < timeout
+    ):
         time.sleep(5.0)
-        load = os.getloadavg()[0]
+        load = os.getloadavg()
     waited = time.monotonic() - t0
-    return round(load, 2), round(waited, 1), load >= target
+    return (
+        round(load[0], 2),
+        round(load[1], 2),
+        round(waited, 1),
+        load[0] >= target or load[1] >= target5,
+    )
 
 
 # Bounded settle BEFORE sampling the contention indicator (round-10
 # directive #8: r9's graded run started at loadavg 8.56 and was
 # merely flagged — now we first wait for the box to quiet down, and
 # only then grade).
-_SETTLE_LOAD, _SETTLE_WAIT, _SETTLE_EXHAUSTED = _settle()
+_SETTLE_LOAD, _SETTLE_LOAD5, _SETTLE_WAIT, _SETTLE_EXHAUSTED = _settle()
 _LOAD_START = os.getloadavg()
-CONTENDED = _LOAD_START[0] > 0.7
+# r12: contention trips on EITHER window — the 1-min line alone
+# provably passed contaminated runs two rounds running (see _settle)
+CONTENDED = _LOAD_START[0] > 0.7 or _LOAD_START[1] > 1.0
 _IREPS_EFF = IREPS + (2 if CONTENDED else 0)
 
 
@@ -478,7 +497,7 @@ def main() -> None:
         # merged into the rep pools before the headline MiB/s are
         # derived.
         if _SETTLE_EXHAUSTED:
-            gap_load, gap_wait, gap_exh = _settle()
+            gap_load, gap_load5, gap_wait, gap_exh = _settle()
 
             def _split1_restore() -> None:
                 prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
@@ -545,6 +564,7 @@ def main() -> None:
             )
             second_pass_info = {
                 "gap_load": gap_load,
+                "gap_load_5m": gap_load5,
                 "gap_wait_sec": gap_wait,
                 "gap_exhausted": gap_exh,
                 "extra_reps": 2,
@@ -682,7 +702,7 @@ def main() -> None:
     # decaying cold transient across the first ~10 tail entries
     # (simhash 10.5 s in-session vs 1.4 s in a fresh session), so the
     # gap must be followed by warm work, and no explicit GC.
-    tail_load, tail_wait, _ = _settle()
+    tail_load, tail_load5, tail_wait, _ = _settle()
     # ADVICE r10 #3: resolve the re-warm query fns OUTSIDE the guard
     # so a renamed registry entry fails loudly (a swallowed KeyError
     # would silently turn the re-warm into a no-op and the tail would
@@ -785,8 +805,12 @@ def main() -> None:
         # box was contended at start)
         "ingest_headline_reps": _IREPS_EFF,
         # contention indicator: 1-min loadavg before our Spark
-        # started / at exit, and the derived flag (start > cpus/4)
+        # started / at exit, and the derived flag; r12 adds the
+        # 5-minute window (a quiet 1-min average with a hot 5-min
+        # average means the box is still draining earlier work —
+        # the exact mode that corrupted the r10/r11 graded runs)
         "loadavg_start": round(_LOAD_START[0], 2),
+        "loadavg_start_5m": round(_LOAD_START[1], 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "contended": CONTENDED,
         # round-10 settle governance: pre-run bounded wait (#8) and
@@ -797,6 +821,7 @@ def main() -> None:
         # ingest metrics are best-of TWO spaced passes (details here)
         "second_pass": second_pass_info,
         "loadavg_tail_start": tail_load,
+        "loadavg_tail_start_5m": tail_load5,
         "tail_settle_wait_sec": tail_wait,
         "sf": float(sf),
         # THE GRADED HEADLINE now carries best-of-reps (round-9
@@ -843,10 +868,10 @@ def main() -> None:
             "ingest_writephase_mib_per_sec",
             "ingest_split1file_mib_per_sec", "ingest_jsonl_mib_per_sec",
             "ingest_mib_per_sec_best",
-            "loadavg_start", "loadavg_end", "contended",
-            "settle_wait_sec", "settle_exhausted",
-            "loadavg_tail_start", "tail_settle_wait_sec",
-            "second_pass",
+            "loadavg_start", "loadavg_start_5m", "loadavg_end",
+            "contended", "settle_wait_sec", "settle_exhausted",
+            "loadavg_tail_start", "loadavg_tail_start_5m",
+            "tail_settle_wait_sec", "second_pass",
         )
     }
     line = json.dumps(line_fields, separators=(",", ":"))

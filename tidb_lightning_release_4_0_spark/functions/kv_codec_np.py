@@ -235,6 +235,12 @@ def _concat_frags(parts):
     big = n * W >= 2**31
     idt = np.int64 if big else np.int32
     out = np.zeros(n * W, np.uint8)
+    if n == 0:
+        # keep the pre-r11 empty-input contract: the fixed-width fast
+        # branch below calls lens.min()/lens.max(), which raise on a
+        # zero-row batch (callers like kv_pairs_crc_np short-circuit
+        # n == 0 today, but the helper must not depend on that)
+        return out.reshape(0, W), total
     rows = np.arange(n, dtype=idt)
     # flat-output write cursor: row base + bytes emitted so far
     cursor = rows * idt(W)

@@ -1589,13 +1589,19 @@ def dsir_weights(
     sample is small by construction (that is the DSIR premise).
 
     ``target_is_subset``: promise that every ``target`` row IS a row
-    of ``df`` (same ids, same text — e.g. ``df.filter(pred)``). The
-    target bucket histogram is then derived from the corpus's own
-    per-(doc, bucket) counts by a broadcast semi-join on the target
-    ids instead of re-tokenizing and re-hashing the target sample —
+    of ``df`` (same ids, same text — e.g. ``df.filter(pred)``), AND
+    that ``id_col`` is a unique key of ``df``. The target bucket
+    histogram is then derived from the corpus's own per-(doc, bucket)
+    counts by a broadcast semi-join on the DISTINCT target ids
+    instead of re-tokenizing and re-hashing the target sample —
     bit-identical counts (sum of per-doc bucket counts over the
     target ids == the target gram histogram), one less corpus-scale
-    tokenize+hash pass (r11 opt, guide §2.4)."""
+    tokenize+hash pass (r11 opt, guide §2.4). The uniqueness
+    requirement is load-bearing: if the corpus carried duplicate
+    doc_ids and the target selected only some rows of a duplicated
+    id (or carried intentional duplicates), the id-keyed derivation
+    would count grams the target does not contain (or drop repeats
+    it does) — callers with non-unique ids must leave this False."""
     spark = df.sparkSession
     grams = _dsir_grams(df, text_col, id_col)
     b = F.pmod(hash60(F.col("g")), F.lit(n_buckets)).alias("b")

@@ -946,6 +946,14 @@ def simhash_dup_pairs(
     # per-partition hash build is bounded and no sort is needed.
     # Interleaved sf0.1 A/B (4 reps): BHJ-dup 1.33 s, SMJ-dup 0.76,
     # localCheckpoint+SHJ 0.44 — and one corpus pass instead of two.
+    # Fault-tolerance trade-off (deliberate): localCheckpoint stores
+    # non-replicated executor-local blocks and TRUNCATES lineage, so
+    # losing an executor mid-query fails the job instead of
+    # recomputing — acceptable for this bounded banded-longs
+    # intermediate (re-running the query is cheaper than keeping the
+    # double-scan plan), but a 100 TB deployment with routine
+    # executor churn should swap in persist(MEMORY_AND_DISK) + an
+    # explicit reliable checkpoint dir if job restarts are costly.
     bands = bands.localCheckpoint(eager=False)
     # the join shuffles the same banded volume as the window stage,
     # so it gets the same derived width (the checkpoint erased the

@@ -708,15 +708,16 @@ def _np_pq_topk_fused(
         np.sqrt((cmat * cmat).sum(axis=1)) if cmat is not None else None
     )
     qid_arr = np.asarray(q_ids, dtype=np.int64)
-    # reshape keeps the empty-query case rectangular (asarray of []
-    # is 1-D and would break the axis indexing below)
-    tabs = np.asarray(q_tabs, dtype=np.float64).reshape(
-        len(qid_arr), _PQ_M, _PQ_K
-    )
-    probe = (
-        np.asarray(q_cells, dtype=np.int64) if q_cells is not None else None
-    )
     nq = len(qid_arr)
+    # reshape keeps the empty-query case rectangular (asarray of []
+    # is 1-D and would break the axis indexing below) — for BOTH
+    # driver-built inputs: tabs feeds tabs[:, m, :] and probe feeds
+    # probe[None, :, :], so each must stay n-D at nq == 0
+    tabs = np.asarray(q_tabs, dtype=np.float64).reshape(nq, _PQ_M, _PQ_K)
+    probe = None
+    if q_cells is not None:
+        probe = np.asarray(q_cells, dtype=np.int64)
+        probe = probe.reshape(nq, probe.size // nq if nq else 0)
 
     def fused(batches):
         acc_q: list = []

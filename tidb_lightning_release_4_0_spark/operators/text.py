@@ -588,6 +588,15 @@ def bigram_lm_score(df, text_col: str = "text", id_col: str = "doc_id"):
     on (w1, w2); n occurrences of an exact DECIMAL sum to exactly
     n * v). Measured sf0.1 interleaved A/B: 0.97 -> 0.70 s, plan
     scans 4 -> 1.
+
+    Fault-tolerance trade-off (deliberate, same as the simhash pair
+    join): the lazy localCheckpoints below store non-replicated
+    executor-local blocks, so an executor loss mid-query fails the
+    job instead of recomputing the truncated lineage. Acceptable for
+    these bounded token/unigram intermediates (a retry is cheaper
+    than a four-scan plan); a 100 TB deployment with routine executor
+    churn should use persist(MEMORY_AND_DISK) + a reliable
+    checkpoint instead if job restarts are costly.
     """
     from pyspark.sql import functions as F
 
