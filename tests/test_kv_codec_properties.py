@@ -159,10 +159,13 @@ def test_nan_double_kernels_identical_property(vals):
         [0.0 if v is None else v for v in vals], dtype=np.float64
     )
 
-    (vmat, vlens), vvalid = KNP._value_datum_frag(
+    vparts, vvalid = KNP._value_datum_frag(
         series, mask, "double", None
     )
-    kmat, klens = KNP._key_datum_frag(series, mask, "double", None)
+    vmat, vlens = KNP._concat_frags(vparts)
+    kmat, klens = KNP._concat_frags(
+        KNP._key_datum_frag(series, mask, "double", None)
+    )
     (cmat, clens), _ = KNP._cell_v2_frag(series, mask, "double", None)
     for i, v in enumerate(vals):
         if v is None:

@@ -86,11 +86,54 @@ def crc64_batch(values: list[bytes | None]) -> np.ndarray:
     return crc.view(np.int64)
 
 
+_LITTLE_ENDIAN = np.dtype("<u8") == np.dtype(np.uint64).newbyteorder("=")
+
+
+def _crc_word_step(c: np.ndarray) -> np.ndarray:
+    """One slice-by-8 update of a (k,) uint64 state ^ message-word
+    array. On little-endian hosts the eight table indexes come from a
+    plain byte VIEW of the xored words (r12 opt, guide §1.2: the
+    previous shift/mask/astype chain allocated 24 temporaries per
+    word step — 3 per table — and profiled at ~20% of the kv
+    kernel); the view exposes byte k as the k-th least significant
+    byte, exactly the (c >> 8k) & 0xFF the tables expect. Big-endian
+    hosts keep the arithmetic formulation."""
+    if _LITTLE_ENDIAN:
+        cb = c.view(np.uint8).reshape(-1, 8)
+        return (
+            _T7[cb[:, 0]]
+            ^ _T6[cb[:, 1]]
+            ^ _T5[cb[:, 2]]
+            ^ _T4[cb[:, 3]]
+            ^ _T3[cb[:, 4]]
+            ^ _T2[cb[:, 5]]
+            ^ _T1[cb[:, 6]]
+            ^ _T0[cb[:, 7]]
+        )
+    eight = np.uint64(8)
+    mask = np.uint64(0xFF)
+    return (
+        _T7[(c & mask).astype(np.int64)]
+        ^ _T6[((c >> eight) & mask).astype(np.int64)]
+        ^ _T5[((c >> np.uint64(16)) & mask).astype(np.int64)]
+        ^ _T4[((c >> np.uint64(24)) & mask).astype(np.int64)]
+        ^ _T3[((c >> np.uint64(32)) & mask).astype(np.int64)]
+        ^ _T2[((c >> np.uint64(40)) & mask).astype(np.int64)]
+        ^ _T1[((c >> np.uint64(48)) & mask).astype(np.int64)]
+        ^ _T0[(c >> np.uint64(56)).astype(np.int64)]
+    )
+
+
 def crc64_matrix(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """CRC-64/XZ of each row of a zero-padded (n, pad8) uint8 matrix,
     where row i's message is buf[i, :lens[i]]. Returns uint64 crcs.
     The vectorized core shared by crc64_batch and the numpy KV
-    checksum kernel (kv_codec_np)."""
+    checksum kernel (kv_codec_np). When every row is still active at
+    word j (the common fixed-schema case: row lengths differ by a few
+    varint bytes, so most word steps cover all rows) the state
+    updates column-wise without the boolean-mask gather/scatter pair
+    (r12 opt — the masked form copies the state and the word column
+    on every step)."""
     n = len(lens)
     if buf.shape[1] % 8:  # pad to a whole number of u64 words
         buf = np.ascontiguousarray(
@@ -103,19 +146,16 @@ def crc64_matrix(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
     nwords = lens // 8
     eight = np.uint64(8)
     mask = np.uint64(0xFF)
+    n_act_all = int((nwords > 0).sum())  # rows active at word 0
     for j in range(int(nwords.max()) if n else 0):
+        if n_act_all == n:
+            # every row active: no mask gather/scatter
+            crc = _crc_word_step(crc ^ words[:, j])
+            n_act_all = int((nwords > j + 1).sum())
+            continue
         act = nwords > j
         c = crc[act] ^ words[act, j]
-        crc[act] = (
-            _T7[(c & mask).astype(np.int64)]
-            ^ _T6[((c >> eight) & mask).astype(np.int64)]
-            ^ _T5[((c >> np.uint64(16)) & mask).astype(np.int64)]
-            ^ _T4[((c >> np.uint64(24)) & mask).astype(np.int64)]
-            ^ _T3[((c >> np.uint64(32)) & mask).astype(np.int64)]
-            ^ _T2[((c >> np.uint64(40)) & mask).astype(np.int64)]
-            ^ _T1[((c >> np.uint64(48)) & mask).astype(np.int64)]
-            ^ _T0[(c >> np.uint64(56)).astype(np.int64)]
-        )
+        crc[act] = _crc_word_step(c)
     tails = lens % 8
     rowsel = np.arange(n)
     for k in range(7):

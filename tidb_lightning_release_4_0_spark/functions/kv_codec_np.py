@@ -52,21 +52,21 @@ def _be8(u: np.ndarray) -> np.ndarray:
     return u.astype(">u8").view(np.uint8).reshape(-1, 8)
 
 
-def _bitlen(z: np.ndarray) -> np.ndarray:
-    """Vectorized bit length of uint64 (0 -> 0)."""
-    z = z.copy()
-    bl = np.zeros(len(z), np.int64)
-    for s in (32, 16, 8, 4, 2, 1):
-        m = z >= (_U1 << np.uint64(s))
-        bl[m] += s
-        z[m] >>= np.uint64(s)
-    bl += (z > 0).astype(np.int64)
-    return bl
+def _uvarint_byte_count(z: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 byte count of uint64 (0 -> 1): one 7-bit
+    group per started 7 bits, counted directly by threshold
+    comparisons (r12 opt — replaces the 6-pass binary-search bit
+    length, whose masked copy-shift passes profiled at ~8% of the kv
+    kernel; nine branch-free compares cost less than one of them)."""
+    nb = np.ones(len(z), np.int64)
+    for k in range(1, 10):  # z >= 2^(7k)  =>  needs more than k groups
+        nb += z >= (_U1 << np.uint64(7 * k))
+    return nb
 
 
 def _uvarint_frag(z: np.ndarray, valid: np.ndarray):
     """(n,) uint64 -> LEB128 fragment (mat (n, w), lens)."""
-    nb = np.maximum((_bitlen(z) + 6) // 7, 1)
+    nb = _uvarint_byte_count(z)
     w = int(nb[valid].max()) if valid.any() else 1
     ks = np.arange(w, dtype=np.uint64)
     mat = (
@@ -575,29 +575,51 @@ def _mydecimal_mat_digits(series, valid, p, s):
     return _mydecimal_pack(segs, neg, valid)
 
 
+def _nil_part(n: int, valid: np.ndarray):
+    """A 1-byte NilFlag fragment emitted ONLY on null rows. Placed
+    FIRST in a datum's part list: null rows then encode as the single
+    0x00 byte while valid rows contribute nothing here and take their
+    flag+payload parts (whose lens are 0 on null rows) — the r12
+    replacement for the _with_nil overlay, which re-concatenated and
+    copied every column's datum matrix just to stamp that byte."""
+    return np.zeros((n, 1), np.uint8), np.where(valid, 0, 1)
+
+
+def _flag_frag(n: int, data: bytes, valid: np.ndarray):
+    """A constant flag/prefix fragment present on VALID rows only."""
+    mat, lens = _const_frag(n, data)
+    return mat, np.where(valid, lens, 0)
+
+
 def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
                       dur=False):
-    """One column's v1 row-VALUE datum fragment (flag + payload) for
-    the non-null rows; lens are 0 on null rows (the caller overlays
-    NilFlag / CanSkip). ``u64`` marks BIGINT UNSIGNED columns
-    (decimal-typed Spark-side, KindUint64 in the encoding); ``dur``
-    marks TIME columns pre-parsed JVM-side to signed nanoseconds
-    (KindMysqlDuration: durationFlag + comparable int64); ``wrap``
-    is the MySQL-kind coercion (json — the one remaining object-path
-    kind)."""
+    """One column's v1 row-VALUE datum (flag + payload) as a PART
+    LIST ``[(mat, lens), ...]`` whose row-wise concatenation is the
+    datum bytes for the non-null rows; every part's lens are 0 on
+    null rows (the caller appends a NilFlag part / applies CanSkip).
+    Returning parts instead of a pre-concatenated matrix lets the
+    caller's single outer ``_concat_frags`` assemble each byte
+    exactly ONCE (r12 opt, guide §1.2: the per-column inner concats
+    re-copied every datum byte and profiled at ~45% of the kernel).
+    ``u64`` marks BIGINT UNSIGNED columns (decimal-typed Spark-side,
+    KindUint64 in the encoding); ``dur`` marks TIME columns
+    pre-parsed JVM-side to signed nanoseconds (KindMysqlDuration:
+    durationFlag + comparable int64); ``wrap`` is the MySQL-kind
+    coercion (json — the one remaining object-path kind)."""
     n = len(mask)
     valid = ~mask
     if dur:
         ns = series.to_numpy(np.int64, na_value=0)
         comp = ns.view(np.uint64) ^ _SIGN
-        return _concat_frags(
-            [_const_frag(n, b"\x07"), (_be8(comp), np.where(valid, 8, 0))]
-        ), valid
+        return [
+            _flag_frag(n, b"\x07", valid),
+            (_be8(comp), np.where(valid, 8, 0)),
+        ], valid
     if wrap is not None:
         if getattr(wrap, "kind", None) == "json":
-            return _json_frag(series, mask, with_flag=True), valid
+            return [_json_frag(series, mask, with_flag=True)], valid
         enc = lambda v: KC._encode_datum_v1(wrap(v))  # noqa: E731
-        return _object_frag(series, mask, enc), valid
+        return [_object_frag(series, mask, enc)], valid
     if u64:
         if series.dtype.kind in "iu":
             # the projection pre-resolved this column to an int64
@@ -605,15 +627,13 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
             # uintFlag + plain uvarint, fully vectorized
             u = series.to_numpy(np.int64, na_value=0).astype(np.uint64)
             mat, lens = _uvarint_frag(u, valid)
-            return _concat_frags(
-                [_const_frag(n, b"\x09"), (mat, lens)]
-            ), valid
+            return [_flag_frag(n, b"\x09", valid), (mat, lens)], valid
         enc = lambda v: KC._encode_datum_v1(KC.Uint64Datum(v))  # noqa: E731
-        return _object_frag(series, mask, enc), valid
+        return [_object_frag(series, mask, enc)], valid
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
         v = series.to_numpy(np.int64, na_value=0)
         mat, lens = _uvarint_frag(_zigzag(v), valid)
-        return _concat_frags([_const_frag(n, b"\x08"), (mat, lens)]), valid
+        return [_flag_frag(n, b"\x08", valid), (mat, lens)], valid
     if dt_name in ("float", "double"):
         # no na_value: NULLs were coalesced to 0.0 SPARK-side, so any
         # NaN here is a genuine NaN double and must encode as one
@@ -622,21 +642,20 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
         f = series.to_numpy(np.float64)
         u = f.view(np.uint64)
         comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
-        frag = (_be8(comp), np.where(valid, 8, 0))
-        return _concat_frags([_const_frag(n, b"\x05"), frag]), valid
+        return [
+            _flag_frag(n, b"\x05", valid),
+            (_be8(comp), np.where(valid, 8, 0)),
+        ], valid
     if dt_name in ("string", "binary"):
         flat, offs, lens = _flat_strings(series, mask)
         head = _uvarint_frag(_zigzag(lens), valid)
         body = _gather(flat, offs, np.where(valid, lens, 0))
-        return (
-            _concat_frags([_const_frag(n, b"\x02"), head, body]),
-            valid,
-        )
+        return [_flag_frag(n, b"\x02", valid), head, body], valid
     if dt_name in ("timestamp", "timestamp_ntz"):
         # the projection shipped unix-micros as BIGINT
         us = np.where(valid, series.to_numpy(np.int64, na_value=0), 0)
         mat, lens = _uvarint_frag(_packed_datetime_us(us), valid)
-        return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
+        return [_flag_frag(n, b"\x09", valid), (mat, lens)], valid
     if dt_name == "date":
         # the projection shipped days-since-epoch; a DATE packs as
         # its midnight datetime
@@ -644,7 +663,7 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
         mat, lens = _uvarint_frag(
             _packed_datetime_us(d * np.int64(86_400_000_000)), valid
         )
-        return _concat_frags([_const_frag(n, b"\x09"), (mat, lens)]), valid
+        return [_flag_frag(n, b"\x09", valid), (mat, lens)], valid
     if dt_name == "decimal":
         # [decimalFlag, precision u8, frac u8, myDecimal binary];
         # p <= 18 ships the unscaled int64, wider ships digit strings
@@ -654,43 +673,39 @@ def _value_datum_frag(series, mask, dt_name, dt, u64=False, wrap=None,
             else _mydecimal_mat_digits
         )
         mat, lens = pack(series, valid, p, s)
-        return _concat_frags(
-            [_const_frag(n, bytes([0x06, p, s])), (mat, lens)]
-        ), valid
+        return [
+            _flag_frag(n, bytes([0x06, p, s]), valid),
+            (mat, lens),
+        ], valid
     # object fallback (DATE, anything else): scalar oracle
-    return _object_frag(series, mask, KC._encode_datum_v1), valid
+    return [_object_frag(series, mask, KC._encode_datum_v1)], valid
 
 
 def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
                     wrap=None, dur=False):
-    """One column's memory-comparable KEY datum fragment (EncodeKey),
-    NULLs encoded as NilFlag (index keys keep NULL datums); ``trunc``
-    is the prefix-index truncation for string/binary columns,
-    ``u64`` the BIGINT UNSIGNED marker, ``dur`` the TIME-as-
+    """One column's memory-comparable KEY datum (EncodeKey) as a PART
+    LIST ``[(mat, lens), ...]`` (same r12 once-only-assembly contract
+    as _value_datum_frag). NULLs encode as NilFlag — the first part
+    is a NilFlag byte emitted only on null rows, and every other
+    part's lens are 0 there, so the concatenation yields the single
+    0x00 byte without the old _with_nil re-concat + overlay copy.
+    ``trunc`` is the prefix-index truncation for string/binary
+    columns, ``u64`` the BIGINT UNSIGNED marker, ``dur`` the TIME-as-
     nanoseconds marker (codec.go writes durationFlag + EncodeInt in
     key position too), ``wrap`` the MySQL-kind coercion (prefix
     truncation doesn't apply to wrapped kinds — prefix indexes exist
     only on string/binary columns)."""
     n = len(mask)
     valid = ~mask
-    nil = (np.zeros((n, 1), np.uint8), np.where(valid, 0, 1))
-
-    def _with_nil(mat, lens):
-        # overlay the NilFlag byte for null rows
-        full, flens = _concat_frags([(mat, lens)])
-        out_w = max(full.shape[1], 1)
-        if full.shape[1] < out_w:
-            full = np.pad(full, ((0, 0), (0, out_w - full.shape[1])))
-        full[~valid, 0] = 0x00
-        return full, np.where(valid, flens, 1)
-
+    nil = _nil_part(n, valid)
     if dur:
         ns = series.to_numpy(np.int64, na_value=0)
         comp = ns.view(np.uint64) ^ _SIGN
-        mat, lens = _concat_frags(
-            [_const_frag(n, b"\x07"), (_be8(comp), np.where(valid, 8, 0))]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, b"\x07", valid),
+            (_be8(comp), np.where(valid, 8, 0)),
+        ]
     if wrap is not None:
         if getattr(wrap, "kind", None) == "json":
             # encode_key_datum writes the same jsonFlag layout
@@ -698,25 +713,26 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
         else:
             enc = lambda v: KC.encode_key_datum(wrap(v))  # noqa: E731
             mat, lens = _object_frag(series, mask, enc)
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [nil, (mat, np.where(valid, lens, 0))]
     if u64:
         if series.dtype.kind in "iu":
             u = series.to_numpy(np.int64, na_value=0).astype(np.uint64)
-            mat, lens = _concat_frags(
-                [_const_frag(n, b"\x04"),
-                 (_be8(u), np.where(valid, 8, 0))]
-            )
-            return _with_nil(mat, np.where(valid, lens, 0))
+            return [
+                nil,
+                _flag_frag(n, b"\x04", valid),
+                (_be8(u), np.where(valid, 8, 0)),
+            ]
         enc = lambda v: KC.encode_key_datum(KC.Uint64Datum(v))  # noqa: E731
         mat, lens = _object_frag(series, mask, enc)
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [nil, (mat, np.where(valid, lens, 0))]
     if dt_name in ("byte", "short", "integer", "long", "boolean"):
         v = series.to_numpy(np.int64, na_value=0)
         comp = v.view(np.uint64) ^ _SIGN
-        mat, lens = _concat_frags(
-            [_const_frag(n, b"\x03"), (_be8(comp), np.where(valid, 8, 0))]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, b"\x03", valid),
+            (_be8(comp), np.where(valid, 8, 0)),
+        ]
     if dt_name in ("float", "double"):
         # no na_value: NULLs were coalesced to 0.0 SPARK-side, so any
         # NaN here is a genuine NaN double and must encode as one
@@ -725,33 +741,33 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
         f = series.to_numpy(np.float64)
         u = f.view(np.uint64)
         comp = np.where(f >= 0, u | _SIGN, ~u & _M64)
-        mat, lens = _concat_frags(
-            [_const_frag(n, b"\x05"), (_be8(comp), np.where(valid, 8, 0))]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, b"\x05", valid),
+            (_be8(comp), np.where(valid, 8, 0)),
+        ]
     if dt_name in ("timestamp", "timestamp_ntz"):
         us = series.to_numpy(np.int64, na_value=0)
         packed = _packed_datetime_us(np.where(valid, us, 0))
-        mat, lens = _concat_frags(
-            [_const_frag(n, b"\x04"), (_be8(packed), np.where(valid, 8, 0))]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, b"\x04", valid),
+            (_be8(packed), np.where(valid, 8, 0)),
+        ]
     if dt_name == "date":
         d = series.to_numpy(np.int64, na_value=0)
         packed = _packed_datetime_us(
             np.where(valid, d, 0) * np.int64(86_400_000_000)
         )
-        mat, lens = _concat_frags(
-            [_const_frag(n, b"\x04"), (_be8(packed), np.where(valid, 8, 0))]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, b"\x04", valid),
+            (_be8(packed), np.where(valid, 8, 0)),
+        ]
     if dt_name in ("string", "binary"):
         flat, offs, lens = _flat_strings(series, mask, trunc)
         mat, glens = _group8_frag(flat, offs, np.where(valid, lens, 0), valid)
-        full, flens = _concat_frags(
-            [_const_frag(n, b"\x01"), (mat, glens)]
-        )
-        return _with_nil(full, np.where(valid, flens, 0))
+        return [nil, _flag_frag(n, b"\x01", valid), (mat, glens)]
     if dt_name == "decimal":
         # EncodeDecimal is memory-comparable: same bytes as the value
         p, s = dt.precision, dt.scale
@@ -760,12 +776,13 @@ def _key_datum_frag(series, mask, dt_name, dt, trunc=None, u64=False,
             else _mydecimal_mat_digits
         )
         dmat, dlens = pack(series, valid, p, s)
-        mat, lens = _concat_frags(
-            [_const_frag(n, bytes([0x06, p, s])), (dmat, dlens)]
-        )
-        return _with_nil(mat, np.where(valid, lens, 0))
+        return [
+            nil,
+            _flag_frag(n, bytes([0x06, p, s]), valid),
+            (dmat, dlens),
+        ]
     mat, lens = _object_frag(series, mask, KC.encode_key_datum)
-    return _with_nil(mat, np.where(valid, lens, 0))
+    return [nil, (mat, np.where(valid, lens, 0))]
 
 
 def _group8_frag(flat, offs, lens, valid):
@@ -973,10 +990,13 @@ def kv_pairs_crc_np(
     # ---- data-row KV ----
     key_prefix = b"t" + KC.encode_int_comparable(table_id) + b"_r"
     hcomp = handles.view(np.uint64) ^ _SIGN
-    key_frag = _concat_frags(
-        [_const_frag(n, key_prefix), (_be8(hcomp), np.full(n, 8, np.int64))]
-    )
-    frags = [key_frag]
+    # key prefix + comparable handle ride the one outer concat as two
+    # parts (r12: every byte is scattered exactly once — the kernel's
+    # only full-row materialization is the final _concat_frags per KV)
+    frags = [
+        _const_frag(n, key_prefix),
+        (_be8(hcomp), np.full(n, 8, np.int64)),
+    ]
     if row_format_version == 2:
         frags.extend(
             _v2_value_frags(
@@ -985,22 +1005,23 @@ def kv_pairs_crc_np(
             )
         )
     else:
-        # per column: the (varint colid) prefix and the datum ride as
-        # TWO parts of the one outer concat instead of being
-        # pre-concatenated per column (r11 opt: the 11 inner
-        # _concat_frags calls re-copied every value byte once more and
-        # profiled as a third of the assembly cost). Null handling
-        # moves onto the parts directly: a skipped NULL zeroes both
-        # parts' lens; a kept NULL emits prefix + one 0x00 (NilFlag)
-        # datum byte — the same bytes the inner-concat rewrite
-        # produced.
+        # per column: the (varint colid) prefix and the datum's part
+        # list ALL ride the one outer concat (r11 removed the
+        # per-column value concat; r12 pushes the same once-only rule
+        # into the datum builders themselves — flag, varint and
+        # payload arrive as separate parts and no byte is copied
+        # before the single outer scatter). Null handling lives on
+        # the parts: a skipped NULL zeroes the prefix and every datum
+        # part's lens (the builders already zero theirs); a kept NULL
+        # emits prefix + one 0x00 (NilFlag) byte via a dedicated nil
+        # part — the same bytes the overlay produced.
         vlen = np.zeros(n, np.int64)
         for i, c in enumerate(cols):
             cid = col_ids[i]
             dt = dtypes[i]
             dt_name = dt.typeName()
             prefix = bytes([KC.VARINT_FLAG]) + KC.encode_varint(cid)
-            (dmat, dlens), valid = _value_datum_frag(
+            dparts, valid = _value_datum_frag(
                 pdf[f"__v_{i}"], masks[c], dt_name, dt,
                 bool(u64_flags and u64_flags[i]),
                 wraps[i] if wraps else None,
@@ -1012,17 +1033,13 @@ def kv_pairs_crc_np(
             if skip:
                 if nulls.any():
                     plens = np.where(nulls, 0, plens)
-                    dlens = np.where(nulls, 0, dlens)
             else:
-                if dmat.shape[1] == 0:
-                    dmat = np.zeros((n, 1), np.uint8)
-                elif not dmat.flags.writeable or nulls.any():
-                    dmat = np.array(dmat, np.uint8)
-                dmat[nulls, 0] = 0x00
-                dlens = np.where(nulls, 1, dlens)
+                dparts = [_nil_part(n, valid)] + dparts
             frags.append((pmat, plens))
-            frags.append((dmat, dlens))
-            vlen += plens + dlens
+            frags.extend(dparts)
+            vlen += plens
+            for _, dlens in dparts:
+                vlen += dlens
         # empty value -> single NilFlag (EncodeOldRow's empty sentinel)
         frags.append(
             (np.zeros((n, 1), np.uint8), (vlen == 0).astype(np.int64))
@@ -1044,33 +1061,25 @@ def kv_pairs_crc_np(
             c, plen = ent if isinstance(ent, tuple) else (ent, None)
             if c == handle_name:
                 comp = handles.view(np.uint64) ^ _SIGN
-                parts.append(
-                    _concat_frags(
-                        [
-                            _const_frag(n, b"\x03"),
-                            (_be8(comp), np.full(n, 8, np.int64)),
-                        ]
-                    )
-                )
+                parts.append(_const_frag(n, b"\x03"))
+                parts.append((_be8(comp), np.full(n, 8, np.int64)))
                 continue
             i = pos_of[c]
             dt = dtypes[i]
-            mat, lens_k = _key_datum_frag(
-                pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen,
-                bool(u64_flags and u64_flags[i]),
-                wraps[i] if wraps else None,
-                bool(dur_flags and dur_flags[i]),
+            parts.extend(
+                _key_datum_frag(
+                    pdf[f"__v_{i}"], masks[c], dt.typeName(), dt, plen,
+                    bool(u64_flags and u64_flags[i]),
+                    wraps[i] if wraps else None,
+                    bool(dur_flags and dur_flags[i]),
+                )
             )
-            parts.append((mat, lens_k))
             distinct &= ~masks[c]
-        # non-distinct entries append the int handle to the key
-        hmat, _hl = _concat_frags(
-            [
-                _const_frag(n, b"\x03"),
-                (_be8(handles.view(np.uint64) ^ _SIGN),
-                 np.full(n, 8, np.int64)),
-            ]
-        )
+        # non-distinct entries append the int handle to the key:
+        # intFlag + comparable BE8, built directly (fixed 9 bytes)
+        hmat = np.empty((n, 9), np.uint8)
+        hmat[:, 0] = 0x03
+        hmat[:, 1:] = _be8(handles.view(np.uint64) ^ _SIGN)
         parts.append((hmat, np.where(distinct, 0, 9)))
         # value: BE8 handle when distinct, '0' otherwise
         vmat = np.full((n, 8), 0, np.uint8)
