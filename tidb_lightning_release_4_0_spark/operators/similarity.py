@@ -671,12 +671,23 @@ def _np_pq_topk_fused(
     """Fused Arrow pass for the ``encode="numpy"`` scale path (r11
     opt, guide §2.3/§8): corpus encode, ADC scoring against the
     driver-built per-query lookup tables, and PER-TASK top-k
-    selection run inside ONE mapInPandas — the previous plan joined
+    selection run inside ONE Arrow map — the previous plan joined
     the 50k-row code table against every query (3.2M scored rows at
     the bench's 64-query cell) and shuffled ALL of them into a
     row_number window, which profiled at ~1.7 s of the 2.6 s query.
     Each task now emits at most nq*k rows, so the window ranks a few
     thousand rows instead of millions.
+
+    r12 (guide §4.2): the pass is ``mapInArrow``, not mapInPandas —
+    a quiet-box breakdown showed the whole 50k-corpus kernel math at
+    ~0.3 s while the fused job measured 0.7-1.0 s; the difference
+    was the Python boundary materializing the list<float> column as
+    50k per-row numpy objects (Spark's arrow->pandas conversion plus
+    our re-stack). The embedding matrix now comes straight from the
+    Arrow list values buffer (one zero-copy flatten + one astype;
+    0.004 s for the same 50k rows), with a per-row fallback for
+    ragged/null rows. float32 -> float64 is exact, so the kernel
+    sees bit-identical inputs either way.
 
     Exactness contract (same results as the join+window plan):
     - the ADC sum adds the M table entries in the JVM fold order
@@ -691,7 +702,6 @@ def _np_pq_topk_fused(
       table entries, so +inf cannot collide with a real candidate).
     """
     import numpy as np
-    import pandas as pd
 
     cb = [
         np.array(
@@ -719,18 +729,40 @@ def _np_pq_topk_fused(
         probe = np.asarray(q_cells, dtype=np.int64)
         probe = probe.reshape(nq, probe.size // nq if nq else 0)
 
+    def _vec_matrix(arr, nb):
+        """(nb, dim) float64 from an Arrow list<float> column: one
+        flatten + one astype when the column is dense and rectangular
+        (a zero-copy view of the values buffer), per-row fallback
+        otherwise. float32 -> float64 widening is exact, so both
+        paths produce bit-identical matrices."""
+        import pyarrow.compute as pc
+
+        if arr.null_count == 0:
+            lens = pc.list_value_length(arr).to_numpy()
+            if nb and lens.min() == lens.max() and lens[0] > 0:
+                flat = arr.flatten().to_numpy(zero_copy_only=False)
+                return flat.astype(np.float64).reshape(nb, int(lens[0]))
+        return np.array(
+            [np.asarray(x, dtype=np.float64) for x in arr.to_pylist()]
+        )
+
     def fused(batches):
+        import pyarrow as pa
+
         acc_q: list = []
         acc_c: list = []
         acc_d: list = []
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            nb = rb.num_rows
+            if not nb:
                 continue
-            v = np.array(
-                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            names = rb.schema.names
+            v = _vec_matrix(rb.column(names.index(vec_col)), nb)
+            c_ids = (
+                rb.column(names.index(id_col))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            c_ids = pdf[id_col].to_numpy(np.int64)
-            nb = len(c_ids)
             if cmat is not None:
                 dots = v @ cmat.T
                 vn = np.sqrt((v * v).sum(axis=1))
@@ -792,15 +824,26 @@ def _np_pq_topk_fused(
                 outq.append(np.full(len(order), qid_arr[qi]))
                 outc.append(cc[order])
                 outd.append(dd[order])
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(outq),
-                    "c_id": np.concatenate(outc),
-                    "_ad": np.concatenate(outd),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(outq), pa.int64()),
+                    pa.array(np.concatenate(outc), pa.int64()),
+                    pa.array(np.concatenate(outd), pa.float64()),
+                ],
+                names=["q_id", "c_id", "_ad"],
             )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    # spread a few-file corpus scan before the fused pass (r12,
+    # guide §2.6/§6): the bench's 50k-vector corpus is ONE parquet
+    # file -> ONE row group -> ONE task, so the whole encode+ADC+topk
+    # kernel ran on a single core at local[32]. The gate reads scan
+    # metadata only and is a no-op on any well-partitioned corpus
+    # (a 100 TB corpus has >> cores input splits). Results are
+    # partitioning-invariant: per-task top-k is distributive and the
+    # final window imposes the global (_ad, c_id) order.
+    from .partitioning import spread_small_input as _spread
+
+    return _spread(corpus.select(id_col, vec_col)).mapInArrow(
         fused, "q_id long, c_id long, _ad double"
     )
 
