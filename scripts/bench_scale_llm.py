@@ -374,9 +374,9 @@ def main() -> None:
     # clobber; a fresh round file seeds from the prior round's so
     # untouched operators carry their last measurement (provenance in
     # the "note" field)
-    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r11.json")
+    path = os.path.join(REPO, "docs", "SCALE_CURVE_LLM_r12.json")
     seed = path if os.path.exists(path) else os.path.join(
-        REPO, "docs", "SCALE_CURVE_LLM_r10.json"
+        REPO, "docs", "SCALE_CURVE_LLM_r11.json"
     )
     merged = points
     if os.path.exists(seed):
