@@ -522,3 +522,28 @@ def test_minhash_candidate_shuffle_sizes_with_data(spark, sf_dir):
     assert "hashpartitioning(band" in plan and ", 43)" in plan, plan
     # (unlike simhash, minhash keeps its final pair-distinct — its
     # candidate volume is ~1e-7 of brute force, measured at 1024x)
+
+
+def test_minhash_sizing_count_is_metadata_job(spark, sf_dir):
+    """r11 opt pinned (r12 directive #6): the derived-partitions
+    sizing ``count()`` runs on the RAW parquet scan BEFORE ``_spread``
+    — a metadata-answerable single job — instead of executing the
+    round-robin exchange (+ sort-before-repartition) just to learn a
+    row count. With the count pre-spread the whole pairs count is 7
+    jobs at this shape; the post-spread formulation added one more
+    (the AQE exchange materialization for the count). Pin the job
+    budget so a regression re-adding the exchange trips loudly."""
+    from tidb_lightning_release_4_0_spark.operators import dedup as D
+
+    sc = spark.sparkContext
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.count()  # warm the scan metadata
+    sc.setJobGroup("mh_jobcount", "minhash pairs sizing job budget")
+    try:
+        D.minhash_lsh_pairs(docs, threshold=0.2).count()
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup("mh_jobcount")
+    assert len(ids) <= 7, f"minhash pairs count ran {len(ids)} jobs"
