@@ -547,3 +547,35 @@ def test_minhash_sizing_count_is_metadata_job(spark, sf_dir):
         sc.setJobGroup(None, None)
     ids = sc.statusTracker().getJobIdsForGroup("mh_jobcount")
     assert len(ids) <= 7, f"minhash pairs count ran {len(ids)} jobs"
+
+
+def test_cc_label_frame_is_one_arrow_batch(spark):
+    """r12 directive #3 pin: connected_components' driver label
+    frames must ride ONE Arrow batch (LocalTableScan), not the
+    row-pickling createDataFrame(list) path (Scan ExistingRDD over an
+    applySchemaToPythonRDD MapPartitionsRDD — profiled at 0.4-0.6 s
+    of dedup_cluster's ~2 s for a few thousand tuples). Also pins
+    value parity between the Arrow route and the list fallback."""
+    from tidb_lightning_release_4_0_spark.operators.curation import (
+        _labels_frame,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "left_id long, right_id long",
+    )
+    cc = connected_components(pairs)
+    plan = _plan(cc)
+    assert "LocalTableScan" in plan, plan
+    assert "ExistingRDD" not in plan, plan
+
+    # value parity: Arrow route vs the list fallback, same schema
+    rows = [(1, 1), (2, 1), (3, 1), (22, 20)]
+    schema = cc.schema
+    arrow_df = _labels_frame(spark, rows, schema)
+    list_df = spark.createDataFrame(rows, schema=schema)
+    assert arrow_df.schema == list_df.schema
+    assert arrow_df.collect() == list_df.collect()
+    # empty input keeps the list path's empty-frame contract
+    assert _labels_frame(spark, [], schema).count() == 0
